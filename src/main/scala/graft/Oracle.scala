@@ -1,0 +1,95 @@
+package graft
+
+import graft.analysis.Analyzer
+import graft.sources.Transcripts
+
+/** DuckDB oracle SQL builders — the SQL twin of every Spark query that
+  * `SparkEntry.queries` registers. One builder per shape so the Spark and
+  * SQL sides can only drift in one place. All SQL references the driver's
+  * parquet tables by bare name (`documents`), per the SparkEntry contract.
+  *
+  * The BM25 expression tree is spelled identically to
+  * [[graft.search.Bm25]]: ln(1 + (N - df + 0.5)/(df + 0.5)) * tf /
+  * (tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl)); ranking on round(score, 7)
+  * DESC, doc_id ASC; reported score rounded to 4 decimals.
+  */
+object Oracle {
+
+  private def esc(s: String) = s.replace("'", "''")
+
+  def queryValues(queries: Seq[(Int, String)]): String =
+    queries.map { case (id, t) => s"($id, '${esc(t)}')" }.mkString(", ")
+
+  /** CTE prelude turning a (doc_id, text) relation into toks/dl/stats/tf/df.
+    * `corpusSql` must yield columns (doc_id, text). */
+  def indexCtes(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
+       |toks AS (SELECT doc_id, unnest(${Analyzer.sqlTokenList("text")}) AS term FROM corpus),
+       |dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT term, doc_id, count(*)::INT AS tf FROM toks GROUP BY term, doc_id),
+       |df AS (SELECT term, count(*)::BIGINT AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)""".stripMargin
+
+  val documentsCorpus = "SELECT doc_id, text FROM documents"
+
+  /** Transcripts derived from documents (twin of Transcripts.fromDocuments)
+    * with the ingest filter applied, as a CTE body. */
+  def transcriptsSql: String =
+    s"""SELECT * FROM (${Transcripts.sqlFromDocuments})
+       |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin
+
+  /** (doc_id, text) corpus over transcripts: dense doc ids by the stable
+    * (conv_id, turn_idx) order — twin of IndexBuild.assignDocIds. */
+  def transcriptsCorpus: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text
+       |FROM ($transcriptsSql)""".stripMargin
+
+  def docDl(corpusSql: String): String =
+    s"WITH ${indexCtes(corpusSql)} SELECT doc_id, dl FROM dl ORDER BY doc_id"
+
+  def termTf(corpusSql: String): String =
+    s"WITH ${indexCtes(corpusSql)} SELECT term, doc_id, tf FROM tf ORDER BY term, doc_id"
+
+  def dictionary(corpusSql: String): String =
+    s"WITH ${indexCtes(corpusSql)} SELECT term, df, cf FROM df ORDER BY term"
+
+  def collectionStats(corpusSql: String): String =
+    s"""WITH ${indexCtes(corpusSql)}
+       |SELECT n_docs, CAST((SELECT sum(dl) FROM dl) AS BIGINT) AS total_tokens,
+       |       round(avgdl, 6) AS avgdl
+       |FROM stats""".stripMargin
+
+  def docIdsTranscripts: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |       conv_id, turn_idx, role, tool, ${Analyzer.sqlDocLen("text")} AS dl
+       |FROM ($transcriptsSql)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Full BM25 top-k oracle. */
+  def bm25TopK(corpusSql: String, queries: Seq[(Int, String)], k: Int,
+               conjunctive: Boolean): String = {
+    val conjJoin =
+      if (conjunctive) "JOIN nq USING (query_id) WHERE n_matched = n_q" else ""
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |nq AS (SELECT query_id, count(*)::BIGINT AS n_q FROM qt GROUP BY query_id),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score,
+       |         count(*)::BIGINT AS n_matched
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored $conjJoin)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+}

@@ -1,13 +1,101 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analysis.Analyzer
+import graft.index.IndexBuild
+import graft.search.Search
+import graft.sources.Transcripts
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator registers a named query here plus (where
+  * SQL-expressible) a DuckDB oracle twin built by [[Oracle]].
+  */
 object SparkEntry {
+
+  /** The pinned reference query set (FIXTURES.md §C): hot terms, the one
+    * rare term ('dup', df=25 at sf0.01), multi-term OR, punctuation/case
+    * (analyzer), absent terms, duplicate query terms. */
+  val DisjQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark merge window",
+    2 -> "dup",
+    3 -> "batch",
+    4 -> "Key-Value & FILTER!!",
+    5 -> "zzzmissing",
+    6 -> "group order sort limit99",
+    7 -> "a a the",
+    8 -> "vector stream")
+
+  /** Conjunctive (AND) query set. */
+  val ConjQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark merge window",
+    2 -> "dup join",
+    3 -> "key value filter sort group")
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+
+  /** Transcripts corpus with dense doc ids (the full build-side path:
+    * ingest guard → scalable doc-id assignment). */
+  private def transcriptCorpus(s: SparkSession, dir: String): DataFrame =
+    IndexBuild.assignDocIds(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)))
+      .select("doc_id", "text")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Search.searchCorpus(transcriptCorpus(spark, "/root/testdata/sf0.001"),
+      DisjQueries)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1–A4: analyzer + doc length over the documents fixture
+    "q_doc_dl" -> ((s, dir) => {
+      val occ = IndexBuild.termOccurrences(documents(s, dir))
+      IndexBuild.docLengths(occ).orderBy("doc_id")
+    }),
+    // G1: term frequencies
+    "q_term_tf" -> ((s, dir) => {
+      IndexBuild.termFrequencies(IndexBuild.termOccurrences(documents(s, dir)))
+        .orderBy("term", "doc_id")
+    }),
+    // G2: dictionary (exact df/cf)
+    "q_dictionary" -> ((s, dir) => {
+      IndexBuild.dictionary(IndexBuild.termFrequencies(
+        IndexBuild.termOccurrences(documents(s, dir)))).orderBy("term")
+    }),
+    // G3: collection stats
+    "q_stats" -> ((s, dir) => {
+      val dl = IndexBuild.docLengths(IndexBuild.termOccurrences(documents(s, dir)))
+      dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("total_tokens"),
+        round(avg(col("dl")), 6).as("avgdl"))
+    }),
+    // E3+W1: exhaustive BM25 top-10, disjunctive
+    "q_bm25_top10" -> ((s, dir) =>
+      Search.searchCorpus(documents(s, dir), DisjQueries)),
+    // J3: conjunctive AND top-10
+    "q_bm25_conj" -> ((s, dir) =>
+      Search.searchCorpus(documents(s, dir), ConjQueries, conjunctive = true)),
+    // W2: stable dense doc-id assignment over the transcripts table
+    "q_docids_transcripts" -> ((s, dir) => {
+      val t = IndexBuild.ingest(Transcripts.fromDocuments(s, dir))
+      IndexBuild.assignDocIds(t).select(col("doc_id"), col("conv_id"),
+        col("turn_idx"), col("role"), col("tool"),
+        Analyzer.docLen(col("text")).as("dl")).orderBy("doc_id")
+    }),
+    // Flagship: full pipeline (transcripts → index → BM25 top-10)
+    "q_bm25_transcripts" -> ((s, dir) =>
+      Search.searchCorpus(transcriptCorpus(s, dir), DisjQueries)))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_doc_dl" -> Oracle.docDl(Oracle.documentsCorpus),
+    "q_term_tf" -> Oracle.termTf(Oracle.documentsCorpus),
+    "q_dictionary" -> Oracle.dictionary(Oracle.documentsCorpus),
+    "q_stats" -> Oracle.collectionStats(Oracle.documentsCorpus),
+    "q_bm25_top10" -> Oracle.bm25TopK(Oracle.documentsCorpus, DisjQueries, 10, conjunctive = false),
+    "q_bm25_conj" -> Oracle.bm25TopK(Oracle.documentsCorpus, ConjQueries, 10, conjunctive = true),
+    "q_docids_transcripts" -> Oracle.docIdsTranscripts,
+    "q_bm25_transcripts" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false))
 }

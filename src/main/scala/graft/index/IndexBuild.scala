@@ -1,0 +1,107 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index construction over a transcripts table (SURVEY.md §3.1).
+  *
+  * All stages are declarative DataFrame transforms; the only driver
+  * boundaries are two O(partitions)/O(1) collects (doc-id offsets and
+  * collection stats), so nothing here is sized by the corpus — the design
+  * target is 10^12 turns (BASELINE.json north_rule).
+  */
+object IndexBuild {
+
+  /** Collection statistics (broadcast as literals at query time). */
+  final case class Stats(nDocs: Long, totalTokens: Long, avgdl: Double)
+
+  /** Ingest guard (P2+G6): non-null non-empty text, dedupe on the
+    * (conv_id, turn_idx) key. Both predicates push to the scan. */
+  def ingest(transcripts: DataFrame): DataFrame =
+    transcripts
+      .where(col("text").isNotNull && length(col("text")) > 0)
+      .dropDuplicates("conv_id", "turn_idx")
+
+  /** W2 — stable dense doc_id respecting global (conv_id, turn_idx) order,
+    * WITHOUT a single-partition global window (which would serialize the
+    * corpus through one task at scale).
+    *
+    * Two-phase: range-repartition on the key, collect per-partition row
+    * counts (O(partitions) driver state), then doc_id = partition offset +
+    * intra-partition row_number. Because (conv_id, turn_idx) is unique
+    * (post-dedupe) the result equals the global
+    * `row_number() OVER (ORDER BY conv_id, turn_idx) - 1` regardless of
+    * where the range sampler places partition boundaries — the property the
+    * DuckDB oracle checks.
+    *
+    * Output: input columns + `doc_id:long`.
+    */
+  def assignDocIds(turns: DataFrame, numPartitions: Int = 0): DataFrame = {
+    val spark = turns.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val ranged = turns
+      .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    try {
+      val counts = ranged.groupBy("_pid").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.map(_._1).zip(
+        counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+      val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_offset")
+      val w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
+      ranged
+        .join(broadcast(offDf), "_pid")
+        .withColumn("doc_id", col("_offset") + row_number().over(w) - 1)
+        .drop("_pid", "_offset")
+    } finally {
+      // Lazy unpersist: blocks nothing; recompute (if ever needed) is
+      // deterministic because every upstream transform is.
+      ranged.unpersist(blocking = false)
+    }
+  }
+
+  /** A3 — one row per (doc_id, term) occurrence. */
+  def termOccurrences(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
+
+  /** Doc lengths from occurrences (docs with ≥1 token — Lucene's per-field
+    * docCount semantics; the DuckDB oracle counts the same way). */
+  def docLengths(occurrences: DataFrame): DataFrame =
+    occurrences.groupBy("doc_id").agg(count(lit(1)).cast("int").as("dl"))
+
+  /** G1 — term frequency per (term, doc). Two-phase hash agg (map-side
+    * partial combine) — the heavy shuffle keys on (term, doc_id) so the
+    * Zipf head is spread over all partitions, not one. */
+  def termFrequencies(occurrences: DataFrame): DataFrame =
+    occurrences.groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("int").as("tf"))
+
+  /** G2 — dictionary: exact df + cf per term (no sketches —
+    * rank-identicality forbids them). */
+  def dictionary(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(
+      count(lit(1)).as("df"),
+      sum(col("tf").cast("long")).as("cf"))
+
+  /** G3 — collection stats; single-row collect (driver boundary). */
+  def stats(dl: DataFrame): Stats = {
+    val r = dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("long")).as("total_tokens"),
+      avg(col("dl")).as("avgdl")).head()
+    Stats(r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
+
+  /** Denormalized scoring relation: (term, doc_id, tf, dl). One build-time
+    * shuffle joins dl onto tf so query-time scoring never joins the docs
+    * table — at 10^12 turns that join would dwarf the query itself; the
+    * storage cost is ~1 varint per posting (Lucene stores norms per doc for
+    * the same reason). */
+  def tfWithDl(tf: DataFrame, dl: DataFrame): DataFrame =
+    tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+}

@@ -1,0 +1,89 @@
+package graft.search
+
+import graft.analysis.Analyzer
+import graft.index.IndexBuild
+import graft.index.IndexBuild.Stats
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query-time scoring (SURVEY.md §3.2). The exhaustive path is the
+  * correctness baseline (its DuckDB twin IS the oracle); the block-max
+  * WAND fast path (M4) must equal it bit-for-bit.
+  *
+  * Output schema — the engine's "Solr JSON response":
+  *   (query_id:int, rank:int, doc_id:long, score:double)
+  * rank by (round(score, 7) DESC, doc_id ASC); score reported at 4
+  * decimals. Deterministic tie-break ⇒ rank-identical across engines.
+  */
+object Search {
+
+  /** Literal query set → small DataFrame(query_id:int, text:string). */
+  def queryFrame(spark: SparkSession, queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("query_id", "text")
+  }
+
+  /** Query analysis: same Analyzer as the index side, distinct terms
+    * (each distinct query term contributes once — pinned semantics,
+    * FIXTURES.md §C). */
+  def queryTerms(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"),
+        explode(Analyzer.tokens(col("text"))).as("term"))
+      .distinct()
+
+  /** Exhaustive BM25 top-k from the scoring relation.
+    *
+    * @param tfdl (term, doc_id, tf, dl) — the denormalized posting rows
+    * @param dict (term, df, ...) — broadcast (tiny vs the corpus)
+    * @param conjunctive if true, only docs matching ALL query terms (J3
+    *        realized as one aggregation, not a join chain)
+    */
+  def topK(queries: DataFrame, tfdl: DataFrame, dict: DataFrame,
+           stats: Stats, k: Int = 10, conjunctive: Boolean = false): DataFrame = {
+    val qt = queryTerms(queries)
+    // (query term ⋈ dictionary) is tiny; broadcasting the product means the
+    // big posting relation shuffles zero times before scoring.
+    val qd = qt.join(dict.select("term", "df"), "term")
+    val scored = tfdl
+      .join(broadcast(qd), "term")
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(stats.nDocs), lit(stats.avgdl)))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"), count(lit(1)).as("_n_matched"))
+    val filtered =
+      if (!conjunctive) scored
+      else {
+        val nq = qd.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
+        scored.join(broadcast(nq), "query_id")
+          .where(col("_n_matched") === col("_n_q"))
+      }
+    rank(filtered, k)
+  }
+
+  /** W1 — per-query top-k with the pinned tie-break. */
+  def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("_score"), Bm25.RankScale).desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), round(col("_score"), Bm25.OutScale).as("score"))
+  }
+
+  /** End-to-end exhaustive search over a raw (doc_id, text) corpus —
+    * builds the scoring relation inline (no persisted index). This is the
+    * oracle-twinned path used by Verify. */
+  def searchCorpus(corpus: DataFrame, queries: Seq[(Int, String)],
+                   k: Int = 10, conjunctive: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    val occ = IndexBuild.termOccurrences(corpus)
+    val dl = IndexBuild.docLengths(occ)
+    val tf = IndexBuild.termFrequencies(occ)
+    val tfdl = IndexBuild.tfWithDl(tf, dl)
+    val dict = IndexBuild.dictionary(tf)
+    val st = IndexBuild.stats(dl)
+    topK(queryFrame(spark, queries), tfdl, dict, st, k, conjunctive)
+  }
+}

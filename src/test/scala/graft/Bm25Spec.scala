@@ -1,0 +1,71 @@
+package graft
+
+import graft.search.{Bm25, Search}
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Hand-checkable corpus: 3 docs. */
+  val corpus = Seq(
+    (0L, "spark spark fast"),  // dl=3, tf(spark)=2
+    (1L, "spark slow slow engine"), // dl=4
+    (2L, "duck duck duck"))   // dl=3
+    .toDF("doc_id", "text")
+
+  def bm25(tf: Int, dl: Int, df: Long, n: Long, avgdl: Double): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * tf / (tf + Bm25.K1 * (1 - Bm25.B + Bm25.B * dl / avgdl))
+  }
+
+  test("exhaustive BM25 matches hand computation") {
+    val got = Search.searchCorpus(corpus, Seq(1 -> "spark"))
+      .orderBy("rank").collect()
+    // N=3, avgdl=10/3, df(spark)=2
+    val s0 = bm25(2, 3, 2, 3, 10.0 / 3)
+    val s1 = bm25(1, 4, 2, 3, 10.0 / 3)
+    assert(got.map(_.getLong(2)).toSeq == Seq(0L, 1L))
+    assert(math.abs(got(0).getDouble(3) - math.rint(s0 * 1e4) / 1e4) < 1e-9)
+    assert(math.abs(got(1).getDouble(3) - math.rint(s1 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("absent query terms contribute nothing; unknown-only query is empty") {
+    assert(Search.searchCorpus(corpus, Seq(1 -> "zzz")).count() == 0)
+    val withUnknown = Search.searchCorpus(corpus, Seq(1 -> "spark zzz"))
+      .orderBy("rank").collect()
+    val alone = Search.searchCorpus(corpus, Seq(1 -> "spark"))
+      .orderBy("rank").collect()
+    assert(withUnknown.map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+      alone.map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
+  test("duplicate query terms count once") {
+    val a = Search.searchCorpus(corpus, Seq(1 -> "spark spark spark")).collect()
+    val b = Search.searchCorpus(corpus, Seq(1 -> "spark")).collect()
+    assert(a.map(r => (r.getLong(2), r.getDouble(3))).toSeq ==
+      b.map(r => (r.getLong(2), r.getDouble(3))).toSeq)
+  }
+
+  test("tie-break: equal scores rank by doc_id ascending") {
+    val tied = Seq((5L, "x y"), (3L, "x y"), (9L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Search.searchCorpus(tied, Seq(1 -> "x")).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(3L, 5L, 9L))
+  }
+
+  test("conjunctive requires all terms") {
+    val got = Search.searchCorpus(corpus, Seq(1 -> "spark fast"),
+      conjunctive = true).collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(0L))
+    // disjunctive returns both spark docs
+    val disj = Search.searchCorpus(corpus, Seq(1 -> "spark fast")).count()
+    assert(disj == 2)
+  }
+
+  test("top-k truncates at k") {
+    val many = (0L until 30L).map(i => (i, "common")).toDF("doc_id", "text")
+    val got = Search.searchCorpus(many, Seq(1 -> "common"), k = 10).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getLong(2)).sorted.toSeq == (0L until 10L))
+  }
+}
