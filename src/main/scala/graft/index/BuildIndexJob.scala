@@ -1,0 +1,161 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import graft.index.IndexBuild.Stats
+import graft.search.Bm25
+import graft.sources.{ParquetTableIO, TableIO}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The spark-submit batch job (SURVEY.md §3.1): transcripts → persisted
+  * inverted index, as a sequence of checkpoint-resumable stages. Each
+  * stage reads only previously-persisted artifacts and is guarded by a
+  * `_stage_done/<stage>` marker — a restarted job skips completed stages
+  * (BASELINE.json north_rule: "resumable from checkpoint with
+  * per-partition lineage + metrics").
+  *
+  * Stages and artifacts (all written via [[graft.sources.TableIO]]):
+  *   1. docs      → `docs/`      (doc_id, conv_id, turn_idx, role, tool,
+  *                                ts, dl, text) — stored fields + norms
+  *   2. tf        → `tfdl/`      (term, doc_id, tf, dl) partitioned by
+  *                                shard — the materialized term shuffle
+  *   3. dict      → `dictionary/` (term, shard, df, cf, max_score)
+  *                  `stats/`      (n_docs, total_tokens, avgdl, build_id)
+  *   4. postings  → `postings/`  encoded blocks partitioned by shard
+  *
+  * Every stage appends per-partition lineage rows to `lineage/`:
+  * (stage, partition_id, input_rows, output_rows, checksum, build_id,
+  * wall_ms).
+  */
+object BuildIndexJob {
+
+  final case class Config(
+      numShards: Int = 32,
+      blockSize: Int = PostingBlocks.DefaultBlockSize,
+      io: TableIO = ParquetTableIO)
+
+  final case class IndexPaths(root: String) {
+    val docs = s"$root/docs"
+    val tfdl = s"$root/tfdl"
+    val dictionary = s"$root/dictionary"
+    val stats = s"$root/stats"
+    val postings = s"$root/postings"
+    val lineage = s"$root/lineage"
+    def marker(stage: String) = s"$root/_stage_done/$stage"
+  }
+
+  def run(spark: SparkSession, transcripts: DataFrame, root: String,
+          buildId: String, cfg: Config = Config()): IndexPaths = {
+    val p = IndexPaths(root)
+    val io = cfg.io
+
+    stage(p, "docs") {
+      val ingested = IndexBuild.ingest(transcripts)
+      val docs = IndexBuild.assignDocIds(ingested)
+        .withColumn("dl", Analyzer.docLen(col("text")))
+        .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
+      io.write(docs, p.docs, snapshotId = buildId)
+      lineage(spark, p, "docs", buildId,
+        io.read(spark, p.docs).groupBy(pmod(col("doc_id"), lit(64)).cast("int").as("partition_id"))
+          .agg(count(lit(1)).as("output_rows"),
+            bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("checksum")))
+    }
+
+    stage(p, "tf") {
+      val docs = io.read(spark, p.docs)
+      // dl carried through the aggregate key (functionally dependent on
+      // doc_id) — no join back to docs needed.
+      val tfdl = docs
+        .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(count(lit(1)).cast("int").as("tf"))
+        .withColumn("shard", PostingBlocks.shardOf(col("term"), cfg.numShards))
+        .select("shard", "term", "doc_id", "tf", "dl")
+      io.write(tfdl, p.tfdl, partitionBy = Seq("shard"), snapshotId = buildId)
+      lineage(spark, p, "tf", buildId,
+        io.read(spark, p.tfdl).groupBy(col("shard").as("partition_id"))
+          .agg(count(lit(1)).as("output_rows"),
+            bit_xor(xxhash64(col("term"), col("doc_id"), col("tf"))).as("checksum")))
+    }
+
+    stage(p, "dict") {
+      val docs = io.read(spark, p.docs)
+      val st = docs.where(col("dl") > 0).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl").cast("long")).as("total_tokens"),
+        avg(col("dl")).as("avgdl")).head()
+      val stats = Stats(st.getLong(0), st.getLong(1), st.getDouble(2))
+      val tfdl = io.read(spark, p.tfdl)
+      val dfcf = tfdl.groupBy("term").agg(
+        first(col("shard")).as("shard"),
+        count(lit(1)).as("df"),
+        sum(col("tf").cast("long")).as("cf"))
+      // per-term score upper bound for WAND pruning — one more term-keyed
+      // agg over tfdl (exchange-compatible with the df agg)
+      val maxScore = tfdl.join(dfcf.select("term", "df"), "term")
+        .groupBy("term")
+        .agg(max(Bm25.termScore(col("tf"), col("dl"), col("df"),
+          lit(stats.nDocs), lit(stats.avgdl))).as("max_score"))
+      val dict = dfcf.join(maxScore, "term")
+        .select("term", "shard", "df", "cf", "max_score")
+      io.write(dict, p.dictionary, snapshotId = buildId)
+      import spark.implicits._
+      io.write(Seq((stats.nDocs, stats.totalTokens, stats.avgdl, buildId))
+        .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
+        snapshotId = buildId)
+      lineage(spark, p, "dict", buildId,
+        io.read(spark, p.dictionary).groupBy(col("shard").as("partition_id"))
+          .agg(count(lit(1)).as("output_rows"),
+            bit_xor(xxhash64(col("term"), col("df"), col("cf"))).as("checksum")))
+    }
+
+    stage(p, "postings") {
+      val tfdl = io.read(spark, p.tfdl)
+      val dict = io.read(spark, p.dictionary)
+      val stats = readStats(spark, p)
+      val blocks = PostingBlocks.build(
+        tfdl.select("term", "doc_id", "tf", "dl"), dict, stats,
+        cfg.numShards, cfg.blockSize)
+      io.write(blocks, p.postings, partitionBy = Seq("shard"), snapshotId = buildId)
+      lineage(spark, p, "postings", buildId,
+        io.read(spark, p.postings).groupBy(col("shard").as("partition_id"))
+          .agg(count(lit(1)).as("output_rows"),
+            bit_xor(xxhash64(col("term"), col("first_doc"), col("doc_gaps"))).as("checksum")))
+    }
+
+    p
+  }
+
+  def readStats(spark: SparkSession, p: IndexPaths): Stats = {
+    val r = spark.read.parquet(p.stats).head()
+    Stats(r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+      r.getAs[Double]("avgdl"))
+  }
+
+  /** Run `body` unless this stage's done-marker exists; create the marker
+    * on success. Returns true if the stage executed. */
+  private def stage(p: IndexPaths, name: String)(body: => Unit): Boolean = {
+    val marker = Paths.get(p.marker(name))
+    if (Files.exists(marker)) false
+    else {
+      body
+      Files.createDirectories(marker.getParent)
+      Files.writeString(marker, "done")
+      true
+    }
+  }
+
+  /** Append per-partition lineage + wall time for a completed stage. */
+  private def lineage(spark: SparkSession, p: IndexPaths, stageName: String,
+                      buildId: String, perPartition: DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val rows = perPartition
+      .withColumn("stage", lit(stageName))
+      .withColumn("build_id", lit(buildId))
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    rows.withColumn("wall_ms", lit(wallMs))
+      .select("stage", "partition_id", "output_rows", "checksum", "build_id", "wall_ms")
+      .write.mode("append").parquet(p.lineage)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+
+/** Catalyst expressions E1/E2 (SURVEY.md §2.9): varint / delta-gap codec
+  * as native unary expressions with `doGenCode`, so encode/decode fuse
+  * into whole-stage codegen (no UDF serialization, no fallback). Both the
+  * interpreted and generated paths call the same [[VarintCodec]] statics.
+  */
+abstract class CodecExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  /** Fully-qualified static method on VarintCodec. */
+  protected def method: String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.VarintCodec.$method($c)")
+}
+
+/** array<long> → binary (plain varints). */
+case class VarintEncode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = BinaryType
+  override protected def method: String = "encode"
+  override def nullSafeEval(v: Any): Any =
+    VarintCodec.encode(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): VarintEncode = copy(c)
+}
+
+/** binary → array<long> (plain varints). */
+case class VarintDecode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def method: String = "decode"
+  override def nullSafeEval(v: Any): Any =
+    VarintCodec.decode(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): VarintDecode = copy(c)
+}
+
+/** ascending array<long> → binary (first value + delta gaps, varint). */
+case class VarintDeltaEncode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = BinaryType
+  override protected def method: String = "encodeDelta"
+  override def nullSafeEval(v: Any): Any =
+    VarintCodec.encodeDelta(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): VarintDeltaEncode = copy(c)
+}
+
+/** binary → ascending array<long>. */
+case class VarintDeltaDecode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def method: String = "decodeDelta"
+  override def nullSafeEval(v: Any): Any =
+    VarintCodec.decodeDelta(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): VarintDeltaDecode = copy(c)
+}
+
+/** Column-level API for the codec expressions. */
+object codec {
+  def varintEncode(c: Column): Column = Shims.column(VarintEncode(Shims.expression(c)))
+  def varintDecode(c: Column): Column = Shims.column(VarintDecode(Shims.expression(c)))
+  def varintDeltaEncode(c: Column): Column = Shims.column(VarintDeltaEncode(Shims.expression(c)))
+  def varintDeltaDecode(c: Column): Column = Shims.column(VarintDeltaDecode(Shims.expression(c)))
+}

@@ -2,7 +2,6 @@ package graft.index
 
 import graft.analysis.Analyzer
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Inverted-index construction over a transcripts table (SURVEY.md §3.1).
@@ -28,41 +27,52 @@ object IndexBuild {
     * WITHOUT a single-partition global window (which would serialize the
     * corpus through one task at scale).
     *
-    * Two-phase: range-repartition on the key, collect per-partition row
-    * counts (O(partitions) driver state), then doc_id = partition offset +
-    * intra-partition row_number. Because (conv_id, turn_idx) is unique
-    * (post-dedupe) the result equals the global
-    * `row_number() OVER (ORDER BY conv_id, turn_idx) - 1` regardless of
-    * where the range sampler places partition boundaries — the property the
-    * DuckDB oracle checks.
+    * One shuffle + one staging write:
+    *  1. range-repartition + sort within partitions on the key, stamp
+    *     `monotonically_increasing_id()` (= partition_id·2^33 + row-in-
+    *     partition, so both are recoverable from one column), and
+    *     MATERIALIZE to a staging path. The materialization is load-bearing:
+    *     `repartitionByRange` samples boundaries per execution, so two
+    *     lazy evaluations of the same plan can disagree — the counts pass
+    *     and the output pass must read one frozen copy. (A cache-based
+    *     variant silently corrupts ids on eviction-triggered recompute.)
+    *  2. collect per-partition counts (O(partitions) driver state) →
+    *     prefix-sum offsets; doc_id = offset(pid) + row-in-partition.
+    *
+    * Because (conv_id, turn_idx) is unique (post-dedupe) the result equals
+    * the global `row_number() OVER (ORDER BY conv_id, turn_idx) - 1` — the
+    * property the DuckDB oracle checks. Partitions must stay under 2^33
+    * rows (at 10^12 turns: any partition count ≥ 117 satisfies this).
     *
     * Output: input columns + `doc_id:long`.
     */
-  def assignDocIds(turns: DataFrame, numPartitions: Int = 0): DataFrame = {
+  def assignDocIds(turns: DataFrame, numPartitions: Int = 0,
+                   stagingDir: String = ""): DataFrame = {
     val spark = turns.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    val ranged = turns
+    val staging =
+      if (stagingDir.nonEmpty) stagingDir
+      else java.nio.file.Files.createTempDirectory("graft_docids").toString
+    turns
       .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    try {
-      val counts = ranged.groupBy("_pid").count().collect()
-        .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-      val offsets = counts.map(_._1).zip(
-        counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-      val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_offset")
-      val w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
-      ranged
-        .join(broadcast(offDf), "_pid")
-        .withColumn("doc_id", col("_offset") + row_number().over(w) - 1)
-        .drop("_pid", "_offset")
-    } finally {
-      // Lazy unpersist: blocks nothing; recompute (if ever needed) is
-      // deterministic because every upstream transform is.
-      ranged.unpersist(blocking = false)
-    }
+      .sortWithinPartitions("conv_id", "turn_idx")
+      .withColumn("_mid", monotonically_increasing_id())
+      .write.mode("overwrite").parquet(staging)
+    val staged = spark.read.parquet(staging)
+    val pidCol = shiftright(col("_mid"), 33).cast("int")
+    val counts = staged.groupBy(pidCol.as("_pid")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_offset")
+    staged
+      .withColumn("_pid", pidCol)
+      .join(broadcast(offDf), "_pid")
+      .withColumn("doc_id",
+        col("_offset") + col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("_pid", "_offset", "_mid")
   }
 
   /** A3 — one row per (doc_id, term) occurrence. */

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Table persistence boundary. The production target is an Iceberg
+  * catalog (BASELINE.json north_rule); the sandbox ships no Iceberg jar
+  * (SURVEY.md §0), so the default implementation emulates the logical
+  * capabilities on partitioned Parquet: atomic-enough snapshot via a JSON
+  * manifest written after the data, partition-column layout (→ partition
+  * pruning), and schema recording. Swapping in real Iceberg is a new
+  * TableIO with `spark.read/write.format("iceberg")` + catalog config —
+  * no engine code changes.
+  */
+trait TableIO {
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+            snapshotId: String = ""): Unit
+  def read(spark: SparkSession, path: String): DataFrame
+}
+
+object ParquetTableIO extends TableIO {
+
+  override def write(df: DataFrame, path: String,
+                     partitionBy: Seq[String] = Nil,
+                     snapshotId: String = ""): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+    writeManifest(path, df, partitionBy, snapshotId)
+  }
+
+  override def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def writeManifest(path: String, df: DataFrame,
+                            partitionBy: Seq[String],
+                            snapshotId: String): Unit = {
+    val root = Paths.get(path)
+    val files = walkParquet(root)
+    val totalBytes = files.map(f => Files.size(f)).sum
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json =
+      s"""{
+         |  "snapshot_id": ${q(snapshotId)},
+         |  "created_ms": ${System.currentTimeMillis()},
+         |  "format": "parquet",
+         |  "partition_by": [${partitionBy.map(q).mkString(", ")}],
+         |  "schema": ${q(df.schema.json)},
+         |  "data_files": ${files.size},
+         |  "total_bytes": $totalBytes
+         |}""".stripMargin
+    Files.writeString(root.resolve("_manifest.json"), json)
+  }
+
+  private def walkParquet(root: Path): Seq[Path] = {
+    if (!Files.exists(root)) return Seq.empty
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toVector
+    finally s.close()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.index.{VarintCodec, codec}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class CodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  def enc(xs: Seq[Long]): Array[Byte] = VarintCodec.encode(new GenericArrayData(xs.toArray))
+  def dec(b: Array[Byte]): Seq[Long] = VarintCodec.decode(b).toLongArray().toSeq
+  def encD(xs: Seq[Long]): Array[Byte] = VarintCodec.encodeDelta(new GenericArrayData(xs.toArray))
+  def decD(b: Array[Byte]): Seq[Long] = VarintCodec.decodeDelta(b).toLongArray().toSeq
+
+  val edges: Seq[Seq[Long]] = Seq(
+    Seq.empty[Long], Seq(0L), Seq(1L), Seq(Long.MaxValue),
+    Seq(0L, 0L, 0L), Seq(0L, Long.MaxValue),
+    Seq(127L, 128L, 129L), Seq(16383L, 16384L),
+    (0L until 1000L), Seq(1L << 31, 1L << 62))
+
+  test("roundtrip identity on edge values (plain + delta)") {
+    edges.foreach { xs =>
+      assert(dec(enc(xs)) == xs, s"plain $xs")
+      assert(decD(encD(xs)) == xs, s"delta $xs")
+    }
+  }
+
+  test("property: decode∘encode ≡ id on random non-negative arrays") {
+    val gen = Gen.listOf(Gen.chooseNum(0L, Long.MaxValue))
+    (0 until 300).foreach { i =>
+      val xs = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      assert(dec(enc(xs)) == xs)
+      val sorted = xs.sorted
+      assert(decD(encD(sorted)) == sorted)
+    }
+  }
+
+  test("delta encoding shrinks dense sorted ids") {
+    val ids = (1000000L until 1001000L)       // gaps of 1
+    assert(encD(ids).length < enc(ids).length / 2)
+    assert(encD(ids).length <= 3 + 999)       // 3-byte first + 1-byte gaps
+  }
+
+  test("encode rejects negatives; delta rejects descending") {
+    intercept[IllegalArgumentException](enc(Seq(-1L)))
+    intercept[IllegalArgumentException](encD(Seq(5L, 3L)))
+  }
+
+  test("Column expressions roundtrip inside a Spark plan (codegen path)") {
+    val df = Seq(
+      (1L, Seq(3L, 7L, 7L + (1L << 40))),
+      (2L, Seq(0L)),
+      (3L, Seq.empty[Long]))
+      .toDF("id", "xs")
+    val got = df
+      .withColumn("plain", codec.varintDecode(codec.varintEncode(col("xs"))))
+      .withColumn("delta", codec.varintDeltaDecode(codec.varintDeltaEncode(col("xs"))))
+      .orderBy("id")
+      .collect()
+    got.foreach { r =>
+      val xs = r.getSeq[Long](1)
+      assert(r.getSeq[Long](2) == xs)
+      assert(r.getSeq[Long](3) == xs)
+    }
+  }
+
+  test("null input yields null (nullIntolerant)") {
+    val df = Seq((1L, Option.empty[Seq[Long]]), (2L, Some(Seq(1L, 2L))))
+      .toDF("id", "xs")
+    val got = df.withColumn("enc", codec.varintEncode(col("xs")))
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(2))
+    assert(!got(1).isNullAt(2))
+  }
+}

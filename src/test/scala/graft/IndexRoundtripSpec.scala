@@ -1,0 +1,126 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.{IndexSearch, Search}
+import graft.sources.Transcripts
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+class IndexRoundtripSpec extends SparkSpec {
+
+  val queries = Seq(
+    1 -> "w1 w3 w17",
+    2 -> "zzzrareone",
+    3 -> "w1",
+    4 -> "w2 zzzmissing",
+    5 -> "w5 w50 w500")
+
+  def tmpDir(): String = Files.createTempDirectory("graftidx").toString
+
+  def rmrf(p: String): Unit = {
+    val root = Paths.get(p)
+    if (Files.exists(root))
+      Files.walk(root).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  lazy val corpusTranscripts = Transcripts.synthetic(spark, 300)
+
+  test("persisted-index search ≡ direct corpus search (disjunctive + conjunctive)") {
+    val root = tmpDir()
+    try {
+      BuildIndexJob.run(spark, corpusTranscripts, root, "b1",
+        BuildIndexJob.Config(numShards = 8, blockSize = 16))
+      val idx = IndexSearch.open(spark, root)
+      val corpus = spark.read.parquet(s"$root/docs").select("doc_id", "text")
+      for (conj <- Seq(false, true)) {
+        val direct = Search.searchCorpus(corpus, queries, k = 10, conjunctive = conj)
+          .orderBy("query_id", "rank").collect().toSeq
+        val viaIndex = IndexSearch.search(idx, queries, k = 10, conjunctive = conj)
+          .orderBy("query_id", "rank").collect().toSeq
+        assert(viaIndex == direct, s"conjunctive=$conj")
+        assert(direct.nonEmpty)
+      }
+    } finally rmrf(root)
+  }
+
+  test("unknown-terms-only query returns empty over the index") {
+    val root = tmpDir()
+    try {
+      BuildIndexJob.run(spark, Transcripts.synthetic(spark, 30), root, "b2",
+        BuildIndexJob.Config(numShards = 4, blockSize = 8))
+      val idx = IndexSearch.open(spark, root)
+      assert(IndexSearch.search(idx, Seq(1 -> "qqqnotthere")).count() == 0)
+    } finally rmrf(root)
+  }
+
+  test("postings scan prunes to query-term shards") {
+    val root = tmpDir()
+    try {
+      BuildIndexJob.run(spark, corpusTranscripts, root, "b3",
+        BuildIndexJob.Config(numShards = 8, blockSize = 16))
+      val idx = IndexSearch.open(spark, root)
+      val plan = IndexSearch.search(idx, Seq(1 -> "w1"))
+        .queryExecution.executedPlan.toString
+      // the single term hashes to one shard; the file scan must carry a
+      // partition filter on `shard`
+      assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+        s"no partition pruning in plan:\n$plan")
+    } finally rmrf(root)
+  }
+
+  test("resume: completed stages are skipped; rerun output identical") {
+    val root = tmpDir()
+    try {
+      val t = Transcripts.synthetic(spark, 100)
+      val cfg = BuildIndexJob.Config(numShards = 4, blockSize = 8)
+      BuildIndexJob.run(spark, t, root, "b4", cfg)
+      val before = IndexSearch.search(IndexSearch.open(spark, root), queries)
+        .orderBy("query_id", "rank").collect().toSeq
+      val lineageRuns1 = spark.read.parquet(s"$root/lineage")
+        .select("stage").distinct().count()
+
+      // full rerun: all markers present → nothing executes, lineage stable
+      BuildIndexJob.run(spark, t, root, "b4", cfg)
+      val lineageRuns2 = spark.read.parquet(s"$root/lineage").count()
+      val lineageRows1 = lineageRuns2 // after no-op rerun
+      BuildIndexJob.run(spark, t, root, "b4", cfg)
+      assert(spark.read.parquet(s"$root/lineage").count() == lineageRows1,
+        "no-op rerun must not append lineage")
+      assert(lineageRuns1 == 4)
+
+      def stageRows: Map[String, Long] = spark.read.parquet(s"$root/lineage")
+        .groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rowsBefore = stageRows
+
+      // simulate mid-job failure: postings artifact + marker lost
+      rmrf(s"$root/postings")
+      Files.delete(Paths.get(s"$root/_stage_done/postings"))
+      BuildIndexJob.run(spark, t, root, "b4", cfg)
+      val after = IndexSearch.search(IndexSearch.open(spark, root), queries)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(after == before)
+      // only the postings stage re-ran: its lineage rows doubled, others flat
+      val rowsAfter = stageRows
+      assert(rowsAfter("postings") == 2 * rowsBefore("postings"))
+      assert(rowsAfter("docs") == rowsBefore("docs"))
+      assert(rowsAfter("tf") == rowsBefore("tf"))
+    } finally rmrf(root)
+  }
+
+  test("manifests written for every artifact") {
+    val root = tmpDir()
+    try {
+      BuildIndexJob.run(spark, Transcripts.synthetic(spark, 30), root, "b5",
+        BuildIndexJob.Config(numShards = 4))
+      Seq("docs", "tfdl", "dictionary", "stats", "postings").foreach { a =>
+        val m = Paths.get(s"$root/$a/_manifest.json")
+        assert(Files.exists(m), s"missing manifest for $a")
+        val txt = Files.readString(m)
+        assert(txt.contains("\"snapshot_id\": \"b5\""))
+      }
+    } finally rmrf(root)
+  }
+}
