@@ -33,6 +33,7 @@ object BuildIndexJob {
   final case class Config(
       numShards: Int = 32,
       blockSize: Int = PostingBlocks.DefaultBlockSize,
+      saltTarget: Int = PostingBlocks.DefaultSaltTarget,
       io: TableIO = ParquetTableIO)
 
   final case class IndexPaths(root: String) {
@@ -116,7 +117,7 @@ object BuildIndexJob {
       val stats = readStats(spark, p)
       val blocks = PostingBlocks.build(
         tfdl.select("term", "doc_id", "tf", "dl"), dict, stats,
-        cfg.numShards, cfg.blockSize)
+        cfg.numShards, cfg.blockSize, cfg.saltTarget)
       io.write(blocks, p.postings, partitionBy = Seq("shard"), snapshotId = buildId)
       lineage(spark, p, "postings", buildId,
         io.read(spark, p.postings).groupBy(col("shard").as("partition_id"))

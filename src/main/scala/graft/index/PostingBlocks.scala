@@ -25,12 +25,57 @@ object PostingBlocks {
   def shardOf(termCol: org.apache.spark.sql.Column, numShards: Int) =
     pmod(xxhash64(termCol), lit(numShards)).cast("int")
 
-  /** Build encoded blocks from the scoring relation.
+  /** Postings per salt group before a hot term is split (SURVEY.md §4.3).
+    * A Zipf head term ("the") can hold a constant fraction of ALL postings;
+    * without splitting, one task owns it. */
+  final val DefaultSaltTarget = 1 << 18
+
+  /** Build encoded blocks from the scoring relation — the scale path.
+    *
+    * Hot-term salting by DOC-ID RANGE: a term with df > target splits into
+    * ceil(df / target) groups keyed by floor(doc_id·buckets/N). Range (not
+    * hash) salting makes the groups' doc ranges disjoint and ordered, so
+    * each group emits its own sorted blocks and no k-way re-merge is ever
+    * needed — global posting order across a term's blocks follows from
+    * `first_doc`. Cold terms get bucket count 1 (identical to unsalted).
+    *
+    * Posting assembly is the [[PostingListAgg]] typed aggregate (primitive
+    * buffers, map-side partial agg, blocks encoded at eval) rather than
+    * collect_list + sort_array. [[buildSimple]] keeps the naive layout as
+    * the property-test twin: both must decode to identical postings.
+    *
     * @param tfdl (term, doc_id, tf, dl) — one row per posting
     * @param dict (term, df) — term-keyed; join reuses the groupBy exchange
     */
   def build(tfdl: DataFrame, dict: DataFrame, stats: Stats,
-            numShards: Int, blockSize: Int = DefaultBlockSize): DataFrame = {
+            numShards: Int, blockSize: Int = DefaultBlockSize,
+            saltTarget: Int = DefaultSaltTarget): DataFrame = {
+    val buckets = ceil(col("df").cast("double") / saltTarget).cast("int")
+    val salt = floor(col("doc_id").cast("double") * buckets /
+      lit(math.max(stats.nDocs, 1L).toDouble)).cast("int")
+    tfdl
+      .join(dict.select("term", "df"), "term")
+      .groupBy(col("term"), salt.as("_salt"))
+      .agg(PostingListAgg.blocks(col("doc_id"), col("tf"), col("dl"),
+        col("df"), blockSize, stats.nDocs, stats.avgdl).as("_blocks"))
+      .select(col("term"),
+        posexplode(col("_blocks")).as(Seq("block_id", "_b")))
+      .select(
+        shardOf(col("term"), numShards).as("shard"),
+        col("term"), col("block_id"),
+        col("_b.first_doc").as("first_doc"),
+        col("_b.doc_gaps").as("doc_gaps"),
+        col("_b.tfs").as("tfs"),
+        col("_b.dls").as("dls"),
+        col("_b.block_max_score").as("block_max_score"),
+        col("_b.block_len").as("block_len"))
+  }
+
+  /** Naive single-group layout via collect_list — the correctness twin of
+    * [[build]] (kept for the salted ≡ unsalted property test; do not use
+    * at scale: one task per term). */
+  def buildSimple(tfdl: DataFrame, dict: DataFrame, stats: Stats,
+                  numShards: Int, blockSize: Int = DefaultBlockSize): DataFrame = {
     val bs = blockSize
     val plists = tfdl
       .join(dict.select("term", "df"), "term")

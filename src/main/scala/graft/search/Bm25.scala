@@ -31,6 +31,14 @@ object Bm25 {
   def idf(df: Column, nDocs: Column): Column =
     log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
 
+  /** Scala twin of [[termScore]] — used by the posting-list aggregate and
+    * the WAND traversal. MUST mirror the Column expression tree op-for-op
+    * (same associativity) so both paths produce bit-identical doubles. */
+  def score(tf: Int, dl: Int, df: Long, nDocs: Long, avgdl: Double): Double = {
+    val idf = math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    idf * tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+  }
+
   /** Per-(term, doc) partial score. All inputs numeric Columns; `tf` and
     * `dl` may be IntegerType (promoted exactly as in the SQL twin). */
   def termScore(tf: Column, dl: Column, df: Column,
