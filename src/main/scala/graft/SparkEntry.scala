@@ -1,8 +1,8 @@
 package graft
 
 import graft.analysis.Analyzer
-import graft.index.IndexBuild
-import graft.search.Search
+import graft.index.{BuildIndexJob, IndexBuild}
+import graft.search.{IndexSearch, Search}
 import graft.sources.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,10 +41,23 @@ object SparkEntry {
     IndexBuild.assignDocIds(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)))
       .select("doc_id", "text")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Memoized persisted index over the transcripts derived from `dir` —
+    * built once per sfDir per JVM so Verify's index-path queries share it. */
+  private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def indexFor(s: SparkSession, dir: String): IndexSearch.OpenIndex = {
+    val root = builtIndexes.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+      BuildIndexJob.run(s, Transcripts.fromDocuments(s, dir), r, s"verify-$dir",
+        BuildIndexJob.Config(numShards = 8))
+      r
+    })
+    IndexSearch.open(s, root)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full pipeline — build persisted index, block-max WAND top-10. */
   def entry(spark: SparkSession): DataFrame =
-    Search.searchCorpus(transcriptCorpus(spark, "/root/testdata/sf0.001"),
-      DisjQueries)
+    IndexSearch.searchWand(indexFor(spark, "/root/testdata/sf0.001"), DisjQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -85,7 +98,17 @@ object SparkEntry {
     }),
     // Flagship: full pipeline (transcripts → index → BM25 top-10)
     "q_bm25_transcripts" -> ((s, dir) =>
-      Search.searchCorpus(transcriptCorpus(s, dir), DisjQueries)))
+      Search.searchCorpus(transcriptCorpus(s, dir), DisjQueries)),
+    // S3+E1/E2: exhaustive scoring over the PERSISTED compressed index
+    // (varint decode path) — same oracle as the inline pipeline
+    "q_bm25_index" -> ((s, dir) =>
+      IndexSearch.search(indexFor(s, dir), DisjQueries)),
+    // E4: block-max WAND fast path over the persisted index
+    "q_bm25_wand" -> ((s, dir) =>
+      IndexSearch.searchWand(indexFor(s, dir), DisjQueries)),
+    // J3 over the index: conjunctive AND
+    "q_bm25_index_conj" -> ((s, dir) =>
+      IndexSearch.search(indexFor(s, dir), ConjQueries, conjunctive = true)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +120,8 @@ object SparkEntry {
     "q_bm25_top10" -> Oracle.bm25TopK(Oracle.documentsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_conj" -> Oracle.bm25TopK(Oracle.documentsCorpus, ConjQueries, 10, conjunctive = true),
     "q_docids_transcripts" -> Oracle.docIdsTranscripts,
-    "q_bm25_transcripts" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false))
+    "q_bm25_transcripts" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
+    "q_bm25_index" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
+    "q_bm25_wand" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
+    "q_bm25_index_conj" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, ConjQueries, 10, conjunctive = true))
 }

@@ -64,6 +64,7 @@ object PostingBlocks {
         shardOf(col("term"), numShards).as("shard"),
         col("term"), col("block_id"),
         col("_b.first_doc").as("first_doc"),
+        col("_b.last_doc").as("last_doc"),
         col("_b.doc_gaps").as("doc_gaps"),
         col("_b.tfs").as("tfs"),
         col("_b.dls").as("dls"),
@@ -95,6 +96,7 @@ object PostingBlocks {
         shardOf(col("term"), numShards).as("shard"),
         col("term"), col("block_id"),
         element_at(col("block"), 1).getField("doc_id").as("first_doc"),
+        element_at(col("block"), -1).getField("doc_id").as("last_doc"),
         codec.varintDeltaEncode(transform(col("block"), x => x.getField("doc_id")))
           .as("doc_gaps"),
         codec.varintEncode(transform(col("block"), x => x.getField("tf").cast("long")))
@@ -112,8 +114,8 @@ object PostingBlocks {
   def decodePostings(blocks: DataFrame): DataFrame = {
     val keep = blocks.columns.filter(c =>
       c != "doc_gaps" && c != "tfs" && c != "dls" &&
-        c != "first_doc" && c != "block_id" && c != "block_len" &&
-        c != "block_max_score")
+        c != "first_doc" && c != "last_doc" && c != "block_id" &&
+        c != "block_len" && c != "block_max_score")
     blocks
       .select(keep.map(col) :+
         explode(arrays_zip(

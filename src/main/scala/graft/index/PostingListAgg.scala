@@ -55,6 +55,7 @@ case class PostingListAgg(
 
   val blockType: StructType = StructType(Seq(
     StructField("first_doc", LongType, nullable = false),
+    StructField("last_doc", LongType, nullable = false),
     StructField("doc_gaps", BinaryType, nullable = false),
     StructField("tfs", BinaryType, nullable = false),
     StructField("dls", BinaryType, nullable = false),
@@ -114,6 +115,7 @@ case class PostingListAgg(
       }
       blocks(b) = InternalRow(
         ids(0),
+        ids(len - 1),
         VarintCodec.encodeDelta(new GenericArrayData(ids)),
         VarintCodec.encode(new GenericArrayData(btf)),
         VarintCodec.encode(new GenericArrayData(bdl)),

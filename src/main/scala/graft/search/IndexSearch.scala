@@ -23,6 +23,15 @@ object IndexSearch {
   final case class OpenIndex(paths: IndexPaths, dictionary: DataFrame,
                              stats: Stats, spark: SparkSession)
 
+  /** One posting block routed to one query (WAND input). */
+  final case class QBlockRow(query_id: Int, term: String, df: Long,
+                             first_doc: Long, last_doc: Long,
+                             doc_gaps: Array[Byte], tfs: Array[Byte],
+                             dls: Array[Byte], block_max_score: Double)
+
+  final case class ResultRow(query_id: Int, rank: Int, doc_id: Long,
+                             score: Double)
+
   def open(spark: SparkSession, root: String): OpenIndex = {
     val p = IndexPaths(root)
     OpenIndex(p, spark.read.parquet(p.dictionary),
@@ -60,5 +69,46 @@ object IndexSearch {
           .where(col("_n_matched") === col("_n_q"))
       }
     Search.rank(filtered, k)
+  }
+
+  /** Block-max WAND fast path (disjunctive top-k). Same output as
+    * [[search]] — the WandSpec property. Parallelism is across queries:
+    * each query's candidate blocks group onto one task, which runs the
+    * sequential skipping traversal ([[BlockMaxWand]]) over them. */
+  def searchWand(idx: OpenIndex, queries: Seq[(Int, String)],
+                 k: Int = 10): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val qd = qt.join(idx.dictionary, "term")
+      .select("query_id", "term", "df", "shard")
+    val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    if (shards.isEmpty)
+      return Seq.empty[ResultRow].toDF()
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    val blocks = spark.read.parquet(idx.paths.postings)
+      .where(col("shard").isin(shards: _*))
+      .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
+      .select(col("query_id"), col("term"), col("df"), col("first_doc"),
+        col("last_doc"), col("doc_gaps"), col("tfs"), col("dls"),
+        col("block_max_score"))
+      .as[QBlockRow]
+    val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, k)
+    blocks.groupByKey(_.query_id)
+      .flatMapGroups { (qid: Int, rows: Iterator[QBlockRow]) =>
+        val byTerm = rows.toVector.groupBy(_.term)
+        val terms = byTerm.valuesIterator.map { trs =>
+          val sorted = trs.sortBy(_.first_doc)
+          BlockMaxWand.TermPostings(sorted.head.df,
+            sorted.map(r => BlockMaxWand.BlockRef(r.first_doc, r.last_doc,
+              r.block_max_score, r.doc_gaps, r.tfs, r.dls)).toArray)
+        }.toSeq
+        BlockMaxWand.topK(terms, kk, nDocs, avgdl).iterator.zipWithIndex.map {
+          case ((doc, s), i) => ResultRow(qid, i + 1, doc, s)
+        }
+      }
+      .toDF()
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("score"), Bm25.OutScale).as("score"))
   }
 }

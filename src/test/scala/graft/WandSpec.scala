@@ -1,0 +1,100 @@
+package graft
+
+import graft.index.{BuildIndexJob, VarintCodec}
+import graft.search.{BlockMaxWand, Bm25, IndexSearch}
+import graft.search.BlockMaxWand.{BlockRef, TermPostings}
+import graft.sources.Transcripts
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import scala.util.Random
+
+class WandSpec extends SparkSpec {
+
+  // ---------- pure-core properties vs brute force ----------
+
+  def mkTerm(postings: Seq[(Long, Int, Int)], df: Long, blockSize: Int,
+             nDocs: Long, avgdl: Double): TermPostings = {
+    val sorted = postings.sortBy(_._1)
+    val blocks = sorted.grouped(blockSize).map { chunk =>
+      BlockRef(chunk.head._1, chunk.last._1,
+        chunk.map(p => Bm25.score(p._2, p._3, df, nDocs, avgdl)).max,
+        VarintCodec.encodeDelta(new GenericArrayData(chunk.map(_._1).toArray)),
+        VarintCodec.encode(new GenericArrayData(chunk.map(_._2.toLong).toArray)),
+        VarintCodec.encode(new GenericArrayData(chunk.map(_._3.toLong).toArray)))
+    }.toArray
+    TermPostings(df, blocks)
+  }
+
+  def brute(terms: Seq[TermPostings], decodedTerms: Seq[Seq[(Long, Int, Int)]],
+            k: Int, nDocs: Long, avgdl: Double): Seq[(Long, Double)] = {
+    val scores = scala.collection.mutable.Map.empty[Long, Double]
+    terms.zip(decodedTerms).foreach { case (t, ps) =>
+      ps.foreach { case (d, tf, dl) =>
+        scores(d) = scores.getOrElse(d, 0.0) + Bm25.score(tf, dl, t.df, nDocs, avgdl)
+      }
+    }
+    scores.toSeq
+      .sortBy { case (d, s) => (-BlockMaxWand.round(s, Bm25.RankScale), d) }
+      .take(k)
+  }
+
+  test("property: WAND top-k ≡ brute force on random corpora") {
+    val rnd = new Random(42)
+    for (trial <- 0 until 60) {
+      val nDocs = 50L + rnd.nextInt(400)
+      val avgdl = 20.0 + rnd.nextInt(50)
+      val nTerms = 1 + rnd.nextInt(5)
+      val k = 1 + rnd.nextInt(12)
+      val blockSize = 1 + rnd.nextInt(9)
+      val termData = (0 until nTerms).map { _ =>
+        val df = 1 + rnd.nextInt(nDocs.toInt)
+        val docs = rnd.shuffle((0L until nDocs).toList).take(df).sorted
+        docs.map(d => (d, 1 + rnd.nextInt(8), 5 + rnd.nextInt(100)))
+      }
+      val terms = termData.map(ps => mkTerm(ps, ps.size.toLong, blockSize, nDocs, avgdl))
+      val got = BlockMaxWand.topK(terms, k, nDocs, avgdl)
+      val want = brute(terms, termData, k, nDocs, avgdl)
+      assert(got.map(_._1) == want.map(_._1), s"trial $trial docs differ")
+      got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"trial $trial score differs")
+      }
+    }
+  }
+
+  test("WAND handles ties, skewed terms, k larger than matches") {
+    val nDocs = 100L; val avgdl = 10.0
+    // all docs identical → full tie, expect doc_id ascending
+    val tied = mkTerm((0L until 30L).map(d => (d, 2, 10)), 30L, 7, nDocs, avgdl)
+    val got = BlockMaxWand.topK(Seq(tied), 10, nDocs, avgdl)
+    assert(got.map(_._1) == (0L until 10L))
+    // k > matches returns all matches
+    val few = mkTerm(Seq((5L, 1, 10), (9L, 1, 10)), 2L, 4, nDocs, avgdl)
+    assert(BlockMaxWand.topK(Seq(few), 10, nDocs, avgdl).map(_._1) == Seq(5L, 9L))
+    // empty terms
+    assert(BlockMaxWand.topK(Seq.empty, 10, nDocs, avgdl).isEmpty)
+  }
+
+  // ---------- Spark integration: WAND path ≡ exhaustive path ----------
+
+  test("searchWand ≡ exhaustive index search on the synthetic corpus") {
+    val root = java.nio.file.Files.createTempDirectory("graftwand").toString
+    BuildIndexJob.run(spark, Transcripts.synthetic(spark, 300), root, "w1",
+      BuildIndexJob.Config(numShards = 8, blockSize = 16, saltTarget = 64))
+    val idx = IndexSearch.open(spark, root)
+    val queries = Seq(
+      1 -> "w1 w3 w17",
+      2 -> "zzzrareone",
+      3 -> "w1",             // hottest term
+      4 -> "w2 zzzmissing",
+      5 -> "w5 w50 w500",
+      6 -> "w1 w2 w3 w4 w5", // all hot
+      7 -> "qqqnotthere")
+    for (k <- Seq(3, 10)) {
+      val exh = IndexSearch.search(idx, queries, k = k)
+        .orderBy("query_id", "rank").collect().toSeq
+      val wand = IndexSearch.searchWand(idx, queries, k = k)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(wand == exh, s"k=$k")
+      assert(exh.nonEmpty)
+    }
+  }
+}
