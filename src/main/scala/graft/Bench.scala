@@ -1,24 +1,96 @@
 package graft
+
+import graft.index.BuildIndexJob
+import graft.search.IndexSearch
+import graft.sources.Transcripts
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * plus extra top-level keys with the engine's headline numbers:
+  * index-build throughput (turns/sec) and BM25 top-10 WAND query
+  * throughput (queries/sec) over a synthetic transcript corpus sized by
+  * the scale factor (FIXTURES.md §B), measured after a warmup pass.
+  */
 object Bench {
+
+  /** Deterministic mixed query workload over the synthetic vocab: hot
+    * heads, mid-frequency, rare tails, multi-term combinations. */
+  def workload: Seq[(Int, String)] = {
+    val hot = Seq("w1", "w2", "w3", "w4")
+    val mid = Seq("w40", "w90", "w200", "w350")
+    val rare = Seq("w1500", "w3000", "w4500", "zzzrareone")
+    val single = (hot ++ mid ++ rare).map(t => t)
+    val pairs = hot.zip(rare).map { case (a, b) => s"$a $b" } ++
+      mid.zip(hot).map { case (a, b) => s"$a $b" }
+    val triples = Seq("w1 w50 w2000", "w2 w3 w4", "w10 w100 w1000 w4999")
+    (single ++ pairs ++ triples).zipWithIndex.map { case (q, i) => (i + 1, q) }
+  }
+
+  def convsFor(sfDir: String): Long =
+    if (sfDir.contains("0.1")) 12000L
+    else if (sfDir.contains("0.01")) 1500L
+    else 200L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // 1. registered queries (the driver contract)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+      results(name) = sec
+    }
+
+    // 2. index-build throughput: synthetic transcript corpus sized by sf
+    val corpus = Transcripts.synthetic(spark, convsFor(sfDir))
+    val nTurns = corpus.count()
+    val root = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val (_, buildSec) = time {
+      BuildIndexJob.run(spark, corpus, root, "bench", BuildIndexJob.Config())
+    }
+    results("index_build") = buildSec
+    val turnsPerSec = nTurns / buildSec
+
+    // 3. query throughput: WAND top-10 over the persisted index
+    val idx = IndexSearch.open(spark, root)
+    val qs = workload
+    IndexSearch.searchWand(idx, qs).count() // warmup (plans + code gen)
+    val reps = 3
+    val (_, qSec) = time {
+      var i = 0
+      while (i < reps) { IndexSearch.searchWand(idx, qs).count(); i += 1 }
+    }
+    results("wand_workload") = qSec / reps
+    val qps = qs.size * reps / qSec
+
+    val total = results.values.filter(_ >= 0).sum
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
+        s""""sf":"$sfDir","build_turns":$nTurns,"build_sec":$buildSec,""" +
+        s""""build_turns_per_sec":$turnsPerSec,"wand_queries":${qs.size},""" +
+        s""""wand_qps":$qps,"cpus":$cpus}""")
     spark.stop()
   }
 }

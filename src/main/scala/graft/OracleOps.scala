@@ -1,0 +1,232 @@
+package graft
+
+import graft.analysis.Analyzer
+import graft.ops.{Dedup, TextOps}
+
+/** DuckDB twins for the training-data pipeline operators
+  * ([[graft.ops.TextOps]], [[graft.ops.Dedup]], [[graft.ops.Similarity]]).
+  * Hash primitives are md5-derived in both engines; verified equivalences:
+  * Spark conv(substr(md5(x),1,n),16,10)::long ≡ DuckDB
+  * ('0x'||substr(md5(x),1,n))::BIGINT.
+  */
+object OracleOps {
+
+  private def toks = Analyzer.sqlTokenList("text")
+  private def lst(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val corpusCte = s"corpus AS (SELECT doc_id, text FROM documents)"
+  val tkCte = s"tk AS (SELECT doc_id, text, $toks AS toks FROM corpus)"
+
+  def hitsExpr(markers: Seq[String]): String =
+    s"CAST(len(list_filter(toks, t -> list_contains(${lst(markers)}, t))) AS INT)"
+
+  def langId: String = {
+    val hits = TextOps.LangMarkers
+      .map { case (l, m) => s"${hitsExpr(m)} AS ${l}_hits" }.mkString(",\n  ")
+    s"""WITH $corpusCte, $tkCte,
+       |hits AS (SELECT doc_id,
+       |  $hits
+       |FROM tk)
+       |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+       |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       |       WHEN es_hits >= de_hits AND es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+       |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       |       WHEN fr_hits > 0 THEN 'fr'
+       |       ELSE 'und' END AS lang_pred
+       |FROM hits ORDER BY doc_id""".stripMargin
+  }
+
+  def quality: String = {
+    val en = TextOps.LangMarkers.head._2
+    s"""WITH $corpusCte, $tkCte,
+       |base AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CASE WHEN len(toks) > 0
+       |    THEN CAST(list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b) AS DOUBLE) / len(toks)
+       |    ELSE 0.0 END AS avg_raw,
+       |  CASE WHEN len(toks) > 0
+       |    THEN CAST(${hitsExpr(en)} AS DOUBLE) / len(toks)
+       |    ELSE 0.0 END AS stop_raw,
+       |  CASE WHEN length(text) > 0
+       |    THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text)
+       |    ELSE 0.0 END AS alnum_raw
+       |FROM tk)
+       |SELECT doc_id, n_chars, n_tokens,
+       |  round(avg_raw, 4) AS avg_token_len,
+       |  round(stop_raw, 4) AS stopword_ratio,
+       |  round(alnum_raw, 4) AS alnum_ratio,
+       |  round(least(n_tokens / 100.0, 1.0) * 0.5 + alnum_raw * 0.3 +
+       |        least(stop_raw * 5.0, 1.0) * 0.2, 4) AS quality_score
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  def tokenCounts: String =
+    s"""WITH $corpusCte
+       |SELECT doc_id,
+       |  CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS ws_tokens,
+       |  ${Analyzer.sqlDocLen("text")} AS analyzer_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '${TextOps.BpeRegex}')) AS INT) AS bpe_units
+       |FROM corpus ORDER BY doc_id""".stripMargin
+
+  val fpCte: String =
+    s"""fps AS (SELECT doc_id,
+       |  md5(array_to_string(toks, ' ')) AS fp,
+       |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
+       |FROM tk)""".stripMargin
+
+  def fingerprints: String =
+    s"WITH $corpusCte, $tkCte, $fpCte SELECT doc_id, fp, fp_bag FROM fps ORDER BY doc_id"
+
+  def dupGroups: String =
+    s"""WITH $corpusCte, $tkCte, $fpCte
+       |SELECT fp_bag, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical
+       |FROM fps GROUP BY fp_bag HAVING count(*) >= 2 ORDER BY fp_bag""".stripMargin
+
+  val dtokCte = s"dtok AS (SELECT DISTINCT doc_id, unnest($toks) AS term FROM corpus)"
+
+  /** Exact-Jaccard verification over candidate pairs — shared tail. */
+  private def jaccardTail(threshold: Double): String =
+    s"""sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM dtok GROUP BY doc_id),
+       |inter AS (SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+       |  FROM cand c
+       |  JOIN dtok ta ON ta.doc_id = c.doc_a
+       |  JOIN dtok tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+       |  GROUP BY c.doc_a, c.doc_b),
+       |jac AS (SELECT c.doc_a, c.doc_b,
+       |  round(CAST(COALESCE(i.inter, 0) AS DOUBLE) /
+       |        (sza.sz + szb.sz - COALESCE(i.inter, 0)), 4) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sz sza ON sza.doc_id = c.doc_a
+       |  JOIN sz szb ON szb.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM jac
+       |WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** n-gram shingle set CTE named `dtok` (same relation name the jaccard
+    * tail expects). */
+  private def shingleCte(n: Int): String = {
+    val grams = (0 until n).map(o => s"tt[i + $o]").mkString(" || ' ' || ")
+    s"""tl AS (SELECT doc_id, $toks AS tt FROM corpus),
+       |dtok AS (SELECT DISTINCT doc_id, unnest(
+       |    list_transform(range(1, len(tt) - ${n - 2}), i -> $grams)) AS term
+       |  FROM tl WHERE len(tt) >= $n)""".stripMargin
+  }
+
+  def minhashPairs(threshold: Double, n: Int = 3): String = {
+    val h = Dedup.NumHashes
+    val r = Dedup.BandRows
+    s"""WITH $corpusCte, ${shingleCte(n)},
+       |hs AS (SELECT doc_id, i,
+       |    min(('0x' || substr(md5(term || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT) AS mh
+       |  FROM dtok CROSS JOIN (SELECT unnest(range($h)) AS i)
+       |  GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM hs GROUP BY doc_id),
+       |bnd AS (SELECT doc_id, band,
+       |    md5(array_to_string(sig[band * $r + 1 : band * $r + $r], ',')) AS bucket
+       |  FROM sig CROSS JOIN (SELECT unnest(range(${h / r})) AS band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |${jaccardTail(threshold)}""".stripMargin
+  }
+
+  val simhashCte: String = {
+    val bits = Dedup.SimhashBits
+    s"""tfq AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest($toks) AS term FROM corpus)
+       |  GROUP BY doc_id, term),
+       |hh AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tfq),
+       |w AS (SELECT doc_id, j,
+       |    sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN tf ELSE -tf END) AS wsum
+       |  FROM hh CROSS JOIN (SELECT unnest(range($bits)) AS j)
+       |  GROUP BY doc_id, j),
+       |sh AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN wsum > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+       |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM w GROUP BY doc_id)""".stripMargin
+  }
+
+  def simhash: String =
+    s"WITH $corpusCte, $simhashCte SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+  def simhashPairs(maxDist: Int): String =
+    s"""WITH $corpusCte, $simhashCte,
+       |bnd AS (SELECT doc_id, simhash, band, (simhash >> CAST(band * 15 AS INT)) & 32767 AS chunk
+       |  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.simhash AS sha, y.simhash AS shb
+       |  FROM bnd x JOIN bnd y
+       |    ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sha, shb)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def ngramPairs(n: Int, threshold: Double): String = {
+    s"""WITH $corpusCte, ${shingleCte(n)},
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM dtok x JOIN dtok y ON x.term = y.term AND x.doc_id < y.doc_id),
+       |${jaccardTail(threshold)}""".stripMargin
+  }
+
+  /** Shared embedding CTEs: doubled vectors + norms (+ query set). */
+  private def embCtes(queryIds: Seq[Long]): String =
+    s"""emb AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, e,
+       |    sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM emb),
+       |q AS (SELECT vec_id AS query_vec, e AS qe, nrm AS qn FROM n
+       |  WHERE vec_id IN (${queryIds.mkString(", ")}))""".stripMargin
+
+  private def rankedTail(k: Int): String =
+    s"""ranked AS (SELECT query_vec, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_vec
+       |                       ORDER BY round(sim, 7) DESC, vec_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_vec, CAST(rnk AS INT) AS "rank", vec_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rnk <= $k ORDER BY query_vec, rnk""".stripMargin
+
+  def cosineTopK(queryIds: Seq[Long], k: Int): String =
+    s"""WITH ${embCtes(queryIds)},
+       |pairs AS (SELECT q.query_vec, n.vec_id, q.qe, n.e, q.qn, n.nrm
+       |  FROM q CROSS JOIN n WHERE n.vec_id <> q.query_vec),
+       |dots AS (SELECT query_vec, vec_id, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, vec_id, unnest(qe) AS a, unnest(e) AS b FROM pairs)
+       |  GROUP BY query_vec, vec_id),
+       |scored AS (SELECT d.query_vec, d.vec_id, d.dot / (p.qn * p.nrm) AS sim
+       |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
+       |${rankedTail(k)}""".stripMargin
+
+  def ivfTopK(queryIds: Seq[Long], k: Int, nProbe: Int): String =
+    s"""WITH ${embCtes(queryIds)},
+       |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, avg(v) AS c FROM (
+       |      SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM n)
+       |    GROUP BY label, pos) GROUP BY label),
+       |centn AS (SELECT label, centroid,
+       |    sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b)) AS cnrm
+       |  FROM cent),
+       |cpairs AS (SELECT q.query_vec, q.qe, q.qn, c.label, c.centroid, c.cnrm
+       |  FROM q CROSS JOIN centn c),
+       |cdots AS (SELECT query_vec, label, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, label, unnest(qe) AS a, unnest(centroid) AS b FROM cpairs)
+       |  GROUP BY query_vec, label),
+       |probes AS (SELECT query_vec, label FROM (
+       |    SELECT d.query_vec, d.label,
+       |      row_number() OVER (PARTITION BY d.query_vec
+       |        ORDER BY round(d.dot / (p.qn * p.cnrm), 9) DESC, d.label ASC) AS pr
+       |    FROM cdots d JOIN cpairs p ON p.query_vec = d.query_vec AND p.label = d.label)
+       |  WHERE pr <= $nProbe),
+       |pairs AS (SELECT q.query_vec, n.vec_id, q.qe, n.e, q.qn, n.nrm
+       |  FROM probes pb JOIN q ON q.query_vec = pb.query_vec
+       |  JOIN n ON n.label = pb.label
+       |  WHERE n.vec_id <> q.query_vec),
+       |dots AS (SELECT query_vec, vec_id, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, vec_id, unnest(qe) AS a, unnest(e) AS b FROM pairs)
+       |  GROUP BY query_vec, vec_id),
+       |scored AS (SELECT d.query_vec, d.vec_id, d.dot / (p.qn * p.nrm) AS sim
+       |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
+       |${rankedTail(k)}""".stripMargin
+}

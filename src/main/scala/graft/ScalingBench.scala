@@ -1,0 +1,72 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.IndexSearch
+import graft.sources.Transcripts
+import org.apache.spark.sql.SparkSession
+
+/** N → 4N scaling evidence (BASELINE.md): the same index-build job and the
+  * same WAND query workload run at two local parallelism levels (local[N]
+  * with shuffle.partitions = N, then local[4N]) over the SAME input —
+  * the sandbox stand-in for N vs 4N executors (no real cluster available;
+  * see SURVEY.md §0). Prints one JSON line with throughput at both sizes
+  * and the scaling efficiency (thr@4N / thr@N) / 4.
+  *
+  * Usage: runMain graft.ScalingBench [nCores] [convs]  (defaults 8, 6000)
+  */
+object ScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 8
+    val convs = if (args.length > 1) args(1).toLong else 6000L
+
+    def measure(cores: Int): (Long, Double, Double) = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"scaling-$cores")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val corpus = Transcripts.synthetic(spark, convs)
+        val nTurns = corpus.count()
+        // JVM/codegen warmup so the N measurement isn't penalized by JIT
+        val warm = java.nio.file.Files.createTempDirectory("graft_warm").toString
+        BuildIndexJob.run(spark, Transcripts.synthetic(spark, 100), warm,
+          s"warm-$cores", BuildIndexJob.Config())
+        val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+        val t0 = System.nanoTime()
+        BuildIndexJob.run(spark, corpus, root, s"scale-$cores",
+          BuildIndexJob.Config())
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        val idx = IndexSearch.open(spark, root)
+        IndexSearch.searchWand(idx, Bench.workload).count() // warmup
+        val reps = 3
+        val q0 = System.nanoTime()
+        var i = 0
+        while (i < reps) { IndexSearch.searchWand(idx, Bench.workload).count(); i += 1 }
+        val qSec = (System.nanoTime() - q0) / 1e9
+        (nTurns, nTurns / buildSec, Bench.workload.size * reps / qSec)
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
+    val (turns, thrN, qpsN) = measure(n)
+    val (_, thr4N, qps4N) = measure(4 * n)
+    val eff = (thr4N / thrN) / 4.0
+    val qEff = (qps4N / qpsN) / 4.0
+    println(
+      s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
+        s""""n_cores":$n,"turns":$turns,""" +
+        s""""build_turns_per_sec_N":$thrN,"build_turns_per_sec_4N":$thr4N,""" +
+        s""""wand_qps_N":$qpsN,"wand_qps_4N":$qps4N,"query_scaling_efficiency":$qEff}""")
+  }
+}

@@ -2,6 +2,7 @@ package graft
 
 import graft.analysis.Analyzer
 import graft.index.{BuildIndexJob, IndexBuild}
+import graft.ops.{Dedup, Similarity, TextOps}
 import graft.search.{IndexSearch, Search}
 import graft.sources.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -108,7 +109,21 @@ object SparkEntry {
       IndexSearch.searchWand(indexFor(s, dir), DisjQueries)),
     // J3 over the index: conjunctive AND
     "q_bm25_index_conj" -> ((s, dir) =>
-      IndexSearch.search(indexFor(s, dir), ConjQueries, conjunctive = true)))
+      IndexSearch.search(indexFor(s, dir), ConjQueries, conjunctive = true)),
+    // ---- training-data pipeline operators (documents / embeddings) ----
+    "q_lang_id" -> ((s, dir) => TextOps.langId(documents(s, dir))),
+    "q_quality" -> ((s, dir) => TextOps.quality(documents(s, dir))),
+    "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(documents(s, dir))),
+    "q_fingerprints" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
+    "q_dedup_exact" -> ((s, dir) => TextOps.dupGroups(documents(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(documents(s, dir), 0.7)),
+    "q_simhash" -> ((s, dir) => Dedup.simhash(documents(s, dir))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(documents(s, dir), 8)),
+    "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.3)),
+    "q_ann_cosine" -> ((s, dir) => Similarity.bruteForceTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
+    "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 2)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -123,5 +138,16 @@ object SparkEntry {
     "q_bm25_transcripts" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_index" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_wand" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
-    "q_bm25_index_conj" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, ConjQueries, 10, conjunctive = true))
+    "q_bm25_index_conj" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, ConjQueries, 10, conjunctive = true),
+    "q_lang_id" -> OracleOps.langId,
+    "q_quality" -> OracleOps.quality,
+    "q_token_counts" -> OracleOps.tokenCounts,
+    "q_fingerprints" -> OracleOps.fingerprints,
+    "q_dedup_exact" -> OracleOps.dupGroups,
+    "q_dedup_minhash" -> OracleOps.minhashPairs(0.7),
+    "q_simhash" -> OracleOps.simhash,
+    "q_dedup_simhash" -> OracleOps.simhashPairs(8),
+    "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
+    "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
+    "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2))
 }

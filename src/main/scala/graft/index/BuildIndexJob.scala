@@ -73,6 +73,15 @@ object BuildIndexJob {
         .agg(count(lit(1)).cast("int").as("tf"))
         .withColumn("shard", PostingBlocks.shardOf(col("term"), cfg.numShards))
         .select("shard", "term", "doc_id", "tf", "dl")
+        // cluster by (shard, term-subkey) HASH before the partitioned
+        // write: raw hash layout would put every shard in every task
+        // (tasks×shards tiny files); range partitioning would cluster
+        // perfectly but SAMPLES ITS CHILD — executing the whole upstream
+        // aggregation twice. Hashing the composite key needs no sampling
+        // and still lands one (shard, subkey) combo per task → ~4 files
+        // per shard, parallel scans at query time.
+        .repartition(cfg.numShards * 4, col("shard"),
+          pmod(xxhash64(col("term")), lit(4)))
       io.write(tfdl, p.tfdl, partitionBy = Seq("shard"), snapshotId = buildId)
       lineage(spark, p, "tf", buildId,
         io.read(spark, p.tfdl).groupBy(col("shard").as("partition_id"))
@@ -80,6 +89,15 @@ object BuildIndexJob {
             bit_xor(xxhash64(col("term"), col("doc_id"), col("tf"))).as("checksum")))
     }
 
+    runFromTf(spark, p, buildId, cfg)
+    p
+  }
+
+  /** The dict + postings stages, given already-persisted docs/tfdl
+    * artifacts — shared by the batch job and [[IndexMerge]]. */
+  def runFromTf(spark: SparkSession, p: IndexPaths, buildId: String,
+                cfg: Config = Config()): Unit = {
+    val io = cfg.io
     stage(p, "dict") {
       val docs = io.read(spark, p.docs)
       val st = docs.where(col("dl") > 0).agg(
@@ -88,17 +106,19 @@ object BuildIndexJob {
         avg(col("dl")).as("avgdl")).head()
       val stats = Stats(st.getLong(0), st.getLong(1), st.getDouble(2))
       val tfdl = io.read(spark, p.tfdl)
-      val dfcf = tfdl.groupBy("term").agg(
-        first(col("shard")).as("shard"),
-        count(lit(1)).as("df"),
-        sum(col("tf").cast("long")).as("cf"))
-      // per-term score upper bound for WAND pruning — one more term-keyed
-      // agg over tfdl (exchange-compatible with the df agg)
-      val maxScore = tfdl.join(dfcf.select("term", "df"), "term")
-        .groupBy("term")
-        .agg(max(Bm25.termScore(col("tf"), col("dl"), col("df"),
-          lit(stats.nDocs), lit(stats.avgdl))).as("max_score"))
-      val dict = dfcf.join(maxScore, "term")
+      // One pass: df/cf plus an UPPER BOUND on the term's best score,
+      // score(max_tf, min_dl) — BM25 is monotone ↑tf, ↓dl, so this bounds
+      // every posting. WAND derives exact per-term bounds from block
+      // maxes at query time; the dictionary bound is advisory, and the
+      // bound form saves a tfdl self-join + second aggregation here.
+      val dict = tfdl.groupBy("term").agg(
+          first(col("shard")).as("shard"),
+          count(lit(1)).as("df"),
+          sum(col("tf").cast("long")).as("cf"),
+          max(col("tf")).as("_max_tf"),
+          min(col("dl")).as("_min_dl"))
+        .withColumn("max_score", Bm25.termScore(col("_max_tf"), col("_min_dl"),
+          col("df"), lit(stats.nDocs), lit(stats.avgdl)))
         .select("term", "shard", "df", "cf", "max_score")
       io.write(dict, p.dictionary, snapshotId = buildId)
       import spark.implicits._
@@ -118,14 +138,14 @@ object BuildIndexJob {
       val blocks = PostingBlocks.build(
         tfdl.select("term", "doc_id", "tf", "dl"), dict, stats,
         cfg.numShards, cfg.blockSize, cfg.saltTarget)
+        .repartition(cfg.numShards * 4, col("shard"),
+          pmod(xxhash64(col("term")), lit(4)))
       io.write(blocks, p.postings, partitionBy = Seq("shard"), snapshotId = buildId)
       lineage(spark, p, "postings", buildId,
         io.read(spark, p.postings).groupBy(col("shard").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("term"), col("first_doc"), col("doc_gaps"))).as("checksum")))
     }
-
-    p
   }
 
   def readStats(spark: SparkSession, p: IndexPaths): Stats = {
@@ -140,7 +160,9 @@ object BuildIndexJob {
     val marker = Paths.get(p.marker(name))
     if (Files.exists(marker)) false
     else {
+      val t0 = System.nanoTime()
       body
+      System.err.println(f"[build] stage $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       Files.createDirectories(marker.getParent)
       Files.writeString(marker, "done")
       true

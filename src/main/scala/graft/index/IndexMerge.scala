@@ -1,0 +1,79 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental index maintenance (SURVEY.md §2.7 U1/U2 — the analog of a
+  * Lucene/Solr segment merge): fold a new transcript batch (upserts) and a
+  * tombstone set (deletes) into an existing index, producing a new index
+  * root whose contents are EXACTLY what a full rebuild over the merged
+  * corpus would produce (the MergeSpec property).
+  *
+  * What is reused from the old index: the tokenization work — old docs'
+  * (term, doc_id, tf, dl) rows are remapped to their new doc ids with one
+  * join instead of re-running the analyzer over the whole old corpus (at
+  * scale, analysis dominates: it touches every byte of text). What is NOT
+  * reused: doc ids and the term shuffle — ids are a dense global
+  * (conv_id, turn_idx) ranking, so inserting keys in the middle shifts
+  * them (Lucene avoids this with segment-local id spaces at the cost of a
+  * per-segment query fan-out; we pin the simpler global-id semantics the
+  * oracle can express).
+  *
+  * Upsert semantics: a new-batch row with an existing (conv_id, turn_idx)
+  * key replaces the old row. Delete semantics: tombstoned keys vanish from
+  * docs and postings (left_anti — U2).
+  */
+object IndexMerge {
+
+  def run(spark: SparkSession, oldRoot: String, newBatch: DataFrame,
+          tombstones: DataFrame, newRoot: String, buildId: String,
+          cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths = {
+    val key = Seq("conv_id", "turn_idx")
+    val oldDocs = spark.read.parquet(s"$oldRoot/docs")
+    val ingestedNew = IndexBuild.ingest(newBatch)
+
+    // survivors of the old corpus: not tombstoned, not overwritten
+    val keepOld = oldDocs
+      .join(tombstones.select(key.map(col): _*), key, "left_anti")
+      .join(ingestedNew.select(key.map(col): _*), key, "left_anti")
+    val newTurns = ingestedNew
+      .join(tombstones.select(key.map(col): _*), key, "left_anti")
+
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val merged = keepOld.select(cols.map(col): _*)
+      .unionByName(newTurns.select(cols.map(col): _*))
+
+    val p = BuildIndexJob.IndexPaths(newRoot)
+    // docs stage over the merged corpus (fresh dense ids)
+    val docs = IndexBuild.assignDocIds(merged)
+      .withColumn("dl", Analyzer.docLen(col("text")))
+      .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
+    cfg.io.write(docs, p.docs, snapshotId = buildId)
+
+    // tf stage: reuse old tokenization via id remap — SURVIVOR keys only
+    // (an overwritten key must not drag its stale postings along; its text
+    // is re-tokenized as part of the new batch)
+    val remap = spark.read.parquet(s"$oldRoot/tfdl")
+      .join(keepOld.select(col("doc_id").as("_old_id"), col("conv_id"), col("turn_idx"))
+          .join(docs.select(col("doc_id").as("_new_id"), col("conv_id"), col("turn_idx")), key)
+          .select("_old_id", "_new_id"),
+        col("doc_id") === col("_old_id"))
+      .select(col("term"), col("_new_id").as("doc_id"), col("tf"), col("dl"))
+    val newKeys = newTurns.select(key.map(col): _*)
+    val freshDocs = docs.join(newKeys, key, "left_semi")
+    val freshTf = freshDocs
+      .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    val tfdl = remap.unionByName(freshTf)
+      .withColumn("shard", PostingBlocks.shardOf(col("term"), cfg.numShards))
+      .select("shard", "term", "doc_id", "tf", "dl")
+    cfg.io.write(tfdl, p.tfdl, partitionBy = Seq("shard"), snapshotId = buildId)
+
+    // dict + stats + postings: identical to the batch job's stages
+    BuildIndexJob.runFromTf(spark, p, buildId, cfg)
+    p
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>): brute-force cosine top-k as the correctness baseline,
+  * and an IVF variant (inverted file by cluster) as the scale path — probe
+  * the nProbe closest clusters by centroid similarity, brute-force only
+  * inside them. Cluster ids come from the `label` column (a pre-assigned
+  * k-means-style partition, which is exactly what IVF assumes).
+  *
+  * All arithmetic is pure Column expressions: dot products via
+  * zip_with + aggregate in double precision, mirrored verbatim in the
+  * DuckDB oracle. At scale: query vectors broadcast; the scan is one pass;
+  * IVF prunes to nProbe/k of the corpus (with cluster-partitioned storage
+  * this becomes partition pruning, like the term shards).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Rank candidate (query_vec, vec_id, sim) rows into per-query top-k
+    * with the pinned tie-break. */
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_vec")
+      .orderBy(round(col("_sim"), 7).desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_vec"), col("rank").cast("int").as("rank"),
+        col("vec_id"), round(col("_sim"), 4).as("sim"))
+      .orderBy("query_vec", "rank")
+  }
+
+  /** Brute-force cosine top-k: every query vector against every corpus
+    * vector (excluding itself). Queries are a tiny set → broadcast. */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long],
+                     k: Int = 10): DataFrame = {
+    val q = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_vec"), col("embedding").as("qe"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_vec"))
+      .withColumn("_sim", cosine(col("qe"), col("embedding")))
+    rank(scored, k)
+  }
+
+  /** Per-label centroids: (label, centroid array<double>). */
+  def centroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+
+  /** IVF top-k: probe the nProbe labels whose centroids are closest to the
+    * query (by cosine, tie-break label asc), then brute-force within those
+    * clusters only. */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              nProbe: Int = 2): DataFrame = {
+    val q = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_vec"), col("embedding").as("qe"))
+    val cent = centroids(embeddings)
+    val probeW = Window.partitionBy("query_vec")
+      .orderBy(round(col("_csim"), 9).desc, col("label").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("_csim", cosine(col("qe"), col("centroid")))
+      .withColumn("_r", row_number().over(probeW))
+      .where(col("_r") <= nProbe)
+      .select(col("query_vec"), col("qe"), col("label"))
+    val scored = embeddings.join(broadcast(probes), Seq("label"))
+      .where(col("vec_id") =!= col("query_vec"))
+      .withColumn("_sim", cosine(col("qe"), col("embedding")))
+    rank(scored, k)
+  }
+}

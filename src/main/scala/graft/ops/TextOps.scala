@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over
+  * the `documents` corpus: language ID (marker-token heuristic), quality
+  * scoring (length/charset/stopword ratios), token counting (whitespace /
+  * analyzer / BPE-ish greedy subwords), and content fingerprinting (exact
+  * and bag-of-words). Every operator is pure Column expressions (codegen,
+  * no UDFs) with a DuckDB twin in [[graft.OracleOps]].
+  */
+object TextOps {
+
+  /** Marker stopwords per language — the classic cheap lang-ID heuristic.
+    * Tie-break priority order is pinned: en > es > de > fr. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "un", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pas", "pour"))
+
+  def markerHits(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(
+      array(markers.map(lit): _*), t))).cast("int")
+
+  /** (doc_id, en_hits, es_hits, de_hits, fr_hits, lang_pred) */
+  def langId(corpus: DataFrame): DataFrame = {
+    val toks = Analyzer.tokens(col("text"))
+    val withHits = corpus.select(
+      col("doc_id") +:
+        LangMarkers.map { case (l, m) => markerHits(toks, m).as(s"${l}_hits") }: _*)
+    val Seq(en, es, de, fr) = LangMarkers.map(l => col(s"${l._1}_hits"))
+    withHits.withColumn("lang_pred",
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+    *  alnum_ratio, quality_score) — the pinned quality formula:
+    *  0.5·min(n_tokens/100, 1) + 0.3·alnum_ratio + 0.2·min(5·stop, 1). */
+  def quality(corpus: DataFrame): DataFrame = {
+    val toks = Analyzer.tokens(col("text"))
+    val enMarkers = LangMarkers.head._2
+    corpus.select(col("doc_id"), col("text"),
+        toks.as("_toks"), markerHits(toks, enMarkers).cast("double").as("_stop"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("_toks")).cast("int").as("n_tokens"),
+        when(size(col("_toks")) > 0,
+          aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / size(col("_toks"))).otherwise(0.0)
+          .as("_avg_raw"),
+        when(size(col("_toks")) > 0,
+          col("_stop") / size(col("_toks"))).otherwise(0.0)
+          .as("_stop_raw"),
+        when(length(col("text")) > 0,
+          length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+            .cast("double") / length(col("text"))).otherwise(0.0)
+          .as("_alnum_raw"))
+      // the score is computed from RAW ratios: building it from rounded
+      // 4dp components puts it exactly on .5 rounding boundaries, where
+      // Spark (rounds the shortest decimal repr) and DuckDB (rounds the
+      // binary value) disagree on the last digit
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("_avg_raw"), 4).as("avg_token_len"),
+        round(col("_stop_raw"), 4).as("stopword_ratio"),
+        round(col("_alnum_raw"), 4).as("alnum_ratio"),
+        round(least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
+          col("_alnum_raw") * 0.3 +
+          least(col("_stop_raw") * 5.0, lit(1.0)) * 0.2, 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish greedy subword chunking regex (≤4-char letter runs, digit
+    * runs, single punctuation) — shared with the oracle verbatim. */
+  final val BpeRegex = "[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"
+
+  /** (doc_id, ws_tokens, analyzer_tokens, bpe_units) */
+  def tokenCounts(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+        .cast("int").as("ws_tokens"),
+      Analyzer.docLen(col("text")).as("analyzer_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeRegex), lit(0)))
+        .cast("int").as("bpe_units"))
+      .orderBy("doc_id")
+
+  /** (doc_id, fp, fp_bag): fp = md5 of the normalized token stream
+    * (order-sensitive exact-dup key); fp_bag = md5 of the sorted distinct
+    * token set (order- and multiplicity-insensitive near-dup key). */
+  def fingerprints(corpus: DataFrame): DataFrame = {
+    val toks = Analyzer.tokens(col("text"))
+    corpus.select(col("doc_id"),
+      md5(array_join(toks, " ")).as("fp"),
+      md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp_bag"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact/bag duplicate groups: (fp_bag, n_docs, canonical) for groups
+    * with ≥ 2 members; canonical = smallest doc_id (the survivor a dedup
+    * pass would keep). */
+  def dupGroups(corpus: DataFrame): DataFrame =
+    fingerprints(corpus)
+      .groupBy("fp_bag")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
+      .where(col("n_docs") >= 2)
+      .orderBy("fp_bag")
+}
