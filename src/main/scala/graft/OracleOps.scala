@@ -169,6 +169,34 @@ object OracleOps {
        |${jaccardTail(threshold)}""".stripMargin
   }
 
+  /** Media table twin: payload = utf-8 text bytes, so md5(text) ≡
+    * md5(payload) (ASCII corpus). */
+  def mediaFeatures: String =
+    s"""WITH media AS (SELECT doc_id AS media_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       |    text FROM documents),
+       |f AS (SELECT media_id, kind,
+       |    CAST(length(text) AS INT) AS n_bytes,
+       |    md5(text) AS sig,
+       |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+       |  FROM media)
+       |SELECT media_id, kind, n_bytes, sig,
+       |  CAST(CASE WHEN kind = 'image' THEN 64 + (h % 192) ELSE 0 END AS INT) AS width,
+       |  CAST(CASE WHEN kind = 'image' THEN 64 + ((h // 192) % 192) ELSE 0 END AS INT) AS height,
+       |  CAST(CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS INT) AS sample_rate,
+       |  CAST(CASE WHEN kind = 'audio' THEN (n_bytes * 1000) // 16 ELSE 0 END AS BIGINT) AS duration_ms
+       |FROM f ORDER BY media_id""".stripMargin
+
+  def mediaFrames(frameBytes: Int, stride: Int): String =
+    s"""WITH media AS (SELECT doc_id AS media_id, text FROM documents),
+       |fr AS (SELECT media_id, unnest(range(CAST(ceil(length(text) / $frameBytes.0) AS BIGINT))) AS frame_idx, text
+       |  FROM media)
+       |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  CAST(length(substr(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)) AS INT) AS frame_bytes,
+       |  md5(substr(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)) AS frame_sig
+       |FROM fr WHERE frame_idx % $stride = 0
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   /** Shared embedding CTEs: doubled vectors + norms (+ query set). */
   private def embCtes(queryIds: Seq[Long]): String =
     s"""emb AS (SELECT vec_id, label,

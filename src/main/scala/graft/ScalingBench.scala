@@ -24,10 +24,14 @@ object ScalingBench {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"scaling-$cores")
-        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.shuffle.partitions", (2 * cores).toString)
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
         .config("spark.sql.adaptive.enabled", "true")
+      // keep reduce-side parallelism = configured partitions: AQE's
+      // 64MB-advisory coalescing would collapse the shuffle to fewer
+      // partitions than cores at bench scale, capping core scaling
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

@@ -2,7 +2,7 @@ package graft
 
 import graft.analysis.Analyzer
 import graft.index.{BuildIndexJob, IndexBuild}
-import graft.ops.{Dedup, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.search.{IndexSearch, Search}
 import graft.sources.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -123,7 +123,12 @@ object SparkEntry {
     "q_ann_cosine" -> ((s, dir) => Similarity.bruteForceTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 2)))
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 2)),
+    // Multimodal plumbing: binary payloads, partition-batched decode stub
+    "q_media_features" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.mediaTable(s, dir))),
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, dir), 256, 2)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -149,5 +154,7 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleOps.simhashPairs(8),
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
-    "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2))
+    "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),
+    "q_media_features" -> OracleOps.mediaFeatures,
+    "q_media_frames" -> OracleOps.mediaFrames(256, 2))
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.IndexSearch
+import graft.sources.Transcripts
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftstrm").toString
+  val cfg = BuildIndexJob.Config(numShards = 4, blockSize = 8)
+  val queries = Seq(1 -> "w1 w3", 2 -> "zzzraretwo", 3 -> "w2 w9")
+
+  /** The file stream source lists FLAT files — a df.write.parquet(dir)
+    * nests part files one level down where the source won't see them.
+    * Write to a scratch dir and move the single part file into place. */
+  def writeFlat(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+    import java.nio.file._
+    val scratch = Files.createTempDirectory("graftflat").toString
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = Files.list(Paths.get(scratch)).iterator()
+    var moved = false
+    while (part.hasNext && !moved) {
+      val p = part.next()
+      if (p.toString.endsWith(".parquet")) {
+        Files.move(p, Paths.get(target)); moved = true
+      }
+    }
+    assert(moved, s"no part file produced in $scratch")
+  }
+
+  test("streaming ingest: per-file micro-batches converge to the full-rebuild index") {
+    val all = Transcripts.synthetic(spark, 80).cache()
+    val in = tmp()
+    // two landing files → two micro-batches (maxFilesPerTrigger = 1)
+    writeFlat(all.where($"conv_id" < "conv00000050"), s"$in/f1.parquet")
+    writeFlat(all.where($"conv_id" >= "conv00000050"), s"$in/f2.parquet")
+    val root = tmp()
+    val q = StreamingIngest.start(spark, in, root, tmp(), cfg)
+    q.awaitTermination()
+
+    val cur = StreamingIngest.currentGeneration(root)
+    assert(cur.isDefined && cur.get.endsWith("gen-1"), s"got $cur")
+    val streamed = IndexSearch.search(IndexSearch.open(spark, cur.get), queries)
+      .orderBy("query_id", "rank").collect().toSeq
+
+    val fullRoot = tmp()
+    BuildIndexJob.run(spark, all, fullRoot, "full", cfg)
+    val full = IndexSearch.search(IndexSearch.open(spark, fullRoot), queries)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(streamed == full)
+    assert(streamed.nonEmpty)
+  }
+
+  test("watermarked per-minute turn rates over a bounded stream") {
+    val in = tmp()
+    writeFlat(Transcripts.synthetic(spark, 30), s"$in/f.parquet")
+    val stream = spark.readStream.schema(StreamingIngest.transcriptSchema)
+      .parquet(in)
+    // complete mode: a bounded single-batch run never advances the
+    // watermark far enough to CLOSE windows (append would emit nothing);
+    // the watermark still participates in the plan as the state-eviction
+    // bound, and complete mode lets us compare the full result table.
+    val q = StreamingIngest.turnRates(stream).writeStream
+      .format("memory").queryName("rates").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT minute, role, turns FROM rates")
+    val batch = Transcripts.synthetic(spark, 30)
+      .groupBy(window($"ts", "1 minute"), $"role")
+      .agg(count(lit(1)).as("turns"))
+      .select($"window.start".as("minute"), $"role", $"turns")
+    val gotSet = got.collect().map(_.toString).toSet
+    val wantSet = batch.collect().map(_.toString).toSet
+    assert(gotSet == wantSet, "streamed result table must equal batch result")
+    assert(gotSet.nonEmpty)
+  }
+}
