@@ -164,8 +164,11 @@ object OracleOps {
 
   def ngramPairs(n: Int, threshold: Double): String = {
     s"""WITH $corpusCte, ${shingleCte(n)},
+       |rare AS (SELECT term FROM dtok GROUP BY term
+       |  HAVING count(*) <= ${Dedup.MaxCandidateShingleDf}),
+       |shr AS (SELECT d.doc_id, d.term FROM dtok d JOIN rare r ON r.term = d.term),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM dtok x JOIN dtok y ON x.term = y.term AND x.doc_id < y.doc_id),
+       |  FROM shr x JOIN shr y ON x.term = y.term AND x.doc_id < y.doc_id),
        |${jaccardTail(threshold)}""".stripMargin
   }
 

@@ -136,12 +136,22 @@ object Dedup {
         .as("term"))
   }
 
-  /** n-gram Jaccard near-dup pairs: candidates share ≥1 shingle; kept if
-    * shingle-set Jaccard ≥ threshold. Output (doc_a, doc_b, jaccard). */
+  /** Shingles with df above this are excluded from CANDIDATE generation
+    * (not from the Jaccard verify): a shingle shared by hundreds of docs
+    * is a stop-shingle — joining on it produces a quadratic pair blowup
+    * while discriminating nothing. Standard prefix/stop filtering. */
+  final val MaxCandidateShingleDf = 20L
+
+  /** n-gram Jaccard near-dup pairs: candidates share ≥1 RARE shingle
+    * (df ≤ [[MaxCandidateShingleDf]]); kept if exact shingle-set Jaccard
+    * ≥ threshold. Output (doc_a, doc_b, jaccard). */
   def ngramJaccardPairs(corpus: DataFrame, n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
     val sh = shingles(corpus, n).cache()
-    val cand = sh.as("x").join(sh.as("y"),
+    val rare = sh.groupBy("term").agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= MaxCandidateShingleDf).select("term")
+    val shRare = sh.join(rare, "term")
+    val cand = shRare.as("x").join(shRare.as("y"),
         col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
