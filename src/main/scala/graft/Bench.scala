@@ -15,16 +15,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Deterministic mixed query workload over the synthetic vocab: hot
-    * heads, mid-frequency, rare tails, multi-term combinations. */
+    * heads, mid-frequency, rare tails, multi-term combinations. ~200
+    * queries so across-query parallelism (the WAND scaling axis) has
+    * room to show. */
   def workload: Seq[(Int, String)] = {
-    val hot = Seq("w1", "w2", "w3", "w4")
-    val mid = Seq("w40", "w90", "w200", "w350")
-    val rare = Seq("w1500", "w3000", "w4500", "zzzrareone")
-    val single = (hot ++ mid ++ rare).map(t => t)
-    val pairs = hot.zip(rare).map { case (a, b) => s"$a $b" } ++
-      mid.zip(hot).map { case (a, b) => s"$a $b" }
-    val triples = Seq("w1 w50 w2000", "w2 w3 w4", "w10 w100 w1000 w4999")
-    (single ++ pairs ++ triples).zipWithIndex.map { case (q, i) => (i + 1, q) }
+    def w(i: Int) = s"w$i"
+    val singles = (1 to 64).map(i => w(i * i % 4999 + 1))
+    val pairs = (0 until 64).map(i => s"${w(i % 8 + 1)} ${w(997 + 31 * i)}")
+    val triples = (0 until 64).map(i =>
+      s"${w(i % 16 + 1)} ${w(211 + 17 * i)} ${w(2011 + 37 * i)}")
+    val special = Seq("zzzrareone", "zzzraretwo w1", "w1 w2 w3 w4 w5")
+    (singles ++ pairs ++ triples ++ special)
+      .zipWithIndex.map { case (q, i) => (i + 1, q) }
   }
 
   def convsFor(sfDir: String): Long =
@@ -37,14 +39,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (2 * cpus.toInt).toString)
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       .config("spark.sql.adaptive.enabled", "true")
-      // keep reduce-side parallelism = configured partitions: AQE's
-      // 64MB-advisory coalescing would collapse the shuffle to fewer
-      // partitions than cores at bench scale, capping core scaling
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,14 +24,10 @@ object ScalingBench {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"scaling-$cores")
-        .config("spark.sql.shuffle.partitions", (2 * cores).toString)
+        .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
         .config("spark.sql.adaptive.enabled", "true")
-      // keep reduce-side parallelism = configured partitions: AQE's
-      // 64MB-advisory coalescing would collapse the shuffle to fewer
-      // partitions than cores at bench scale, capping core scaling
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -43,11 +39,18 @@ object ScalingBench {
         val warm = java.nio.file.Files.createTempDirectory("graft_warm").toString
         BuildIndexJob.run(spark, Transcripts.synthetic(spark, 100), warm,
           s"warm-$cores", BuildIndexJob.Config())
-        val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
-        val t0 = System.nanoTime()
-        BuildIndexJob.run(spark, corpus, root, s"scale-$cores",
-          BuildIndexJob.Config())
-        val buildSec = (System.nanoTime() - t0) / 1e9
+        // best of 2 timed reps: single-shot build times swing ±30% with
+        // page-cache/GC state; best-of within one JVM is far more stable
+        var buildSec = Double.MaxValue
+        var root = ""
+        for (rep <- 1 to 2) {
+          val r = java.nio.file.Files.createTempDirectory("graft_scale").toString
+          val t0 = System.nanoTime()
+          BuildIndexJob.run(spark, corpus, r, s"scale-$cores-$rep",
+            BuildIndexJob.Config())
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < buildSec) { buildSec = sec; root = r }
+        }
         val idx = IndexSearch.open(spark, root)
         IndexSearch.searchWand(idx, Bench.workload).count() // warmup
         val reps = 3

@@ -30,6 +30,16 @@ object PostingBlocks {
     * without splitting, one task owns it. */
   final val DefaultSaltTarget = 1 << 18
 
+  /** One posting row entering the streaming block builder. */
+  final case class PostingRow(term: String, salt: Int, doc_id: Long,
+                              tf: Int, dl: Int, df: Long)
+
+  /** One encoded block leaving it. */
+  final case class BlockRow(term: String, block_id: Int, first_doc: Long,
+                            last_doc: Long, doc_gaps: Array[Byte],
+                            tfs: Array[Byte], dls: Array[Byte],
+                            block_max_score: Double, block_len: Int)
+
   /** Build encoded blocks from the scoring relation — the scale path.
     *
     * Hot-term salting by DOC-ID RANGE: a term with df > target splits into
@@ -39,17 +49,103 @@ object PostingBlocks {
     * needed — global posting order across a term's blocks follows from
     * `first_doc`. Cold terms get bucket count 1 (identical to unsalted).
     *
-    * Posting assembly is the [[PostingListAgg]] typed aggregate (primitive
-    * buffers, map-side partial agg, blocks encoded at eval) rather than
-    * collect_list + sort_array. [[buildSimple]] keeps the naive layout as
-    * the property-test twin: both must decode to identical postings.
+    * Assembly is SORT-STREAMED (the classic MapReduce index-build shape):
+    * one shuffle keyed on (term, salt), Spark's spillable sort orders each
+    * partition by (term, salt, doc_id), and a single streaming pass emits
+    * an encoded block every `blockSize` postings — O(blockSize) memory per
+    * task regardless of term hotness. An aggregate-based assembly
+    * ([[buildAgg]], the E5 TypedImperativeAggregate) is kept as a twin:
+    * posting keys are unique, so its partial phase buffers the entire
+    * input per task — measurably GC-bound at tens of millions of postings.
     *
     * @param tfdl (term, doc_id, tf, dl) — one row per posting
-    * @param dict (term, df) — term-keyed; join reuses the groupBy exchange
+    * @param dict (term, df) — term-keyed broadcastable stats
     */
   def build(tfdl: DataFrame, dict: DataFrame, stats: Stats,
             numShards: Int, blockSize: Int = DefaultBlockSize,
             saltTarget: Int = DefaultSaltTarget): DataFrame = {
+    val spark = tfdl.sparkSession
+    import spark.implicits._
+    val buckets = ceil(col("df").cast("double") / saltTarget).cast("int")
+    val salt = floor(col("doc_id").cast("double") * buckets /
+      lit(math.max(stats.nDocs, 1L).toDouble)).cast("int")
+    val (n, avg, bs) = (stats.nDocs, stats.avgdl, blockSize)
+    tfdl
+      .join(dict.select("term", "df"), "term")
+      .withColumn("salt", salt)
+      .select(col("term"), col("salt"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .repartition(col("term"), col("salt"))
+      .sortWithinPartitions("term", "salt", "doc_id")
+      .as[PostingRow]
+      .mapPartitions(rows => streamBlocks(rows, bs, n, avg))
+      .toDF()
+      .withColumn("shard", shardOf(col("term"), numShards))
+      .select("shard", "term", "block_id", "first_doc", "last_doc",
+        "doc_gaps", "tfs", "dls", "block_max_score", "block_len")
+  }
+
+  /** Single-pass block emitter over (term, salt, doc_id)-sorted postings. */
+  def streamBlocks(rows: Iterator[PostingRow], blockSize: Int,
+                   nDocs: Long, avgdl: Double): Iterator[BlockRow] =
+    new Iterator[BlockRow] {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      private val ids = new Array[Long](blockSize)
+      private val tfs = new Array[Long](blockSize)
+      private val dls = new Array[Long](blockSize)
+      private var fill = 0
+      private var curTerm: String = _
+      private var curSalt = 0
+      private var curDf = 0L
+      private var blockId = 0
+      // queue, not a single slot: a group-change flush and a block-full
+      // flush can both fire while consuming one row (blockSize == 1)
+      private val pending = scala.collection.mutable.Queue.empty[BlockRow]
+
+      private def flush(): Unit = {
+        var maxScore = Double.NegativeInfinity
+        var i = 0
+        while (i < fill) {
+          val s = graft.search.Bm25.score(tfs(i).toInt, dls(i).toInt, curDf, nDocs, avgdl)
+          if (s > maxScore) maxScore = s
+          i += 1
+        }
+        def enc(a: Array[Long], delta: Boolean) = {
+          val trimmed = java.util.Arrays.copyOf(a, fill)
+          if (delta) VarintCodec.encodeDelta(new GenericArrayData(trimmed))
+          else VarintCodec.encode(new GenericArrayData(trimmed))
+        }
+        pending.enqueue(BlockRow(curTerm, blockId, ids(0), ids(fill - 1),
+          enc(ids, delta = true), enc(tfs, delta = false), enc(dls, delta = false),
+          maxScore, fill))
+        blockId += 1
+        fill = 0
+      }
+
+      private def advance(): Unit = {
+        while (pending.isEmpty && rows.hasNext) {
+          val r = rows.next()
+          if (fill > 0 && (r.term != curTerm || r.salt != curSalt)) flush()
+          if (fill == 0 && (r.term != curTerm || r.salt != curSalt)) blockId = 0
+          curTerm = r.term; curSalt = r.salt; curDf = r.df
+          ids(fill) = r.doc_id; tfs(fill) = r.tf.toLong; dls(fill) = r.dl.toLong
+          fill += 1
+          if (fill == blockSize) flush()
+        }
+        if (pending.isEmpty && fill > 0) flush()
+      }
+
+      override def hasNext: Boolean = { advance(); pending.nonEmpty }
+      override def next(): BlockRow = {
+        advance()
+        pending.dequeue()
+      }
+    }
+
+  /** E5 aggregate-based assembly (TypedImperativeAggregate) — property-test
+    * twin of [[build]]; prefer [[build]] at scale (see its Scaladoc). */
+  def buildAgg(tfdl: DataFrame, dict: DataFrame, stats: Stats,
+               numShards: Int, blockSize: Int = DefaultBlockSize,
+               saltTarget: Int = DefaultSaltTarget): DataFrame = {
     val buckets = ceil(col("df").cast("double") / saltTarget).cast("int")
     val salt = floor(col("doc_id").cast("double") * buckets /
       lit(math.max(stats.nDocs, 1L).toDouble)).cast("int")

@@ -25,14 +25,37 @@ class PostingAggSpec extends SparkSpec {
     PostingBlocks.decodePostings(blocks)
       .select("term", "doc_id", "tf", "dl")
 
-  test("salted E5 build decodes to the same postings as the naive build") {
+  test("salted sort-streamed build ≡ E5 aggregate build ≡ naive build") {
     // saltTarget=32 forces every hot term through multi-group salting
-    val fancy = PostingBlocks.build(tfdl, dict, stats, 8, blockSize = 16,
+    val sorted = PostingBlocks.build(tfdl, dict, stats, 8, blockSize = 16,
+      saltTarget = 32)
+    val agg = PostingBlocks.buildAgg(tfdl, dict, stats, 8, blockSize = 16,
       saltTarget = 32)
     val simple = PostingBlocks.buildSimple(tfdl, dict, stats, 8, blockSize = 16)
-    assert(decoded(fancy).exceptAll(decoded(simple)).count() == 0)
-    assert(decoded(simple).exceptAll(decoded(fancy)).count() == 0)
-    assert(decoded(fancy).count() == tfdl.count())
+    for ((a, b, name) <- Seq((sorted, simple, "sorted-vs-simple"),
+                             (sorted, agg, "sorted-vs-agg"))) {
+      assert(decoded(a).exceptAll(decoded(b)).count() == 0, name)
+      assert(decoded(b).exceptAll(decoded(a)).count() == 0, name)
+    }
+    // identical BLOCK layout (not just postings): same keys + metadata
+    val layout = (df: org.apache.spark.sql.DataFrame) => df.select(
+      "term", "first_doc", "last_doc", "block_max_score", "block_len")
+    assert(layout(sorted).exceptAll(layout(agg)).count() == 0)
+    assert(decoded(sorted).count() == tfdl.count())
+  }
+
+  test("streamBlocks edge: blockSize=1 and group boundaries lose no blocks") {
+    import graft.index.PostingBlocks.{PostingRow, streamBlocks}
+    val rows = Seq(
+      PostingRow("a", 0, 1L, 1, 10, 2L), PostingRow("a", 0, 5L, 2, 10, 2L),
+      PostingRow("a", 1, 9L, 1, 10, 2L), PostingRow("b", 0, 3L, 1, 10, 1L))
+    val out = streamBlocks(rows.iterator, 1, 100L, 10.0).toSeq
+    assert(out.size == 4)
+    assert(out.map(b => (b.term, b.block_id, b.first_doc)) ==
+      Seq(("a", 0, 1L), ("a", 1, 5L), ("a", 0, 9L), ("b", 0, 3L)))
+    val two = streamBlocks(rows.iterator, 2, 100L, 10.0).toSeq
+    assert(two.map(b => (b.term, b.block_id, b.first_doc, b.block_len)) ==
+      Seq(("a", 0, 1L, 2), ("a", 0, 9L, 1), ("b", 0, 3L, 1)))
   }
 
   test("salting actually splits hot terms into multiple groups") {
