@@ -1,0 +1,55 @@
+package graft
+
+import graft.analysis.Analyzer
+import graft.index.{BuildIndexJob, IndexBuild}
+import graft.search.IndexSearch
+import graft.sources.Transcripts
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations SURVEY.md §4.1 relies on
+  * must actually appear in executed plans, not just in intent. */
+class PlanSpec extends SparkSpec {
+
+  lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graftplan").toString
+    BuildIndexJob.run(spark, Transcripts.synthetic(spark, 100), r, "plan",
+      BuildIndexJob.Config(numShards = 8, blockSize = 16))
+    r
+  }
+
+  test("ingest filter pushes down to the parquet scan") {
+    val docs = spark.read.parquet(s"$root/docs")
+    val plan = IndexBuild.ingest(docs.select("conv_id", "turn_idx", "text"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(text)"),
+      s"text non-null predicate not pushed:\n$plan")
+  }
+
+  test("column pruning: scoring scan reads only the needed columns") {
+    val docs = spark.read.parquet(s"$root/docs")
+    val plan = docs.select(col("doc_id"), Analyzer.docLen(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("conv_id"),
+      s"unneeded columns not pruned:\n$plan")
+  }
+
+  test("codec expressions run inside whole-stage codegen") {
+    val idx = IndexSearch.open(spark, root)
+    val df = IndexSearch.search(idx, Seq(1 -> "w1 w2"))
+    df.collect() // finalize the adaptive plan — codegen spans only show then
+    val plan = df.queryExecution.executedPlan.toString
+    // simpleString marks WholeStageCodegen stages with "*(n)" prefixes
+    assert(plan.contains("*("), s"no codegen spans:\n$plan")
+    val decodeLine = plan.linesIterator
+      .find(_.contains("varintdeltadecode")).getOrElse("")
+    assert(decodeLine.contains("*("),
+      s"varint decode not inside a codegen span: $decodeLine")
+  }
+
+  test("query-term dictionary join broadcasts (no shuffle of postings)") {
+    val idx = IndexSearch.open(spark, root)
+    val plan = IndexSearch.search(idx, Seq(1 -> "w1"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+}
