@@ -54,13 +54,16 @@ object Bench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // 1. registered queries (the driver contract)
+    // 1. registered queries (the driver contract); a failed query records
+    // -1, never its elapsed time, so failures can't masquerade as results
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.foreach { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      }
-      results(name) = sec
+      results(name) =
+        try time(fn(spark, sfDir).count())._2
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
     }
 
     // 2. index-build throughput: synthetic transcript corpus sized by sf

@@ -193,7 +193,7 @@ object OracleOps {
   def mediaFrames(frameBytes: Int, stride: Int): String =
     s"""WITH media AS (SELECT doc_id AS media_id, text FROM documents),
        |fr AS (SELECT media_id, unnest(range(CAST(ceil(length(text) / $frameBytes.0) AS BIGINT))) AS frame_idx, text
-       |  FROM media)
+       |  FROM media WHERE length(text) > 0)
        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
        |  CAST(length(substr(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)) AS INT) AS frame_bytes,
        |  md5(substr(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)) AS frame_sig

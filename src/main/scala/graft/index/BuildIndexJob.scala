@@ -3,19 +3,21 @@ package graft.index
 import graft.analysis.Analyzer
 import graft.index.IndexBuild.Stats
 import graft.search.Bm25
-import graft.sources.{ParquetTableIO, TableIO}
+import graft.sources.{Fs, ParquetTableIO, TableIO}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** The spark-submit batch job (SURVEY.md §3.1): transcripts → persisted
   * inverted index, as a sequence of checkpoint-resumable stages. Each
   * stage reads only previously-persisted artifacts and is guarded by a
   * `_stage_done/<stage>` marker — a restarted job skips completed stages
   * (BASELINE.json north_rule: "resumable from checkpoint with
-  * per-partition lineage + metrics").
+  * per-partition lineage + metrics"). Markers/manifests go through the
+  * Hadoop FileSystem API so the index root may live on any cluster
+  * filesystem; artifact reads/writes go through [[graft.sources.TableIO]]
+  * so the parquet emulation can be swapped for Iceberg wholesale.
   *
-  * Stages and artifacts (all written via [[graft.sources.TableIO]]):
+  * Stages and artifacts:
   *   1. docs      → `docs/`      (doc_id, conv_id, turn_idx, role, tool,
   *                                ts, dl, text) — stored fields + norms
   *   2. tf        → `tfdl/`      (term, doc_id, tf, dl) partitioned by
@@ -25,8 +27,7 @@ import java.nio.file.{Files, Paths}
   *   4. postings  → `postings/`  encoded blocks partitioned by shard
   *
   * Every stage appends per-partition lineage rows to `lineage/`:
-  * (stage, partition_id, input_rows, output_rows, checksum, build_id,
-  * wall_ms).
+  * (stage, partition_id, output_rows, checksum, build_id, wall_ms).
   */
 object BuildIndexJob {
 
@@ -43,6 +44,7 @@ object BuildIndexJob {
     val stats = s"$root/stats"
     val postings = s"$root/postings"
     val lineage = s"$root/lineage"
+    val staging = s"$root/_staging"
     def marker(stage: String) = s"$root/_stage_done/$stage"
   }
 
@@ -51,19 +53,21 @@ object BuildIndexJob {
     val p = IndexPaths(root)
     val io = cfg.io
 
-    stage(p, "docs") {
+    stage(spark, p, "docs") { t0 =>
       val ingested = IndexBuild.ingest(transcripts)
-      val docs = IndexBuild.assignDocIds(ingested)
+      val docs = IndexBuild
+        .assignDocIds(ingested, stagingDir = s"${p.staging}/docids")
         .withColumn("dl", Analyzer.docLen(col("text")))
         .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
       io.write(docs, p.docs, snapshotId = buildId)
-      lineage(spark, p, "docs", buildId,
+      Fs.delete(spark, s"${p.staging}/docids")
+      lineage(spark, p, "docs", buildId, t0,
         io.read(spark, p.docs).groupBy(pmod(col("doc_id"), lit(64)).cast("int").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("checksum")))
     }
 
-    stage(p, "tf") {
+    stage(spark, p, "tf") { t0 =>
       val docs = io.read(spark, p.docs)
       // dl carried through the aggregate key (functionally dependent on
       // doc_id) — no join back to docs needed.
@@ -83,7 +87,7 @@ object BuildIndexJob {
         .repartition(cfg.numShards * 4, col("shard"),
           pmod(xxhash64(col("term")), lit(4)))
       io.write(tfdl, p.tfdl, partitionBy = Seq("shard"), snapshotId = buildId)
-      lineage(spark, p, "tf", buildId,
+      lineage(spark, p, "tf", buildId, t0,
         io.read(spark, p.tfdl).groupBy(col("shard").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("term"), col("doc_id"), col("tf"))).as("checksum")))
@@ -98,7 +102,7 @@ object BuildIndexJob {
   def runFromTf(spark: SparkSession, p: IndexPaths, buildId: String,
                 cfg: Config = Config()): Unit = {
     val io = cfg.io
-    stage(p, "dict") {
+    stage(spark, p, "dict") { t0 =>
       val docs = io.read(spark, p.docs)
       val st = docs.where(col("dl") > 0).agg(
         count(lit(1)).as("n_docs"),
@@ -125,59 +129,63 @@ object BuildIndexJob {
       io.write(Seq((stats.nDocs, stats.totalTokens, stats.avgdl, buildId))
         .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
         snapshotId = buildId)
-      lineage(spark, p, "dict", buildId,
+      lineage(spark, p, "dict", buildId, t0,
         io.read(spark, p.dictionary).groupBy(col("shard").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("term"), col("df"), col("cf"))).as("checksum")))
     }
 
-    stage(p, "postings") {
+    stage(spark, p, "postings") { t0 =>
       val tfdl = io.read(spark, p.tfdl)
       val dict = io.read(spark, p.dictionary)
-      val stats = readStats(spark, p)
+      val stats = readStats(spark, p, cfg.io)
       val blocks = PostingBlocks.build(
         tfdl.select("term", "doc_id", "tf", "dl"), dict, stats,
         cfg.numShards, cfg.blockSize, cfg.saltTarget)
         .repartition(cfg.numShards * 4, col("shard"),
           pmod(xxhash64(col("term")), lit(4)))
       io.write(blocks, p.postings, partitionBy = Seq("shard"), snapshotId = buildId)
-      lineage(spark, p, "postings", buildId,
+      lineage(spark, p, "postings", buildId, t0,
         io.read(spark, p.postings).groupBy(col("shard").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("term"), col("first_doc"), col("doc_gaps"))).as("checksum")))
     }
   }
 
-  def readStats(spark: SparkSession, p: IndexPaths): Stats = {
-    val r = spark.read.parquet(p.stats).head()
+  def readStats(spark: SparkSession, p: IndexPaths,
+                io: TableIO = ParquetTableIO): Stats = {
+    val r = io.read(spark, p.stats).head()
     Stats(r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
       r.getAs[Double]("avgdl"))
   }
 
   /** Run `body` unless this stage's done-marker exists; create the marker
-    * on success. Returns true if the stage executed. */
-  private def stage(p: IndexPaths, name: String)(body: => Unit): Boolean = {
-    val marker = Paths.get(p.marker(name))
-    if (Files.exists(marker)) false
+    * on success. The body receives the stage's start nanoTime (for
+    * lineage wall_ms). Returns true if the stage executed. */
+  private def stage(spark: SparkSession, p: IndexPaths, name: String)
+                   (body: Long => Unit): Boolean = {
+    val marker = p.marker(name)
+    if (Fs.exists(spark, marker)) false
     else {
       val t0 = System.nanoTime()
-      body
+      body(t0)
       System.err.println(f"[build] stage $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      Files.createDirectories(marker.getParent)
-      Files.writeString(marker, "done")
+      Fs.writeString(spark, marker, "done")
       true
     }
   }
 
-  /** Append per-partition lineage + wall time for a completed stage. */
+  /** Append per-partition lineage for a completed stage; wall_ms is the
+    * elapsed stage time at this point (the writes above have executed —
+    * lineage runs after the stage's actions, so this is the real cost). */
   private def lineage(spark: SparkSession, p: IndexPaths, stageName: String,
-                      buildId: String, perPartition: DataFrame): Unit = {
-    val t0 = System.nanoTime()
-    val rows = perPartition
+                      buildId: String, startedNanos: Long,
+                      perPartition: DataFrame): Unit = {
+    val wallMs = (System.nanoTime() - startedNanos) / 1000000
+    perPartition
       .withColumn("stage", lit(stageName))
       .withColumn("build_id", lit(buildId))
-    val wallMs = (System.nanoTime() - t0) / 1000000
-    rows.withColumn("wall_ms", lit(wallMs))
+      .withColumn("wall_ms", lit(wallMs))
       .select("stage", "partition_id", "output_rows", "checksum", "build_id", "wall_ms")
       .write.mode("append").parquet(p.lineage)
   }

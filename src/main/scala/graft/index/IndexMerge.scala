@@ -29,8 +29,18 @@ object IndexMerge {
   def run(spark: SparkSession, oldRoot: String, newBatch: DataFrame,
           tombstones: DataFrame, newRoot: String, buildId: String,
           cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths = {
+    require(oldRoot != newRoot,
+      "merge target must be a fresh generation, not the source index " +
+        "(overwriting an input while lazily reading it corrupts the merge)")
+    // All-or-nothing semantics: a half-written target from a crashed merge
+    // is wiped, never resumed — its docs/tfdl are not marker-guarded, so a
+    // partial resume could pair fresh doc_ids with stale postings. Resume
+    // granularity is the GENERATION (the caller republished pointer /
+    // streaming checkpoint replays the whole batch).
+    if (graft.sources.Fs.exists(spark, newRoot))
+      graft.sources.Fs.delete(spark, newRoot)
     val key = Seq("conv_id", "turn_idx")
-    val oldDocs = spark.read.parquet(s"$oldRoot/docs")
+    val oldDocs = cfg.io.read(spark, s"$oldRoot/docs")
     val ingestedNew = IndexBuild.ingest(newBatch)
 
     // survivors of the old corpus: not tombstoned, not overwritten
@@ -46,22 +56,26 @@ object IndexMerge {
 
     val p = BuildIndexJob.IndexPaths(newRoot)
     // docs stage over the merged corpus (fresh dense ids)
-    val docs = IndexBuild.assignDocIds(merged)
+    val docs = IndexBuild.assignDocIds(merged, stagingDir = s"${p.staging}/docids")
       .withColumn("dl", Analyzer.docLen(col("text")))
       .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
     cfg.io.write(docs, p.docs, snapshotId = buildId)
+    graft.sources.Fs.delete(spark, s"${p.staging}/docids")
+    // downstream steps must read the PERSISTED docs — the lazy `docs` plan
+    // still references the just-deleted doc-id staging files
+    val docsP = cfg.io.read(spark, p.docs)
 
     // tf stage: reuse old tokenization via id remap — SURVIVOR keys only
     // (an overwritten key must not drag its stale postings along; its text
     // is re-tokenized as part of the new batch)
-    val remap = spark.read.parquet(s"$oldRoot/tfdl")
+    val remap = cfg.io.read(spark, s"$oldRoot/tfdl")
       .join(keepOld.select(col("doc_id").as("_old_id"), col("conv_id"), col("turn_idx"))
-          .join(docs.select(col("doc_id").as("_new_id"), col("conv_id"), col("turn_idx")), key)
+          .join(docsP.select(col("doc_id").as("_new_id"), col("conv_id"), col("turn_idx")), key)
           .select("_old_id", "_new_id"),
         col("doc_id") === col("_old_id"))
       .select(col("term"), col("_new_id").as("doc_id"), col("tf"), col("dl"))
     val newKeys = newTurns.select(key.map(col): _*)
-    val freshDocs = docs.join(newKeys, key, "left_semi")
+    val freshDocs = docsP.join(newKeys, key, "left_semi")
     val freshTf = freshDocs
       .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
       .groupBy("term", "doc_id", "dl")

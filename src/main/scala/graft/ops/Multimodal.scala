@@ -88,6 +88,9 @@ object Multimodal {
     * pipeline produces. Output exploded: (media_id, frame_idx, frame). */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media
+      // empty payloads emit no frames (and Spark's sequence(0, -1) would
+      // otherwise infer step -1 and yield [0, -1] — a bogus frame row)
+      .where(length(col("payload")) > 0)
       .withColumn("_n", ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int"))
       .select(col("media_id"),
         posexplode(transform(sequence(lit(0), col("_n") - 1),

@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
 object IndexSearch {
 
   final case class OpenIndex(paths: IndexPaths, dictionary: DataFrame,
-                             stats: Stats, spark: SparkSession)
+                             stats: Stats, spark: SparkSession,
+                             io: graft.sources.TableIO)
 
   /** One posting block routed to one query (WAND input). */
   final case class QBlockRow(query_id: Int, term: String, df: Long,
@@ -32,10 +33,11 @@ object IndexSearch {
   final case class ResultRow(query_id: Int, rank: Int, doc_id: Long,
                              score: Double)
 
-  def open(spark: SparkSession, root: String): OpenIndex = {
+  def open(spark: SparkSession, root: String,
+           io: graft.sources.TableIO = graft.sources.ParquetTableIO): OpenIndex = {
     val p = IndexPaths(root)
-    OpenIndex(p, spark.read.parquet(p.dictionary),
-      BuildIndexJob.readStats(spark, p), spark)
+    OpenIndex(p, io.read(spark, p.dictionary),
+      BuildIndexJob.readStats(spark, p, io), spark, io)
   }
 
   def search(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
@@ -52,7 +54,7 @@ object IndexSearch {
         qd.select(col("query_id"), lit(0L).as("doc_id"),
           lit(0.0).as("_score")).limit(0), k)
     }
-    val blocks = spark.read.parquet(idx.paths.postings)
+    val blocks = idx.io.read(spark, idx.paths.postings)
       .where(col("shard").isin(shards: _*))
       .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
     val postings = PostingBlocks.decodePostings(blocks)
@@ -64,7 +66,9 @@ object IndexSearch {
     val filtered =
       if (!conjunctive) scored
       else {
-        val nq = qd.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
+        // all analyzed query terms, pre-dictionary — Lucene MUST semantics
+        // (out-of-vocabulary required term ⇒ no matches)
+        val nq = qt.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
         scored.join(broadcast(nq), "query_id")
           .where(col("_n_matched") === col("_n_q"))
       }
@@ -86,7 +90,7 @@ object IndexSearch {
     if (shards.isEmpty)
       return Seq.empty[ResultRow].toDF()
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-    val blocks = spark.read.parquet(idx.paths.postings)
+    val blocks = idx.io.read(spark, idx.paths.postings)
       .where(col("shard").isin(shards: _*))
       .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
       .select(col("query_id"), col("term"), col("df"), col("first_doc"),

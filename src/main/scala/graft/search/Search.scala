@@ -54,7 +54,10 @@ object Search {
     val filtered =
       if (!conjunctive) scored
       else {
-        val nq = qd.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
+        // n_q counts ALL analyzed query terms (qt), not just dictionary
+        // hits: Lucene MUST semantics — a required term absent from the
+        // corpus matches nothing.
+        val nq = qt.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
         scored.join(broadcast(nq), "query_id")
           .where(col("_n_matched") === col("_n_q"))
       }

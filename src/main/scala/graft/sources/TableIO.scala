@@ -1,8 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Table persistence boundary. The production target is an Iceberg
   * catalog (BASELINE.json north_rule); the sandbox ships no Iceberg jar
@@ -36,9 +35,21 @@ object ParquetTableIO extends TableIO {
   private def writeManifest(path: String, df: DataFrame,
                             partitionBy: Seq[String],
                             snapshotId: String): Unit = {
-    val root = Paths.get(path)
-    val files = walkParquet(root)
-    val totalBytes = files.map(f => Files.size(f)).sum
+    // Hadoop FS (not java.nio): the table root may be hdfs://, s3a://, ...
+    val spark = df.sparkSession
+    val root = new HPath(path)
+    val fs: FileSystem =
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0
+    var totalBytes = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        files += 1
+        totalBytes += f.getLen
+      }
+    }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val json =
       s"""{
@@ -47,16 +58,9 @@ object ParquetTableIO extends TableIO {
          |  "format": "parquet",
          |  "partition_by": [${partitionBy.map(q).mkString(", ")}],
          |  "schema": ${q(df.schema.json)},
-         |  "data_files": ${files.size},
+         |  "data_files": $files,
          |  "total_bytes": $totalBytes
          |}""".stripMargin
-    Files.writeString(root.resolve("_manifest.json"), json)
-  }
-
-  private def walkParquet(root: Path): Seq[Path] = {
-    if (!Files.exists(root)) return Seq.empty
-    val s = Files.walk(root)
-    try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toVector
-    finally s.close()
+    Fs.writeString(spark, s"$path/_manifest.json", json)
   }
 }

@@ -1,11 +1,11 @@
 package graft.streaming
 
 import graft.index.{BuildIndexJob, IndexMerge}
+import graft.sources.Fs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Structured-Streaming ingest (SURVEY.md §2.10 extension): a stream of
   * transcript batches folds into the index incrementally. Each micro-batch
@@ -22,35 +22,36 @@ object StreamingIngest {
   val transcriptSchema: StructType = StructType.fromDDL(
     "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
 
-  def currentGeneration(root: String): Option[String] = {
-    val p = Paths.get(s"$root/CURRENT")
-    if (Files.exists(p)) Some(s"$root/${Files.readString(p).trim}") else None
+  def currentGeneration(spark: SparkSession, root: String): Option[String] = {
+    val p = s"$root/CURRENT"
+    if (Fs.exists(spark, p)) Some(s"$root/${Fs.readString(spark, p).trim}")
+    else None
   }
 
-  private def publish(root: String, gen: String): Unit = {
-    val tmp = Paths.get(s"$root/CURRENT.tmp")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(tmp, gen)
-    Files.move(tmp, Paths.get(s"$root/CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Fold one batch into the index (also usable outside streaming). */
+  /** Fold one batch into the index (also usable outside streaming).
+    * Idempotent under micro-batch REPLAY: if this batch's generation is
+    * already the published CURRENT (crash landed between publish and the
+    * streaming checkpoint commit), the replay is a no-op — merging a
+    * generation into itself would read and overwrite the same files. A
+    * half-written generation that never published is wiped by
+    * [[IndexMerge.run]] and rebuilt. */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
                   batchId: Long, cfg: BuildIndexJob.Config): Unit = {
     if (batch.isEmpty) return
     val gen = s"gen-$batchId"
     val genPath = s"$root/$gen"
-    currentGeneration(root) match {
+    currentGeneration(spark, root) match {
+      case Some(cur) if cur == genPath => // replayed, already applied
       case None =>
         BuildIndexJob.run(spark, batch, genPath, s"stream-$batchId", cfg)
+        Fs.publishString(spark, s"$root/CURRENT", gen)
       case Some(old) =>
         import spark.implicits._
         val noTombstones = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
         IndexMerge.run(spark, old, batch, noTombstones, genPath,
           s"stream-$batchId", cfg)
+        Fs.publishString(spark, s"$root/CURRENT", gen)
     }
-    publish(root, gen)
   }
 
   /** Start the file-source ingest stream: every parquet file landing in

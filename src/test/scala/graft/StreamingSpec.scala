@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingIngest.start(spark, in, root, tmp(), cfg)
     q.awaitTermination()
 
-    val cur = StreamingIngest.currentGeneration(root)
+    val cur = StreamingIngest.currentGeneration(spark, root)
     assert(cur.isDefined && cur.get.endsWith("gen-1"), s"got $cur")
     val streamed = IndexSearch.search(IndexSearch.open(spark, cur.get), queries)
       .orderBy("query_id", "rank").collect().toSeq
@@ -52,6 +52,45 @@ class StreamingSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(streamed == full)
     assert(streamed.nonEmpty)
+  }
+
+  test("replayed micro-batch is a no-op (crash between publish and checkpoint commit)") {
+    val root = tmp()
+    val b1 = Transcripts.synthetic(spark, 30)
+    StreamingIngest.ingestBatch(spark, root, b1, 0L, cfg)
+    val before = IndexSearch.search(
+      IndexSearch.open(spark, StreamingIngest.currentGeneration(spark, root).get), queries)
+      .orderBy("query_id", "rank").collect().toSeq
+    // replay the same batchId — must not merge gen-0 into itself
+    StreamingIngest.ingestBatch(spark, root, b1, 0L, cfg)
+    val cur = StreamingIngest.currentGeneration(spark, root)
+    assert(cur.get.endsWith("gen-0"))
+    val after = IndexSearch.search(IndexSearch.open(spark, cur.get), queries)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after == before)
+  }
+
+  test("half-written generation from a crashed merge is wiped and rebuilt") {
+    val root = tmp()
+    StreamingIngest.ingestBatch(spark, root, Transcripts.synthetic(spark, 20), 0L, cfg)
+    // simulate a crashed merge: partial gen-1 exists but was never published
+    val partial = s"$root/gen-1"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$partial/_stage_done"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$partial/_stage_done/postings"), "done")
+    val b2 = Transcripts.synthetic(spark, 40).where($"conv_id" >= "conv00000020")
+    StreamingIngest.ingestBatch(spark, root, b2, 1L, cfg)
+    val cur = StreamingIngest.currentGeneration(spark, root).get
+    assert(cur.endsWith("gen-1"))
+    // stale marker must NOT have caused stage skipping: postings exist & match
+    val full = tmp()
+    graft.index.BuildIndexJob.run(spark,
+      Transcripts.synthetic(spark, 40), full, "full", cfg)
+    val a = IndexSearch.search(IndexSearch.open(spark, cur), queries)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = IndexSearch.search(IndexSearch.open(spark, full), queries)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b)
   }
 
   test("watermarked per-minute turn rates over a bounded stream") {
