@@ -200,6 +200,19 @@ object OracleOps {
        |FROM fr WHERE frame_idx % $stride = 0
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Twin of q_events_props (json/map scalar family over events.parquet).
+    * DuckDB sum(INT) is HUGEINT — cast to BIGINT to match Spark's long. */
+  def eventsProps: String =
+    s"""WITH ev AS (SELECT event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS INT) AS k FROM events)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |       CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k, min(k) AS min_k
+       |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Twin of q_global_topn (W3 global sort + limit). */
+  def globalTopN(n: Int): String =
+    s"SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT $n"
+
   /** Shared embedding CTEs: doubled vectors + norms (+ query set). */
   private def embCtes(queryIds: Seq[Long]): String =
     s"""emb AS (SELECT vec_id, label,

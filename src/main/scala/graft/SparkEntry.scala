@@ -55,6 +55,11 @@ object SparkEntry {
     IndexSearch.open(s, root)
   }
 
+  /** Force the memoized per-sfDir index build. Bench calls this before its
+    * timed query loop so the one-time build cost lands on its own line
+    * instead of whichever index query happens to run first. */
+  def prepareIndex(s: SparkSession, dir: String): Unit = { indexFor(s, dir); () }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full pipeline — build persisted index, block-max WAND top-10. */
   def entry(spark: SparkSession): DataFrame =
@@ -118,7 +123,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => TextOps.dupGroups(documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(documents(s, dir), 0.7)),
     "q_simhash" -> ((s, dir) => Dedup.simhash(documents(s, dir))),
-    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(documents(s, dir), 8)),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(documents(s, dir), 3)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.3)),
     "q_ann_cosine" -> ((s, dir) => Similarity.bruteForceTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
@@ -128,7 +133,27 @@ object SparkEntry {
     "q_media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaTable(s, dir))),
     "q_media_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.mediaTable(s, dir), 256, 2)))
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, dir), 256, 2)),
+    // §2.8 map/json scalar family over events.parquet: get_json_object +
+    // from_json-to-map both exercised (sum_k vs max_k paths)
+    "q_events_props" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("m", from_json(col("props"), "map<string,int>",
+          Map.empty[String, String]))
+      ev.groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k").cast("long")).as("sum_k"),
+          max(element_at(col("m"), "k")).as("max_k"),
+          min(col("k")).as("min_k"))
+        .orderBy("event_type")
+    }),
+    // W3: global sort + limit — plans as TakeOrderedAndProjectExec
+    // (Spark's native top-n, no full sort); PlanSpec asserts the operator
+    "q_global_topn" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .limit(20).select("doc_id", "n_chars")))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -151,10 +176,12 @@ object SparkEntry {
     "q_dedup_exact" -> OracleOps.dupGroups,
     "q_dedup_minhash" -> OracleOps.minhashPairs(0.7),
     "q_simhash" -> OracleOps.simhash,
-    "q_dedup_simhash" -> OracleOps.simhashPairs(8),
+    "q_dedup_simhash" -> OracleOps.simhashPairs(3),
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),
     "q_media_features" -> OracleOps.mediaFeatures,
-    "q_media_frames" -> OracleOps.mediaFrames(256, 2))
+    "q_media_frames" -> OracleOps.mediaFrames(256, 2),
+    "q_events_props" -> OracleOps.eventsProps,
+    "q_global_topn" -> OracleOps.globalTopN(20))
 }

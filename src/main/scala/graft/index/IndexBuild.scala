@@ -52,9 +52,23 @@ object IndexBuild {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
+    // Default staging derives through the Hadoop FS API (a java.nio temp
+    // path would be driver-local — broken the moment executors are remote
+    // or the data lives on hdfs://s3a). Callers with an index root pass an
+    // explicit stagingDir and delete it after the docs artifact persists;
+    // the default path self-cleans at JVM exit.
     val staging =
       if (stagingDir.nonEmpty) stagingDir
-      else java.nio.file.Files.createTempDirectory("graft_docids").toString
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val base = new org.apache.hadoop.fs.Path(
+          conf.get("hadoop.tmp.dir", System.getProperty("java.io.tmpdir", "/tmp")))
+        val p = new org.apache.hadoop.fs.Path(base,
+          s"graft_docids_${java.util.UUID.randomUUID()}")
+        val f = p.getFileSystem(conf)
+        f.deleteOnExit(p)
+        f.makeQualified(p).toString
+      }
     turns
       .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx")

@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * small band buckets — postings-style shuffles keyed on the bucket, never
   * an all-pairs product. The exact-Jaccard verify touches only candidate
   * pairs.
+  *
+  * Cache lifecycle: the `.cache()` calls below exist because each cached
+  * frame feeds BOTH sides of a self-join (without it Spark executes the
+  * subtree twice). They are scoped to one query execution; batch runners
+  * that execute many registered queries in one JVM (Verify, Bench) call
+  * `spark.catalog.clearCache()` between queries so cached relations don't
+  * accumulate across unrelated queries.
   */
 object Dedup {
 
@@ -106,8 +113,18 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band on 4×15-bit chunks, then hamming ≤ maxDist.
-    * Output (doc_a, doc_b, hamming). */
-  def simhashPairs(corpus: DataFrame, maxDist: Int = 8): DataFrame = {
+    * Output (doc_a, doc_b, hamming).
+    *
+    * Recall contract (pigeonhole): with 4 bands, a pair differing in at
+    * most 3 bits must leave at least one band identical, so every pair
+    * with hamming ≤ 3 is found. maxDist > 3 would silently lose pairs
+    * whose differing bits spread across all 4 bands — hence the require.
+    * DedupRecallSpec property-tests this against brute-force hamming. */
+  def simhashPairs(corpus: DataFrame, maxDist: Int = 3): DataFrame = {
+    val bands = SimhashBits / 15 // 4 bands of 15 bits
+    require(maxDist < bands,
+      s"simhash banding with $bands bands only guarantees recall for " +
+        s"hamming <= ${bands - 1}; got maxDist=$maxDist")
     val sh = simhash(corpus).cache()
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))

@@ -30,14 +30,28 @@ object Fs {
   def delete(spark: SparkSession, path: String): Unit =
     fs(spark, path).delete(new Path(path), true)
 
-  /** Atomic-enough publish: write tmp, rename over target. */
+  /** Atomic publish: write tmp, rename OVER the target in one operation
+    * (FileContext rename with OVERWRITE — atomic on local and HDFS). The
+    * naive delete-then-rename leaves a window where a crash strands the
+    * pointer missing entirely, which readers would misread as "never
+    * initialized"; OVERWRITE closes that window. Filesystems without
+    * FileContext support fall back to delete+rename, and readers must
+    * treat a missing pointer as a possible crash (see
+    * [[graft.streaming.StreamingIngest.ingestBatch]]). */
   def publishString(spark: SparkSession, path: String, content: String): Unit = {
     val f = fs(spark, path)
     val tmp = new Path(path + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    f.delete(new Path(path), false)
-    if (!f.rename(tmp, new Path(path)))
-      throw new java.io.IOException(s"publish rename failed for $path")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, new Path(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+        f.delete(new Path(path), false)
+        if (!f.rename(tmp, new Path(path)))
+          throw new java.io.IOException(s"publish rename failed for $path")
+    }
   }
 }

@@ -46,6 +46,14 @@ class PlanSpec extends SparkSpec {
       s"varint decode not inside a codegen span: $decodeLine")
   }
 
+  test("global sort+limit plans as TakeOrderedAndProject (W3 — no full sort)") {
+    val docs = spark.read.parquet(s"$root/docs")
+    val plan = docs.orderBy(col("dl").desc, col("doc_id").asc).limit(5)
+      .select("doc_id", "dl").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+  }
+
   test("query-term dictionary join broadcasts (no shuffle of postings)") {
     val idx = IndexSearch.open(spark, root)
     val plan = IndexSearch.search(idx, Seq(1 -> "w1"))
