@@ -44,6 +44,34 @@ object Oracle {
     s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text
        |FROM ($transcriptsSql)""".stripMargin
 
+  /** Corpus over the MERGED transcripts (merge gates q_merge_*): the old
+    * index covers docs < 4n/5; the new batch covers docs ≥ 3n/4, with
+    * " upserted" appended inside the overlap window [3n/4, 4n/5) — so by
+    * upsert-by-key semantics the merged corpus is ALL docs, the overlap
+    * window carrying the new text. The tombstoned variant additionally
+    * drops doc_id ≡ 0 (mod 97) keys (hits old-only, overlap, and new-only
+    * regions). Dense ids re-rank over the surviving rows — exactly what
+    * IndexMerge's fresh doc-id stage produces. */
+  def mergedTranscriptsCorpus(tombstoned: Boolean): String = {
+    val del = if (tombstoned) "WHERE doc_id % 97 <> 0" else ""
+    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text
+       |FROM (SELECT 'conv' || lpad(CAST(doc_id // 4 AS VARCHAR), 6, '0') AS conv_id,
+       |             CAST(doc_id % 4 AS INT) AS turn_idx, text
+       |      FROM (SELECT doc_id,
+       |              CASE WHEN doc_id >= (SELECT 3*count(*)//4 FROM documents)
+       |                    AND doc_id < (SELECT 4*count(*)//5 FROM documents)
+       |                   THEN text || ' upserted' ELSE text END AS text
+       |            FROM documents $del)
+       |      WHERE text IS NOT NULL AND length(text) > 0)""".stripMargin
+  }
+
+  /** Denormalized scoring relation (term, doc_id, tf, dl) — the oracle for
+    * posting-assembly round-trips (E5 aggregate path, salted stream path). */
+  def termTfDl(corpusSql: String): String =
+    s"""WITH ${indexCtes(corpusSql)}
+       |SELECT term, tf.doc_id AS doc_id, tf, dl FROM tf
+       |JOIN dl ON tf.doc_id = dl.doc_id ORDER BY term, doc_id""".stripMargin
+
   def docDl(corpusSql: String): String =
     s"WITH ${indexCtes(corpusSql)} SELECT doc_id, dl FROM dl ORDER BY doc_id"
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.analysis.Analyzer
-import graft.index.{BuildIndexJob, IndexBuild}
+import graft.index.{BuildIndexJob, IndexBuild, IndexMerge, PostingBlocks}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.search.{IndexSearch, Search}
 import graft.sources.Transcripts
@@ -59,6 +59,54 @@ object SparkEntry {
     * timed query loop so the one-time build cost lands on its own line
     * instead of whichever index query happens to run first. */
   def prepareIndex(s: SparkSession, dir: String): Unit = { indexFor(s, dir); () }
+
+  /** Merge-gate inputs (U1/U2/J4): old index over docs < 4n/5; new batch =
+    * docs ≥ 3n/4 with " upserted" appended inside the overlap window
+    * [3n/4, 4n/5); tombstones = keys of docs ≡ 0 (mod 97). The DuckDB twin
+    * mirrors the same arithmetic ([[Oracle.mergedTranscriptsCorpus]]), so
+    * the merged index's BM25 answers are oracle-checkable end to end. */
+  private val mergeOldRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergedIndex(s: SparkSession, dir: String, tombstoned: Boolean): String = {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+    val n = d.count()
+    val oldRoot = mergeOldRoots.computeIfAbsent(dir, _ => {
+      val r = java.nio.file.Files.createTempDirectory("graft_mold").toString
+      BuildIndexJob.run(s,
+        Transcripts.fromDocumentsDf(d.where(col("doc_id") < n * 4 / 5)),
+        r, "merge-old", BuildIndexJob.Config(numShards = 8))
+      r
+    })
+    val newBatch = Transcripts.fromDocumentsDf(
+      d.where(col("doc_id") >= n * 3 / 4)
+        .withColumn("text",
+          when(col("doc_id") < n * 4 / 5, concat(col("text"), lit(" upserted")))
+            .otherwise(col("text"))))
+    import s.implicits._
+    val tombstones =
+      if (!tombstoned) Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+      else Transcripts.fromDocumentsDf(d.where(pmod(col("doc_id"), lit(97)) === 0))
+        .select("conv_id", "turn_idx")
+    val newRoot = java.nio.file.Files.createTempDirectory("graft_mnew").toString
+    IndexMerge.run(s, oldRoot, newBatch, tombstones, newRoot, "merge-gate",
+      BuildIndexJob.Config(numShards = 8))
+    newRoot
+  }
+
+  /** Posting-assembly round-trip: build encoded blocks with the given
+    * assembler, decode them back, return the scoring relation — oracle =
+    * plain (term, doc_id, tf, dl) SQL, so the codec+assembly path is
+    * hash-gated, not just property-tested. */
+  private def postingsRoundtrip(s: SparkSession, dir: String)(
+      build: (DataFrame, DataFrame, IndexBuild.Stats) => DataFrame): DataFrame = {
+    val corpus = documents(s, dir)
+    val occ = IndexBuild.termOccurrences(corpus)
+    val dl = IndexBuild.docLengths(occ)
+    val tf = IndexBuild.termFrequencies(occ)
+    val blocks = build(IndexBuild.tfWithDl(tf, dl), IndexBuild.dictionary(tf),
+      IndexBuild.stats(dl))
+    PostingBlocks.decodePostings(blocks)
+      .select("term", "doc_id", "tf", "dl").orderBy("term", "doc_id")
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * full pipeline — build persisted index, block-max WAND top-10. */
@@ -153,7 +201,25 @@ object SparkEntry {
     "q_global_topn" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-        .limit(20).select("doc_id", "n_chars")))
+        .limit(20).select("doc_id", "n_chars")),
+    // U1/J2: incremental merge with key upserts, searched end to end
+    "q_merge_upsert" -> ((s, dir) =>
+      IndexSearch.search(IndexSearch.open(s, mergedIndex(s, dir, tombstoned = false)),
+        DisjQueries)),
+    // U2/J4: merge with tombstoned keys (left-anti delete path)
+    "q_merge_tombstone" -> ((s, dir) =>
+      IndexSearch.search(IndexSearch.open(s, mergedIndex(s, dir, tombstoned = true)),
+        DisjQueries)),
+    // E5: TypedImperativeAggregate posting assembly, decoded back
+    "q_posting_agg" -> ((s, dir) => postingsRoundtrip(s, dir) { (tfdl, dict, st) =>
+      PostingBlocks.buildAgg(tfdl, dict, st, numShards = 8, blockSize = 16)
+    }),
+    // §4.3: sort-streamed assembly with hot-term doc-range salting forced
+    // (saltTarget 32 splits every term with df > 32)
+    "q_postings_salted" -> ((s, dir) => postingsRoundtrip(s, dir) { (tfdl, dict, st) =>
+      PostingBlocks.build(tfdl, dict, st, numShards = 8, blockSize = 16,
+        saltTarget = 32)
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -183,5 +249,11 @@ object SparkEntry {
     "q_media_features" -> OracleOps.mediaFeatures,
     "q_media_frames" -> OracleOps.mediaFrames(256, 2),
     "q_events_props" -> OracleOps.eventsProps,
-    "q_global_topn" -> OracleOps.globalTopN(20))
+    "q_global_topn" -> OracleOps.globalTopN(20),
+    "q_merge_upsert" -> Oracle.bm25TopK(Oracle.mergedTranscriptsCorpus(tombstoned = false),
+      DisjQueries, 10, conjunctive = false),
+    "q_merge_tombstone" -> Oracle.bm25TopK(Oracle.mergedTranscriptsCorpus(tombstoned = true),
+      DisjQueries, 10, conjunctive = false),
+    "q_posting_agg" -> Oracle.termTfDl(Oracle.documentsCorpus),
+    "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus))
 }

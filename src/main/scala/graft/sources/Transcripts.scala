@@ -23,8 +23,12 @@ object Transcripts {
   /** Deterministic transcripts view over documents.parquet: each
     * conversation = 4 consecutive doc_ids; one turn per document. The
     * DuckDB twin is [[sqlFromDocuments]]. */
-  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+  def fromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    fromDocumentsDf(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Same mapping over an arbitrary (doc_id, text) relation — lets callers
+    * derive transcript BATCHES from doc-id slices (merge/streaming gates). */
+  def fromDocumentsDf(d: DataFrame): DataFrame = {
     d.select(
       concat(lit("conv"), lpad(expr("CAST(doc_id DIV 4 AS STRING)"), 6, "0")).as("conv_id"),
       (col("doc_id") % 4).cast("int").as("turn_idx"),
