@@ -7,12 +7,13 @@ import graft.index.VarintCodec
   * SURVEY.md §2.9 E4).
   *
   * Pure Scala core over the engine's encoded block format; the Spark
-  * integration ([[IndexSearch.searchWand]]) feeds it per query via
-  * `groupByKey(query_id).flatMapGroups` — Dataset API, no RDDs. WAND is
-  * inherently sequential per query; cluster parallelism is ACROSS queries
-  * (matching the queries/sec metric), while within a query whole blocks
-  * are skipped without decoding via (first_doc, last_doc, block_max_score)
-  * metadata.
+  * integration ([[IndexSearch.searchWand]]) feeds it per (query,
+  * doc-range) group via `groupByKey.flatMapGroups` — Dataset API, no
+  * RDDs. The traversal is sequential within a group; cluster parallelism
+  * is across queries AND across doc ranges within a query (so a hot
+  * single-term query does not funnel its whole posting list through one
+  * task), while within a group whole blocks are skipped without decoding
+  * via (first_doc, last_doc, block_max_score) metadata.
   *
   * Equivalence contract: output equals the exhaustive path's top-k under
   * the pinned ranking (round(score,7) DESC, doc_id ASC). Three guards make
@@ -41,7 +42,15 @@ object BlockMaxWand {
 
   final val ExhaustedDoc = Long.MaxValue
 
-  private final class Cursor(t: TermPostings, nDocs: Long, avgdl: Double) {
+  /** Cursor over one term's blocks, restricted to docs in [lo, hi) — the
+    * doc-range-parallel WAND unit. With (0, Long.MaxValue) it is the plain
+    * unbounded cursor. Out-of-range postings are invisible: curDoc clamps
+    * to ExhaustedDoc the moment it reaches hi. Block metadata (upperBound,
+    * blockMax) may still cover out-of-range postings — a pure
+    * OVER-estimate, which can only inhibit a skip, never cause one, so
+    * range-restricted results stay exact. */
+  private final class Cursor(t: TermPostings, nDocs: Long, avgdl: Double,
+                             lo: Long, hi: Long) {
     private val df: Long = t.df
     private val blocks: Array[BlockRef] = t.blocks
     val upperBound: Double = {
@@ -56,6 +65,9 @@ object BlockMaxWand {
     private var dls: Array[Long] = _
     private var decodedBi = -1
     var curDoc: Long = if (blocks.isEmpty) ExhaustedDoc else blocks(0).firstDoc
+    private def clamp(): Unit = if (curDoc >= hi) curDoc = ExhaustedDoc
+    clamp()
+    if (curDoc != ExhaustedDoc && curDoc < lo) seek(lo)
 
     /** Decode the current block lazily (the whole point of block-max). */
     private def ensureDecoded(): Unit = if (decodedBi != bi) {
@@ -80,6 +92,7 @@ object BlockMaxWand {
       pos = 0
       val before = curDoc
       curDoc = if (bi >= blocks.length) ExhaustedDoc else blocks(bi).firstDoc
+      clamp()
       curDoc != before
     }
 
@@ -95,6 +108,7 @@ object BlockMaxWand {
       else {
         bi += 1; pos = 0; curDoc = if (bi < blocks.length) blocks(bi).firstDoc else ExhaustedDoc
       }
+      clamp()
     }
 
     /** Advance to the first posting with doc ≥ target. Skips blocks via
@@ -110,6 +124,7 @@ object BlockMaxWand {
       else { // only possible if pos drifted past; fall to next block head
         bi += 1; pos = 0; curDoc = if (bi < blocks.length) blocks(bi).firstDoc else ExhaustedDoc
       }
+      clamp()
     }
   }
 
@@ -120,9 +135,18 @@ object BlockMaxWand {
   /** Top-k docs for one query. Returns (doc_id, rawScore) ordered by the
     * pinned ranking (round(score,7) DESC, doc_id ASC). */
   def topK(terms: Seq[TermPostings], k: Int, nDocs: Long,
-           avgdl: Double): Seq[(Long, Double)] = {
+           avgdl: Double): Seq[(Long, Double)] =
+    topKRange(terms, k, nDocs, avgdl, 0L, Long.MaxValue)
+
+  /** Top-k restricted to docs in [lo, hi) — the per-range unit of the
+    * doc-range-parallel search ([[IndexSearch.searchWand]]). BM25 is
+    * additive per doc and every doc lives in exactly one range, so the
+    * global top-k is exactly the top-k of the union of per-range top-k's
+    * under the same pinned ordering (rank-merge, no score recombination). */
+  def topKRange(terms: Seq[TermPostings], k: Int, nDocs: Long,
+                avgdl: Double, lo: Long, hi: Long): Seq[(Long, Double)] = {
     if (terms.isEmpty || k <= 0) return Seq.empty
-    val cursors = terms.map(t => new Cursor(t, nDocs, avgdl)).toArray
+    val cursors = terms.map(t => new Cursor(t, nDocs, avgdl, lo, hi)).toArray
 
     // pool of current top-k; "worst" = smallest ROUNDED score, then
     // largest doc (mirrors the final ranking's tie-break)

@@ -24,14 +24,25 @@ object IndexSearch {
                              stats: Stats, spark: SparkSession,
                              io: graft.sources.TableIO)
 
-  /** One posting block routed to one query (WAND input). */
-  final case class QBlockRow(query_id: Int, term: String, df: Long,
-                             first_doc: Long, last_doc: Long,
+  /** One posting block routed to one (query, doc-range) group (WAND
+    * input). A block spanning a range boundary is routed to EVERY range it
+    * overlaps; the range-bounded traversal ignores its out-of-range
+    * postings, so each doc is scored exactly once (in its own range). */
+  final case class QBlockRow(query_id: Int, range_id: Int, term: String,
+                             df: Long, first_doc: Long, last_doc: Long,
                              doc_gaps: Array[Byte], tfs: Array[Byte],
                              dls: Array[Byte], block_max_score: Double)
 
   final case class ResultRow(query_id: Int, rank: Int, doc_id: Long,
                              score: Double)
+
+  /** Docs per WAND range. Bounds one task's working set: a (query, range)
+    * group materializes at most |query terms| × docsPerRange/blockSize
+    * encoded blocks, independent of corpus size — the property that lets a
+    * hot single-term query scale past one task's memory at 10^12 docs. At
+    * sandbox corpus sizes (≤ a few M docs) this yields one range, i.e. the
+    * round-1 behavior, with zero extra overhead. */
+  final val DefaultDocsPerRange: Long = 1L << 20
 
   def open(spark: SparkSession, root: String,
            io: graft.sources.TableIO = graft.sources.ParquetTableIO): OpenIndex = {
@@ -76,11 +87,22 @@ object IndexSearch {
   }
 
   /** Block-max WAND fast path (disjunctive top-k). Same output as
-    * [[search]] — the WandSpec property. Parallelism is across queries:
-    * each query's candidate blocks group onto one task, which runs the
-    * sequential skipping traversal ([[BlockMaxWand]]) over them. */
-  def searchWand(idx: OpenIndex, queries: Seq[(Int, String)],
-                 k: Int = 10): DataFrame = {
+    * [[search]] — the WandSpec property.
+    *
+    * Parallelism is across (query, doc-range) pairs, NOT one task per
+    * query: the corpus doc-id space splits into fixed ranges of
+    * `docsPerRange`, each candidate block routes to every range it
+    * overlaps, the range-bounded WAND traversal
+    * ([[BlockMaxWand.topKRange]]) produces that range's exact top-k, and
+    * the per-range top-k's rank-merge globally through the same pinned
+    * ordering ([[Search.rank]] — a window over ≤ ranges×k candidate rows
+    * per query). Exactness: BM25 is additive per doc, every doc lives in
+    * exactly one range, and a doc in the global top-k is necessarily in
+    * its range's top-k. This removes both round-1 scale hazards: the
+    * single-task fan-in per query and the unbounded `rows.toVector`
+    * (now bounded by the range width). */
+  def searchWand(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
+                 docsPerRange: Long = DefaultDocsPerRange): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
     val qt = Search.queryTerms(Search.queryFrame(spark, queries))
@@ -90,16 +112,22 @@ object IndexSearch {
     if (shards.isEmpty)
       return Seq.empty[ResultRow].toDF()
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    val rangeSize = math.max(1L, math.min(docsPerRange, idx.stats.nDocs))
     val blocks = idx.io.read(spark, idx.paths.postings)
       .where(col("shard").isin(shards: _*))
       .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
-      .select(col("query_id"), col("term"), col("df"), col("first_doc"),
-        col("last_doc"), col("doc_gaps"), col("tfs"), col("dls"),
-        col("block_max_score"))
+      .withColumn("range_id", explode(sequence(
+        expr(s"CAST(first_doc DIV $rangeSize AS INT)"),
+        expr(s"CAST(last_doc DIV $rangeSize AS INT)"))))
+      .select(col("query_id"), col("range_id"), col("term"), col("df"),
+        col("first_doc"), col("last_doc"), col("doc_gaps"), col("tfs"),
+        col("dls"), col("block_max_score"))
       .as[QBlockRow]
-    val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, k)
-    blocks.groupByKey(_.query_id)
-      .flatMapGroups { (qid: Int, rows: Iterator[QBlockRow]) =>
+    val (nDocs, avgdl, kk, rs) = (idx.stats.nDocs, idx.stats.avgdl, k, rangeSize)
+    val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
+        val (qid, rid) = key
+        // bounded by the range width: ≤ |terms| × rangeSize/blockSize blocks
         val byTerm = rows.toVector.groupBy(_.term)
         val terms = byTerm.valuesIterator.map { trs =>
           val sorted = trs.sortBy(_.first_doc)
@@ -107,12 +135,11 @@ object IndexSearch {
             sorted.map(r => BlockMaxWand.BlockRef(r.first_doc, r.last_doc,
               r.block_max_score, r.doc_gaps, r.tfs, r.dls)).toArray)
         }.toSeq
-        BlockMaxWand.topK(terms, kk, nDocs, avgdl).iterator.zipWithIndex.map {
-          case ((doc, s), i) => ResultRow(qid, i + 1, doc, s)
-        }
+        val lo = rid.toLong * rs
+        BlockMaxWand.topKRange(terms, kk, nDocs, avgdl, lo, lo + rs)
+          .iterator.map { case (doc, s) => (qid, doc, s) }
       }
-      .toDF()
-      .select(col("query_id"), col("rank"), col("doc_id"),
-        round(col("score"), Bm25.OutScale).as("score"))
+      .toDF("query_id", "doc_id", "_score")
+    Search.rank(candidates, k)
   }
 }

@@ -73,6 +73,37 @@ class WandSpec extends SparkSpec {
     assert(BlockMaxWand.topK(Seq.empty, 10, nDocs, avgdl).isEmpty)
   }
 
+  test("property: rank-merged per-range topKRange ≡ unbounded topK") {
+    val rnd = new Random(7)
+    for (trial <- 0 until 40) {
+      val nDocs = 50L + rnd.nextInt(400)
+      val avgdl = 20.0 + rnd.nextInt(50)
+      val k = 1 + rnd.nextInt(12)
+      val blockSize = 1 + rnd.nextInt(9)
+      val termData = (0 until 1 + rnd.nextInt(5)).map { _ =>
+        val df = 1 + rnd.nextInt(nDocs.toInt)
+        val docs = rnd.shuffle((0L until nDocs).toList).take(df).sorted
+        docs.map(d => (d, 1 + rnd.nextInt(8), 5 + rnd.nextInt(100)))
+      }
+      val terms = termData.map(ps => mkTerm(ps, ps.size.toLong, blockSize, nDocs, avgdl))
+      val whole = BlockMaxWand.topK(terms, k, nDocs, avgdl)
+      // split [0, nDocs) into ranges deliberately misaligned with blocks
+      val rangeSize = 1L + rnd.nextInt(nDocs.toInt)
+      val merged = (0L to (nDocs - 1) / rangeSize)
+        .flatMap { rid =>
+          BlockMaxWand.topKRange(terms, k, nDocs, avgdl,
+            rid * rangeSize, (rid + 1) * rangeSize)
+        }
+        .sortBy { case (d, s) => (-BlockMaxWand.round(s, Bm25.RankScale), d) }
+        .take(k)
+      assert(merged.map(_._1) == whole.map(_._1),
+        s"trial $trial rangeSize=$rangeSize docs differ")
+      merged.zip(whole).foreach { case ((_, ms), (_, ws)) =>
+        assert(math.abs(ms - ws) < 1e-9, s"trial $trial score differs")
+      }
+    }
+  }
+
   // ---------- Spark integration: WAND path ≡ exhaustive path ----------
 
   test("searchWand ≡ exhaustive index search on the synthetic corpus") {
@@ -95,6 +126,15 @@ class WandSpec extends SparkSpec {
         .orderBy("query_id", "rank").collect().toSeq
       assert(wand == exh, s"k=$k")
       assert(exh.nonEmpty)
+      // doc-range-parallel form: tiny ranges force many (query, range)
+      // groups and block spans across range boundaries — must still be
+      // exactly the single-range answer
+      for (docsPerRange <- Seq(7L, 100L)) {
+        val ranged = IndexSearch.searchWand(idx, queries, k = k,
+          docsPerRange = docsPerRange)
+          .orderBy("query_id", "rank").collect().toSeq
+        assert(ranged == exh, s"k=$k docsPerRange=$docsPerRange")
+      }
     }
   }
 }
