@@ -93,6 +93,36 @@ object Oracle {
        |FROM ($transcriptsSql)
        |ORDER BY doc_id""".stripMargin
 
+  /** BM25 top-k over the transcripts corpus, results identified by the
+    * stable (conv_id, turn_idx) KEY instead of the dense doc_id — the twin
+    * of [[graft.index.SegmentedIndex.search]], whose segment-local ids
+    * never escape. Ranking is unchanged: dense ids are assigned in key
+    * order, so (round(score,7) DESC, doc_id ASC) ≡ (…, conv_id, turn_idx
+    * ASC). Disjunctive only. */
+  def bm25TopKKeys(queries: Seq[(Int, String)], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |keymap AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |                  conv_id, turn_idx
+       |           FROM ($transcriptsSql)),
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score
+       |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Full BM25 top-k oracle. */
   def bm25TopK(corpusSql: String, queries: Seq[(Int, String)], k: Int,
                conjunctive: Boolean): String = {

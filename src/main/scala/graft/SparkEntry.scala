@@ -92,6 +92,32 @@ object SparkEntry {
     newRoot
   }
 
+  /** Streamed segmented index over the sfDir transcripts: three disjoint
+    * doc-id thirds land as flat parquet files, Structured Streaming
+    * (AvailableNow, one file per micro-batch) appends each as a segment.
+    * Memoized per sfDir — the union equals the full transcripts corpus,
+    * so the DuckDB twin is plain BM25 over it (keys-shaped output). */
+  private val streamRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamedIndex(s: SparkSession, dir: String): String =
+    streamRoots.computeIfAbsent(dir, _ => {
+      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count()
+      val in = tmp("graft_sin")
+      Seq((0L, n / 3), (n / 3, 2 * n / 3), (2 * n / 3, n + 1)).zipWithIndex
+        .foreach { case ((lo, hi), i) =>
+          graft.sources.Fs.writeFlatParquet(
+            Transcripts.fromDocumentsDf(
+              d.where(col("doc_id") >= lo && col("doc_id") < hi)),
+            s"$in/batch$i.parquet")
+        }
+      val root = tmp("graft_sroot")
+      val q = graft.streaming.StreamingIngest.start(s, in, root, tmp("graft_sckpt"),
+        BuildIndexJob.Config(numShards = 8))
+      q.awaitTermination()
+      root
+    })
+
   /** Posting-assembly round-trip: build encoded blocks with the given
     * assembler, decode them back, return the scoring relation — oracle =
     * plain (term, doc_id, tf, dl) SQL, so the codec+assembly path is
@@ -219,6 +245,19 @@ object SparkEntry {
     "q_postings_salted" -> ((s, dir) => postingsRoundtrip(s, dir) { (tfdl, dict, st) =>
       PostingBlocks.build(tfdl, dict, st, numShards = 8, blockSize = 16,
         saltTarget = 32)
+    }),
+    // §2.10: streaming ingest → segmented index, queried by segment
+    // fan-out (keys-shaped output; segment-local ids never escape)
+    "q_streaming_topk" -> ((s, dir) =>
+      graft.index.SegmentedIndex.search(s, streamedIndex(s, dir), DisjQueries,
+        cfg = BuildIndexJob.Config(numShards = 8))),
+    // U1 at scale: compaction of the streamed segments back to a unified
+    // global-id index — same oracle as any full-corpus BM25 query
+    "q_segments_compact" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_scomp").toString
+      graft.index.SegmentedIndex.compact(s, streamedIndex(s, dir), out,
+        "compact-gate", BuildIndexJob.Config(numShards = 8))
+      IndexSearch.search(IndexSearch.open(s, out), DisjQueries)
     }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -255,5 +294,8 @@ object SparkEntry {
     "q_merge_tombstone" -> Oracle.bm25TopK(Oracle.mergedTranscriptsCorpus(tombstoned = true),
       DisjQueries, 10, conjunctive = false),
     "q_posting_agg" -> Oracle.termTfDl(Oracle.documentsCorpus),
-    "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus))
+    "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus),
+    "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
+    "q_segments_compact" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries,
+      10, conjunctive = false))
 }

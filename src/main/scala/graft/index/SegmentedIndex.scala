@@ -1,0 +1,256 @@
+package graft.index
+
+import graft.search.{Bm25, Search}
+import graft.sources.Fs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segment-based incremental index maintenance — the O(batch) path
+  * (SURVEY.md §2.7 U1/U2; the round-1 [[IndexMerge]] rewrites ALL postings
+  * per batch because global dense doc ids shift on any mid-key insert;
+  * this is the Lucene-style fix: segment-local id spaces + query-time
+  * fan-out, with global re-id deferred to [[compact]]).
+  *
+  * Layout under a segmented root:
+  * {{{
+  *   root/segments/<seg>/   one full [[BuildIndexJob]] index over ONE batch
+  *                          (doc ids dense within the segment only)
+  *   root/tombstones/       (conv_id, turn_idx, upto:int) — a row kills the
+  *                          key's instance in every segment with ordinal
+  *                          < upto (ordinal = position in the manifest)
+  *   root/MANIFEST          atomically-published segment list + live
+  *                          collection stats (the commit point)
+  * }}}
+  *
+  * Cost model (the contract MergeSpec asserts): an append WRITES O(batch)
+  * bytes — one new segment plus tombstone rows only for keys that actually
+  * kill an older live instance. It READS old-segment metadata (docs keys +
+  * dl, column-pruned — never text, never postings) to maintain exact live
+  * collection stats. Nothing existing is rewritten.
+  *
+  * Exactness vs a full rebuild: BM25 needs global N, avgdl, df over LIVE
+  * docs. N/total_tokens are maintained incrementally in the manifest
+  * (batch stats added, killed-instance stats subtracted). Per-term df is
+  * computed at query time from the same pruned, tombstone-filtered
+  * posting scan that scoring reads anyway — so scores match the rebuild
+  * bit-for-bit (SegmentSpec / q_streaming_topk gates). Results identify
+  * docs by their stable key (conv_id, turn_idx): segment-local ids are
+  * internal, exactly like Lucene's per-segment ids; the tie-break
+  * (conv_id, turn_idx ascending) equals the unified index's doc_id
+  * ascending because global ids are assigned in key order.
+  */
+object SegmentedIndex {
+
+  /** `tombs` lists the per-append tombstone directories that are COMMITTED
+    * — a crashed append may leave an unlisted tombstone dir behind, which
+    * readers must not see (the replay overwrites it). */
+  final case class Manifest(segments: Seq[String], tombs: Seq[String],
+                            nDocs: Long, totalTokens: Long) {
+    def avgdl: Double = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
+  }
+
+  private val Key = Seq("conv_id", "turn_idx")
+
+  def segPath(root: String, seg: String) = s"$root/segments/$seg"
+  def tombPath(root: String, name: String) = s"$root/tombstones/$name"
+  def manifestPath(root: String) = s"$root/MANIFEST"
+
+  def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
+    val p = manifestPath(root)
+    if (!Fs.exists(spark, p)) None
+    else {
+      val kv = Fs.readString(spark, p).linesIterator
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      def list(k: String) =
+        kv.get(k).filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Seq.empty)
+      Some(Manifest(list("segments"), list("tombs"),
+        kv("n_docs").toLong, kv("total_tokens").toLong))
+    }
+  }
+
+  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit =
+    Fs.publishString(spark, manifestPath(root),
+      s"segments=${m.segments.mkString(",")}\n" +
+        s"tombs=${m.tombs.mkString(",")}\n" +
+        s"n_docs=${m.nDocs}\ntotal_tokens=${m.totalTokens}\n")
+
+  private def emptyTombstones(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Int, Int)].toDF("conv_id", "turn_idx", "upto")
+  }
+
+  def readTombstones(spark: SparkSession, root: String, m: Manifest): DataFrame =
+    m.tombs.map(t => spark.read.parquet(tombPath(root, t)))
+      .reduceOption(_ unionByName _)
+      .getOrElse(emptyTombstones(spark))
+
+  /** Older-segment doc metadata (seg ordinal, key, dl) — column-pruned,
+    * never touches text or postings. */
+  private def segDocsMeta(spark: SparkSession, root: String, m: Manifest,
+                          cfg: BuildIndexJob.Config): Option[DataFrame] =
+    m.segments.zipWithIndex.map { case (seg, ord) =>
+      cfg.io.read(spark, s"${segPath(root, seg)}/docs")
+        .select(col("conv_id"), col("turn_idx"), col("dl"))
+        .withColumn("seg_ord", lit(ord))
+    }.reduceOption(_ unionByName _)
+
+  /** Rows still alive under the current tombstone set. */
+  private def liveFilter(docsMeta: DataFrame, tombs: DataFrame): DataFrame =
+    docsMeta.join(tombs,
+      docsMeta("conv_id") === tombs("conv_id") &&
+        docsMeta("turn_idx") === tombs("turn_idx") &&
+        tombs("upto") > docsMeta("seg_ord"),
+      "left_anti")
+
+  /** Fold one batch (upserts) + explicit deletes into the segmented index.
+    * Writes O(batch) bytes: the new segment, tombstones only for keys that
+    * kill a live older instance, and the manifest. A half-written segment
+    * directory left by a crash (present on disk, absent from the manifest)
+    * is wiped and rebuilt — the manifest publish is the only commit point.
+    */
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+             deletes: DataFrame, segName: String,
+             cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
+    val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
+    require(!old.segments.contains(segName) && !old.tombs.contains(segName),
+      s"segment $segName already committed (replay must be caught by the caller)")
+    val ord = old.segments.size
+    val sp = segPath(root, segName)
+    if (Fs.exists(spark, sp)) Fs.delete(spark, sp) // crashed half-append
+
+    val ingested = IndexBuild.ingest(batch)
+    val delKeys = deletes.select(Key.map(col): _*)
+    val newRows = ingested.join(delKeys, Key, "left_anti")
+    val hasNewSeg = !newRows.isEmpty
+    val (segDocs, segTokens) =
+      if (!hasNewSeg) (0L, 0L)
+      else {
+        BuildIndexJob.run(spark, newRows, sp, segName, cfg)
+        val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
+        (st.nDocs, st.totalTokens)
+      }
+
+    // keys whose OLDER instances die now: every batch key (upsert) + every
+    // delete key. Only those that actually kill a live instance are
+    // persisted as tombstones — disjoint batches write zero tombstone rows.
+    // Each append owns its tombstone dir (overwrite ⇒ crash-replay safe);
+    // the dir becomes visible only through the manifest commit below.
+    val (killedN, killedTokens, wroteTombs) = segDocsMeta(spark, root, old, cfg) match {
+      case None => (0L, 0L, false)
+      case Some(olderMeta) =>
+        val tombKeys = ingested.select(Key.map(col): _*)
+          .unionByName(delKeys).distinct()
+        val oldTombs = readTombstones(spark, root, old)
+        val killed = liveFilter(olderMeta, oldTombs)
+          .join(tombKeys, Key, "left_semi")
+          .select(col("conv_id"), col("turn_idx"),
+            when(col("dl") > 0, col("dl")).otherwise(lit(0)).as("dl"),
+            (col("dl") > 0).cast("int").as("counted"))
+        val agg = killed.agg(
+          coalesce(sum(col("counted")), lit(0L)).cast("long"),
+          coalesce(sum(col("dl").cast("long")), lit(0L)).cast("long")).head()
+        val any = agg.getLong(0) > 0 || killed.limit(1).count() > 0
+        if (any)
+          killed.select(Key.map(col): _*).distinct()
+            .withColumn("upto", lit(ord))
+            .write.mode("overwrite").parquet(tombPath(root, segName))
+        (agg.getLong(0), agg.getLong(1), any)
+    }
+
+    val m = Manifest(
+      if (hasNewSeg) old.segments :+ segName else old.segments,
+      if (wroteTombs) old.tombs :+ segName else old.tombs,
+      old.nDocs - killedN + segDocs,
+      old.totalTokens - killedTokens + segTokens)
+    writeManifest(spark, root, m)
+    m
+  }
+
+  /** Exact BM25 top-k over the segmented index — query-time fan-out.
+    * Output: (query_id, rank, conv_id, turn_idx, score) — docs identified
+    * by their stable key (segment-local ids never escape). Global df comes
+    * from the live tombstone-filtered posting scan itself; N/avgdl from
+    * the manifest. Disjunctive (OR) semantics. */
+  def search(spark: SparkSession, root: String, queries: Seq[(Int, String)],
+             k: Int = 10,
+             cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = Seq.empty[(Int, Int, String, Int, Double)]
+      .toDF("query_id", "rank", "conv_id", "turn_idx", "score")
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val qTerms = qt.select("term").distinct()
+    val tombs = readTombstones(spark, root, m)
+
+    val perSeg = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
+      val p = BuildIndexJob.IndexPaths(segPath(root, seg))
+      val dict = cfg.io.read(spark, p.dictionary)
+      val qd = qTerms.join(dict, "term").select("term", "shard")
+      // driver boundary: ≤ |distinct query terms| shard ids per segment
+      val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+      if (shards.isEmpty) None
+      else {
+        val blocks = cfg.io.read(spark, p.postings)
+          .where(col("shard").isin(shards: _*))
+          .join(broadcast(qTerms), Seq("term"))
+        val docs = cfg.io.read(spark, p.docs)
+          .select(col("doc_id"), col("conv_id"), col("turn_idx"))
+          .withColumn("seg_ord", lit(ord))
+        val live = liveFilter(docs, tombs)
+        Some(PostingBlocks.decodePostings(blocks)
+          .join(live, "doc_id")
+          .select(col("term"), col("conv_id"), col("turn_idx"),
+            col("tf"), col("dl")))
+      }
+    }
+    if (perSeg.isEmpty) return empty
+    val all = perSeg.reduce(_ unionByName _)
+    // exact global df: one live (term, key) row per posting — count per term
+    val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = all
+      .join(broadcast(dfg), "term")
+      .join(broadcast(qt), "term")
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(m.nDocs), lit(m.avgdl)))
+      .groupBy("query_id", "conv_id", "turn_idx")
+      .agg(sum(col("_s")).as("_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("_score"), Bm25.RankScale).desc,
+        col("conv_id").asc, col("turn_idx").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("conv_id"), col("turn_idx"),
+        round(col("_score"), Bm25.OutScale).as("score"))
+  }
+
+  /** All live turns with their stored fields — the compaction input. */
+  def liveTurns(spark: SparkSession, root: String,
+                cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    val m = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
+    val tombs = readTombstones(spark, root, m)
+    val segs = m.segments.zipWithIndex.map { case (seg, ord) =>
+      cfg.io.read(spark, s"${segPath(root, seg)}/docs")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts"))
+        .withColumn("seg_ord", lit(ord))
+    }
+    segs.reduceOption(_ unionByName _)
+      .map(all => liveFilter(all, tombs).drop("seg_ord"))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Int, String, String, String, java.sql.Timestamp)]
+          .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      }
+  }
+
+  /** Compaction: global re-id happens HERE, not per batch — rebuild the
+    * live corpus into a unified [[BuildIndexJob]] index (queryable by
+    * [[graft.search.IndexSearch]], ≡ a from-scratch rebuild). */
+  def compact(spark: SparkSession, root: String, outRoot: String,
+              buildId: String,
+              cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths =
+    BuildIndexJob.run(spark, liveTurns(spark, root, cfg), outRoot, buildId, cfg)
+}

@@ -30,6 +30,24 @@ object Fs {
   def delete(spark: SparkSession, path: String): Unit =
     fs(spark, path).delete(new Path(path), true)
 
+  /** Write `df` as ONE flat parquet FILE at `target` (not a directory).
+    * Spark's file-stream source lists flat files only — part files nested
+    * inside a `*.parquet` directory are invisible to it — so landing
+    * batches for streaming ingest need this shape. Single-file by design:
+    * it is a batch-landing helper, not a bulk writer. */
+  def writeFlatParquet(df: org.apache.spark.sql.DataFrame, target: String): Unit = {
+    val spark = df.sparkSession
+    val scratch = target + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val f = fs(spark, scratch)
+    val part = f.listStatus(new Path(scratch))
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(s"no part file in $scratch"))
+    if (!f.rename(part, new Path(target)))
+      throw new java.io.IOException(s"rename $part -> $target failed")
+    f.delete(new Path(scratch), true)
+  }
+
   /** Atomic publish: write tmp, rename OVER the target in one operation
     * (FileContext rename with OVERWRITE — atomic on local and HDFS). The
     * naive delete-then-rename leaves a window where a crash strands the

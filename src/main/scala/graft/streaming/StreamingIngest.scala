@@ -1,20 +1,30 @@
 package graft.streaming
 
-import graft.index.{BuildIndexJob, IndexMerge}
-import graft.sources.Fs
+import graft.index.{BuildIndexJob, SegmentedIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming ingest (SURVEY.md §2.10 extension): a stream of
-  * transcript batches folds into the index incrementally. Each micro-batch
-  * runs [[IndexMerge]] into a NEW generation directory and atomically
-  * publishes it via a CURRENT pointer file — readers always see a complete
-  * snapshot (the parquet-side emulation of Iceberg snapshot commit).
-  * Structured Streaming's own checkpoint makes batch delivery
-  * exactly-once across restarts; the engine's stage markers make a single
-  * merge resumable within a batch.
+  * transcript batches folds into a SEGMENTED index — each micro-batch
+  * appends one segment in O(batch) work ([[SegmentedIndex.append]]; the
+  * round-1 merge-per-batch rewrote the whole index every micro-batch,
+  * O(corpus)). The manifest publish is the atomic commit point, so
+  * readers always see a complete snapshot. Structured Streaming's own
+  * checkpoint makes batch delivery exactly-once across restarts; batch id
+  * = segment name makes replays detectable.
+  *
+  * Crash recovery (no pointer-file window): a crash before the manifest
+  * publish leaves an uncommitted segment/tombstone dir that the manifest
+  * never references — the replayed batch wipes and rewrites it. A crash
+  * after the publish is caught by the segment-name check and the replay
+  * is a no-op. There is no state from which "first-ever batch" and
+  * "crashed mid-merge" can be confused, because nothing mutates in place.
+  *
+  * Query the streamed index with [[SegmentedIndex.search]]; run
+  * [[SegmentedIndex.compact]] periodically to fold segments into a
+  * unified global-id index.
   */
 object StreamingIngest {
 
@@ -22,35 +32,21 @@ object StreamingIngest {
   val transcriptSchema: StructType = StructType.fromDDL(
     "conv_id STRING, turn_idx INT, role STRING, text STRING, tool STRING, ts TIMESTAMP")
 
-  def currentGeneration(spark: SparkSession, root: String): Option[String] = {
-    val p = s"$root/CURRENT"
-    if (Fs.exists(spark, p)) Some(s"$root/${Fs.readString(spark, p).trim}")
-    else None
-  }
-
-  /** Fold one batch into the index (also usable outside streaming).
-    * Idempotent under micro-batch REPLAY: if this batch's generation is
-    * already the published CURRENT (crash landed between publish and the
-    * streaming checkpoint commit), the replay is a no-op — merging a
-    * generation into itself would read and overwrite the same files. A
-    * half-written generation that never published is wiped by
-    * [[IndexMerge.run]] and rebuilt. */
+  /** Fold one batch into the segmented index (also usable outside
+    * streaming). Idempotent under micro-batch REPLAY: a batch whose
+    * segment is already in the manifest (crash landed between the
+    * manifest publish and the streaming checkpoint commit) is a no-op. */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
                   batchId: Long, cfg: BuildIndexJob.Config): Unit = {
     if (batch.isEmpty) return
-    val gen = s"gen-$batchId"
-    val genPath = s"$root/$gen"
-    currentGeneration(spark, root) match {
-      case Some(cur) if cur == genPath => // replayed, already applied
-      case None =>
-        BuildIndexJob.run(spark, batch, genPath, s"stream-$batchId", cfg)
-        Fs.publishString(spark, s"$root/CURRENT", gen)
-      case Some(old) =>
+    val seg = f"seg-$batchId%06d"
+    SegmentedIndex.readManifest(spark, root) match {
+      case Some(m) if m.segments.contains(seg) || m.tombs.contains(seg) =>
+        // replayed, already committed
+      case _ =>
         import spark.implicits._
-        val noTombstones = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
-        IndexMerge.run(spark, old, batch, noTombstones, genPath,
-          s"stream-$batchId", cfg)
-        Fs.publishString(spark, s"$root/CURRENT", gen)
+        val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+        SegmentedIndex.append(spark, root, batch, noDeletes, seg, cfg)
     }
   }
 

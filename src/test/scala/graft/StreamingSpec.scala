@@ -1,6 +1,6 @@
 package graft
 
-import graft.index.BuildIndexJob
+import graft.index.{BuildIndexJob, SegmentedIndex}
 import graft.search.IndexSearch
 import graft.sources.Transcripts
 import graft.streaming.StreamingIngest
@@ -31,7 +31,22 @@ class StreamingSpec extends SparkSpec {
     assert(moved, s"no part file produced in $scratch")
   }
 
-  test("streaming ingest: per-file micro-batches converge to the full-rebuild index") {
+  def segResults(root: String): Seq[org.apache.spark.sql.Row] =
+    SegmentedIndex.search(spark, root, queries, cfg = cfg)
+      .orderBy("query_id", "rank").collect().toSeq
+
+  /** Full-rebuild expectation in the segmented (key-identified) shape. */
+  def rebuildExpected(all: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+    val fullRoot = tmp()
+    BuildIndexJob.run(spark, all, fullRoot, "full", cfg)
+    IndexSearch.search(IndexSearch.open(spark, fullRoot), queries)
+      .join(spark.read.parquet(s"$fullRoot/docs")
+        .select("doc_id", "conv_id", "turn_idx"), "doc_id")
+      .select("query_id", "rank", "conv_id", "turn_idx", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+  }
+
+  test("streaming ingest: per-file micro-batches converge to the full-rebuild answers") {
     val all = Transcripts.synthetic(spark, 80).cache()
     val in = tmp()
     // two landing files → two micro-batches (maxFilesPerTrigger = 1)
@@ -41,56 +56,37 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingIngest.start(spark, in, root, tmp(), cfg)
     q.awaitTermination()
 
-    val cur = StreamingIngest.currentGeneration(spark, root)
-    assert(cur.isDefined && cur.get.endsWith("gen-1"), s"got $cur")
-    val streamed = IndexSearch.search(IndexSearch.open(spark, cur.get), queries)
-      .orderBy("query_id", "rank").collect().toSeq
-
-    val fullRoot = tmp()
-    BuildIndexJob.run(spark, all, fullRoot, "full", cfg)
-    val full = IndexSearch.search(IndexSearch.open(spark, fullRoot), queries)
-      .orderBy("query_id", "rank").collect().toSeq
-    assert(streamed == full)
-    assert(streamed.nonEmpty)
+    val m = SegmentedIndex.readManifest(spark, root)
+    assert(m.isDefined && m.get.segments.size == 2, s"got $m")
+    assert(segResults(root) == rebuildExpected(all))
+    assert(segResults(root).nonEmpty)
   }
 
-  test("replayed micro-batch is a no-op (crash between publish and checkpoint commit)") {
+  test("replayed micro-batch is a no-op (crash between manifest publish and checkpoint commit)") {
     val root = tmp()
     val b1 = Transcripts.synthetic(spark, 30)
     StreamingIngest.ingestBatch(spark, root, b1, 0L, cfg)
-    val before = IndexSearch.search(
-      IndexSearch.open(spark, StreamingIngest.currentGeneration(spark, root).get), queries)
-      .orderBy("query_id", "rank").collect().toSeq
-    // replay the same batchId — must not merge gen-0 into itself
+    val before = segResults(root)
+    val mBefore = SegmentedIndex.readManifest(spark, root).get
+    // replay the same batchId — must not append a second segment
     StreamingIngest.ingestBatch(spark, root, b1, 0L, cfg)
-    val cur = StreamingIngest.currentGeneration(spark, root)
-    assert(cur.get.endsWith("gen-0"))
-    val after = IndexSearch.search(IndexSearch.open(spark, cur.get), queries)
-      .orderBy("query_id", "rank").collect().toSeq
-    assert(after == before)
+    assert(SegmentedIndex.readManifest(spark, root).get == mBefore)
+    assert(segResults(root) == before)
   }
 
-  test("half-written generation from a crashed merge is wiped and rebuilt") {
+  test("half-written segment from a crashed append is wiped and rebuilt") {
     val root = tmp()
     StreamingIngest.ingestBatch(spark, root, Transcripts.synthetic(spark, 20), 0L, cfg)
-    // simulate a crashed merge: partial gen-1 exists but was never published
-    val partial = s"$root/gen-1"
+    // simulate a crash mid-append: partial seg dir with stale stage
+    // markers exists, but the manifest never referenced it
+    val partial = SegmentedIndex.segPath(root, "seg-000001")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$partial/_stage_done"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$partial/_stage_done/postings"), "done")
     val b2 = Transcripts.synthetic(spark, 40).where($"conv_id" >= "conv00000020")
     StreamingIngest.ingestBatch(spark, root, b2, 1L, cfg)
-    val cur = StreamingIngest.currentGeneration(spark, root).get
-    assert(cur.endsWith("gen-1"))
-    // stale marker must NOT have caused stage skipping: postings exist & match
-    val full = tmp()
-    graft.index.BuildIndexJob.run(spark,
-      Transcripts.synthetic(spark, 40), full, "full", cfg)
-    val a = IndexSearch.search(IndexSearch.open(spark, cur), queries)
-      .orderBy("query_id", "rank").collect().toSeq
-    val b = IndexSearch.search(IndexSearch.open(spark, full), queries)
-      .orderBy("query_id", "rank").collect().toSeq
-    assert(a == b)
+    // stale markers must NOT have caused stage skipping: answers ≡ rebuild
+    assert(segResults(root) == rebuildExpected(Transcripts.synthetic(spark, 40)))
   }
 
   test("watermarked per-minute turn rates over a bounded stream") {
