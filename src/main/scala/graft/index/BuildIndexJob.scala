@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * Stages and artifacts:
   *   1. docs      → `docs/`      (doc_id, conv_id, turn_idx, role, tool,
   *                                ts, dl, text) — stored fields + norms
-  *   2. tf        → `tfdl/`      (term, doc_id, tf, dl) partitioned by
-  *                                shard — the materialized term shuffle
+  *   2. tf        → `tfdl/`      (term, doc_id, tf, dl) — the
+  *                                materialized scoring relation
   *   3. dict      → `dictionary/` (term, shard, df, cf, max_score)
   *                  `stats/`      (n_docs, total_tokens, avgdl, build_id)
   *   4. postings  → `postings/`  encoded blocks partitioned by shard
@@ -61,34 +61,33 @@ object BuildIndexJob {
         .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
       io.write(docs, p.docs, snapshotId = buildId)
       Fs.delete(spark, s"${p.staging}/docids")
+      // checksum over (key, dl) — dl is derived from text, so it catches
+      // content drift without re-reading the text column (which would be
+      // a second full-corpus scan just for lineage)
       lineage(spark, p, "docs", buildId, t0,
         io.read(spark, p.docs).groupBy(pmod(col("doc_id"), lit(64)).cast("int").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
-            bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("checksum")))
+            bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("dl"))).as("checksum")))
     }
 
     stage(spark, p, "tf") { t0 =>
       val docs = io.read(spark, p.docs)
       // dl carried through the aggregate key (functionally dependent on
-      // doc_id) — no join back to docs needed.
+      // doc_id) — no join back to docs needed. tfdl is an INTERNAL
+      // artifact (dict re-aggregates by term; the postings stage
+      // re-shuffles by (term, salt)), so it is written straight out of the
+      // aggregation exchange: no pre-write repartition, no shard
+      // partitioning — the round-1 extra shuffle here bought nothing
+      // downstream. Only `postings/` (query-facing) is shard-partitioned.
       val tfdl = docs
         .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
         .groupBy("term", "doc_id", "dl")
         .agg(count(lit(1)).cast("int").as("tf"))
-        .withColumn("shard", PostingBlocks.shardOf(col("term"), cfg.numShards))
-        .select("shard", "term", "doc_id", "tf", "dl")
-        // cluster by (shard, term-subkey) HASH before the partitioned
-        // write: raw hash layout would put every shard in every task
-        // (tasks×shards tiny files); range partitioning would cluster
-        // perfectly but SAMPLES ITS CHILD — executing the whole upstream
-        // aggregation twice. Hashing the composite key needs no sampling
-        // and still lands one (shard, subkey) combo per task → ~4 files
-        // per shard, parallel scans at query time.
-        .repartition(cfg.numShards * 4, col("shard"),
-          pmod(xxhash64(col("term")), lit(4)))
-      io.write(tfdl, p.tfdl, partitionBy = Seq("shard"), snapshotId = buildId)
+        .select("term", "doc_id", "tf", "dl")
+      io.write(tfdl, p.tfdl, snapshotId = buildId)
       lineage(spark, p, "tf", buildId, t0,
-        io.read(spark, p.tfdl).groupBy(col("shard").as("partition_id"))
+        io.read(spark, p.tfdl)
+          .groupBy(pmod(xxhash64(col("term")), lit(64)).cast("int").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("term"), col("doc_id"), col("tf"))).as("checksum")))
     }
@@ -116,11 +115,11 @@ object BuildIndexJob {
       // maxes at query time; the dictionary bound is advisory, and the
       // bound form saves a tfdl self-join + second aggregation here.
       val dict = tfdl.groupBy("term").agg(
-          first(col("shard")).as("shard"),
           count(lit(1)).as("df"),
           sum(col("tf").cast("long")).as("cf"),
           max(col("tf")).as("_max_tf"),
           min(col("dl")).as("_min_dl"))
+        .withColumn("shard", PostingBlocks.shardOf(col("term"), cfg.numShards))
         .withColumn("max_score", Bm25.termScore(col("_max_tf"), col("_min_dl"),
           col("df"), lit(stats.nDocs), lit(stats.avgdl)))
         .select("term", "shard", "df", "cf", "max_score")

@@ -25,24 +25,29 @@ object IndexBuild {
 
   /** W2 — stable dense doc_id respecting global (conv_id, turn_idx) order,
     * WITHOUT a single-partition global window (which would serialize the
-    * corpus through one task at scale).
+    * corpus through one task at scale) and WITHOUT ever range-shuffling or
+    * double-materializing the text payload (the round-1 shape staged the
+    * FULL rows — at 100 TB that is two extra writes and a read of the
+    * whole corpus; this one stages keys only):
     *
-    * One shuffle + one staging write:
-    *  1. range-repartition + sort within partitions on the key, stamp
-    *     `monotonically_increasing_id()` (= partition_id·2^33 + row-in-
-    *     partition, so both are recoverable from one column), and
-    *     MATERIALIZE to a staging path. The materialization is load-bearing:
+    *  1. KEYS ONLY (column-pruned scan): range-repartition + sort on the
+    *     key, stamp `monotonically_increasing_id()` (= partition_id·2^33 +
+    *     row-in-partition, both recoverable from one column), MATERIALIZE
+    *     to a staging path. The materialization is load-bearing:
     *     `repartitionByRange` samples boundaries per execution, so two
     *     lazy evaluations of the same plan can disagree — the counts pass
-    *     and the output pass must read one frozen copy. (A cache-based
-    *     variant silently corrupts ids on eviction-triggered recompute.)
+    *     and the keymap pass must read one frozen copy.
     *  2. collect per-partition counts (O(partitions) driver state) →
     *     prefix-sum offsets; doc_id = offset(pid) + row-in-partition.
+    *  3. join the (key → doc_id) map back onto the input — the only time
+    *     full rows move, and when the caller just deduped on the same key
+    *     the join reuses that hash partitioning (no extra exchange).
     *
-    * Because (conv_id, turn_idx) is unique (post-dedupe) the result equals
-    * the global `row_number() OVER (ORDER BY conv_id, turn_idx) - 1` — the
-    * property the DuckDB oracle checks. Partitions must stay under 2^33
-    * rows (at 10^12 turns: any partition count ≥ 117 satisfies this).
+    * Because (conv_id, turn_idx) is unique (callers dedupe — G6) the
+    * result equals the global `row_number() OVER (ORDER BY conv_id,
+    * turn_idx) - 1` — the property the DuckDB oracle checks. Partitions
+    * must stay under 2^33 rows (at 10^12 turns: any partition count ≥ 117
+    * satisfies this).
     *
     * Output: input columns + `doc_id:long`.
     */
@@ -70,6 +75,7 @@ object IndexBuild {
         f.makeQualified(p).toString
       }
     turns
+      .select(col("conv_id"), col("turn_idx")).distinct()
       .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
       .sortWithinPartitions("conv_id", "turn_idx")
       .withColumn("_mid", monotonically_increasing_id())
@@ -81,12 +87,13 @@ object IndexBuild {
     val offsets = counts.map(_._1).zip(
       counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
     val offDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_offset")
-    staged
+    val keymap = staged
       .withColumn("_pid", pidCol)
       .join(broadcast(offDf), "_pid")
       .withColumn("doc_id",
         col("_offset") + col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("_pid", "_offset", "_mid")
+      .select("conv_id", "turn_idx", "doc_id")
+    turns.join(keymap, Seq("conv_id", "turn_idx"))
   }
 
   /** A3 — one row per (doc_id, term) occurrence. */

@@ -82,9 +82,8 @@ object IndexMerge {
       .agg(count(lit(1)).cast("int").as("tf"))
       .select("term", "doc_id", "tf", "dl")
     val tfdl = remap.unionByName(freshTf)
-      .withColumn("shard", PostingBlocks.shardOf(col("term"), cfg.numShards))
-      .select("shard", "term", "doc_id", "tf", "dl")
-    cfg.io.write(tfdl, p.tfdl, partitionBy = Seq("shard"), snapshotId = buildId)
+      .select("term", "doc_id", "tf", "dl")
+    cfg.io.write(tfdl, p.tfdl, snapshotId = buildId)
 
     // dict + stats + postings: identical to the batch job's stages
     BuildIndexJob.runFromTf(spark, p, buildId, cfg)
