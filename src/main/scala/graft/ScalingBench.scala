@@ -4,29 +4,59 @@ import graft.index.BuildIndexJob
 import graft.search.IndexSearch
 import graft.sources.Transcripts
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** N → 4N scaling evidence (BASELINE.md): the same index-build job and the
   * same WAND query workload run at two local parallelism levels (local[N]
   * with shuffle.partitions = N, then local[4N]) over the SAME input —
   * the sandbox stand-in for N vs 4N executors (no real cluster available;
   * see SURVEY.md §0). Prints one JSON line with throughput at both sizes
-  * and the scaling efficiency (thr@4N / thr@N) / 4.
+  * and the scaling efficiency (thr@4N / thrN) / 4.
+  *
+  * Two box-vs-job separations baked into the measurement:
+  *
+  *  - Storage: shuffle dirs and index artifacts live on tmpfs (/dev/shm)
+  *    when available. A 4N-executor cluster brings 4N disks; this box has
+  *    ONE (~550 MB/s) — leaving artifacts on it measures the disk, not
+  *    the job. RAM-backed storage is the faithful single-box analog of
+  *    storage that scales with compute. Override with
+  *    SPARK_GRAFT_BENCH_TMP.
+  *  - CPU ceiling: the same session pair also times a pure-CPU,
+  *    shuffle-free Spark job (range → xxhash64 → sum). Its N→4N
+  *    efficiency is the box's attainable ceiling for ANY job at these
+  *    thread counts (this VM's per-core throughput drops as more vCPUs
+  *    run — hypervisor-level, measured also with plain multiprocessing).
+  *    `build_eff_vs_ceiling` = build efficiency / ceiling isolates what
+  *    the JOB loses beyond what the box takes.
   *
   * Usage: runMain graft.ScalingBench [nCores] [convs]  (defaults 8, 6000)
   */
 object ScalingBench {
 
+  def tmpBase: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_TMP",
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft_bench"
+    else System.getProperty("java.io.tmpdir"))
+
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toInt else 8
     val convs = if (args.length > 1) args(1).toLong else 6000L
+    val base = s"$tmpBase/run_${System.nanoTime()}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
 
-    def measure(cores: Int): (Long, Double, Double) = {
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete()
+    }
+
+    def measure(cores: Int): (Long, Double, Double, Double) = {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"scaling-$cores")
         .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
+        .config("spark.local.dir", s"$base/localdir-$cores")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
@@ -35,16 +65,26 @@ object ScalingBench {
       try {
         val corpus = Transcripts.synthetic(spark, convs)
         val nTurns = corpus.count()
+        // pure-CPU ceiling probe: no shuffle, no IO, codegen'd hash+sum
+        def cpuProbe(): Double = {
+          val t0 = System.nanoTime()
+          spark.range(0, 1500000000L, 1, cores)
+            .select(bit_xor(xxhash64(col("id")))).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        cpuProbe() // warm codegen
+        val cpuSec = math.min(cpuProbe(), cpuProbe())
         // JVM/codegen warmup so the N measurement isn't penalized by JIT
-        val warm = java.nio.file.Files.createTempDirectory("graft_warm").toString
+        val warm = s"$base/warm-$cores"
         BuildIndexJob.run(spark, Transcripts.synthetic(spark, 100), warm,
           s"warm-$cores", BuildIndexJob.Config())
+        rmrf(warm)
         // best of 2 timed reps: single-shot build times swing ±30% with
         // page-cache/GC state; best-of within one JVM is far more stable
         var buildSec = Double.MaxValue
         var root = ""
         for (rep <- 1 to 2) {
-          val r = java.nio.file.Files.createTempDirectory("graft_scale").toString
+          val r = s"$base/scale-$cores-$rep"
           val t0 = System.nanoTime()
           BuildIndexJob.run(spark, corpus, r, s"scale-$cores-$rep",
             BuildIndexJob.Config())
@@ -58,7 +98,9 @@ object ScalingBench {
         var i = 0
         while (i < reps) { IndexSearch.searchWand(idx, Bench.workload).count(); i += 1 }
         val qSec = (System.nanoTime() - q0) / 1e9
-        (nTurns, nTurns / buildSec, Bench.workload.size * reps / qSec)
+        for (rep <- 1 to 2) rmrf(s"$base/scale-$cores-$rep")
+        (nTurns, nTurns / buildSec, Bench.workload.size * reps / qSec,
+          1500000000L / cpuSec)
       } finally {
         spark.stop()
         SparkSession.clearActiveSession()
@@ -66,14 +108,23 @@ object ScalingBench {
       }
     }
 
-    val (turns, thrN, qpsN) = measure(n)
-    val (_, thr4N, qps4N) = measure(4 * n)
-    val eff = (thr4N / thrN) / 4.0
-    val qEff = (qps4N / qpsN) / 4.0
-    println(
-      s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
-        s""""n_cores":$n,"turns":$turns,""" +
-        s""""build_turns_per_sec_N":$thrN,"build_turns_per_sec_4N":$thr4N,""" +
-        s""""wand_qps_N":$qpsN,"wand_qps_4N":$qps4N,"query_scaling_efficiency":$qEff}""")
+    try {
+      val (turns, thrN, qpsN, cpuN) = measure(n)
+      val (_, thr4N, qps4N, cpu4N) = measure(4 * n)
+      val eff = (thr4N / thrN) / 4.0
+      val qEff = (qps4N / qpsN) / 4.0
+      val cpuEff = (cpu4N / cpuN) / 4.0
+      val line =
+        s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio",""" +
+          s""""n_cores":$n,"turns":$turns,""" +
+          s""""build_turns_per_sec_N":$thrN,"build_turns_per_sec_4N":$thr4N,""" +
+          s""""wand_qps_N":$qpsN,"wand_qps_4N":$qps4N,""" +
+          s""""query_scaling_efficiency":$qEff,""" +
+          s""""cpu_ceiling_efficiency":$cpuEff,""" +
+          s""""build_eff_vs_ceiling":${eff / cpuEff}}"""
+      println(line)
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.out.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    } finally rmrf(base)
   }
 }
