@@ -258,7 +258,12 @@ object SparkEntry {
       graft.index.SegmentedIndex.compact(s, streamedIndex(s, dir), out,
         "compact-gate", BuildIndexJob.Config(numShards = 8))
       IndexSearch.search(IndexSearch.open(s, out), DisjQueries)
-    }))
+    }),
+    // S2 + FIXTURES §C: the frozen 50-query reference set, read from the
+    // parquet artifact (GoldenSpec pins artifact ≡ generator ≡ oracle)
+    "q_queryset_bm25" -> ((s, dir) =>
+      Search.searchCorpus(documents(s, dir),
+        graft.sources.QuerySet.loadOrGenerate(s, "fixtures/queries_seed42.parquet"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -297,5 +302,7 @@ object SparkEntry {
     "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     "q_segments_compact" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries,
-      10, conjunctive = false))
+      10, conjunctive = false),
+    "q_queryset_bm25" -> Oracle.bm25TopK(Oracle.documentsCorpus,
+      graft.sources.QuerySet.reference, 10, conjunctive = false))
 }

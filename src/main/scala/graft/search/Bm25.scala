@@ -45,4 +45,39 @@ object Bm25 {
                 nDocs: Column, avgdl: Column): Column =
     idf(df, nDocs) * tf /
       (tf + lit(K1) * (lit(1.0) - lit(B) + lit(B) * dl / avgdl))
+
+  /** OPTIONAL Lucene norm-quantization emulation (SURVEY.md §2.9 note,
+    * off by default — the engine pins EXACT dl for oracle
+    * reproducibility). Lucene ≥8 stores dl through a lossy 1-byte
+    * "4-bit-mantissa float" (`SmallFloat.intToByte4`/`byte4ToInt`,
+    * public algorithm): values < 2^4 are exact; larger values keep the
+    * top 4 significant bits with the exponent packed alongside, and
+    * scoring uses the DECODED (bucket-floor) dl. Matching a live Solr's
+    * scores bit-exactly requires passing dl through [[quantizeDl]] on
+    * both the index and query sides — one pure, monotone, idempotent
+    * function behind this flag; parity against a real Solr instance is
+    * unverifiable in this sandbox (none exists), which is why the default
+    * stays exact-dl. */
+  def quantizeDl(dl: Int): Int = int4ToInt(intToInt4(dl))
+
+  /** 4-bit-mantissa encode: identity below 2^4, then (exponent, top-4-bit
+    * mantissa). Monotone non-decreasing. */
+  def intToInt4(i: Int): Int = {
+    require(i >= 0, s"negative dl: $i")
+    val numBits = 32 - Integer.numberOfLeadingZeros(i)
+    if (numBits <= 4) i
+    else {
+      val shift = numBits - 4
+      ((shift + 1) << 3) | ((i >>> shift) & 0x07)
+    }
+  }
+
+  /** Inverse of [[intToInt4]] up to quantization (returns the bucket
+    * floor: decode(encode(x)) ≤ x, and encode∘decode is the identity on
+    * encoded values). */
+  def int4ToInt(q: Int): Int = {
+    val exp = q >>> 3
+    if (exp == 0) q
+    else ((q & 0x07) | 0x08) << (exp - 1)
+  }
 }

@@ -68,4 +68,23 @@ class Bm25Spec extends SparkSpec {
     assert(got.length == 10)
     assert(got.map(_.getLong(2)).sorted.toSeq == (0L until 10L))
   }
+
+  test("SmallFloat-style dl quantization flag: monotone, idempotent, exact below 16") {
+    // identity on the exactly-representable range
+    for (i <- 0 until 16) assert(Bm25.quantizeDl(i) == i)
+    // bucket floor: decode(encode(x)) <= x, with at most 4 significant bits lost
+    // monotone: encode order-preserving; idempotent: quantize(quantize(x)) == quantize(x)
+    var prevQ = -1
+    var prevE = -1
+    for (i <- 0 until 100000) {
+      val e = Bm25.intToInt4(i)
+      val q = Bm25.quantizeDl(i)
+      assert(q <= i, s"floor violated at $i -> $q")
+      assert(i - q <= (i >> 3), s"lost more than 4 significant bits at $i -> $q")
+      assert(e >= prevE, s"encode not monotone at $i")
+      assert(q >= prevQ, s"quantize not monotone at $i")
+      assert(Bm25.quantizeDl(q) == q, s"not idempotent at $i")
+      prevQ = q; prevE = e
+    }
+  }
 }

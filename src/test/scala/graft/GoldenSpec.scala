@@ -2,13 +2,28 @@ package graft
 
 import graft.index.BuildIndexJob
 import graft.search.{IndexSearch, Search}
-import graft.sources.Transcripts
+import graft.sources.{QuerySet, Transcripts}
 
-/** Frozen top-k regression fixture (SURVEY.md §5.4): the seed-42 synthetic
-  * corpus must keep returning exactly these results across engine
-  * revisions — any analyzer, scoring, ranking, codec, or doc-id change
-  * that perturbs them is a behavioral break, not a refactor. */
+/** Frozen top-k regression fixtures (SURVEY.md §5.4, FIXTURES.md §C/§E):
+  * the seed-42 synthetic corpus must keep returning exactly these results
+  * across engine revisions — any analyzer, scoring, ranking, codec, or
+  * doc-id change that perturbs them is a behavioral break, not a
+  * refactor. Two layers: a small in-code table (readable diff at review
+  * time) and the on-disk artifacts under fixtures/ (50-query §C set +
+  * golden top-10 parquet, regenerated only by an intentional
+  * `runMain graft.Freeze`). */
 class GoldenSpec extends SparkSpec {
+
+  lazy val root: String = {
+    val r = java.nio.file.Files.createTempDirectory("graftgold").toString
+    BuildIndexJob.run(spark, Transcripts.synthetic(spark, 200), r, "g",
+      BuildIndexJob.Config(numShards = 8, blockSize = 32))
+    r
+  }
+
+  def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
 
   val queries = Seq(1 -> "w1 w3 w17", 2 -> "zzzrareone",
     3 -> "w7 w70 w700", 4 -> "w2 w4")
@@ -33,16 +48,28 @@ class GoldenSpec extends SparkSpec {
     (4, 5, 447L, 0.3513))
 
   test("golden top-k: WAND and exhaustive both reproduce the frozen results") {
-    val root = java.nio.file.Files.createTempDirectory("graftgold").toString
-    BuildIndexJob.run(spark, Transcripts.synthetic(spark, 200), root, "g",
-      BuildIndexJob.Config(numShards = 8, blockSize = 32))
     val idx = IndexSearch.open(spark, root)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.orderBy("query_id", "rank").collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(rows(IndexSearch.searchWand(idx, queries, 5)) == golden, "WAND")
     assert(rows(IndexSearch.search(idx, queries, 5)) == golden, "exhaustive")
     val corpus = spark.read.parquet(s"$root/docs").select("doc_id", "text")
     assert(rows(Search.searchCorpus(corpus, queries, 5)) == golden, "inline")
+  }
+
+  test("fixtures/: frozen 50-query set ≡ generator; engine reproduces golden parquet") {
+    val qPath = "fixtures/queries_seed42.parquet"
+    val gPath = "fixtures/golden/topk_seed42.parquet"
+    assert(new java.io.File(qPath).exists, s"missing artifact $qPath — run graft.Freeze")
+    assert(new java.io.File(gPath).exists, s"missing artifact $gPath — run graft.Freeze")
+    val fromDisk = spark.read.parquet(qPath).orderBy("query_id")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(fromDisk == QuerySet.reference,
+      "queries_seed42.parquet drifted from QuerySet.reference")
+    val want = rows(spark.read.parquet(gPath))
+    val idx = IndexSearch.open(spark, root)
+    assert(rows(IndexSearch.search(idx, QuerySet.reference, 10)) == want,
+      "exhaustive vs golden parquet")
+    assert(rows(IndexSearch.searchWand(idx, QuerySet.reference, 10)) == want,
+      "WAND vs golden parquet")
+    assert(want.nonEmpty)
   }
 }
