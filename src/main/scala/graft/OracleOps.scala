@@ -213,6 +213,29 @@ object OracleOps {
   def globalTopN(n: Int): String =
     s"SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT $n"
 
+  /** Twin of q_events_windows (W4 frame-spec windows). Frame metrics are
+    * order-independent (count / max / lag) — no FP-sum hazard. */
+  def eventsWindows: String =
+    s"""SELECT user_id, event_id,
+       |  count(*) OVER w3 AS w_n,
+       |  round(max(value) OVER w3, 4) AS w_max,
+       |  COALESCE(lag(event_type, 1) OVER ws, 'none') AS prev_type
+       |FROM events
+       |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+       |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+       |       ws AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  /** Twin of q_corpus_cube (G7 rollup); GROUPING() relabels rollup nulls
+    * as 'ALL' so neither engine emits NULL (pandas str-casts them
+    * differently). */
+  def corpusCube: String =
+    s"""SELECT CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       |  CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+       |  count(*)::BIGINT AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents GROUP BY ROLLUP(lang, source)
+       |ORDER BY 1, 2""".stripMargin
+
   /** Shared embedding CTEs: doubled vectors + norms (+ query set). */
   private def embCtes(queryIds: Seq[Long]): String =
     s"""emb AS (SELECT vec_id, label,

@@ -263,7 +263,36 @@ object SparkEntry {
     // parquet artifact (GoldenSpec pins artifact ≡ generator ≡ oracle)
     "q_queryset_bm25" -> ((s, dir) =>
       Search.searchCorpus(documents(s, dir),
-        graft.sources.QuerySet.loadOrGenerate(s, "fixtures/queries_seed42.parquet"))))
+        graft.sources.QuerySet.loadOrGenerate(s, "fixtures/queries_seed42.parquet"))),
+    // W4: frame-spec window (rowsBetween sliding frame) over events —
+    // frame metrics chosen order-independent (count/max/lag), so the
+    // cross-engine compare has no FP-sum hazard
+    "q_events_windows" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frame = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 0)
+      val seq0 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet").select(
+          col("user_id"), col("event_id"),
+          count(lit(1)).over(frame).as("w_n"),
+          round(max(col("value")).over(frame), 4).as("w_max"),
+          lag(col("event_type"), 1).over(seq0).as("prev_type"))
+        .na.fill("none", Seq("prev_type"))
+        .orderBy("user_id", "event_id")
+    }),
+    // G7: rollup diagnostics (corpus profile by lang × source); grouping()
+    // relabels the rollup's nulls so both engines emit 'ALL'
+    "q_corpus_cube" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          grouping(col("lang")).as("_gl"), grouping(col("source")).as("_gs"))
+        .select(
+          when(col("_gl") === 1, lit("ALL")).otherwise(col("lang")).as("lang"),
+          when(col("_gs") === 1, lit("ALL")).otherwise(col("source")).as("source"),
+          col("n_docs"), col("sum_chars"))
+        .orderBy("lang", "source")
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -304,5 +333,7 @@ object SparkEntry {
     "q_segments_compact" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries,
       10, conjunctive = false),
     "q_queryset_bm25" -> Oracle.bm25TopK(Oracle.documentsCorpus,
-      graft.sources.QuerySet.reference, 10, conjunctive = false))
+      graft.sources.QuerySet.reference, 10, conjunctive = false),
+    "q_events_windows" -> OracleOps.eventsWindows,
+    "q_corpus_cube" -> OracleOps.corpusCube)
 }

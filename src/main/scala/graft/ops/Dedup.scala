@@ -38,16 +38,16 @@ object Dedup {
       .distinct()
 
   /** MinHash signatures over a (doc_id, term) set relation:
-    * (doc_id, sig: array<long> of NumHashes mins). */
-  def minhashSignatures(dt: DataFrame): DataFrame = {
-    dt.select(col("doc_id"), col("term"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
-      .select(col("doc_id"), col("i"), h32(col("term"), col("i")).as("h"))
-      .groupBy("doc_id", "i").agg(min("h").as("mh"))
-      .groupBy("doc_id")
-      .agg(transform(sort_array(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh")).as("sig"))
-  }
+    * (doc_id, sig: array<long> of NumHashes mins).
+    *
+    * Single pass: NumHashes parallel `min` aggregates over the un-inflated
+    * relation (the previous explode(0..15) form multiplied every shingle
+    * row 16× BEFORE the shuffle — pure shuffle-volume waste; the hash
+    * evaluations are the same either way but now happen map-side). */
+  def minhashSignatures(dt: DataFrame): DataFrame =
+    dt.groupBy("doc_id").agg(
+      array((0 until NumHashes).map(i =>
+        min(h32(col("term"), lit(i)))): _*).as("sig"))
 
   /** LSH band buckets: (doc_id, band, bucket). */
   def bands(signatures: DataFrame): DataFrame =
