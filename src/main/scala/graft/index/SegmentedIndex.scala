@@ -253,4 +253,28 @@ object SegmentedIndex {
               buildId: String,
               cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths =
     BuildIndexJob.run(spark, liveTurns(spark, root, cfg), outRoot, buildId, cfg)
+
+  /** In-place compaction: fold all live rows into ONE fresh segment and
+    * republish the manifest referencing only it — bounds the per-query
+    * segment fan-out for a long-running ingest stream. Crash-safe like
+    * append (the manifest publish is the commit point; a crash before it
+    * leaves an unreferenced dir, after it leaves orphan old dirs that are
+    * best-effort deleted and never referenced again). Answers are
+    * unchanged: the one segment IS the live corpus, tombstones empty. */
+  def compactInPlace(spark: SparkSession, root: String,
+                     cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
+    val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
+    if (old.segments.size <= 1 && old.tombs.isEmpty) return old
+    val segName = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
+    val sp = segPath(root, segName)
+    // liveTurns reads through the OLD manifest; materialization happens
+    // inside BuildIndexJob's docs stage before anything is deleted
+    BuildIndexJob.run(spark, liveTurns(spark, root, cfg), sp, segName, cfg)
+    val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
+    val m = Manifest(Seq(segName), Seq.empty, st.nDocs, st.totalTokens)
+    writeManifest(spark, root, m)
+    old.segments.foreach(s => Fs.delete(spark, segPath(root, s)))
+    old.tombs.foreach(t => Fs.delete(spark, tombPath(root, t)))
+    m
+  }
 }

@@ -35,9 +35,14 @@ object StreamingIngest {
   /** Fold one batch into the segmented index (also usable outside
     * streaming). Idempotent under micro-batch REPLAY: a batch whose
     * segment is already in the manifest (crash landed between the
-    * manifest publish and the streaming checkpoint commit) is a no-op. */
+    * manifest publish and the streaming checkpoint commit) is a no-op.
+    * With `compactEvery` > 0 the segment count is folded back to one
+    * whenever it reaches that bound — per-query fan-out stays bounded on
+    * an unbounded stream (compaction is advisory: a crash just defers it
+    * to the next batch). */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
-                  batchId: Long, cfg: BuildIndexJob.Config): Unit = {
+                  batchId: Long, cfg: BuildIndexJob.Config,
+                  compactEvery: Int = 0): Unit = {
     if (batch.isEmpty) return
     val seg = f"seg-$batchId%06d"
     SegmentedIndex.readManifest(spark, root) match {
@@ -46,7 +51,9 @@ object StreamingIngest {
       case _ =>
         import spark.implicits._
         val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
-        SegmentedIndex.append(spark, root, batch, noDeletes, seg, cfg)
+        val m = SegmentedIndex.append(spark, root, batch, noDeletes, seg, cfg)
+        if (compactEvery > 0 && m.segments.size >= compactEvery)
+          SegmentedIndex.compactInPlace(spark, root, cfg)
     }
   }
 
@@ -55,7 +62,8 @@ object StreamingIngest {
   def start(spark: SparkSession, inputDir: String, indexRoot: String,
             checkpointDir: String,
             cfg: BuildIndexJob.Config = BuildIndexJob.Config(),
-            maxFilesPerTrigger: Int = 1): StreamingQuery = {
+            maxFilesPerTrigger: Int = 1,
+            compactEvery: Int = 0): StreamingQuery = {
     spark.readStream
       .schema(transcriptSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -64,7 +72,8 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(batch.sparkSession, indexRoot, batch, batchId, cfg)
+        ingestBatch(batch.sparkSession, indexRoot, batch, batchId, cfg,
+          compactEvery)
       }
       .start()
   }

@@ -90,6 +90,45 @@ class SegmentSpec extends SparkSpec {
       s"append bytes grew with corpus size: $deltas")
   }
 
+  test("in-place compaction: one segment, same answers, old dirs gone") {
+    val all = Transcripts.synthetic(spark, 90).cache()
+    val root = tmp()
+    val dead = Seq(("conv00000002", 0)).toDF("conv_id", "turn_idx")
+    SegmentedIndex.append(spark, root,
+      all.where($"conv_id" < "conv00000030"), noDeletes, "seg-a", cfg)
+    SegmentedIndex.append(spark, root,
+      all.where($"conv_id" >= "conv00000030" && $"conv_id" < "conv00000060"),
+      noDeletes, "seg-b", cfg)
+    SegmentedIndex.append(spark, root,
+      all.where($"conv_id" >= "conv00000060"), dead, "seg-c", cfg)
+    val before = segResults(root)
+    val mBefore = SegmentedIndex.readManifest(spark, root).get
+    val m = SegmentedIndex.compactInPlace(spark, root, cfg)
+    assert(m.segments.size == 1 && m.tombs.isEmpty)
+    assert(m.nDocs == mBefore.nDocs && m.totalTokens == mBefore.totalTokens)
+    assert(segResults(root) == before)
+    // old segment dirs physically gone
+    for (s <- Seq("seg-a", "seg-b", "seg-c"))
+      assert(!new java.io.File(SegmentedIndex.segPath(root, s)).exists, s)
+    // further appends keep working on the compacted root
+    SegmentedIndex.append(spark, root,
+      Transcripts.synthetic(spark, 100).where($"conv_id" >= "conv00000090"),
+      noDeletes, "seg-d", cfg)
+    val live = all.join(dead, Seq("conv_id", "turn_idx"), "left_anti")
+      .unionByName(Transcripts.synthetic(spark, 100).where($"conv_id" >= "conv00000090"))
+    assert(segResults(root) == rebuildExpected(live))
+  }
+
+  test("segmented search prunes each segment's postings scan to query-term shards") {
+    val root = tmp()
+    SegmentedIndex.append(spark, root, Transcripts.synthetic(spark, 60),
+      noDeletes, "seg-a", cfg)
+    val plan = SegmentedIndex.search(spark, root, Seq(1 -> "w1"), cfg = cfg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"no shard pruning in segmented search plan:\n$plan")
+  }
+
   test("compact folds segments into a unified index ≡ full rebuild") {
     val all = Transcripts.synthetic(spark, 80).cache()
     val root = tmp()
