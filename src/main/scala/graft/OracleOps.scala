@@ -236,6 +236,35 @@ object OracleOps {
        |FROM documents GROUP BY ROLLUP(lang, source)
        |ORDER BY 1, 2""".stripMargin
 
+  /** Twin of q_dedup_embedding: BRUTE-FORCE all-pairs ground truth (the
+    * Spark side's banding is provably complete, so filtering the full
+    * product by the same exact cosine must produce the identical set).
+    * Unit-normalize then left-fold the per-index products — the same
+    * sequential order as Spark's zip_with + aggregate, so the doubles are
+    * bit-identical. */
+  def embeddingPairs(threshold: Double): String =
+    s"""WITH emb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, e,
+       |    sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+       |  FROM emb),
+       |u AS (SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM n),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_reduce(list_transform(range(1, len(a.u) + 1), i -> a.u[i] * b.u[i]),
+       |                (x, y) -> x + y) AS cos
+       |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 4) AS cos FROM p
+       |WHERE round(cos, 7) >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+
+  /** Twin of q_term_tf_stopped (P4 stopword predicate before G1). */
+  def termTfStopped(stopwords: Seq[String]): String =
+    s"""WITH $corpusCte,
+       |toks AS (SELECT doc_id, unnest($toks) AS term FROM corpus),
+       |kept AS (SELECT doc_id, term FROM toks
+       |  WHERE NOT list_contains(${lst(stopwords)}, term))
+       |SELECT term, doc_id, count(*)::INT AS tf FROM kept
+       |GROUP BY term, doc_id ORDER BY term, doc_id""".stripMargin
+
   /** Shared embedding CTEs: doubled vectors + norms (+ query set). */
   private def embCtes(queryIds: Seq[Long]): String =
     s"""emb AS (SELECT vec_id, label,

@@ -280,6 +280,16 @@ object SparkEntry {
         .na.fill("none", Seq("prev_type"))
         .orderBy("user_id", "event_id")
     }),
+    // dedup family: embedding-cosine near-dup pairs (provably complete
+    // pivot-projection banding + exact cosine verify)
+    "q_dedup_embedding" -> ((s, dir) => Similarity.cosinePairs(
+      s.read.parquet(s"$dir/embeddings.parquet"), 0.42)),
+    // P4: optional stopword predicate composed before the tf aggregation
+    "q_term_tf_stopped" -> ((s, dir) => {
+      val occ = IndexBuild.dropStopwords(
+        IndexBuild.termOccurrences(documents(s, dir)), TextOps.LangMarkers.head._2)
+      IndexBuild.termFrequencies(occ).orderBy("term", "doc_id")
+    }),
     // G7: rollup diagnostics (corpus profile by lang × source); grouping()
     // relabels the rollup's nulls so both engines emit 'ALL'
     "q_corpus_cube" -> ((s, dir) => {
@@ -335,5 +345,7 @@ object SparkEntry {
     "q_queryset_bm25" -> Oracle.bm25TopK(Oracle.documentsCorpus,
       graft.sources.QuerySet.reference, 10, conjunctive = false),
     "q_events_windows" -> OracleOps.eventsWindows,
-    "q_corpus_cube" -> OracleOps.corpusCube)
+    "q_corpus_cube" -> OracleOps.corpusCube,
+    "q_dedup_embedding" -> OracleOps.embeddingPairs(0.42),
+    "q_term_tf_stopped" -> OracleOps.termTfStopped(TextOps.LangMarkers.head._2))
 }

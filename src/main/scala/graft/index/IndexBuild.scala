@@ -100,6 +100,16 @@ object IndexBuild {
   def termOccurrences(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
 
+  /** P4 — optional stopword predicate, OFF by default: dropping stop terms
+    * changes dl/df/avgdl and therefore BM25 scores, breaking
+    * rank-identicality with the stopword-free reference configuration.
+    * The flag exists for the index-size/speed trade when a deployment
+    * wants it; it composes before G1 so every downstream stat is
+    * consistent with the filtered token stream. */
+  def dropStopwords(occurrences: DataFrame, stopwords: Seq[String]): DataFrame =
+    if (stopwords.isEmpty) occurrences
+    else occurrences.where(!col("term").isInCollection(stopwords))
+
   /** Doc lengths from occurrences (docs with ≥1 token — Lucene's per-field
     * docCount semantics; the DuckDB oracle counts the same way). */
   def docLengths(occurrences: DataFrame): DataFrame =

@@ -53,6 +53,57 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS — exact, with a provably
+    * complete candidate bound (unlike probabilistic hyperplane LSH, which
+    * has no recall guarantee — the simhash lesson):
+    *
+    *   cos(a,b) ≥ τ  ⟺  ‖â−b̂‖ ≤ eps = √(2−2τ) on unit vectors, and any
+    *   coordinate projection is 1-Lipschitz: |â₀−b̂₀| ≤ ‖â−b̂‖.
+    *
+    * So banding the first unit-coordinate into eps-wide buckets and
+    * joining same-or-adjacent buckets yields a candidate SUPERSET of all
+    * qualifying pairs; exact cosine verification filters it. Prunes hard
+    * at near-dup thresholds (τ→1 ⇒ eps→0 ⇒ narrow buckets) and degrades
+    * gracefully toward all-pairs as τ falls (still correct — the
+    * SimilaritySpec property pins candidates ⊇ truth and result ≡ brute
+    * force). Each qualifying pair is emitted exactly once (the right side
+    * explodes its 3 adjacent keys; a pair matches on exactly one).
+    * Output: (vec_a, vec_b, cos) with vec_a < vec_b. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
+    val u = embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+      .withColumn("b", floor(element_at(col("u"), 1) / eps).cast("long"))
+      .select("vec_id", "u", "b")
+    val left = u.select(col("vec_id").as("vec_a"), col("u").as("ua"), col("b"))
+    val right = u.select(col("vec_id").as("vec_b"), col("u").as("ub"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    left.join(right, Seq("b"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .where(round(col("cos"), 7) >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Candidate pairs only (pre-verification) — exposed for the
+    * completeness/pruning property test. */
+  def cosinePairCandidates(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
+    val u = embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .withColumn("b", floor(element_at(transform(col("e"), x => x / col("nrm")), 1) / eps).cast("long"))
+      .select("vec_id", "b")
+    val left = u.select(col("vec_id").as("vec_a"), col("b"))
+    val right = u.select(col("vec_id").as("vec_b"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    left.join(right, Seq("b")).where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+  }
+
   /** Per-label centroids: (label, centroid array<double>). */
   def centroids(embeddings: DataFrame): DataFrame =
     embeddings

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Similarity
+
+/** Embedding-cosine near-dup pairs: the banding must be COMPLETE (a
+  * candidate superset of every qualifying pair — the guarantee
+  * probabilistic hyperplane LSH cannot give), the verified result must
+  * equal brute force, and the banding must actually prune. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val dim = 16
+
+  /** Deterministic clustered vectors: cluster spike at a per-cluster
+    * coordinate (≥ 1 so coordinate 0 stays a smooth per-cluster ramp the
+    * banding can separate), small per-member noise. */
+  def vec(c: Int, m: Int): Array[Float] = Array.tabulate(dim) { d =>
+    val spike = if (d == (c % 8) + 8) 10f else 0f
+    val ramp = if (d == 0) 1f + 0.5f * c else 0f
+    val noise = (((c * 131 + m * 17 + d * 7) % 11) - 5) * 0.02f
+    spike + ramp + noise
+  }
+
+  val rows: Seq[(Long, Array[Float], Int)] =
+    for (c <- 0 until 10; m <- 0 until 20) yield (c * 20L + m, vec(c, m), c)
+
+  def unit(e: Array[Float]): Array[Double] = {
+    val d = e.map(_.toDouble)
+    val nrm = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+    d.map(_ / nrm)
+  }
+
+  def cos(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+
+  val tau = 0.995
+
+  lazy val brute: Set[(Long, Long)] = (for {
+    (ia, ea, _) <- rows
+    (ib, eb, _) <- rows
+    if ia < ib
+    if BigDecimal(cos(unit(ea), unit(eb)))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+  } yield (ia, ib)).toSet
+
+  lazy val df = rows.toDF("vec_id", "embedding", "label")
+
+  test("cosinePairs ≡ brute force at the near-dup threshold") {
+    val got = Similarity.cosinePairs(df, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "vacuous test: no qualifying pairs")
+    assert(got == brute, s"missed ${brute -- got}, extra ${got -- brute}")
+  }
+
+  test("banding candidates are a superset of truth AND prune vs all-pairs") {
+    val cands = Similarity.cosinePairCandidates(df, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(cands), s"incomplete banding: ${brute -- cands}")
+    val allPairs = rows.size.toLong * (rows.size - 1) / 2
+    assert(cands.size < allPairs * 7 / 10,
+      s"banding pruned nothing: ${cands.size} of $allPairs")
+  }
+}
