@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Tight-loop vector kernels shared by the interpreted and generated
+  * paths (the [[graft.index.VarintCodec]] pattern). Accumulation is a
+  * sequential left-to-right double fold — the SAME order as
+  * `zip_with + aggregate` and DuckDB's `list_reduce`, so swapping the HOF
+  * formulation for this expression changes performance, not one bit of
+  * any result. */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ in double. Float elements are widened exactly (float→double
+    * is lossless), multiplication happens in double — identical to the
+    * `x.cast("double") * y.cast("double")` HOF it replaces. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"dot: length mismatch $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Native dot product over two numeric arrays (array<float> or
+  * array<double>, mixed allowed). Exists because Catalyst's higher-order
+  * functions (`zip_with`, `aggregate`) evaluate interpreted lambdas per
+  * row — on pair-join hot paths (embedding near-dup: millions of
+  * candidate pairs × vector dim) that interpretation dominates the query.
+  * This expression participates in whole-stage codegen via a static call
+  * into [[VectorOps]]. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorOps.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** Column-level API. */
+object vectors {
+  def dotProduct(a: Column, b: Column): Column =
+    Shims.column(DotProduct(Shims.expression(a), Shims.expression(b)))
+}

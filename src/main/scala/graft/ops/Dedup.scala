@@ -77,12 +77,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact Jaccard for given (doc_a, doc_b) pairs over distinct tokens. */
-  def withJaccard(pairs: DataFrame, docTerms: DataFrame): DataFrame = {
-    val sizes = docTerms.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+  /** Exact Jaccard for given (doc_a, doc_b) pairs over distinct tokens.
+    * The verify only ever touches docs that appear in a candidate pair —
+    * the term relation is semi-join-pruned to them first, so the two
+    * intersection joins and the size aggregation scale with the CANDIDATE
+    * set, not the corpus (LSH's whole point carried through to the
+    * verify). */
+  def withJaccard(pairs0: DataFrame, docTerms: DataFrame): DataFrame = {
+    // the pair set feeds candDocs AND three joins below — without the
+    // cache the candidate self-join subtree would execute once per use
+    val pairs = pairs0.cache()
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val dt = docTerms.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs
-      .join(docTerms.select(col("doc_id").as("doc_a"), col("term")), "doc_a")
-      .join(docTerms.select(col("doc_id").as("doc_b"), col("term")),
+      .join(dt.select(col("doc_id").as("doc_a"), col("term")), "doc_a")
+      .join(dt.select(col("doc_id").as("doc_b"), col("term")),
         Seq("doc_b", "term"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     pairs

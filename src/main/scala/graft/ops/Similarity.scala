@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Native codegen'd dot (same sequential fold — bit-identical to the
+    * zip_with+aggregate HOF form and DuckDB's list_reduce; see
+    * [[graft.functions.DotProduct]] for why the HOF form is too slow on
+    * pair-join hot paths). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.vectors.dotProduct(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
@@ -69,6 +72,13 @@ object Similarity {
     * force). Each qualifying pair is emitted exactly once (the right side
     * explodes its 3 adjacent keys; a pair matches on exactly one).
     * Output: (vec_a, vec_b, cos) with vec_a < vec_b. */
+  /** Salt count for the bucket join: at low thresholds eps is wide and few
+    * distinct buckets exist, so the bare bucket key would funnel the join
+    * through a handful of tasks. Salting the left side by hash(vec_id) and
+    * replicating the right across all salts keeps the candidate set
+    * identical while spreading it over Salts× more join keys. */
+  private final val Salts = 32
+
   def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
     val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
     val u = embeddings
@@ -77,10 +87,12 @@ object Similarity {
       .withColumn("u", transform(col("e"), x => x / col("nrm")))
       .withColumn("b", floor(element_at(col("u"), 1) / eps).cast("long"))
       .select("vec_id", "u", "b")
-    val left = u.select(col("vec_id").as("vec_a"), col("u").as("ua"), col("b"))
+    val left = u.select(col("vec_id").as("vec_a"), col("u").as("ua"), col("b"),
+      pmod(xxhash64(col("vec_id")), lit(Salts)).as("_salt"))
     val right = u.select(col("vec_id").as("vec_b"), col("u").as("ub"),
-      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-    left.join(right, Seq("b"))
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+      .withColumn("_salt", explode(sequence(lit(0), lit(Salts - 1))))
+    left.join(right, Seq("b", "_salt"))
       .where(col("vec_a") < col("vec_b"))
       .withColumn("cos", dot(col("ua"), col("ub")))
       .where(round(col("cos"), 7) >= threshold)
@@ -97,10 +109,12 @@ object Similarity {
       .withColumn("nrm", norm(col("e")))
       .withColumn("b", floor(element_at(transform(col("e"), x => x / col("nrm")), 1) / eps).cast("long"))
       .select("vec_id", "b")
-    val left = u.select(col("vec_id").as("vec_a"), col("b"))
+    val left = u.select(col("vec_id").as("vec_a"), col("b"),
+      pmod(xxhash64(col("vec_id")), lit(Salts)).as("_salt"))
     val right = u.select(col("vec_id").as("vec_b"),
-      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-    left.join(right, Seq("b")).where(col("vec_a") < col("vec_b"))
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+      .withColumn("_salt", explode(sequence(lit(0), lit(Salts - 1))))
+    left.join(right, Seq("b", "_salt")).where(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
   }
 
