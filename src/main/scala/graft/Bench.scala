@@ -33,19 +33,22 @@ object Bench {
     * exact scale-factor suffix (`.../sf<factor>`); an unrecognized layout
     * fails loudly instead of silently benchmarking a tiny corpus (which
     * would make throughput numbers incomparable without warning). */
-  def convsFor(sfDir: String): Long = {
-    val sf = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .getOrElse(sys.error(
-        s"cannot parse scale factor from sfDir '$sfDir' (expected .../sf<factor>); " +
-          "set SPARK_GRAFT_BENCH_CONVS explicitly"))
-    sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong).getOrElse(sf match {
-      case "0.001" => 200L
-      case "0.01"  => 1500L
-      case "0.1"   => 12000L
-      case other   => sys.error(
-        s"no pinned bench corpus size for sf$other; set SPARK_GRAFT_BENCH_CONVS")
-    })
-  }
+  def convsFor(sfDir: String): Long =
+    sys.env.get("SPARK_GRAFT_BENCH_CONVS").map(_.toLong).getOrElse {
+      // env override checked FIRST so the escape hatch also works for
+      // layouts the regex can't parse
+      val sf = "sf([0-9.]+)/*$".r.findFirstMatchIn(sfDir).map(_.group(1))
+        .getOrElse(sys.error(
+          s"cannot parse scale factor from sfDir '$sfDir' (expected .../sf<factor>); " +
+            "set SPARK_GRAFT_BENCH_CONVS explicitly"))
+      sf match {
+        case "0.001" => 200L
+        case "0.01"  => 1500L
+        case "0.1"   => 12000L
+        case other   => sys.error(
+          s"no pinned bench corpus size for sf$other; set SPARK_GRAFT_BENCH_CONVS")
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

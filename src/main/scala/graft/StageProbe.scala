@@ -70,7 +70,7 @@ object StageProbe {
           t.repartition(col("conv_id"), col("turn_idx"))
             .agg(sum(length(col("text")))).head()
         }
-        val w = java.nio.file.Files.createTempDirectory("graft_probe_w").toString
+        val w = s"$inputDir-w-$cores" // sibling of the corpus dir; cleaned with it
         out("parquet_write_full") = best2 {
           t.write.mode("overwrite").parquet(s"$w/full")
         }
@@ -78,21 +78,33 @@ object StageProbe {
           t.repartition(col("conv_id"), col("turn_idx"))
             .write.mode("overwrite").parquet(s"$w/shuf")
         }
-        out.toMap ++ Map("_order" -> 0.0) - "_order"
+        out.toMap
       } finally {
         spark.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       }
     }
 
-    val a = measure(n)
-    val b = measure(4 * n)
-    val keys = Seq("scan_text", "tokenize_cpu", "tf_agg",
-      "key_shuffle_full_rows", "parquet_write_full", "shuffle_write_full")
-    val fields = keys.map { k =>
-      val eff = (a(k) / b(k)) / 4.0
-      f""""$k":{"N_sec":${a(k)}%.3f,"4N_sec":${b(k)}%.3f,"eff":$eff%.3f}"""
+    def rmrf(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => rmrf(c.getPath))
+      f.delete()
     }
-    println(s"""{"metric":"stage_probe","n_cores":$n,"convs":$convs,${fields.mkString(",")}}""")
+
+    try {
+      val a = measure(n)
+      val b = measure(4 * n)
+      val keys = Seq("scan_text", "tokenize_cpu", "tf_agg",
+        "key_shuffle_full_rows", "parquet_write_full", "shuffle_write_full")
+      val fields = keys.map { k =>
+        val eff = (a(k) / b(k)) / 4.0
+        f""""$k":{"N_sec":${a(k)}%.3f,"4N_sec":${b(k)}%.3f,"eff":$eff%.3f}"""
+      }
+      println(s"""{"metric":"stage_probe","n_cores":$n,"convs":$convs,${fields.mkString(",")}}""")
+    } finally {
+      rmrf(inputDir)
+      rmrf(s"$inputDir-w-$n")
+      rmrf(s"$inputDir-w-${4 * n}")
+    }
   }
 }

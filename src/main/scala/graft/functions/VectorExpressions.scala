@@ -24,6 +24,10 @@ object VectorOps {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element is a data error, reported loudly — reading the slot
+      // anyway would return reinterpreted garbage
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot: null vector element at index $i")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -45,6 +49,23 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+
+  /** Only float/double element arrays are accepted — an int/long array
+    * would be silently reinterpreted byte-wise by getDouble, producing
+    * garbage rather than an error. (The HOF form this replaces casts any
+    * numeric; callers with integer vectors must cast explicitly.) */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType

@@ -92,8 +92,13 @@ object IndexBuild {
       .join(broadcast(offDf), "_pid")
       .withColumn("doc_id",
         col("_offset") + col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-      .select("conv_id", "turn_idx", "doc_id")
-    turns.join(keymap, Seq("conv_id", "turn_idx"))
+      .select(col("conv_id").as("_kc"), col("turn_idx").as("_kt"), col("doc_id"))
+    // null-SAFE key equality: a row with a null conv_id/turn_idx must keep
+    // its id (plain equi-join would silently drop it; distinct() above and
+    // the oracle's row_number both treat null keys as ordinary values)
+    turns
+      .join(keymap, turns("conv_id") <=> col("_kc") && turns("turn_idx") <=> col("_kt"))
+      .drop("_kc", "_kt")
   }
 
   /** A3 — one row per (doc_id, term) occurrence. */

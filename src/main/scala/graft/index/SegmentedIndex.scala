@@ -142,20 +142,27 @@ object SegmentedIndex {
         val tombKeys = ingested.select(Key.map(col): _*)
           .unionByName(delKeys).distinct()
         val oldTombs = readTombstones(spark, root, old)
+        // cached: the subtree re-reads every older segment's docs metadata
+        // — it feeds the stats aggregate AND the tombstone write (one scan,
+        // not one per action)
         val killed = liveFilter(olderMeta, oldTombs)
           .join(tombKeys, Key, "left_semi")
           .select(col("conv_id"), col("turn_idx"),
             when(col("dl") > 0, col("dl")).otherwise(lit(0)).as("dl"),
             (col("dl") > 0).cast("int").as("counted"))
-        val agg = killed.agg(
-          coalesce(sum(col("counted")), lit(0L)).cast("long"),
-          coalesce(sum(col("dl").cast("long")), lit(0L)).cast("long")).head()
-        val any = agg.getLong(0) > 0 || killed.limit(1).count() > 0
-        if (any)
-          killed.select(Key.map(col): _*).distinct()
-            .withColumn("upto", lit(ord))
-            .write.mode("overwrite").parquet(tombPath(root, segName))
-        (agg.getLong(0), agg.getLong(1), any)
+          .cache()
+        try {
+          val agg = killed.agg(
+            count(lit(1)),
+            coalesce(sum(col("counted")), lit(0L)).cast("long"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).cast("long")).head()
+          val any = agg.getLong(0) > 0
+          if (any)
+            killed.select(Key.map(col): _*).distinct()
+              .withColumn("upto", lit(ord))
+              .write.mode("overwrite").parquet(tombPath(root, segName))
+          (agg.getLong(1), agg.getLong(2), any)
+        } finally killed.unpersist()
     }
 
     val m = Manifest(
@@ -258,9 +265,14 @@ object SegmentedIndex {
     * republish the manifest referencing only it — bounds the per-query
     * segment fan-out for a long-running ingest stream. Crash-safe like
     * append (the manifest publish is the commit point; a crash before it
-    * leaves an unreferenced dir, after it leaves orphan old dirs that are
-    * best-effort deleted and never referenced again). Answers are
-    * unchanged: the one segment IS the live corpus, tombstones empty. */
+    * leaves an unreferenced dir). Answers are unchanged: the one segment
+    * IS the live corpus, tombstones empty.
+    *
+    * Obsolete segment/tombstone dirs are RETAINED (a concurrent reader
+    * that opened the previous manifest is still lazily scanning them —
+    * deleting under it would fail mid-query; this is Iceberg's
+    * snapshot-retention behavior). Reclaim space with [[vacuum]] once no
+    * reader can still hold a pre-compaction manifest. */
   def compactInPlace(spark: SparkSession, root: String,
                      cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
     val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
@@ -268,13 +280,28 @@ object SegmentedIndex {
     val segName = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
     val sp = segPath(root, segName)
     // liveTurns reads through the OLD manifest; materialization happens
-    // inside BuildIndexJob's docs stage before anything is deleted
+    // inside BuildIndexJob's docs stage, so the old dirs are only read
     BuildIndexJob.run(spark, liveTurns(spark, root, cfg), sp, segName, cfg)
     val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
     val m = Manifest(Seq(segName), Seq.empty, st.nDocs, st.totalTokens)
     writeManifest(spark, root, m)
-    old.segments.foreach(s => Fs.delete(spark, segPath(root, s)))
-    old.tombs.foreach(t => Fs.delete(spark, tombPath(root, t)))
     m
+  }
+
+  /** Delete every segment/tombstone dir the CURRENT manifest does not
+    * reference (post-compaction garbage, crashed-append leftovers). NOT
+    * safe while a reader may still hold an older manifest — the caller
+    * owns that grace period, exactly like Iceberg's expire-snapshots. */
+  def vacuum(spark: SparkSession, root: String): Unit = {
+    val m = readManifest(spark, root).getOrElse(return)
+    def clean(base: String, keep: Set[String]): Unit = {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath).filterNot(c => keep(c.getName))
+          .foreach(c => fs.delete(c, true))
+    }
+    clean(s"$root/segments", m.segments.toSet)
+    clean(s"$root/tombstones", m.tombs.toSet)
   }
 }

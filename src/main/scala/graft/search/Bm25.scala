@@ -1,7 +1,11 @@
 package graft.search
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** BM25 scoring, pinned to Lucene ≥8 / Solr `BM25Similarity` defaults
   * (SURVEY.md §2.9 [PUB]):
@@ -80,4 +84,25 @@ object Bm25 {
     if (exp == 0) q
     else ((q & 0x07) | 0x08) << (exp - 1)
   }
+
+  /** Column form of [[quantizeDl]] (native expression, codegen'd). */
+  def quantizeDlCol(dl: Column): Column =
+    Shims.column(QuantizeDlExpr(Shims.expression(dl)))
+}
+
+/** Codegen'd column twin of [[Bm25.quantizeDl]] — used when the
+  * `quantizeNorms` flag routes exhaustive scoring through Lucene-style
+  * lossy norms ([[Search.topK]]). Scoped to the EXHAUSTIVE path on
+  * purpose: the persisted index stores exact dl and per-block max scores
+  * computed from it, and a quantized (bucket-floor, hence ≤ exact) dl
+  * yields HIGHER scores — the stored block maxes would stop being upper
+  * bounds and WAND could skip true results. Solr-parity checks therefore
+  * run exhaustively with the flag; the index paths pin exact dl. */
+case class QuantizeDlExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any = Bm25.quantizeDl(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.search.Bm25.quantizeDl($c)")
+  override protected def withNewChildInternal(c: Expression): QuantizeDlExpr = copy(c)
 }

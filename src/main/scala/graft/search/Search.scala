@@ -38,16 +38,24 @@ object Search {
     * @param dict (term, df, ...) — broadcast (tiny vs the corpus)
     * @param conjunctive if true, only docs matching ALL query terms (J3
     *        realized as one aggregation, not a join chain)
+    * @param quantizeNorms route dl through Lucene's lossy 1-byte norm
+    *        quantization ([[Bm25.quantizeDl]]) before scoring — the
+    *        live-Solr score-parity flag (SURVEY.md §2.9 note). OFF by
+    *        default: exact dl is the oracle-reproducible pinned
+    *        semantics. avgdl stays exact either way (Lucene computes
+    *        avgFieldLength from exact totals, not from stored norms).
     */
   def topK(queries: DataFrame, tfdl: DataFrame, dict: DataFrame,
-           stats: Stats, k: Int = 10, conjunctive: Boolean = false): DataFrame = {
+           stats: Stats, k: Int = 10, conjunctive: Boolean = false,
+           quantizeNorms: Boolean = false): DataFrame = {
     val qt = queryTerms(queries)
     // (query term ⋈ dictionary) is tiny; broadcasting the product means the
     // big posting relation shuffles zero times before scoring.
     val qd = qt.join(dict.select("term", "df"), "term")
+    val dlCol = if (quantizeNorms) Bm25.quantizeDlCol(col("dl")) else col("dl")
     val scored = tfdl
       .join(broadcast(qd), "term")
-      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+      .withColumn("_s", Bm25.termScore(col("tf"), dlCol, col("df"),
         lit(stats.nDocs), lit(stats.avgdl)))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_score"), count(lit(1)).as("_n_matched"))
@@ -79,7 +87,8 @@ object Search {
     * builds the scoring relation inline (no persisted index). This is the
     * oracle-twinned path used by Verify. */
   def searchCorpus(corpus: DataFrame, queries: Seq[(Int, String)],
-                   k: Int = 10, conjunctive: Boolean = false): DataFrame = {
+                   k: Int = 10, conjunctive: Boolean = false,
+                   quantizeNorms: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val occ = IndexBuild.termOccurrences(corpus)
     val dl = IndexBuild.docLengths(occ)
@@ -87,6 +96,6 @@ object Search {
     val tfdl = IndexBuild.tfWithDl(tf, dl)
     val dict = IndexBuild.dictionary(tf)
     val st = IndexBuild.stats(dl)
-    topK(queryFrame(spark, queries), tfdl, dict, st, k, conjunctive)
+    topK(queryFrame(spark, queries), tfdl, dict, st, k, conjunctive, quantizeNorms)
   }
 }

@@ -66,7 +66,12 @@ object Fs {
         f.getUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(tmp, new Path(path), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: UnsupportedOperationException | _: java.io.FileNotFoundException =>
+      // UnsupportedFileSystemException (no AbstractFileSystem binding, e.g.
+      // s3a/gs) extends IOException, NOT UnsupportedOperationException —
+      // it must be caught here or the documented fallback is unreachable
+      case _: UnsupportedOperationException |
+           _: org.apache.hadoop.fs.UnsupportedFileSystemException |
+           _: java.io.FileNotFoundException =>
         f.delete(new Path(path), false)
         if (!f.rename(tmp, new Path(path)))
           throw new java.io.IOException(s"publish rename failed for $path")

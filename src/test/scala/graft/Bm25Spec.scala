@@ -69,6 +69,30 @@ class Bm25Spec extends SparkSpec {
     assert(got.map(_.getLong(2)).sorted.toSeq == (0L until 10L))
   }
 
+  test("quantizeNorms flag routes exhaustive scoring through quantized dl") {
+    // 40-token doc: quantizeDl(40) = 40 cleared below bit 2 = 40? 40 =
+    // 0b101000, numBits 6, shift 2 → keeps 0b1010 << 2 = 40 (exact bucket
+    // edge); use 41 → 40 (lossy), so the flag visibly changes the score.
+    val longDoc = (0L, ("spark " + "pad " * 40).trim) // dl = 41
+    val c = Seq(longDoc, (1L, "spark quick"), (2L, "other words here"))
+      .toDF("doc_id", "text")
+    val exact = Search.searchCorpus(c, Seq(1 -> "spark")).orderBy("doc_id").collect()
+    val quant = Search.searchCorpus(c, Seq(1 -> "spark"), quantizeNorms = true)
+      .orderBy("doc_id").collect()
+    assert(Bm25.quantizeDl(41) == 40)
+    // N=3, avgdl exact (41+2+3)/3; df(spark)=2
+    val avgdl = (41 + 2 + 3) / 3.0
+    val want0 = Bm25.score(1, Bm25.quantizeDl(41), 2, 3, avgdl)
+    assert(math.abs(quant.find(_.getLong(2) == 0L).get.getDouble(3) -
+      math.rint(want0 * 1e4) / 1e4) < 1e-9)
+    // quantized dl ≤ exact dl ⇒ score must not decrease
+    assert(quant.find(_.getLong(2) == 0L).get.getDouble(3) >=
+      exact.find(_.getLong(2) == 0L).get.getDouble(3))
+    // short docs (< 16 tokens) are exactly representable → scores unchanged
+    assert(quant.find(_.getLong(2) == 1L).get.getDouble(3) ==
+      exact.find(_.getLong(2) == 1L).get.getDouble(3))
+  }
+
   test("SmallFloat-style dl quantization flag: monotone, idempotent, exact below 16") {
     // identity on the exactly-representable range
     for (i <- 0 until 16) assert(Bm25.quantizeDl(i) == i)

@@ -107,9 +107,13 @@ class SegmentSpec extends SparkSpec {
     assert(m.segments.size == 1 && m.tombs.isEmpty)
     assert(m.nDocs == mBefore.nDocs && m.totalTokens == mBefore.totalTokens)
     assert(segResults(root) == before)
-    // old segment dirs physically gone
+    // obsolete dirs are RETAINED for in-flight readers until vacuum
+    assert(new java.io.File(SegmentedIndex.segPath(root, "seg-a")).exists)
+    SegmentedIndex.vacuum(spark, root)
     for (s <- Seq("seg-a", "seg-b", "seg-c"))
       assert(!new java.io.File(SegmentedIndex.segPath(root, s)).exists, s)
+    assert(new java.io.File(SegmentedIndex.segPath(root, m.segments.head)).exists)
+    assert(segResults(root) == before, "post-vacuum answers unchanged")
     // further appends keep working on the compacted root
     SegmentedIndex.append(spark, root,
       Transcripts.synthetic(spark, 100).where($"conv_id" >= "conv00000090"),
