@@ -123,6 +123,48 @@ object Oracle {
        |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Transcripts corpus carrying the role attribute (fq/facet twins). */
+  def transcriptsCorpusAttrs: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text, role
+       |FROM ($transcriptsSql)""".stripMargin
+
+  /** Twin of Search.searchCorpusFiltered — Solr fq semantics: scores/df/
+    * avgdl from the FULL corpus; the predicate filters before ranking. */
+  def bm25TopKFiltered(queries: Seq[(Int, String)], k: Int,
+                       filterSql: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusAttrs)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, scored.doc_id AS doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, scored.doc_id ASC) AS rnk
+       |  FROM scored JOIN corpus ON scored.doc_id = corpus.doc_id
+       |  WHERE $filterSql)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of Search.facetCounts (Solr facet.field on the match set). */
+  def facetCounts(queries: Seq[(Int, String)], facetCol: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusAttrs)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |matched AS (SELECT DISTINCT qt.query_id, tf.doc_id
+       |  FROM qt JOIN tf USING (term))
+       |SELECT query_id, $facetCol, count(*)::BIGINT AS n_docs
+       |FROM matched JOIN corpus USING (doc_id)
+       |GROUP BY query_id, $facetCol ORDER BY query_id, $facetCol""".stripMargin
+
   /** Full BM25 top-k oracle. */
   def bm25TopK(corpusSql: String, queries: Seq[(Int, String)], k: Int,
                conjunctive: Boolean): String = {

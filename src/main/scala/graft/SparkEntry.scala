@@ -42,6 +42,11 @@ object SparkEntry {
     IndexBuild.assignDocIds(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)))
       .select("doc_id", "text")
 
+  /** Same corpus carrying the role attribute (fq / facet gates). */
+  private def transcriptCorpusAttrs(s: SparkSession, dir: String): DataFrame =
+    IndexBuild.assignDocIds(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)))
+      .select("doc_id", "text", "role")
+
   /** Memoized persisted index over the transcripts derived from `dir` —
     * built once per sfDir per JVM so Verify's index-path queries share it. */
   private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -290,6 +295,12 @@ object SparkEntry {
         IndexBuild.termOccurrences(documents(s, dir)), TextOps.LangMarkers.head._2)
       IndexBuild.termFrequencies(occ).orderBy("term", "doc_id")
     }),
+    // Solr fq: filter restricts RESULTS, scoring stats stay full-corpus
+    "q_bm25_fq" -> ((s, dir) => Search.searchCorpusFiltered(
+      transcriptCorpusAttrs(s, dir), DisjQueries, col("role") === "user")),
+    // Solr facet.field over the match set
+    "q_facet_role" -> ((s, dir) =>
+      Search.facetCounts(transcriptCorpusAttrs(s, dir), DisjQueries, "role")),
     // G7: rollup diagnostics (corpus profile by lang × source); grouping()
     // relabels the rollup's nulls so both engines emit 'ALL'
     "q_corpus_cube" -> ((s, dir) => {
@@ -347,5 +358,7 @@ object SparkEntry {
     "q_events_windows" -> OracleOps.eventsWindows,
     "q_corpus_cube" -> OracleOps.corpusCube,
     "q_dedup_embedding" -> OracleOps.embeddingPairs(0.42),
-    "q_term_tf_stopped" -> OracleOps.termTfStopped(TextOps.LangMarkers.head._2))
+    "q_term_tf_stopped" -> OracleOps.termTfStopped(TextOps.LangMarkers.head._2),
+    "q_bm25_fq" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
+    "q_facet_role" -> Oracle.facetCounts(DisjQueries, "role"))
 }

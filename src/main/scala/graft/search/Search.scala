@@ -47,7 +47,15 @@ object Search {
     */
   def topK(queries: DataFrame, tfdl: DataFrame, dict: DataFrame,
            stats: Stats, k: Int = 10, conjunctive: Boolean = false,
-           quantizeNorms: Boolean = false): DataFrame = {
+           quantizeNorms: Boolean = false): DataFrame =
+    rank(scoredDocs(queries, tfdl, dict, stats, conjunctive, quantizeNorms), k)
+
+  /** Pre-rank per-(query, doc) scores — shared by [[topK]], the filtered
+    * (`fq`) variant, and faceting. */
+  private[graft] def scoredDocs(queries: DataFrame, tfdl: DataFrame,
+                                dict: DataFrame, stats: Stats,
+                                conjunctive: Boolean = false,
+                                quantizeNorms: Boolean = false): DataFrame = {
     val qt = queryTerms(queries)
     // (query term ⋈ dictionary) is tiny; broadcasting the product means the
     // big posting relation shuffles zero times before scoring.
@@ -59,17 +67,15 @@ object Search {
         lit(stats.nDocs), lit(stats.avgdl)))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_score"), count(lit(1)).as("_n_matched"))
-    val filtered =
-      if (!conjunctive) scored
-      else {
-        // n_q counts ALL analyzed query terms (qt), not just dictionary
-        // hits: Lucene MUST semantics — a required term absent from the
-        // corpus matches nothing.
-        val nq = qt.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
-        scored.join(broadcast(nq), "query_id")
-          .where(col("_n_matched") === col("_n_q"))
-      }
-    rank(filtered, k)
+    if (!conjunctive) scored
+    else {
+      // n_q counts ALL analyzed query terms (qt), not just dictionary
+      // hits: Lucene MUST semantics — a required term absent from the
+      // corpus matches nothing.
+      val nq = qt.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
+      scored.join(broadcast(nq), "query_id")
+        .where(col("_n_matched") === col("_n_q"))
+    }
   }
 
   /** W1 — per-query top-k with the pinned tie-break. */
@@ -97,5 +103,38 @@ object Search {
     val dict = IndexBuild.dictionary(tf)
     val st = IndexBuild.stats(dl)
     topK(queryFrame(spark, queries), tfdl, dict, st, k, conjunctive, quantizeNorms)
+  }
+
+  /** Solr `fq` (filter query) semantics: the predicate restricts the
+    * RESULT set only — scores, df, and avgdl remain those of the FULL
+    * corpus, so a doc scores identically whether or not a filter is
+    * attached (Lucene evaluates fq as a non-scoring clause). `corpus` must
+    * carry the filter's columns alongside (doc_id, text). */
+  def searchCorpusFiltered(corpus: DataFrame, queries: Seq[(Int, String)],
+                           filter: org.apache.spark.sql.Column,
+                           k: Int = 10, conjunctive: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    val occ = IndexBuild.termOccurrences(corpus)
+    val dl = IndexBuild.docLengths(occ)
+    val tf = IndexBuild.termFrequencies(occ)
+    val scored = scoredDocs(queryFrame(spark, queries),
+      IndexBuild.tfWithDl(tf, dl), IndexBuild.dictionary(tf),
+      IndexBuild.stats(dl), conjunctive)
+    rank(scored.join(corpus.where(filter).select("doc_id"), Seq("doc_id"), "left_semi"), k)
+  }
+
+  /** Solr `facet.field` over the match set: per (query, facet value) doc
+    * counts — every doc matching ≥1 query term counts once. */
+  def facetCounts(corpus: DataFrame, queries: Seq[(Int, String)],
+                  facetCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val occ = IndexBuild.termOccurrences(corpus)
+    val qt = queryTerms(queryFrame(spark, queries))
+    val matched = occ.join(broadcast(qt), "term")
+      .select("query_id", "doc_id").distinct()
+    matched.join(corpus.select(col("doc_id"), col(facetCol)), "doc_id")
+      .groupBy("query_id", facetCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id", facetCol)
   }
 }
