@@ -62,7 +62,13 @@ object Dedup {
     * token sets: a 31-term vocab makes token-set Jaccard useless — nearly
     * every doc pair collides). Candidates (doc_a < doc_b) share ≥1 band
     * bucket; verified with EXACT shingle Jaccard; kept if ≥ threshold.
-    * Output: (doc_a, doc_b, jaccard) — jaccard rounded to 4. */
+    * Output: (doc_a, doc_b, jaccard) — jaccard rounded to 4.
+    *
+    * CALLER CONTRACT (cache lifecycle): the returned frame's plan holds
+    * `.cache()`d self-join inputs that stay resident after materialization
+    * — callers executing many queries in one JVM must
+    * `spark.catalog.clearCache()` (or unpersist) once the result is
+    * consumed, as Verify/Bench do. */
   def minhashPairs(corpus: DataFrame, threshold: Double = 0.7,
                    n: Int = 3): DataFrame = {
     val sh = shingles(corpus, n).cache()
@@ -130,7 +136,10 @@ object Dedup {
     * most 3 bits must leave at least one band identical, so every pair
     * with hamming ≤ 3 is found. maxDist > 3 would silently lose pairs
     * whose differing bits spread across all 4 bands — hence the require.
-    * DedupRecallSpec property-tests this against brute-force hamming. */
+    * DedupRecallSpec property-tests this against brute-force hamming.
+    *
+    * CALLER CONTRACT: caches a self-join input; clearCache/unpersist after
+    * consuming the result (see [[minhashPairs]]). */
   def simhashPairs(corpus: DataFrame, maxDist: Int = 3): DataFrame = {
     val bands = SimhashBits / 15 // 4 bands of 15 bits
     require(maxDist < bands,
@@ -172,7 +181,10 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 RARE shingle
     * (df ≤ [[MaxCandidateShingleDf]]); kept if exact shingle-set Jaccard
-    * ≥ threshold. Output (doc_a, doc_b, jaccard). */
+    * ≥ threshold. Output (doc_a, doc_b, jaccard).
+    *
+    * CALLER CONTRACT: caches self-join inputs; clearCache/unpersist after
+    * consuming the result (see [[minhashPairs]]). */
   def ngramJaccardPairs(corpus: DataFrame, n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
     val sh = shingles(corpus, n).cache()

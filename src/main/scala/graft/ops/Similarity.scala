@@ -56,66 +56,144 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Grid-banding plan for [[cosinePairs]]: which unit coordinates to band
+    * (variance-ordered, spread-qualified), the bucket width, and the
+    * adaptive salt count. Tiny driver state (≤ maxBandDims ints). */
+  private final case class BandPlan(coords: Seq[Int], eps: Double, salts: Int)
+
+  /** Unit-normalized view: (vec_id, u:array<double>). Feeds several
+    * subtrees of one cosinePairs call, hence cached by the caller. */
+  private def unitVectors(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+      .select(col("vec_id"), transform(col("e"), x => x / col("nrm")).as("u"))
+
+  /** Choose the banding grid for a unit-vector corpus at distance `eps`.
+    *
+    * Coordinate selection is DATA-ADAPTIVE but completeness-safe: any
+    * coordinate projection is 1-Lipschitz, so which coordinates we band
+    * only affects pruning power, never recall. A coordinate earns a grid
+    * dimension only if its corpus spread (max−min) covers ≥ 2·eps — below
+    * that, same-or-adjacent buckets cover the whole corpus and the 3×
+    * neighbor replication would buy nothing. Among qualifying coordinates
+    * we take the `maxBandDims` highest-variance ones (deterministic
+    * tie-break on index); with none qualifying we fall back to the single
+    * highest-variance coordinate (low-threshold regime — the join is
+    * inherently dense there and salting carries the parallelism).
+    *
+    * Salting is ADAPTIVE (round-2 used a fixed 32× replication): the salt
+    * count shrinks as the distinct-cell count grows, targeting ~4 join
+    * keys per core; many well-spread cells ⇒ salts = 1 ⇒ zero replication
+    * beyond the 3^d neighbor keys.
+    */
+  private def planBands(u: DataFrame, eps: Double, maxBandDims: Int): BandPlan = {
+    val spark = u.sparkSession
+    // one cheap pass: per-coordinate variance + spread (dim rows out)
+    val stats = u
+      .select(posexplode(col("u")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(var_pop(col("v")).as("var"), (max(col("v")) - min(col("v"))).as("spread"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val byVar = stats.sortBy { case (pos, v, _) => (-v, pos) }
+    val qualified = byVar.filter(_._3 >= 2 * eps).take(maxBandDims).map(_._1)
+    val coords = if (qualified.nonEmpty) qualified.toSeq else Seq(byVar.head._1)
+    // distinct-cell count (tiny agg) → salt only when cells can't feed the
+    // available parallelism on their own
+    val cellCol = cellKey(col("u"), coords, eps, coords.map(_ => lit(0)))
+    val nCells = u.select(cellCol.as("c")).distinct().count()
+    val target = spark.sparkContext.defaultParallelism.toLong * 4
+    val salts = math.max(1L, math.min(32L,
+      (target + nCells - 1) / math.max(nCells, 1L))).toInt
+    BandPlan(coords, eps, salts)
+  }
+
+  /** Grid-cell join key: per banded coordinate, floor(u[c]/eps) plus the
+    * neighbor offset, concatenated to one string key. */
+  private def cellKey(u: Column, coords: Seq[Int], eps: Double,
+                      offsets: Seq[Column]): Column =
+    concat_ws(":", coords.zip(offsets).map { case (c, off) =>
+      (floor(element_at(u, c + 1) / eps).cast("long") + off).cast("string")
+    }: _*)
+
+  /** Candidate (vec_a, vec_b) pairs under the banding plan — ids and cell
+    * keys only: the vector payload never rides the candidate shuffle (the
+    * 3^d × salts replication applies to ~30-byte key rows, and the exact
+    * verify re-joins vectors for candidate ids alone — the same
+    * prune-then-verify shape as [[Dedup.withJaccard]]). Each qualifying
+    * pair matches on exactly ONE join key (the left row's own cell and
+    * salt), so no distinct() is needed. */
+  private def candidates(u: DataFrame, plan: BandPlan): DataFrame = {
+    val zero = plan.coords.map(_ => lit(0))
+    val left = u.select(col("vec_id").as("vec_a"),
+      cellKey(col("u"), plan.coords, plan.eps, zero).as("_cell"),
+      pmod(xxhash64(col("vec_id")), lit(plan.salts)).as("_salt"))
+    val offsets = plan.coords.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+      for (a <- acc; o <- Seq(-1, 0, 1)) yield a :+ o)
+    val right = u.select(col("vec_id").as("vec_b"),
+        explode(array(offsets.map(off =>
+          cellKey(col("u"), plan.coords, plan.eps, off.map(lit(_)))): _*)).as("_cell"))
+      .withColumn("_salt", explode(sequence(lit(0), lit(plan.salts - 1))))
+    left.join(right, Seq("_cell", "_salt"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+  }
+
   /** Embedding-cosine near-duplicate PAIRS — exact, with a provably
     * complete candidate bound (unlike probabilistic hyperplane LSH, which
     * has no recall guarantee — the simhash lesson):
     *
     *   cos(a,b) ≥ τ  ⟺  ‖â−b̂‖ ≤ eps = √(2−2τ) on unit vectors, and any
-    *   coordinate projection is 1-Lipschitz: |â₀−b̂₀| ≤ ‖â−b̂‖.
+    *   coordinate projection is 1-Lipschitz: |â_c−b̂_c| ≤ ‖â−b̂‖ for every
+    *   coordinate c.
     *
-    * So banding the first unit-coordinate into eps-wide buckets and
-    * joining same-or-adjacent buckets yields a candidate SUPERSET of all
-    * qualifying pairs; exact cosine verification filters it. Prunes hard
-    * at near-dup thresholds (τ→1 ⇒ eps→0 ⇒ narrow buckets) and degrades
-    * gracefully toward all-pairs as τ falls (still correct — the
-    * SimilaritySpec property pins candidates ⊇ truth and result ≡ brute
-    * force). Each qualifying pair is emitted exactly once (the right side
-    * explodes its 3 adjacent keys; a pair matches on exactly one).
+    * So a GRID over d banded coordinates (each floor(u[c]/eps), joined
+    * same-or-adjacent per coordinate = 3^d neighbor cells) yields a
+    * candidate SUPERSET of all qualifying pairs, and pruning MULTIPLIES
+    * per coordinate (round 2 banded one raw coordinate — near-all-pairs at
+    * realistic thresholds). Banded coordinates are the highest-variance
+    * ones whose spread covers the grid (see [[planBands]]): real embedding
+    * corpora concentrate variance in few directions, which is exactly
+    * where a grid separates clusters. Exact cosine verification filters
+    * the candidates, touching only candidate ids. Degrades gracefully
+    * toward all-pairs as τ falls (still correct — SimilaritySpec pins
+    * candidates ⊇ truth, result ≡ brute force, and <10% candidate volume
+    * at τ=0.9 on a clustered corpus).
+    *
+    * Caching contract: internally caches the unit-vector view while the
+    * plan is derived; the cache is dropped before returning, so callers
+    * need no clearCache discipline for this method.
+    *
     * Output: (vec_a, vec_b, cos) with vec_a < vec_b. */
-  /** Salt count for the bucket join: at low thresholds eps is wide and few
-    * distinct buckets exist, so the bare bucket key would funnel the join
-    * through a handful of tasks. Salting the left side by hash(vec_id) and
-    * replicating the right across all salts keeps the candidate set
-    * identical while spreading it over Salts× more join keys. */
-  private final val Salts = 32
-
-  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def cosinePairs(embeddings: DataFrame, threshold: Double,
+                  maxBandDims: Int = 4): DataFrame = {
     val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
-    val u = embeddings
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .withColumn("u", transform(col("e"), x => x / col("nrm")))
-      .withColumn("b", floor(element_at(col("u"), 1) / eps).cast("long"))
-      .select("vec_id", "u", "b")
-    val left = u.select(col("vec_id").as("vec_a"), col("u").as("ua"), col("b"),
-      pmod(xxhash64(col("vec_id")), lit(Salts)).as("_salt"))
-    val right = u.select(col("vec_id").as("vec_b"), col("u").as("ub"),
-        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-      .withColumn("_salt", explode(sequence(lit(0), lit(Salts - 1))))
-    left.join(right, Seq("b", "_salt"))
-      .where(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("ua"), col("ub")))
-      .where(round(col("cos"), 7) >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
-      .orderBy("vec_a", "vec_b")
+    val u = unitVectors(embeddings).cache()
+    try {
+      val plan = planBands(u, eps, maxBandDims)
+      val cand = candidates(u, plan)
+      // verify: re-attach unit vectors for candidate ids only
+      val ua = unitVectors(embeddings)
+        .select(col("vec_id").as("vec_a"), col("u").as("ua"))
+      val ub = unitVectors(embeddings)
+        .select(col("vec_id").as("vec_b"), col("u").as("ub"))
+      cand.join(ua, "vec_a").join(ub, "vec_b")
+        .withColumn("cos", dot(col("ua"), col("ub")))
+        .where(round(col("cos"), 7) >= threshold)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    } finally u.unpersist()
   }
 
   /** Candidate pairs only (pre-verification) — exposed for the
-    * completeness/pruning property test. */
-  def cosinePairCandidates(embeddings: DataFrame, threshold: Double): DataFrame = {
+    * completeness/pruning property tests. Same plan as [[cosinePairs]]. */
+  def cosinePairCandidates(embeddings: DataFrame, threshold: Double,
+                           maxBandDims: Int = 4): DataFrame = {
     val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
-    val u = embeddings
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("nrm", norm(col("e")))
-      .withColumn("b", floor(element_at(transform(col("e"), x => x / col("nrm")), 1) / eps).cast("long"))
-      .select("vec_id", "b")
-    val left = u.select(col("vec_id").as("vec_a"), col("b"),
-      pmod(xxhash64(col("vec_id")), lit(Salts)).as("_salt"))
-    val right = u.select(col("vec_id").as("vec_b"),
-        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-      .withColumn("_salt", explode(sequence(lit(0), lit(Salts - 1))))
-    left.join(right, Seq("b", "_salt")).where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b")
+    val u = unitVectors(embeddings).cache()
+    try candidates(u, planBands(u, eps, maxBandDims))
+    finally u.unpersist()
   }
 
   /** Per-label centroids: (label, centroid array<double>). */

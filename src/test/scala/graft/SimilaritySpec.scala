@@ -60,4 +60,46 @@ class SimilaritySpec extends SparkSpec {
     assert(cands.size < allPairs * 7 / 10,
       s"banding pruned nothing: ${cands.size} of $allPairs")
   }
+
+  /** The 100-TB-shape gate (round-2 verdict): at τ=0.9 on a clustered
+    * corpus the grid must keep candidates under 10% of all pairs — the
+    * round-2 single-coordinate banding sat near all-pairs here. 16
+    * clusters at unit centers (±0.5, ±0.5, ±0.5, ±0.5, 0…) are separated
+    * by ≥ 1.0 along each of the first four coordinates (> 2·eps = 0.894),
+    * so a 4-coordinate grid isolates every cluster; tight member noise
+    * keeps within-cluster cosine ≥ τ and bucket membership stable. */
+  val tau90 = 0.9
+
+  def vec16(c: Int, m: Int): Array[Float] = Array.tabulate(dim) { d =>
+    val center =
+      if (d < 4) (if (((c >> d) & 1) == 1) 0.5f else -0.5f) else 0f
+    val noise = (((c * 131 + m * 17 + d * 7) % 11) - 5) * 0.004f
+    center + noise
+  }
+
+  val rows16: Seq[(Long, Array[Float], Int)] =
+    for (c <- 0 until 16; m <- 0 until 25) yield (c * 25L + m, vec16(c, m), c)
+
+  lazy val brute16: Set[(Long, Long)] = (for {
+    (ia, ea, _) <- rows16
+    (ib, eb, _) <- rows16
+    if ia < ib
+    if BigDecimal(cos(unit(ea), unit(eb)))
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau90
+  } yield (ia, ib)).toSet
+
+  lazy val df16 = rows16.toDF("vec_id", "embedding", "label")
+
+  test("τ=0.9 clustered corpus: result ≡ brute AND candidates < 10% of all-pairs") {
+    assert(brute16.nonEmpty, "vacuous test: no qualifying pairs")
+    val got = Similarity.cosinePairs(df16, tau90).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute16, s"missed ${brute16 -- got}, extra ${got -- brute16}")
+    val cands = Similarity.cosinePairCandidates(df16, tau90).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute16.subsetOf(cands), s"incomplete banding: ${brute16 -- cands}")
+    val allPairs = rows16.size.toLong * (rows16.size - 1) / 2
+    assert(cands.size < allPairs / 10,
+      s"grid banding not a 100-TB shape: ${cands.size} of $allPairs candidates")
+  }
 }
