@@ -33,26 +33,46 @@ object SparkEntry {
     2 -> "dup join",
     3 -> "key value filter sort group")
 
+  /** Boolean-NOT query set (Solr `q=a -b`): exclusion, multi-clause,
+    * pure-negative (matches nothing), self-cancel, absent negative
+    * (no-op), and analyzer-in-clause (`-Key-Value` excludes two terms). */
+  val NotQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark -merge",
+    2 -> "batch window -dup",
+    3 -> "-dup",
+    4 -> "dup -dup",
+    5 -> "group -zzzmissing",
+    6 -> "sort -Key-Value!")
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
 
   /** Transcripts corpus with dense doc ids (the full build-side path:
-    * ingest guard → scalable doc-id assignment). */
-  private def transcriptCorpus(s: SparkSession, dir: String): DataFrame =
-    IndexBuild.assignDocIds(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)))
-      .select("doc_id", "text")
+    * ingest guard → scalable doc-id assignment), MATERIALIZED once per
+    * sfDir per JVM: four gates consume it, and assignDocIds stages a
+    * keys-only parquet per invocation — memoizing saves three redundant
+    * staging writes per Verify/Bench run (round-2 advice). */
+  private val corpusRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def transcriptCorpusAttrs(s: SparkSession, dir: String): DataFrame = {
+    val path = corpusRoots.computeIfAbsent(dir, _ => {
+      val p = TempDirs.create("graft_corpus")
+      IndexBuild.assignDocIds(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)))
+        .select("doc_id", "text", "role")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
 
-  /** Same corpus carrying the role attribute (fq / facet gates). */
-  private def transcriptCorpusAttrs(s: SparkSession, dir: String): DataFrame =
-    IndexBuild.assignDocIds(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)))
-      .select("doc_id", "text", "role")
+  private def transcriptCorpus(s: SparkSession, dir: String): DataFrame =
+    transcriptCorpusAttrs(s, dir).select("doc_id", "text")
 
   /** Memoized persisted index over the transcripts derived from `dir` —
     * built once per sfDir per JVM so Verify's index-path queries share it. */
   private val builtIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def indexFor(s: SparkSession, dir: String): IndexSearch.OpenIndex = {
     val root = builtIndexes.computeIfAbsent(dir, _ => {
-      val r = java.nio.file.Files.createTempDirectory("graft_vidx").toString
+      val r = TempDirs.create("graft_vidx")
       BuildIndexJob.run(s, Transcripts.fromDocuments(s, dir), r, s"verify-$dir",
         BuildIndexJob.Config(numShards = 8))
       r
@@ -71,31 +91,35 @@ object SparkEntry {
     * mirrors the same arithmetic ([[Oracle.mergedTranscriptsCorpus]]), so
     * the merged index's BM25 answers are oracle-checkable end to end. */
   private val mergeOldRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def mergedIndex(s: SparkSession, dir: String, tombstoned: Boolean): String = {
-    val d = s.read.parquet(s"$dir/documents.parquet")
-    val n = d.count()
-    val oldRoot = mergeOldRoots.computeIfAbsent(dir, _ => {
-      val r = java.nio.file.Files.createTempDirectory("graft_mold").toString
-      BuildIndexJob.run(s,
-        Transcripts.fromDocumentsDf(d.where(col("doc_id") < n * 4 / 5)),
-        r, "merge-old", BuildIndexJob.Config(numShards = 8))
-      r
+  private val mergedRoots = new java.util.concurrent.ConcurrentHashMap[(String, Boolean), String]()
+  private def mergedIndex(s: SparkSession, dir: String, tombstoned: Boolean): String =
+    // memoized per (dir, tombstoned): repeated Verify/Bench runs in one JVM
+    // previously re-paid the full merge per invocation (round-2 advice)
+    mergedRoots.computeIfAbsent((dir, tombstoned), _ => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count()
+      val oldRoot = mergeOldRoots.computeIfAbsent(dir, _ => {
+        val r = TempDirs.create("graft_mold")
+        BuildIndexJob.run(s,
+          Transcripts.fromDocumentsDf(d.where(col("doc_id") < n * 4 / 5)),
+          r, "merge-old", BuildIndexJob.Config(numShards = 8))
+        r
+      })
+      val newBatch = Transcripts.fromDocumentsDf(
+        d.where(col("doc_id") >= n * 3 / 4)
+          .withColumn("text",
+            when(col("doc_id") < n * 4 / 5, concat(col("text"), lit(" upserted")))
+              .otherwise(col("text"))))
+      import s.implicits._
+      val tombstones =
+        if (!tombstoned) Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+        else Transcripts.fromDocumentsDf(d.where(pmod(col("doc_id"), lit(97)) === 0))
+          .select("conv_id", "turn_idx")
+      val newRoot = TempDirs.create("graft_mnew")
+      IndexMerge.run(s, oldRoot, newBatch, tombstones, newRoot, "merge-gate",
+        BuildIndexJob.Config(numShards = 8))
+      newRoot
     })
-    val newBatch = Transcripts.fromDocumentsDf(
-      d.where(col("doc_id") >= n * 3 / 4)
-        .withColumn("text",
-          when(col("doc_id") < n * 4 / 5, concat(col("text"), lit(" upserted")))
-            .otherwise(col("text"))))
-    import s.implicits._
-    val tombstones =
-      if (!tombstoned) Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
-      else Transcripts.fromDocumentsDf(d.where(pmod(col("doc_id"), lit(97)) === 0))
-        .select("conv_id", "turn_idx")
-    val newRoot = java.nio.file.Files.createTempDirectory("graft_mnew").toString
-    IndexMerge.run(s, oldRoot, newBatch, tombstones, newRoot, "merge-gate",
-      BuildIndexJob.Config(numShards = 8))
-    newRoot
-  }
 
   /** Streamed segmented index over the sfDir transcripts: three disjoint
     * doc-id thirds land as flat parquet files, Structured Streaming
@@ -105,7 +129,7 @@ object SparkEntry {
   private val streamRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def streamedIndex(s: SparkSession, dir: String): String =
     streamRoots.computeIfAbsent(dir, _ => {
-      def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+      def tmp(p: String) = TempDirs.create(p)
       val d = s.read.parquet(s"$dir/documents.parquet")
       val n = d.count()
       val in = tmp("graft_sin")
@@ -143,6 +167,8 @@ object SparkEntry {
     * full pipeline — build persisted index, block-max WAND top-10. */
   def entry(spark: SparkSession): DataFrame =
     IndexSearch.searchWand(indexFor(spark, "/root/testdata/sf0.001"), DisjQueries)
+
+  private val compactRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -258,10 +284,14 @@ object SparkEntry {
         cfg = BuildIndexJob.Config(numShards = 8))),
     // U1 at scale: compaction of the streamed segments back to a unified
     // global-id index — same oracle as any full-corpus BM25 query
+    // (memoized: the compacted index is deterministic per sfDir)
     "q_segments_compact" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_scomp").toString
-      graft.index.SegmentedIndex.compact(s, streamedIndex(s, dir), out,
-        "compact-gate", BuildIndexJob.Config(numShards = 8))
+      val out = compactRoots.computeIfAbsent(dir, _ => {
+        val o = TempDirs.create("graft_scomp")
+        graft.index.SegmentedIndex.compact(s, streamedIndex(s, dir), o,
+          "compact-gate", BuildIndexJob.Config(numShards = 8))
+        o
+      })
       IndexSearch.search(IndexSearch.open(s, out), DisjQueries)
     }),
     // S2 + FIXTURES §C: the frozen 50-query reference set, read from the
@@ -301,6 +331,19 @@ object SparkEntry {
     // Solr facet.field over the match set
     "q_facet_role" -> ((s, dir) =>
       Search.facetCounts(transcriptCorpusAttrs(s, dir), DisjQueries, "role")),
+    // Solr fq over the PERSISTED index (production query path): semi-join
+    // against the pruned docs/ attribute scan, full-corpus scoring stats
+    "q_bm25_fq_index" -> ((s, dir) => IndexSearch.searchFiltered(
+      indexFor(s, dir), DisjQueries, col("role") === "user")),
+    // Solr facet.field over the persisted index's match set
+    "q_facet_role_index" -> ((s, dir) =>
+      IndexSearch.facetCounts(indexFor(s, dir), DisjQueries, "role")),
+    // Boolean NOT (q=a -b), inline exhaustive path
+    "q_bm25_not" -> ((s, dir) =>
+      Search.searchCorpusBoolean(transcriptCorpus(s, dir), NotQueries)),
+    // Boolean NOT over the persisted index
+    "q_bm25_not_index" -> ((s, dir) =>
+      IndexSearch.searchBoolean(indexFor(s, dir), NotQueries)),
     // G7: rollup diagnostics (corpus profile by lang × source); grouping()
     // relabels the rollup's nulls so both engines emit 'ALL'
     "q_corpus_cube" -> ((s, dir) => {
@@ -360,5 +403,9 @@ object SparkEntry {
     "q_dedup_embedding" -> OracleOps.embeddingPairs(0.42),
     "q_term_tf_stopped" -> OracleOps.termTfStopped(TextOps.LangMarkers.head._2),
     "q_bm25_fq" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
-    "q_facet_role" -> Oracle.facetCounts(DisjQueries, "role"))
+    "q_facet_role" -> Oracle.facetCounts(DisjQueries, "role"),
+    "q_bm25_fq_index" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
+    "q_facet_role_index" -> Oracle.facetCounts(DisjQueries, "role"),
+    "q_bm25_not" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10),
+    "q_bm25_not_index" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10))
 }

@@ -76,8 +76,17 @@ object IndexBuild {
       }
     turns
       .select(col("conv_id"), col("turn_idx")).distinct()
-      .repartitionByRange(parts, col("conv_id"), col("turn_idx"))
-      .sortWithinPartitions("conv_id", "turn_idx")
+      // null ordering pinned NULLS LAST on both the range boundaries and
+      // the within-partition sort: Spark defaults NULLS FIRST while the
+      // DuckDB oracle's row_number ORDER BY defaults NULLS LAST — a null
+      // key would otherwise receive a different dense id per engine
+      // (latent today: ingest-derived keys are never null, but the <=>
+      // join below deliberately preserves null keys, so their order is
+      // pinned too rather than left engine-dependent)
+      .repartitionByRange(parts, col("conv_id").asc_nulls_last,
+        col("turn_idx").asc_nulls_last)
+      .sortWithinPartitions(col("conv_id").asc_nulls_last,
+        col("turn_idx").asc_nulls_last)
       .withColumn("_mid", monotonically_increasing_id())
       .write.mode("overwrite").parquet(staging)
     val staged = spark.read.parquet(staging)
@@ -94,8 +103,9 @@ object IndexBuild {
         col("_offset") + col("_mid").bitwiseAND(lit((1L << 33) - 1)))
       .select(col("conv_id").as("_kc"), col("turn_idx").as("_kt"), col("doc_id"))
     // null-SAFE key equality: a row with a null conv_id/turn_idx must keep
-    // its id (plain equi-join would silently drop it; distinct() above and
-    // the oracle's row_number both treat null keys as ordinary values)
+    // its id (plain equi-join would silently drop it; distinct() above
+    // keeps null keys as ordinary values, and the sort above pins their
+    // position to the oracle's NULLS LAST)
     turns
       .join(keymap, turns("conv_id") <=> col("_kc") && turns("turn_idx") <=> col("_kt"))
       .drop("_kc", "_kt")

@@ -51,39 +51,99 @@ object IndexSearch {
       BuildIndexJob.readStats(spark, p, io), spark, io)
   }
 
-  def search(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
-             conjunctive: Boolean = false): DataFrame = {
+  /** Decoded posting rows of the given (query_id, term) pairs, pruned to
+    * the shards those terms hash to: (query_id, term, df, doc_id, tf, dl).
+    * The shared scan under exhaustive scoring, filtering, faceting, and
+    * NOT-exclusion. */
+  private def matchedPostings(idx: OpenIndex, qt: DataFrame): DataFrame = {
     val spark = idx.spark
-    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
     // tiny join: |distinct query terms| rows
     val qd = qt.join(idx.dictionary, "term")
       .select("query_id", "term", "df", "shard")
     // driver boundary: the set of shards the query touches (≤ |q| ints)
     val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
-    if (shards.isEmpty) {
-      return Search.rank(
-        qd.select(col("query_id"), lit(0L).as("doc_id"),
-          lit(0.0).as("_score")).limit(0), k)
-    }
+    if (shards.isEmpty)
+      return PostingBlocks.decodePostings(
+        idx.io.read(spark, idx.paths.postings).limit(0)
+          .join(broadcast(qd.select("query_id", "term", "df")), Seq("term")))
     val blocks = idx.io.read(spark, idx.paths.postings)
       .where(col("shard").isin(shards: _*))
       .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
-    val postings = PostingBlocks.decodePostings(blocks)
-    val scored = postings
+    PostingBlocks.decodePostings(blocks)
+  }
+
+  /** Pre-rank per-(query, doc) scores over the persisted index — the
+    * index-side twin of [[Search.scoredDocs]]. */
+  private def scoredDocs(idx: OpenIndex, qt: DataFrame,
+                         conjunctive: Boolean): DataFrame = {
+    val scored = matchedPostings(idx, qt)
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
         lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_score"), count(lit(1)).as("_n_matched"))
-    val filtered =
-      if (!conjunctive) scored
-      else {
-        // all analyzed query terms, pre-dictionary — Lucene MUST semantics
-        // (out-of-vocabulary required term ⇒ no matches)
-        val nq = qt.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
-        scored.join(broadcast(nq), "query_id")
-          .where(col("_n_matched") === col("_n_q"))
-      }
-    Search.rank(filtered, k)
+    if (!conjunctive) scored
+    else {
+      // all analyzed query terms, pre-dictionary — Lucene MUST semantics
+      // (out-of-vocabulary required term ⇒ no matches)
+      val nq = qt.groupBy("query_id").agg(count(lit(1)).as("_n_q"))
+      scored.join(broadcast(nq), "query_id")
+        .where(col("_n_matched") === col("_n_q"))
+    }
+  }
+
+  def search(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
+             conjunctive: Boolean = false): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    Search.rank(scoredDocs(idx, qt, conjunctive), k)
+  }
+
+  /** Boolean NOT over the persisted index (Solr `q=a -b`): scores come
+    * from the positive clauses only; any doc matching a negative term is
+    * excluded via left-anti against the negative terms' (shard-pruned)
+    * match set. Lucene semantics: a pure-negative query matches nothing
+    * (no positive clause ⇒ no scored docs). */
+  def searchBoolean(idx: OpenIndex, queries: Seq[(Int, String)],
+                    k: Int = 10): DataFrame = {
+    val spark = idx.spark
+    val (pos, neg) = Search.parseNotQueries(spark, queries)
+    val scored = scoredDocs(idx, Search.queryTerms(pos), conjunctive = false)
+    val negMatch = matchedPostings(idx, neg)
+      .select("query_id", "doc_id").distinct()
+    Search.rank(scored.join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+  }
+
+  /** Solr `fq` over the persisted index: the predicate (over the stored
+    * doc attributes in `docs/`) restricts RESULTS only — scores, df, and
+    * avgdl remain those of the full corpus, exactly like
+    * [[Search.searchCorpusFiltered]]. The docs scan is column-pruned to
+    * (doc_id + the filter's columns) and left-semi-joined, so the filter
+    * costs one key-join against an attribute projection, never a second
+    * posting traversal. */
+  def searchFiltered(idx: OpenIndex, queries: Seq[(Int, String)],
+                     filter: org.apache.spark.sql.Column, k: Int = 10,
+                     conjunctive: Boolean = false): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val keep = idx.io.read(idx.spark, idx.paths.docs)
+      .where(filter).select("doc_id")
+    Search.rank(
+      scoredDocs(idx, qt, conjunctive).join(keep, Seq("doc_id"), "left_semi"), k)
+  }
+
+  /** Solr `facet.field` over the persisted index's match set: per
+    * (query, facet value) doc counts — every doc matching ≥1 query term
+    * counts once. Facet values come from the persisted `docs/` attributes
+    * (column-pruned scan). */
+  def facetCounts(idx: OpenIndex, queries: Seq[(Int, String)],
+                  facetCol: String): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val matched = matchedPostings(idx, qt)
+      .select("query_id", "doc_id").distinct()
+    val attrs = idx.io.read(idx.spark, idx.paths.docs)
+      .select(col("doc_id"), col(facetCol))
+    matched.join(attrs, "doc_id")
+      .groupBy("query_id", facetCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id", facetCol)
   }
 
   /** Block-max WAND fast path (disjunctive top-k). Same output as

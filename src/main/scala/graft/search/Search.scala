@@ -32,6 +32,47 @@ object Search {
         explode(Analyzer.tokens(col("text"))).as("term"))
       .distinct()
 
+  /** Boolean NOT syntax (Solr/Lucene `q=a -b`): whitespace-separated
+    * clauses beginning with '-' are negative; the shared analyzer runs on
+    * each clause body (so `-Key-Value` excludes both `key` and `value`).
+    * Returns (positiveText, negativeTerms). Driver-side — queries are a
+    * tiny literal set. */
+  def parseNot(text: String): (String, Seq[String]) = {
+    val clauses = text.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (neg, pos) = clauses.partition(c => c.startsWith("-") && c.length > 1)
+    (pos.mkString(" "), neg.flatMap(c => Analyzer.tokenize(c.substring(1))).distinct)
+  }
+
+  /** Split a boolean query set into the positive query frame and the
+    * (query_id, term) negative-term frame. */
+  def parseNotQueries(spark: SparkSession,
+                      queries: Seq[(Int, String)]): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val parsed = queries.map { case (id, t) => (id, parseNot(t)) }
+    val pos = queryFrame(spark, parsed.map { case (id, (p, _)) => (id, p) })
+    val neg = parsed.flatMap { case (id, (_, ns)) => ns.map(n => (id, n)) }
+      .toDF("query_id", "term")
+    (pos, neg)
+  }
+
+  /** Inline boolean-NOT search (Solr `q=a -b` semantics): positives score
+    * as usual; docs matching any of a query's negative terms are excluded
+    * by a left-anti join on the negative match set. A pure-negative query
+    * matches nothing (Lucene: no positive clause ⇒ empty). */
+  def searchCorpusBoolean(corpus: DataFrame, queries: Seq[(Int, String)],
+                          k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    val (pos, neg) = parseNotQueries(spark, queries)
+    val occ = IndexBuild.termOccurrences(corpus)
+    val dl = IndexBuild.docLengths(occ)
+    val tf = IndexBuild.termFrequencies(occ)
+    val scored = scoredDocs(pos, IndexBuild.tfWithDl(tf, dl),
+      IndexBuild.dictionary(tf), IndexBuild.stats(dl))
+    val negMatch = tf.join(broadcast(neg), "term")
+      .select("query_id", "doc_id").distinct()
+    rank(scored.join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+  }
+
   /** Exhaustive BM25 top-k from the scoring relation.
     *
     * @param tfdl (term, doc_id, tf, dl) — the denormalized posting rows
