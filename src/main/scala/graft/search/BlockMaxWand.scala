@@ -142,9 +142,18 @@ object BlockMaxWand {
     * doc-range-parallel search ([[IndexSearch.searchWand]]). BM25 is
     * additive per doc and every doc lives in exactly one range, so the
     * global top-k is exactly the top-k of the union of per-range top-k's
-    * under the same pinned ordering (rank-merge, no score recombination). */
+    * under the same pinned ordering (rank-merge, no score recombination).
+    *
+    * `seed` is an optional LOWER bound on the final global k-th best raw
+    * score (e.g. the k-th largest block-max of any single term — k
+    * distinct docs each achieve their block's max from that term alone,
+    * and other terms only add). Seeding starts θ there instead of −∞, so
+    * early blocks get skipped too; docs scoring below the seed can be
+    * missed, which is safe because they cannot enter the GLOBAL top-k that
+    * the per-range results rank-merge into. */
   def topKRange(terms: Seq[TermPostings], k: Int, nDocs: Long,
-                avgdl: Double, lo: Long, hi: Long): Seq[(Long, Double)] = {
+                avgdl: Double, lo: Long, hi: Long,
+                seed: Double = Double.NegativeInfinity): Seq[(Long, Double)] = {
     if (terms.isEmpty || k <= 0) return Seq.empty
     val cursors = terms.map(t => new Cursor(t, nDocs, avgdl, lo, hi)).toArray
 
@@ -157,7 +166,8 @@ object BlockMaxWand {
     val pool = scala.collection.mutable.PriorityQueue.empty[(Long, Double)]
     // θ uses the RAW score of the rounded-worst member: within 1e-7 of the
     // true raw minimum, absorbed by the Eps margin.
-    def theta: Double = if (pool.size < k) Double.NegativeInfinity else pool.head._2
+    def theta: Double =
+      math.max(seed, if (pool.size < k) Double.NegativeInfinity else pool.head._2)
 
     val order = cursors.indices.toArray
     val cmp: java.util.Comparator[Integer] = (a: Integer, b: Integer) =>

@@ -3,7 +3,7 @@ package graft.search
 import graft.index.{BuildIndexJob, PostingBlocks}
 import graft.index.BuildIndexJob.IndexPaths
 import graft.index.IndexBuild.Stats
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Query path over the PERSISTED index (SURVEY.md §3.2):
@@ -146,44 +146,130 @@ object IndexSearch {
       .orderBy("query_id", facetCol)
   }
 
-  /** Block-max WAND fast path (disjunctive top-k). Same output as
-    * [[search]] — the WandSpec property.
+  /** A term's block spanning more ranges than this is treated as "global"
+    * in the range-prune bound (its max adds to EVERY range's upper bound)
+    * instead of being exploded per spanned range — bounding the prune
+    * pass's own metadata fan-out the same way precise routing bounds the
+    * block fan-out. */
+  private final val GlobalSpanRanges = 64
+
+  /** Candidate blocks for the WAND traversal, routed per (query, range),
+    * plus the per-query θ seed. Exposed for WandSpec's block-count
+    * assertion; `prune=false` disables the θ-seed range prune (routing
+    * stays precise).
     *
-    * Parallelism is across (query, doc-range) pairs, NOT one task per
-    * query: the corpus doc-id space splits into fixed ranges of
-    * `docsPerRange`, each candidate block routes to every range it
-    * overlaps, the range-bounded WAND traversal
-    * ([[BlockMaxWand.topKRange]]) produces that range's exact top-k, and
-    * the per-range top-k's rank-merge globally through the same pinned
-    * ordering ([[Search.rank]] — a window over ≤ ranges×k candidate rows
-    * per query). Exactness: BM25 is additive per doc, every doc lives in
-    * exactly one range, and a doc in the global top-k is necessarily in
-    * its range's top-k. This removes both round-1 scale hazards: the
-    * single-task fan-in per query and the unbounded `rows.toVector`
-    * (now bounded by the range width). */
-  def searchWand(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
-                 docsPerRange: Long = DefaultDocsPerRange): DataFrame = {
+    * ROUTING is precise (round-2 advice): a block ships only to ranges
+    * that actually CONTAIN one of its postings — the doc ids are decoded
+    * map-side (codegen'd varint expression, pre-shuffle) and distinct
+    * range ids exploded, so a sparse term's block spanning the whole doc
+    * space shuffles to ≤ block_len ranges, not nDocs/rangeSize.
+    *
+    * PRUNING (dictionary/block max-score at query time): θ_seed(q) = the
+    * largest over q's terms of the k-th largest block_max_score of that
+    * term — k distinct docs (blocks of one term are doc-disjoint) each
+    * achieve their block's max from that term alone and other terms only
+    * add, so θ_seed is a true lower bound on the final k-th best raw
+    * score. A (query, range) group whose upper bound — Σ over terms of the
+    * term's max block-max among blocks overlapping the range (span-based,
+    * an over-estimate of the precise routing) — falls below θ_seed − Eps
+    * cannot produce a global top-k doc and ships nothing. On a hot+rare
+    * query the rare term's high seed erases the hot term's blocks
+    * everywhere the rare term is absent. Both passes are metadata-only
+    * (columnar scan of the pruned shards, no binary columns). Skipped when
+    * the corpus has a single range (sandbox scale): zero extra jobs. */
+  private[graft] def wandBlocks(idx: OpenIndex, queries: Seq[(Int, String)],
+                                k: Int, docsPerRange: Long,
+                                prune: Boolean = true)
+      : Option[(org.apache.spark.sql.Dataset[QBlockRow], Map[Int, Double], Long)] = {
     val spark = idx.spark
     import spark.implicits._
     val qt = Search.queryTerms(Search.queryFrame(spark, queries))
     val qd = qt.join(idx.dictionary, "term")
       .select("query_id", "term", "df", "shard")
     val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
-    if (shards.isEmpty)
-      return Seq.empty[ResultRow].toDF()
-        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    if (shards.isEmpty) return None
     val rangeSize = math.max(1L, math.min(docsPerRange, idx.stats.nDocs))
-    val blocks = idx.io.read(spark, idx.paths.postings)
+    val nRanges = (idx.stats.nDocs + rangeSize - 1) / rangeSize
+    val base = idx.io.read(spark, idx.paths.postings)
       .where(col("shard").isin(shards: _*))
       .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
-      .withColumn("range_id", explode(sequence(
-        expr(s"CAST(first_doc DIV $rangeSize AS INT)"),
-        expr(s"CAST(last_doc DIV $rangeSize AS INT)"))))
+    // exact integer range id: (d - d mod rs) / rs — the numerator is an
+    // exact multiple of rs, so the double division is exact (plain d / rs
+    // can cross an integer boundary for huge doc ids)
+    def rangeOf(c: Column): Column =
+      ((c - pmod(c, lit(rangeSize))) / lit(rangeSize)).cast("int")
+    val routed0 = base.withColumn("range_id",
+      explode(array_distinct(transform(
+        graft.index.codec.varintDeltaDecode(col("doc_gaps")), d => rangeOf(d)))))
+
+    val (routed, seeds) =
+      if (!prune || nRanges <= 1) (routed0, Map.empty[Int, Double])
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val wqt = Window.partitionBy("query_id", "term")
+          .orderBy(col("block_max_score").desc)
+        val seedMap = base.select("query_id", "term", "block_max_score")
+          .withColumn("_r", row_number().over(wqt))
+          .where(col("_r") === k) // k-th largest block max of the term
+          .groupBy("query_id").agg(max("block_max_score").as("_seed"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        if (seedMap.isEmpty) (routed0, seedMap)
+        else {
+          val meta = base.select(col("query_id"), col("term"),
+            col("block_max_score"),
+            rangeOf(col("first_doc")).as("_r0"), rangeOf(col("last_doc")).as("_r1"))
+          val local = meta.where(col("_r1") - col("_r0") < lit(GlobalSpanRanges))
+            .withColumn("range_id", explode(sequence(col("_r0"), col("_r1"))))
+            .groupBy("query_id", "range_id", "term")
+            .agg(max("block_max_score").as("_m"))
+            .groupBy("query_id", "range_id").agg(sum("_m").as("_lb"))
+          val global = meta.where(col("_r1") - col("_r0") >= lit(GlobalSpanRanges))
+            .groupBy("query_id", "term").agg(max("block_max_score").as("_m"))
+            .groupBy("query_id").agg(sum("_m").as("_gb"))
+          val seedsDf = seedMap.toSeq.toDF("query_id", "_seed")
+          val kept = routed0
+            .join(broadcast(local), Seq("query_id", "range_id"), "left")
+            .join(broadcast(global), Seq("query_id"), "left")
+            .join(broadcast(seedsDf), Seq("query_id"), "left")
+            .where(coalesce(col("_lb"), lit(0.0)) + coalesce(col("_gb"), lit(0.0)) >=
+              coalesce(col("_seed"), lit(Double.NegativeInfinity)) - lit(BlockMaxWand.Eps))
+            .drop("_lb", "_gb", "_seed")
+          (kept, seedMap)
+        }
+      }
+    val ds = routed
       .select(col("query_id"), col("range_id"), col("term"), col("df"),
         col("first_doc"), col("last_doc"), col("doc_gaps"), col("tfs"),
         col("dls"), col("block_max_score"))
       .as[QBlockRow]
-    val (nDocs, avgdl, kk, rs) = (idx.stats.nDocs, idx.stats.avgdl, k, rangeSize)
+    Some((ds, seeds, rangeSize))
+  }
+
+  /** Block-max WAND fast path (disjunctive top-k). Same output as
+    * [[search]] — the WandSpec property.
+    *
+    * Parallelism is across (query, doc-range) pairs, NOT one task per
+    * query: the corpus doc-id space splits into fixed ranges of
+    * `docsPerRange`, each candidate block routes PRECISELY to the ranges
+    * containing its postings (see [[wandBlocks]]), the range-bounded WAND
+    * traversal ([[BlockMaxWand.topKRange]]) produces that range's exact
+    * top-k seeded with the per-query θ lower bound, and the per-range
+    * top-k's rank-merge globally through the same pinned ordering
+    * ([[Search.rank]] — a window over ≤ ranges×k candidate rows per
+    * query). Exactness: BM25 is additive per doc, every doc lives in
+    * exactly one range, and a doc in the global top-k is necessarily in
+    * its range's top-k under the pinned order; the θ seed and the range
+    * prune only ever discard docs provably below the final k-th score. */
+  def searchWand(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
+                 docsPerRange: Long = DefaultDocsPerRange): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val planned = wandBlocks(idx, queries, k, docsPerRange)
+    if (planned.isEmpty)
+      return Seq.empty[ResultRow].toDF()
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    val (blocks, seeds, rs) = planned.get
+    val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, k)
     val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
       .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
         val (qid, rid) = key
@@ -196,7 +282,8 @@ object IndexSearch {
               r.block_max_score, r.doc_gaps, r.tfs, r.dls)).toArray)
         }.toSeq
         val lo = rid.toLong * rs
-        BlockMaxWand.topKRange(terms, kk, nDocs, avgdl, lo, lo + rs)
+        val seed = seeds.getOrElse(qid, Double.NegativeInfinity)
+        BlockMaxWand.topKRange(terms, kk, nDocs, avgdl, lo, lo + rs, seed)
           .iterator.map { case (doc, s) => (qid, doc, s) }
       }
       .toDF("query_id", "doc_id", "_score")

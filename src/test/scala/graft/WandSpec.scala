@@ -137,4 +137,26 @@ class WandSpec extends SparkSpec {
       }
     }
   }
+
+  test("θ-seed range prune ships fewer blocks on hot and hot+rare queries") {
+    val root = java.nio.file.Files.createTempDirectory("graftwprune").toString
+    BuildIndexJob.run(spark, Transcripts.synthetic(spark, 300), root, "w2",
+      BuildIndexJob.Config(numShards = 8, blockSize = 16, saltTarget = 64))
+    val idx = IndexSearch.open(spark, root)
+    val queries = Seq(1 -> "w1", 2 -> "w1 zzzrareone")
+    val rs = 64L
+    val Some((pruned, seeds, _)) =
+      IndexSearch.wandBlocks(idx, queries, 10, rs, prune = true)
+    val Some((unpruned, _, _)) =
+      IndexSearch.wandBlocks(idx, queries, 10, rs, prune = false)
+    val (np, nu) = (pruned.count(), unpruned.count())
+    assert(seeds.nonEmpty, "hot term has > k blocks — a θ seed must exist")
+    assert(np < nu, s"range prune shipped no fewer blocks: $np vs $nu")
+    // and the pruned multi-range answer is still exactly the exhaustive one
+    val exh = IndexSearch.search(idx, queries, k = 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val wand = IndexSearch.searchWand(idx, queries, k = 10, docsPerRange = rs)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(wand == exh)
+  }
 }
