@@ -35,7 +35,12 @@ object BuildIndexJob {
       numShards: Int = 32,
       blockSize: Int = PostingBlocks.DefaultBlockSize,
       saltTarget: Int = PostingBlocks.DefaultSaltTarget,
-      io: TableIO = ParquetTableIO)
+      io: TableIO = ParquetTableIO,
+      // rows per key-hash bucket of a segment's keymeta sidecar
+      // ([[SegmentedIndex]]): bucket count scales with segment size, so a
+      // small batch's append prunes its old-metadata read to O(batch)
+      // buckets regardless of how big older segments have grown
+      keymetaBucketRows: Long = 1L << 18)
 
   final case class IndexPaths(root: String) {
     val docs = s"$root/docs"

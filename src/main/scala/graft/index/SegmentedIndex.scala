@@ -2,7 +2,7 @@ package graft.index
 
 import graft.search.{Bm25, Search}
 import graft.sources.Fs
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,13 +85,56 @@ object SegmentedIndex {
       .reduceOption(_ unionByName _)
       .getOrElse(emptyTombstones(spark))
 
-  /** Older-segment doc metadata (seg ordinal, key, dl) — column-pruned,
-    * never touches text or postings. */
-  private def segDocsMeta(spark: SparkSession, root: String, m: Manifest,
-                          cfg: BuildIndexJob.Config): Option[DataFrame] =
+  private def keyBucket(kb: Int): Column =
+    pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(kb)).cast("int")
+
+  /** Write a segment's keymeta sidecar: (conv_id, turn_idx, dl) partitioned
+    * by a key-hash bucket column whose COUNT scales with the segment's
+    * size (cfg.keymetaBucketRows rows per bucket). Appends prune their
+    * old-metadata scan to the batch's buckets — per segment that is
+    * ≤ min(|batch|, buckets) × bucketRows rows read, i.e. O(batch) with a
+    * constant factor of bucketRows × (segment count, bounded by
+    * compaction), instead of the round-2 O(total corpus) re-scan per
+    * micro-batch. Plain parquet (an internal acceleration structure
+    * derived from `docs/`, rebuildable, not a table-format artifact). */
+  private def writeKeymeta(spark: SparkSession, sp: String, segDocs: Long,
+                           cfg: BuildIndexJob.Config): Unit = {
+    val kb = math.max(1L, math.min(4096L,
+      (segDocs + cfg.keymetaBucketRows - 1) / cfg.keymetaBucketRows)).toInt
+    cfg.io.read(spark, s"$sp/docs")
+      .select(col("conv_id"), col("turn_idx"), col("dl"))
+      .withColumn("kb", keyBucket(kb))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$sp/keymeta")
+    Fs.writeString(spark, s"$sp/keymeta/_NBUCKETS", kb.toString)
+  }
+
+  private def keymetaBuckets(spark: SparkSession, sp: String): Option[Int] = {
+    val p = s"$sp/keymeta/_NBUCKETS"
+    if (Fs.exists(spark, p)) Some(Fs.readString(spark, p).trim.toInt) else None
+  }
+
+  /** Older-segment doc metadata (seg ordinal, key, dl) restricted to rows
+    * whose key COULD be in `keys`: each segment's keymeta read prunes to
+    * the key-hash buckets the batch touches (partition pruning on the
+    * bucket directory column — the same trick as the term shards).
+    * Segments without a keymeta sidecar (pre-upgrade) fall back to the
+    * full docs metadata scan. */
+  private def segDocsMetaFor(spark: SparkSession, root: String, m: Manifest,
+                             keys: DataFrame,
+                             cfg: BuildIndexJob.Config): Option[DataFrame] =
     m.segments.zipWithIndex.map { case (seg, ord) =>
-      cfg.io.read(spark, s"${segPath(root, seg)}/docs")
-        .select(col("conv_id"), col("turn_idx"), col("dl"))
+      val sp = segPath(root, seg)
+      val base = keymetaBuckets(spark, sp) match {
+        case Some(kb) =>
+          // driver boundary: ≤ min(|batch keys|, kb) bucket ids
+          val touched = keys.select(keyBucket(kb).as("kb")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val km = spark.read.parquet(s"$sp/keymeta")
+          if (touched.size < kb) km.where(col("kb").isin(touched: _*)) else km
+        case None =>
+          cfg.io.read(spark, s"$sp/docs")
+      }
+      base.select(col("conv_id"), col("turn_idx"), col("dl"))
         .withColumn("seg_ord", lit(ord))
     }.reduceOption(_ unionByName _)
 
@@ -128,6 +171,7 @@ object SegmentedIndex {
       else {
         BuildIndexJob.run(spark, newRows, sp, segName, cfg)
         val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
+        writeKeymeta(spark, sp, st.nDocs, cfg)
         (st.nDocs, st.totalTokens)
       }
 
@@ -136,34 +180,39 @@ object SegmentedIndex {
     // persisted as tombstones — disjoint batches write zero tombstone rows.
     // Each append owns its tombstone dir (overwrite ⇒ crash-replay safe);
     // the dir becomes visible only through the manifest commit below.
-    val (killedN, killedTokens, wroteTombs) = segDocsMeta(spark, root, old, cfg) match {
-      case None => (0L, 0L, false)
-      case Some(olderMeta) =>
+    val (killedN, killedTokens, wroteTombs) =
+      if (old.segments.isEmpty) (0L, 0L, false)
+      else {
+        // cached: the batch's key set drives per-segment bucket pruning
+        // (one tiny job per segment) AND the kill scan below
         val tombKeys = ingested.select(Key.map(col): _*)
-          .unionByName(delKeys).distinct()
-        val oldTombs = readTombstones(spark, root, old)
-        // cached: the subtree re-reads every older segment's docs metadata
-        // — it feeds the stats aggregate AND the tombstone write (one scan,
-        // not one per action)
-        val killed = liveFilter(olderMeta, oldTombs)
-          .join(tombKeys, Key, "left_semi")
-          .select(col("conv_id"), col("turn_idx"),
-            when(col("dl") > 0, col("dl")).otherwise(lit(0)).as("dl"),
-            (col("dl") > 0).cast("int").as("counted"))
-          .cache()
-        try {
-          val agg = killed.agg(
-            count(lit(1)),
-            coalesce(sum(col("counted")), lit(0L)).cast("long"),
-            coalesce(sum(col("dl").cast("long")), lit(0L)).cast("long")).head()
-          val any = agg.getLong(0) > 0
-          if (any)
-            killed.select(Key.map(col): _*).distinct()
-              .withColumn("upto", lit(ord))
-              .write.mode("overwrite").parquet(tombPath(root, segName))
-          (agg.getLong(1), agg.getLong(2), any)
-        } finally killed.unpersist()
-    }
+          .unionByName(delKeys).distinct().cache()
+        try segDocsMetaFor(spark, root, old, tombKeys, cfg) match {
+          case None => (0L, 0L, false)
+          case Some(olderMeta) =>
+            val oldTombs = readTombstones(spark, root, old)
+            // cached: feeds the stats aggregate AND the tombstone write
+            // (one scan, not one per action)
+            val killed = liveFilter(olderMeta, oldTombs)
+              .join(tombKeys, Key, "left_semi")
+              .select(col("conv_id"), col("turn_idx"),
+                when(col("dl") > 0, col("dl")).otherwise(lit(0)).as("dl"),
+                (col("dl") > 0).cast("int").as("counted"))
+              .cache()
+            try {
+              val agg = killed.agg(
+                count(lit(1)),
+                coalesce(sum(col("counted")), lit(0L)).cast("long"),
+                coalesce(sum(col("dl").cast("long")), lit(0L)).cast("long")).head()
+              val any = agg.getLong(0) > 0
+              if (any)
+                killed.select(Key.map(col): _*).distinct()
+                  .withColumn("upto", lit(ord))
+                  .write.mode("overwrite").parquet(tombPath(root, segName))
+              (agg.getLong(1), agg.getLong(2), any)
+            } finally killed.unpersist()
+        } finally tombKeys.unpersist()
+      }
 
     val m = Manifest(
       if (hasNewSeg) old.segments :+ segName else old.segments,
@@ -181,16 +230,45 @@ object SegmentedIndex {
     * the manifest. Disjunctive (OR) semantics. */
   def search(spark: SparkSession, root: String, queries: Seq[(Int, String)],
              k: Int = 10,
-             cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+             cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame =
+    searchParts(spark, root, queries, k, cfg, doCache = true) match {
+      case Left(empty) => empty
+      case Right((out, cached)) =>
+        // materialize eagerly (≤ |queries| × k rows — driver-safe by
+        // construction) so the cached posting relation can be dropped
+        // before returning; callers get a small local frame
+        try {
+          val rows = out.collect()
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+        } finally cached.unpersist()
+    }
+
+  /** The lazy, uncached plan — exposed so plan-shape tests can assert
+    * partition pruning on the executed plan (the public [[search]] returns
+    * a materialized local frame whose plan no longer shows the scans). */
+  private[graft] def searchPlan(spark: SparkSession, root: String,
+                                queries: Seq[(Int, String)], k: Int = 10,
+                                cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame =
+    searchParts(spark, root, queries, k, cfg, doCache = false)
+      .fold(identity, _._1)
+
+  private def searchParts(spark: SparkSession, root: String,
+                          queries: Seq[(Int, String)], k: Int,
+                          cfg: BuildIndexJob.Config, doCache: Boolean)
+      : Either[DataFrame, (DataFrame, DataFrame)] = {
     import spark.implicits._
     def empty = Seq.empty[(Int, Int, String, Int, Double)]
       .toDF("query_id", "rank", "conv_id", "turn_idx", "score")
-    val m = readManifest(spark, root).getOrElse(return empty)
-    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val m = readManifest(spark, root).getOrElse(return Left(empty))
+    if (m.segments.isEmpty || m.nDocs == 0) return Left(empty)
     val qt = Search.queryTerms(Search.queryFrame(spark, queries))
     val qTerms = qt.select("term").distinct()
     val tombs = readTombstones(spark, root, m)
 
+    // one driver-side dict probe + one Spark job per segment: fine because
+    // compaction bounds the segment count (the documented invariant — a
+    // long-running ingest calls compactInPlace every `compactEvery`
+    // batches, so this loop is O(compactEvery), never O(all appends ever)
     val perSeg = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
       val p = BuildIndexJob.IndexPaths(segPath(root, seg))
       val dict = cfg.io.read(spark, p.dictionary)
@@ -212,8 +290,12 @@ object SegmentedIndex {
             col("tf"), col("dl")))
       }
     }
-    if (perSeg.isEmpty) return empty
-    val all = perSeg.reduce(_ unionByName _)
+    if (perSeg.isEmpty) return Left(empty)
+    // cached (when doCache): the live tombstone-filtered decode feeds BOTH
+    // the df aggregate and the scoring join — without the cache the pruned
+    // decode of every segment executes twice per query batch (round-2 flag)
+    val all0 = perSeg.reduce(_ unionByName _)
+    val all = if (doCache) all0.cache() else all0
     // exact global df: one live (term, key) row per posting — count per term
     val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = all
@@ -226,11 +308,12 @@ object SegmentedIndex {
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("_score"), Bm25.RankScale).desc,
         col("conv_id").asc, col("turn_idx").asc)
-    scored.withColumn("rank", row_number().over(w))
+    val out = scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("conv_id"), col("turn_idx"),
         round(col("_score"), Bm25.OutScale).as("score"))
+    Right((out, all))
   }
 
   /** All live turns with their stored fields — the compaction input. */
@@ -283,6 +366,7 @@ object SegmentedIndex {
     // inside BuildIndexJob's docs stage, so the old dirs are only read
     BuildIndexJob.run(spark, liveTurns(spark, root, cfg), sp, segName, cfg)
     val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
+    writeKeymeta(spark, sp, st.nDocs, cfg)
     val m = Manifest(Seq(segName), Seq.empty, st.nDocs, st.totalTokens)
     writeManifest(spark, root, m)
     m

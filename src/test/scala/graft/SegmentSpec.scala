@@ -127,10 +127,51 @@ class SegmentSpec extends SparkSpec {
     val root = tmp()
     SegmentedIndex.append(spark, root, Transcripts.synthetic(spark, 60),
       noDeletes, "seg-a", cfg)
-    val plan = SegmentedIndex.search(spark, root, Seq(1 -> "w1"), cfg = cfg)
+    // searchPlan = the lazy plan (public search returns a materialized
+    // local frame whose plan no longer shows the scans)
+    val plan = SegmentedIndex.searchPlan(spark, root, Seq(1 -> "w1"), cfg = cfg)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("shard"),
       s"no shard pruning in segmented search plan:\n$plan")
+  }
+
+  test("append READS O(batch) old metadata — flat as the indexed corpus grows 4x") {
+    // keymeta bucket count scales with segment size (tiny bucketRows here),
+    // so a small batch's append must read ~the same bytes whether the old
+    // segment holds X or 4X docs — the round-2 scale-killer was O(corpus)
+    // metadata re-read per micro-batch.
+    val kcfg = cfg.copy(keymetaBucketRows = 32)
+    def bytesReadDuring(body: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        org.apache.spark.graftshim.TestShims.waitUntilListenerBusEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    val batch = Transcripts.synthetic(spark, 2000)
+      .where($"conv_id" >= "conv00001995") // ~5 convs ≈ tiny batch
+    val smallRoot = tmp()
+    SegmentedIndex.append(spark, smallRoot, Transcripts.synthetic(spark, 150),
+      noDeletes, "base", kcfg)
+    val bigRoot = tmp()
+    SegmentedIndex.append(spark, bigRoot, Transcripts.synthetic(spark, 600),
+      noDeletes, "base", kcfg)
+    val smallBytes = bytesReadDuring(
+      SegmentedIndex.append(spark, smallRoot, batch, noDeletes, "inc", kcfg))
+    val bigBytes = bytesReadDuring(
+      SegmentedIndex.append(spark, bigRoot, batch, noDeletes, "inc", kcfg))
+    // without bucket pruning bigBytes ≈ 4× smallBytes; with it the two
+    // appends read the same ~|batch| buckets (2× slack for parquet
+    // footers and bucket-size jitter)
+    assert(bigBytes < 2 * smallBytes,
+      s"append metadata read grew with corpus size: $smallBytes -> $bigBytes")
   }
 
   test("compact folds segments into a unified index ≡ full rebuild") {
