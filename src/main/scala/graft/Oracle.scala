@@ -207,6 +207,54 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchPhrase]] (Lucene PhraseQuery
+    * scoring: idf = Σ per-term idfs with duplicates counted, tf = exact
+    * phrase frequency). Token positions come from DuckDB's aligned
+    * parallel unnest (list + range of equal length); 1-based vs Spark's
+    * 0-based is irrelevant — only consecutive offsets matter. A phrase
+    * with an out-of-vocabulary term self-eliminates (its pf self-join
+    * matches nothing). */
+  def bm25Phrase(corpusSql: String, phrases: Seq[(Int, String)],
+                 k: Int): String = {
+    val parsed = phrases
+      .map { case (id, t) => (id, Analyzer.tokenize(t)) }
+      .filter(_._2.nonEmpty)
+    require(parsed.nonEmpty, "no non-empty phrases")
+    val pfSelects = parsed.map { case (id, terms) =>
+      val joins = (1 until terms.size).map { i =>
+        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i " +
+          s"AND p$i.term = '${esc(terms(i))}'"
+      }.mkString(" ")
+      s"""SELECT $id AS query_id, p0.doc_id AS doc_id, count(*)::INT AS pf
+         |  FROM ptoks p0 $joins
+         |  WHERE p0.term = '${esc(terms.head)}'
+         |  GROUP BY p0.doc_id""".stripMargin
+    }
+    val ptermValues = parsed.flatMap { case (id, ts) =>
+      ts.zipWithIndex.map { case (t, i) => s"($id, $i, '${esc(t)}')" }
+    }
+    s"""WITH ${indexCtes(corpusSql)},
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
+       |pterms(query_id, slot, term) AS (VALUES ${ptermValues.mkString(", ")}),
+       |idfs AS (SELECT query_id, sum(ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+       |         FROM pterms JOIN df USING (term) CROSS JOIN stats s GROUP BY query_id),
+       |pf AS (${pfSelects.mkString("\nUNION ALL\n")}),
+       |scored AS (
+       |  SELECT pf.query_id, pf.doc_id,
+       |         idfs.idf_sum * pf.pf / (pf.pf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS score
+       |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
+       |       JOIN idfs USING (query_id) CROSS JOIN stats s),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Full BM25 top-k oracle. */
   def bm25TopK(corpusSql: String, queries: Seq[(Int, String)], k: Int,
                conjunctive: Boolean): String = {

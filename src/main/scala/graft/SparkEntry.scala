@@ -33,6 +33,18 @@ object SparkEntry {
     2 -> "dup join",
     3 -> "key value filter sort group")
 
+  /** Phrase query set (zero-slop): real bigram/trigram phrases mined from
+    * the fixture ("order fast" appears in ~10% of docs), a phrase with an
+    * absent term (matches nothing), a single-term phrase (≡ the term
+    * query), and a duplicated-term phrase ("order order" — adjacency of
+    * the SAME term, the classic positional edge case). */
+  val PhraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "order fast",
+    2 -> "big order scan",
+    3 -> "the quick zzzmissing",
+    4 -> "window",
+    5 -> "order order")
+
   /** Boolean-NOT query set (Solr `q=a -b`): exclusion, multi-clause,
     * pure-negative (matches nothing), self-cancel, absent negative
     * (no-op), and analyzer-in-clause (`-Key-Value` excludes two terms). */
@@ -73,8 +85,10 @@ object SparkEntry {
   private def indexFor(s: SparkSession, dir: String): IndexSearch.OpenIndex = {
     val root = builtIndexes.computeIfAbsent(dir, _ => {
       val r = TempDirs.create("graft_vidx")
+      // positions ON: the shared index also serves the phrase gate; every
+      // non-phrase path ignores the extra stream (parquet column pruning)
       BuildIndexJob.run(s, Transcripts.fromDocuments(s, dir), r, s"verify-$dir",
-        BuildIndexJob.Config(numShards = 8))
+        BuildIndexJob.Config(numShards = 8, storePositions = true))
       r
     })
     IndexSearch.open(s, root)
@@ -344,6 +358,10 @@ object SparkEntry {
     // Boolean NOT over the persisted index
     "q_bm25_not_index" -> ((s, dir) =>
       IndexSearch.searchBoolean(indexFor(s, dir), NotQueries)),
+    // Exact phrase queries over positional postings (nested-varint
+    // positions stream per block; Lucene PhraseQuery scoring)
+    "q_bm25_phrase" -> ((s, dir) =>
+      IndexSearch.searchPhrase(indexFor(s, dir), PhraseQueries)),
     // G7: rollup diagnostics (corpus profile by lang × source); grouping()
     // relabels the rollup's nulls so both engines emit 'ALL'
     "q_corpus_cube" -> ((s, dir) => {
@@ -407,5 +425,6 @@ object SparkEntry {
     "q_bm25_fq_index" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
     "q_facet_role_index" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_not" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10),
-    "q_bm25_not_index" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10))
+    "q_bm25_not_index" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10),
+    "q_bm25_phrase" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus, PhraseQueries, 10))
 }

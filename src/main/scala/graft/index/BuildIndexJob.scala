@@ -40,7 +40,14 @@ object BuildIndexJob {
       // ([[SegmentedIndex]]): bucket count scales with segment size, so a
       // small batch's append prunes its old-metadata read to O(batch)
       // buckets regardless of how big older segments have grown
-      keymetaBucketRows: Long = 1L << 18)
+      keymetaBucketRows: Long = 1L << 18,
+      // keep token positions through the tf stage and store a per-block
+      // nested-varint positions stream alongside the postings (enables
+      // phrase queries, [[graft.search.IndexSearch.searchPhrase]]). OFF by
+      // default: ~doubles posting storage and the tf-stage shuffle, which
+      // a deployment without phrase search shouldn't pay (Lucene's
+      // omitTermFreqAndPositions trade, flag-inverted)
+      storePositions: Boolean = false)
 
   final case class IndexPaths(root: String) {
     val docs = s"$root/docs"
@@ -84,11 +91,25 @@ object BuildIndexJob {
       // aggregation exchange: no pre-write repartition, no shard
       // partitioning — the round-1 extra shuffle here bought nothing
       // downstream. Only `postings/` (query-facing) is shard-partitioned.
-      val tfdl = docs
-        .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(count(lit(1)).cast("int").as("tf"))
-        .select("term", "doc_id", "tf", "dl")
+      val tfdl =
+        if (!cfg.storePositions)
+          docs
+            .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(count(lit(1)).cast("int").as("tf"))
+            .select("term", "doc_id", "tf", "dl")
+        else
+          // positional variant (A3 with positions kept): posexplode gives
+          // the token index; the sorted per-(term, doc) position list rides
+          // the same aggregate (no extra shuffle) and feeds the per-block
+          // positions stream
+          docs
+            .select(col("doc_id"), col("dl"),
+              posexplode(Analyzer.tokens(col("text"))).as(Seq("_pos", "term")))
+            .groupBy("term", "doc_id", "dl")
+            .agg(count(lit(1)).cast("int").as("tf"),
+              sort_array(collect_list(col("_pos").cast("long"))).as("positions"))
+            .select("term", "doc_id", "tf", "dl", "positions")
       io.write(tfdl, p.tfdl, snapshotId = buildId)
       lineage(spark, p, "tf", buildId, t0,
         io.read(spark, p.tfdl)
@@ -143,8 +164,10 @@ object BuildIndexJob {
       val tfdl = io.read(spark, p.tfdl)
       val dict = io.read(spark, p.dictionary)
       val stats = readStats(spark, p, cfg.io)
+      val tfdlCols = Seq("term", "doc_id", "tf", "dl") ++
+        (if (tfdl.columns.contains("positions")) Seq("positions") else Nil)
       val blocks = PostingBlocks.build(
-        tfdl.select("term", "doc_id", "tf", "dl"), dict, stats,
+        tfdl.select(tfdlCols.map(col): _*), dict, stats,
         cfg.numShards, cfg.blockSize, cfg.saltTarget)
         .repartition(cfg.numShards * 4, col("shard"),
           pmod(xxhash64(col("term")), lit(4)))

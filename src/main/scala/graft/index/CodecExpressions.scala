@@ -57,10 +57,32 @@ case class VarintDeltaDecode(child: Expression) extends CodecExpression {
   override protected def withNewChildInternal(c: Expression): VarintDeltaDecode = copy(c)
 }
 
+/** array<array<long>> (ascending inners) → binary (nested layout:
+  * varint(len) + delta-gap values per inner — the positions stream). */
+case class VarintNestedEncode(child: Expression) extends CodecExpression {
+  override def dataType: DataType = BinaryType
+  override protected def method: String = "encodeNested"
+  override def nullSafeEval(v: Any): Any =
+    VarintCodec.encodeNested(v.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): VarintNestedEncode = copy(c)
+}
+
+/** binary → array<array<long>> (nested layout). */
+case class VarintNestedDecode(child: Expression) extends CodecExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override protected def method: String = "decodeNested"
+  override def nullSafeEval(v: Any): Any =
+    VarintCodec.decodeNested(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): VarintNestedDecode = copy(c)
+}
+
 /** Column-level API for the codec expressions. */
 object codec {
   def varintEncode(c: Column): Column = Shims.column(VarintEncode(Shims.expression(c)))
   def varintDecode(c: Column): Column = Shims.column(VarintDecode(Shims.expression(c)))
   def varintDeltaEncode(c: Column): Column = Shims.column(VarintDeltaEncode(Shims.expression(c)))
   def varintDeltaDecode(c: Column): Column = Shims.column(VarintDeltaDecode(Shims.expression(c)))
+  def varintNestedEncode(c: Column): Column = Shims.column(VarintNestedEncode(Shims.expression(c)))
+  def varintNestedDecode(c: Column): Column = Shims.column(VarintNestedDecode(Shims.expression(c)))
 }

@@ -30,15 +30,21 @@ object PostingBlocks {
     * without splitting, one task owns it. */
   final val DefaultSaltTarget = 1 << 18
 
-  /** One posting row entering the streaming block builder. */
+  /** One posting row entering the streaming block builder. `positions` is
+    * the doc's ascending token positions of the term (null when the index
+    * is built without positional postings — the default). */
   final case class PostingRow(term: String, salt: Int, doc_id: Long,
-                              tf: Int, dl: Int, df: Long)
+                              tf: Int, dl: Int, df: Long,
+                              positions: Array[Long] = null)
 
-  /** One encoded block leaving it. */
+  /** One encoded block leaving it. `poss` is the nested-varint positions
+    * stream aligned with the block's postings (null when positions are
+    * not stored). */
   final case class BlockRow(term: String, block_id: Int, first_doc: Long,
                             last_doc: Long, doc_gaps: Array[Byte],
                             tfs: Array[Byte], dls: Array[Byte],
-                            block_max_score: Double, block_len: Int)
+                            block_max_score: Double, block_len: Int,
+                            poss: Array[Byte] = null)
 
   /** Build encoded blocks from the scoring relation — the scale path.
     *
@@ -70,10 +76,14 @@ object PostingBlocks {
     val salt = floor(col("doc_id").cast("double") * buckets /
       lit(math.max(stats.nDocs, 1L).toDouble)).cast("int")
     val (n, avg, bs) = (stats.nDocs, stats.avgdl, blockSize)
-    tfdl
+    val withPositions =
+      if (tfdl.columns.contains("positions")) tfdl
+      else tfdl.withColumn("positions", lit(null).cast("array<bigint>"))
+    withPositions
       .join(dict.select("term", "df"), "term")
       .withColumn("salt", salt)
-      .select(col("term"), col("salt"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .select(col("term"), col("salt"), col("doc_id"), col("tf"), col("dl"),
+        col("df"), col("positions"))
       .repartition(col("term"), col("salt"))
       .sortWithinPartitions("term", "salt", "doc_id")
       .as[PostingRow]
@@ -81,7 +91,7 @@ object PostingBlocks {
       .toDF()
       .withColumn("shard", shardOf(col("term"), numShards))
       .select("shard", "term", "block_id", "first_doc", "last_doc",
-        "doc_gaps", "tfs", "dls", "block_max_score", "block_len")
+        "doc_gaps", "tfs", "dls", "block_max_score", "block_len", "poss")
   }
 
   /** Single-pass block emitter over (term, salt, doc_id)-sorted postings. */
@@ -92,6 +102,7 @@ object PostingBlocks {
       private val ids = new Array[Long](blockSize)
       private val tfs = new Array[Long](blockSize)
       private val dls = new Array[Long](blockSize)
+      private val poss = new Array[Array[Long]](blockSize)
       private var fill = 0
       private var curTerm: String = _
       private var curSalt = 0
@@ -114,9 +125,15 @@ object PostingBlocks {
           if (delta) VarintCodec.encodeDelta(new GenericArrayData(trimmed))
           else VarintCodec.encode(new GenericArrayData(trimmed))
         }
+        // positions are all-or-nothing per build (a positional build sets
+        // them on every row); encode only when present
+        val posBytes =
+          if (poss(0) == null) null
+          else VarintCodec.encodeNested(new GenericArrayData(
+            java.util.Arrays.copyOf(poss, fill).map(new GenericArrayData(_): Any)))
         pending.enqueue(BlockRow(curTerm, blockId, ids(0), ids(fill - 1),
           enc(ids, delta = true), enc(tfs, delta = false), enc(dls, delta = false),
-          maxScore, fill))
+          maxScore, fill, posBytes))
         blockId += 1
         fill = 0
       }
@@ -128,6 +145,7 @@ object PostingBlocks {
           if (fill == 0 && (r.term != curTerm || r.salt != curSalt)) blockId = 0
           curTerm = r.term; curSalt = r.salt; curDf = r.df
           ids(fill) = r.doc_id; tfs(fill) = r.tf.toLong; dls(fill) = r.dl.toLong
+          poss(fill) = r.positions
           fill += 1
           if (fill == blockSize) flush()
         }
@@ -209,7 +227,7 @@ object PostingBlocks {
     * (term, doc_id, tf, dl). Codegen'd expressions throughout. */
   def decodePostings(blocks: DataFrame): DataFrame = {
     val keep = blocks.columns.filter(c =>
-      c != "doc_gaps" && c != "tfs" && c != "dls" &&
+      c != "doc_gaps" && c != "tfs" && c != "dls" && c != "poss" &&
         c != "first_doc" && c != "last_doc" && c != "block_id" &&
         c != "block_len" && c != "block_max_score")
     blocks
@@ -222,5 +240,28 @@ object PostingBlocks {
         col("_p.doc_id").as("doc_id") :+
         col("_p.tf").cast("int").as("tf") :+
         col("_p.dl").cast("int").as("dl"): _*)
+  }
+
+  /** Positional decode: like [[decodePostings]] but zips the nested
+    * positions stream back alongside each posting — (…, doc_id, tf, dl,
+    * positions:array<long>). Requires blocks built with positional
+    * postings (`poss` non-null). */
+  def decodePostingsWithPositions(blocks: DataFrame): DataFrame = {
+    val keep = blocks.columns.filter(c =>
+      c != "doc_gaps" && c != "tfs" && c != "dls" && c != "poss" &&
+        c != "first_doc" && c != "last_doc" && c != "block_id" &&
+        c != "block_len" && c != "block_max_score")
+    blocks
+      .select(keep.map(col) :+
+        explode(arrays_zip(
+          codec.varintDeltaDecode(col("doc_gaps")).as("doc_id"),
+          codec.varintDecode(col("tfs")).as("tf"),
+          codec.varintDecode(col("dls")).as("dl"),
+          codec.varintNestedDecode(col("poss")).as("positions"))).as("_p"): _*)
+      .select(keep.map(col) :+
+        col("_p.doc_id").as("doc_id") :+
+        col("_p.tf").cast("int").as("tf") :+
+        col("_p.dl").cast("int").as("dl") :+
+        col("_p.positions").as("positions"): _*)
   }
 }

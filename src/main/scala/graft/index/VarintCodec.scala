@@ -87,4 +87,75 @@ object VarintCodec {
 
   /** Delta-gap varint bytes → ascending Array[Long]. */
   def decodeDelta(bytes: Array[Byte]): GenericArrayData = decodeWith(bytes, delta = true)
+
+  /** NESTED layout for per-posting position lists (the positions stream of
+    * a positional postings block — same varint building blocks): for each
+    * inner list, varint(length) then the ascending values delta-gap
+    * encoded (first raw, then gaps). */
+  def encodeNested(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    var total = 0
+    val inners = new Array[ArrayData](n)
+    var i = 0
+    while (i < n) {
+      inners(i) = arr.getArray(i)
+      if (inners(i) == null) throw new IllegalArgumentException(
+        s"VarintCodec: null inner array at $i")
+      total += (inners(i).numElements() + 1) * 10
+      i += 1
+    }
+    val buf = new Array[Byte](total)
+    var pos = 0
+    i = 0
+    while (i < n) {
+      val a = inners(i)
+      val m = a.numElements()
+      pos = writeVarint(buf, pos, m.toLong)
+      var prev = 0L
+      var j = 0
+      while (j < m) {
+        val v = a.getLong(j)
+        if (v < 0) throw new IllegalArgumentException(
+          s"VarintCodec: negative value $v at ($i,$j)")
+        if (v < prev) throw new IllegalArgumentException(
+          s"VarintCodec: nested encode requires ascending inner input ($prev then $v)")
+        pos = writeVarint(buf, pos, v - prev)
+        prev = v
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, pos)
+  }
+
+  /** Inverse of [[encodeNested]]: bytes → array<array<long>>. */
+  def decodeNested(bytes: Array[Byte]): GenericArrayData = {
+    var pos = 0
+    def readVarint(): Long = {
+      var v = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(pos)
+        v |= (b & 0x7fL) << shift
+        shift += 7
+        pos += 1
+      } while ((b & 0x80) != 0)
+      v
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[GenericArrayData]
+    while (pos < bytes.length) {
+      val m = readVarint().toInt
+      val inner = new Array[Long](m)
+      var prev = 0L
+      var j = 0
+      while (j < m) {
+        prev += readVarint()
+        inner(j) = prev
+        j += 1
+      }
+      out += new GenericArrayData(inner)
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
 }

@@ -35,6 +35,10 @@ object Bm25 {
   def idf(df: Column, nDocs: Column): Column =
     log(lit(1.0) + (nDocs - df + lit(0.5)) / (df + lit(0.5)))
 
+  /** Scala twin of [[idf]] (driver-side phrase idf sums). */
+  def idfValue(df: Long, nDocs: Long): Double =
+    math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+
   /** Scala twin of [[termScore]] — used by the posting-list aggregate and
     * the WAND traversal. MUST mirror the Column expression tree op-for-op
     * (same associativity) so both paths produce bit-identical doubles. */

@@ -146,6 +146,69 @@ object IndexSearch {
       .orderBy("query_id", facetCol)
   }
 
+  /** Exact (zero-slop) PHRASE search over positional postings — requires
+    * an index built with `Config.storePositions`. Pinned semantics are
+    * Lucene `PhraseQuery`'s documented scoring: the phrase acts as one
+    * virtual term with
+    *
+    *   idf   = Σ_i idf(t_i)        (duplicate phrase terms counted again)
+    *   tf    = pf, the exact phrase frequency in the doc
+    *   score = idf · pf / (pf + k1·(1−b+b·dl/avgdl))
+    *
+    * and a doc matches iff pf ≥ 1. Plan shape: the postings scan prunes to
+    * the phrase terms' shards, positions decode through the nested-varint
+    * expression, the m relations equi-join on doc_id (m = phrase length,
+    * small), and pf is a pure Column fold over the first term's position
+    * list (p, p+1, …, p+m−1 containment — positions are within-doc token
+    * indexes, so consecutive offsets mean adjacency). A phrase containing
+    * an out-of-vocabulary term matches nothing (Lucene semantics). */
+  def searchPhrase(idx: OpenIndex, phrases: Seq[(Int, String)],
+                   k: Int = 10): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    def empty = Seq.empty[ResultRow].toDF()
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    val perQuery = phrases.flatMap { case (qid, text) =>
+      val terms = graft.analysis.Analyzer.tokenize(text)
+      if (terms.isEmpty) None
+      else {
+        val distinctTerms = terms.distinct
+        // driver boundary: ≤ |phrase| dictionary rows
+        val dictRows = idx.dictionary
+          .where(col("term").isInCollection(distinctTerms))
+          .select("term", "df", "shard").collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+        if (distinctTerms.exists(t => !dictRows.contains(t))) None
+        else {
+          val idfSum = terms.map(t => Bm25.idfValue(dictRows(t)._1, idx.stats.nDocs)).sum
+          val shards = distinctTerms.map(t => dictRows(t)._2).distinct
+          val blocks = idx.io.read(spark, idx.paths.postings)
+            .where(col("shard").isin(shards: _*) &&
+              col("term").isInCollection(distinctTerms))
+          val decoded = PostingBlocks.decodePostingsWithPositions(blocks)
+          var joined = decoded.where(col("term") === terms.head)
+            .select(col("doc_id"), col("dl"), col("positions").as("_p0"))
+          for (i <- 1 until terms.size)
+            joined = joined.join(
+              decoded.where(col("term") === terms(i))
+                .select(col("doc_id"), col("positions").as(s"_p$i")), "doc_id")
+          val pf = size(filter(col("_p0"), p =>
+            (1 until terms.size).map(i => array_contains(col(s"_p$i"), p + i))
+              .foldLeft(lit(true))(_ && _)))
+          Some(joined
+            .withColumn("_pf", pf)
+            .where(col("_pf") > 0)
+            .select(lit(qid).as("query_id"), col("doc_id"),
+              (lit(idfSum) * col("_pf") /
+                (col("_pf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) +
+                  lit(Bm25.B) * col("dl") / lit(idx.stats.avgdl)))).as("_score")))
+        }
+      }
+    }
+    if (perQuery.isEmpty) empty
+    else Search.rank(perQuery.reduce(_ unionByName _), k)
+  }
+
   /** A term's block spanning more ranges than this is treated as "global"
     * in the range-prune bound (its max adds to EVERY range's upper bound)
     * instead of being exploded per spanned range — bounding the prune

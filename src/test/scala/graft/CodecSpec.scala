@@ -66,6 +66,43 @@ class CodecSpec extends SparkSpec {
     }
   }
 
+  def encN(xss: Seq[Seq[Long]]): Array[Byte] =
+    VarintCodec.encodeNested(new GenericArrayData(
+      xss.map(xs => new GenericArrayData(xs.toArray): Any).toArray))
+  def decN(b: Array[Byte]): Seq[Seq[Long]] = {
+    val outer = VarintCodec.decodeNested(b)
+    (0 until outer.numElements()).map(i => outer.getArray(i).toLongArray().toSeq)
+  }
+
+  test("nested (positions stream) roundtrip: edges + random") {
+    val nestedEdges: Seq[Seq[Seq[Long]]] = Seq(
+      Seq.empty,
+      Seq(Seq.empty[Long]),
+      Seq(Seq(0L)),
+      Seq(Seq(0L, 5L, 127L, 128L), Seq.empty[Long], Seq(Long.MaxValue)),
+      Seq.fill(5)(0L until 40L))
+    nestedEdges.foreach(xss => assert(decN(encN(xss)) == xss, s"$xss"))
+    val gen = Gen.listOf(Gen.listOf(Gen.chooseNum(0L, 1L << 40)).map(_.sorted))
+    (0 until 100).foreach { i =>
+      val xss = gen.apply(Gen.Parameters.default, Seed(1000L + i)).get
+      assert(decN(encN(xss)) == xss)
+    }
+  }
+
+  test("nested Column expressions roundtrip inside a Spark plan") {
+    val df = Seq(
+      (1L, Seq(Seq(0L, 3L, 9L), Seq(2L))),
+      (2L, Seq(Seq.empty[Long])),
+      (3L, Seq.empty[Seq[Long]]))
+      .toDF("id", "xss")
+    val got = df
+      .withColumn("rt", codec.varintNestedDecode(codec.varintNestedEncode(col("xss"))))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.getSeq[Seq[Long]](2) == r.getSeq[Seq[Long]](1))
+    }
+  }
+
   test("null input yields null (nullIntolerant)") {
     val df = Seq((1L, Option.empty[Seq[Long]]), (2L, Some(Seq(1L, 2L))))
       .toDF("id", "xs")

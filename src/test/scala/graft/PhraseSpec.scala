@@ -1,0 +1,74 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.IndexSearch
+import org.apache.spark.sql.functions._
+
+/** Exact phrase search over positional postings: adjacency semantics,
+  * duplicate-term phrases, OOV self-elimination, and the single-term
+  * degenerate case (≡ the plain term query). */
+class PhraseSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftphrase").toString
+
+  /** Tiny hand-auditable corpus as one-turn transcripts. */
+  lazy val idx: IndexSearch.OpenIndex = {
+    val turns = Seq(
+      // doc 0: "a b" twice, never "b a" (b is followed by c or ends)
+      ("c0", 0, "user", "a b c a b", null.asInstanceOf[String], ts(0)),
+      // doc 1: "b a" twice, never "a b" (a is followed by x or ends)
+      ("c1", 0, "user", "b a x b a", null.asInstanceOf[String], ts(1)),
+      // doc 2: "a a" (duplicate-term adjacency) and a lone c
+      ("c2", 0, "user", "a a c", null.asInstanceOf[String], ts(2)),
+      // doc 3: no a/b at all
+      ("c3", 0, "user", "c c c d", null.asInstanceOf[String], ts(3)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "phrase",
+      BuildIndexJob.Config(numShards = 4, blockSize = 2, storePositions = true))
+    IndexSearch.open(spark, root)
+  }
+
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  def docsOf(res: org.apache.spark.sql.DataFrame, qid: Int): Seq[Long] =
+    res.where(col("query_id") === qid).orderBy("rank")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+
+  test("adjacency: 'a b' matches docs with consecutive a,b only") {
+    val res = IndexSearch.searchPhrase(idx, Seq(1 -> "a b", 2 -> "b a", 3 -> "a a"))
+    assert(docsOf(res, 1) == Seq(0L), "only doc 0 has adjacent 'a b'")
+    assert(docsOf(res, 2) == Seq(1L), "only doc 1 has adjacent 'b a'")
+    assert(docsOf(res, 3) == Seq(2L), "duplicate-term phrase 'a a'")
+  }
+
+  test("OOV term in the phrase matches nothing") {
+    val res = IndexSearch.searchPhrase(idx, Seq(1 -> "a zzzmissing"))
+    assert(res.count() == 0)
+  }
+
+  test("single-term phrase ranks exactly like the plain term query") {
+    val phrase = IndexSearch.searchPhrase(idx, Seq(1 -> "c"))
+      .orderBy("rank").collect().toSeq
+    val term = IndexSearch.search(idx, Seq(1 -> "c"))
+      .orderBy("rank").collect().toSeq
+    assert(phrase == term)
+    assert(phrase.nonEmpty)
+  }
+
+  test("phrase frequency saturates scoring: 2 occurrences outrank 1 at equal dl") {
+    // doc 0 has pf('a b')=2; craft a sibling with pf=1 and identical dl
+    val turns = Seq(
+      ("c0", 0, "user", "a b c a b a x b", null.asInstanceOf[String], ts(0)),
+      ("c1", 0, "user", "a b c c c c c c", null.asInstanceOf[String], ts(1)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "pf",
+      BuildIndexJob.Config(numShards = 4, blockSize = 2, storePositions = true))
+    val res = IndexSearch.searchPhrase(IndexSearch.open(spark, root), Seq(1 -> "a b"))
+      .orderBy("rank").collect()
+    assert(res.map(_.getLong(2)).toSeq == Seq(0L, 1L))
+    assert(res(0).getDouble(3) > res(1).getDouble(3))
+  }
+}
