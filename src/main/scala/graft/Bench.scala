@@ -50,6 +50,16 @@ object Bench {
       }
     }
 
+  /** Pinned idle-box reference for the pure-CPU probe at the driver's
+    * standard config (work scales with cpu count, so sec-per-run is
+    * roughly cpu-invariant on an idle box). Measured idle on this VM
+    * (0.90–0.99 s best-of-3 at 32 cpus, 2026-08-16); override with
+    * SPARK_GRAFT_PROBE_IDLE_SEC after a hardware change. Round-2's
+    * recorded bench was ~2× slow purely from a loaded box — the probe
+    * makes that visible in the artifact instead of masquerading as a
+    * regression. */
+  final val IdleProbeSecRef = 0.95
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,6 +80,21 @@ object Bench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // machine-load probe: pure-CPU, shuffle-free, work ∝ cpus. Run before
+    // AND after the timed sections; a deviation > 1.3× from the pinned
+    // idle reference flags the whole artifact as load-contaminated.
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    val nCpus = cpus.toInt
+    def cpuProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L * nCpus, 1, nCpus)
+        .select(bit_xor(xxhash64(col("id")))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    cpuProbe() // warm codegen
+    def probe3() = Seq(cpuProbe(), cpuProbe(), cpuProbe()).min
+    val probeBefore = probe3()
+
     // 1. registered queries (the driver contract); a failed query records
     // -1, never its elapsed time, so failures can't masquerade as results.
     // The memoized sfDir index is built FIRST on its own line — otherwise
@@ -77,6 +102,7 @@ object Bench {
     // and distorts per-query attribution.
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     results("index_prepare") = time(SparkEntry.prepareIndex(spark, sfDir))._2
+    results("corpus_prepare") = time(SparkEntry.prepareCorpus(spark, sfDir))._2
     SparkEntry.queries.foreach { case (name, fn) =>
       results(name) =
         try time(fn(spark, sfDir).count())._2
@@ -109,6 +135,12 @@ object Bench {
     results("wand_workload") = qSec / reps
     val qps = qs.size * reps / qSec
 
+    val probeAfter = probe3()
+    val idleRef = sys.env.get("SPARK_GRAFT_PROBE_IDLE_SEC").map(_.toDouble)
+      .getOrElse(IdleProbeSecRef)
+    val loadFlagged =
+      probeBefore > idleRef * 1.3 || probeAfter > idleRef * 1.3
+
     val total = results.values.filter(_ >= 0).sum
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -116,12 +148,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","build_turns":$nTurns,"build_sec":$buildSec,""" +
         s""""build_turns_per_sec":$turnsPerSec,"wand_queries":${qs.size},""" +
-        s""""wand_qps":$qps,"cpus":$cpus}"""
+        s""""wand_qps":$qps,"cpus":$cpus,""" +
+        s""""probe_sec_before":$probeBefore,"probe_sec_after":$probeAfter,""" +
+        s""""probe_idle_ref":$idleRef,"load_flagged":$loadFlagged}"""
+    // build.sbt routes forked-run output to stdout RAW (OutputStrategy),
+    // so this line is driver-parseable; the file copy is belt-and-braces
     println(line)
-    // stdout runs through sbt's [info] prefixes — also land the line in a
-    // file so the harness gets machine-readable metrics unconditionally
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    if (loadFlagged)
+      System.err.println(f"[bench] WARNING: cpu probe $probeBefore%.2f/" +
+        f"$probeAfter%.2f s vs idle ref $idleRef%.2f s — box loaded, " +
+        "numbers not comparable to idle-box runs")
     spark.stop()
   }
 }

@@ -99,6 +99,11 @@ object SparkEntry {
     * instead of whichever index query happens to run first. */
   def prepareIndex(s: SparkSession, dir: String): Unit = { indexFor(s, dir); () }
 
+  /** Force the memoized transcript-corpus materialization (same
+    * attribution rationale as [[prepareIndex]]). */
+  def prepareCorpus(s: SparkSession, dir: String): Unit =
+    { transcriptCorpusAttrs(s, dir); () }
+
   /** Merge-gate inputs (U1/U2/J4): old index over docs < 4n/5; new batch =
     * docs ≥ 3n/4 with " upserted" appended inside the overlap window
     * [3n/4, 4n/5); tombstones = keys of docs ≡ 0 (mod 97). The DuckDB twin
