@@ -55,6 +55,14 @@ object ScalingBench {
         .appName(s"scaling-$cores")
         .config("spark.sql.shuffle.partitions", cores.toString)
         .config("spark.local.dir", s"$base/localdir-$cores")
+        // shuffle/spill/broadcast codec, A/B'd at 8→32 on 1.7M turns
+        // (2026-08-16, tmpfs shuffle): zstd's smaller shuffle did NOT pay —
+        // lz4 raw eff 0.606 / eff-vs-ceiling 1.05 vs zstd 0.552 / 0.825;
+        // zstd's compression CPU costs more than the byte savings return
+        // when shuffle already lives in RAM. lz4 stays default; the env
+        // knob remains for disk-shuffle deployments where bytes are dear.
+        .config("spark.io.compression.codec",
+          sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
         .config("spark.sql.adaptive.enabled", "true")

@@ -216,6 +216,15 @@ object IndexSearch {
     * block fan-out. */
   private final val GlobalSpanRanges = 64
 
+  /** The θ-seed range prune runs only when the corpus spans at least this
+    * many ranges: its seed-collect job and metadata-bound subplan are
+    * fixed per-call costs, and below ~this fan-out they exceed anything
+    * the prune can save (measured: at 4 ranges the extra jobs quartered
+    * batch query throughput while pruning almost nothing). At the design
+    * scale (10^6 ranges) the prune's per-call cost is unchanged while its
+    * savings grow with the fan-out. */
+  private final val MinRangesForPrune = 16L
+
   /** Candidate blocks for the WAND traversal, routed per (query, range),
     * plus the per-query θ seed. Exposed for WandSpec's block-count
     * assertion; `prune=false` disables the θ-seed range prune (routing
@@ -261,12 +270,17 @@ object IndexSearch {
     // can cross an integer boundary for huge doc ids)
     def rangeOf(c: Column): Column =
       ((c - pmod(c, lit(rangeSize))) / lit(rangeSize)).cast("int")
+    // decode only blocks that actually SPAN a range boundary (rare: dense
+    // terms' 128-posting blocks sit inside one 2^20-doc range) — the
+    // common case routes with pure arithmetic, no decode
     val routed0 = base.withColumn("range_id",
-      explode(array_distinct(transform(
-        graft.index.codec.varintDeltaDecode(col("doc_gaps")), d => rangeOf(d)))))
+      explode(when(rangeOf(col("first_doc")) === rangeOf(col("last_doc")),
+          array(rangeOf(col("first_doc"))))
+        .otherwise(array_distinct(transform(
+          graft.index.codec.varintDeltaDecode(col("doc_gaps")), d => rangeOf(d))))))
 
     val (routed, seeds) =
-      if (!prune || nRanges <= 1) (routed0, Map.empty[Int, Double])
+      if (!prune || nRanges < MinRangesForPrune) (routed0, Map.empty[Int, Double])
       else {
         import org.apache.spark.sql.expressions.Window
         val wqt = Window.partitionBy("query_id", "term")
