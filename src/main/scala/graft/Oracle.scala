@@ -207,6 +207,53 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of the boolean clause grammar ([[graft.search.Search.searchCorpusClauses]]
+    * / [[graft.search.IndexSearch.searchClauses]]); clause lists come from
+    * the SAME driver-side parser. The must-count per query is computed
+    * driver-side INCLUDING out-of-vocabulary must terms, so an OOV must
+    * eliminates the query in both engines. */
+  def bm25TopKClauses(corpusSql: String, queries: Seq[(Int, String)],
+                      k: Int): String = {
+    val parsed = queries.map { case (id, t) =>
+      (id, graft.search.Search.parseClauses(t))
+    }
+    val qtValues = parsed.flatMap { case (id, c) =>
+      c.must.map(t => s"($id, '${esc(t)}', TRUE)") ++
+        c.should.map(t => s"($id, '${esc(t)}', FALSE)")
+    }
+    val nMustValues = parsed.map { case (id, c) => s"($id, ${c.must.size})" }
+    val negValues = parsed.flatMap { case (id, c) =>
+      c.not.map(t => s"($id, '${esc(t)}')")
+    }
+    val negCte =
+      if (negValues.isEmpty) "negs(query_id, term) AS (SELECT 0, '' WHERE 1 = 0)"
+      else s"negs(query_id, term) AS (VALUES ${negValues.mkString(", ")})"
+    s"""WITH ${indexCtes(corpusSql)},
+       |qt(query_id, term, is_must) AS (VALUES ${qtValues.mkString(", ")}),
+       |nmust(query_id, n_must) AS (VALUES ${nMustValues.mkString(", ")}),
+       |$negCte,
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score,
+       |         count(CASE WHEN is_must THEN 1 END)::BIGINT AS must_matched
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored JOIN nmust USING (query_id)
+       |  WHERE must_matched = n_must
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM negs JOIN tf USING (term)
+       |      WHERE negs.query_id = scored.query_id AND tf.doc_id = scored.doc_id))
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchPhrase]] (Lucene PhraseQuery
     * scoring: idf = Σ per-term idfs with duplicates counted, tf = exact
     * phrase frequency). Token positions come from DuckDB's aligned
@@ -215,17 +262,24 @@ object Oracle {
     * with an out-of-vocabulary term self-eliminates (its pf self-join
     * matches nothing). */
   def bm25Phrase(corpusSql: String, phrases: Seq[(Int, String)],
-                 k: Int): String = {
+                 k: Int, slop: Int = 0): String = {
     val parsed = phrases
       .map { case (id, t) => (id, Analyzer.tokenize(t)) }
       .filter(_._2.nonEmpty)
     require(parsed.nonEmpty, "no non-empty phrases")
+    // ordered-window join chain: p_i > p_{i-1} and p_i ≤ p0 + i + slop
+    // (the per-level bound is implied by the final one plus ordering);
+    // DISTINCT start positions because slop > 0 admits multiple
+    // completions per start. At slop = 0 the window pins p_i = p0 + i,
+    // the exact-adjacency case, and DISTINCT is a no-op.
     val pfSelects = parsed.map { case (id, terms) =>
       val joins = (1 until terms.size).map { i =>
-        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i " +
+        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id " +
+          s"AND p$i.pos > p${i - 1}.pos AND p$i.pos <= p0.pos + ${i + slop} " +
           s"AND p$i.term = '${esc(terms(i))}'"
       }.mkString(" ")
-      s"""SELECT $id AS query_id, p0.doc_id AS doc_id, count(*)::INT AS pf
+      s"""SELECT $id AS query_id, p0.doc_id AS doc_id,
+         |    count(DISTINCT p0.pos)::INT AS pf
          |  FROM ptoks p0 $joins
          |  WHERE p0.term = '${esc(terms.head)}'
          |  GROUP BY p0.doc_id""".stripMargin

@@ -33,6 +33,18 @@ object SparkEntry {
     2 -> "dup join",
     3 -> "key value filter sort group")
 
+  /** Boolean clause-grammar query set (`+must should -not`): must+should
+    * mix, multi-must, OOV must (eliminates the query), shoulds with
+    * exclusion, must-and-not of the same term (matches nothing), and
+    * analyzer-in-clause. */
+  val BoolQueries: Seq[(Int, String)] = Seq(
+    1 -> "+spark merge window",
+    2 -> "+dup +join batch",
+    3 -> "+zzzmissing spark",
+    4 -> "spark merge -window",
+    5 -> "+batch -batch",
+    6 -> "+key value -Sort!!")
+
   /** Phrase query set (zero-slop): real bigram/trigram phrases mined from
     * the fixture ("order fast" appears in ~10% of docs), a phrase with an
     * absent term (matches nothing), a single-term phrase (≡ the term
@@ -44,6 +56,16 @@ object SparkEntry {
     3 -> "the quick zzzmissing",
     4 -> "window",
     5 -> "order order")
+
+  /** Proximity query set (ordered window, slop = [[PhraseSlop]]): a gapped
+    * bigram ("big … scan" via "big order scan"), an exact phrase that
+    * also matches under slop, OOV, and a duplicated term. */
+  val PhraseSlopQueries: Seq[(Int, String)] = Seq(
+    1 -> "big scan",
+    2 -> "order fast",
+    3 -> "the zzzmissing",
+    4 -> "order order")
+  val PhraseSlop = 2
 
   /** Boolean-NOT query set (Solr `q=a -b`): exclusion, multi-clause,
     * pure-negative (matches nothing), self-cancel, absent negative
@@ -367,6 +389,15 @@ object SparkEntry {
     // positions stream per block; Lucene PhraseQuery scoring)
     "q_bm25_phrase" -> ((s, dir) =>
       IndexSearch.searchPhrase(indexFor(s, dir), PhraseQueries)),
+    // Ordered-window proximity ("a b"~2-style slop)
+    "q_bm25_phrase_slop" -> ((s, dir) =>
+      IndexSearch.searchPhrase(indexFor(s, dir), PhraseSlopQueries,
+        slop = PhraseSlop)),
+    // Full boolean clause grammar (+must should -not), inline + index
+    "q_bm25_bool" -> ((s, dir) =>
+      Search.searchCorpusClauses(transcriptCorpus(s, dir), BoolQueries)),
+    "q_bm25_bool_index" -> ((s, dir) =>
+      IndexSearch.searchClauses(indexFor(s, dir), BoolQueries)),
     // G7: rollup diagnostics (corpus profile by lang × source); grouping()
     // relabels the rollup's nulls so both engines emit 'ALL'
     "q_corpus_cube" -> ((s, dir) => {
@@ -431,5 +462,9 @@ object SparkEntry {
     "q_facet_role_index" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_not" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10),
     "q_bm25_not_index" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10),
-    "q_bm25_phrase" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus, PhraseQueries, 10))
+    "q_bm25_phrase" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus, PhraseQueries, 10),
+    "q_bm25_phrase_slop" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus,
+      PhraseSlopQueries, 10, slop = PhraseSlop),
+    "q_bm25_bool" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10),
+    "q_bm25_bool_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10))
 }

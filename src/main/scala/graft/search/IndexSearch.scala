@@ -112,6 +112,31 @@ object IndexSearch {
     Search.rank(scored.join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
   }
 
+  /** Full boolean clause grammar (`q=+a b -c`) over the persisted index —
+    * same pinned semantics as [[Search.searchCorpusClauses]]: every must
+    * term required (OOV must ⇒ no matches), not-terms anti-joined, score
+    * over matching must+should terms. */
+  def searchClauses(idx: OpenIndex, queries: Seq[(Int, String)],
+                    k: Int = 10): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val (qt, neg, nMust) = Search.parseClauseQueries(spark, queries)
+    val scored = matchedPostings(idx, qt.select("query_id", "term"))
+      .join(broadcast(qt), Seq("query_id", "term"))
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"),
+        count(when(col("_is_must"), lit(1))).as("_must_matched"))
+    val nMustDf = nMust.toSeq.toDF("query_id", "_n_must")
+    val negMatch = matchedPostings(idx, neg)
+      .select("query_id", "doc_id").distinct()
+    Search.rank(scored
+      .join(broadcast(nMustDf), "query_id")
+      .where(col("_must_matched") === col("_n_must"))
+      .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+  }
+
   /** Solr `fq` over the persisted index: the predicate (over the stored
     * doc attributes in `docs/`) restricts RESULTS only — scores, df, and
     * avgdl remain those of the full corpus, exactly like
@@ -159,11 +184,22 @@ object IndexSearch {
     * the phrase terms' shards, positions decode through the nested-varint
     * expression, the m relations equi-join on doc_id (m = phrase length,
     * small), and pf is a pure Column fold over the first term's position
-    * list (p, p+1, …, p+m−1 containment — positions are within-doc token
-    * indexes, so consecutive offsets mean adjacency). A phrase containing
-    * an out-of-vocabulary term matches nothing (Lucene semantics). */
+    * list. A phrase containing an out-of-vocabulary term matches nothing
+    * (Lucene semantics).
+    *
+    * `slop` ≥ 0 relaxes adjacency to an ORDERED proximity window (Solr
+    * `"a b"~N`-style): a start position p₁ of t₁ counts toward pf iff
+    * positions p₁ < p₂ < … < p_m of t₂..t_m exist with total displacement
+    * (p_m − p₁) − (m−1) ≤ slop. Pinned divergence from Lucene: Lucene's
+    * sloppy matching also admits OUT-of-order transpositions and scores
+    * with sloppyFreq = Σ 1/(distance+1); this engine pins in-order-only
+    * matching and pf = the count of valid start positions — deterministic
+    * and oracle-expressible. slop = 0 is exactly the adjacency case. The
+    * nested Column `exists` chain carries per-level bounds
+    * p_i ≤ p₁ + (i−1) + slop, which is implied by the final bound and
+    * ordering, so it prunes without changing the matched set. */
   def searchPhrase(idx: OpenIndex, phrases: Seq[(Int, String)],
-                   k: Int = 10): DataFrame = {
+                   k: Int = 10, slop: Int = 0): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
     def empty = Seq.empty[ResultRow].toDF()
@@ -192,9 +228,11 @@ object IndexSearch {
             joined = joined.join(
               decoded.where(col("term") === terms(i))
                 .select(col("doc_id"), col("positions").as(s"_p$i")), "doc_id")
-          val pf = size(filter(col("_p0"), p =>
-            (1 until terms.size).map(i => array_contains(col(s"_p$i"), p + i))
-              .foldLeft(lit(true))(_ && _)))
+          def chain(i: Int, prev: Column, p1: Column): Column =
+            if (i == terms.size) lit(true)
+            else exists(col(s"_p$i"), pi =>
+              pi > prev && pi <= p1 + lit(i + slop) && chain(i + 1, pi, p1))
+          val pf = size(filter(col("_p0"), p1 => chain(1, p1, p1)))
           Some(joined
             .withColumn("_pf", pf)
             .where(col("_pf") > 0)

@@ -55,6 +55,73 @@ object Search {
     (pos, neg)
   }
 
+  /** Full Lucene/Solr boolean clause grammar (`q=+a b -c`): whitespace
+    * clauses prefixed '+' are MUST, '-' are MUST_NOT, bare are SHOULD; the
+    * shared analyzer runs on each clause body. Pinned semantics
+    * (BooleanQuery, documented): a doc matches iff it contains EVERY must
+    * term (an out-of-vocabulary must term matches nothing), no not-term,
+    * and — with no must clauses — at least one should term; the score is
+    * the BM25 sum over the doc's matching must+should terms. A term listed
+    * both must and should dedupes to must and scores once. */
+  final case class BoolClauses(must: Seq[String], should: Seq[String],
+                               not: Seq[String])
+
+  def parseClauses(text: String): BoolClauses = {
+    val clauses = text.split("\\s+").toSeq.filter(_.nonEmpty)
+    def terms(cs: Seq[String], drop: Int) =
+      cs.flatMap(c => Analyzer.tokenize(c.substring(drop))).distinct
+    val must = terms(clauses.filter(c => c.startsWith("+") && c.length > 1), 1)
+    val not = terms(clauses.filter(c => c.startsWith("-") && c.length > 1), 1)
+    val should = terms(clauses.filterNot(c =>
+      (c.startsWith("+") || c.startsWith("-")) && c.length > 1), 0)
+      .filterNot(must.contains)
+    BoolClauses(must, should, not)
+  }
+
+  /** Boolean query set → ((query_id, term, is_must) frame over must ∪
+    * should, (query_id, term) negative frame, driver Map query_id →
+    * |must| including out-of-vocabulary must terms). */
+  def parseClauseQueries(spark: SparkSession, queries: Seq[(Int, String)])
+      : (DataFrame, DataFrame, Map[Int, Int]) = {
+    import spark.implicits._
+    val parsed = queries.map { case (id, t) => (id, parseClauses(t)) }
+    val qt = parsed.flatMap { case (id, c) =>
+      c.must.map(t => (id, t, true)) ++ c.should.map(t => (id, t, false))
+    }.toDF("query_id", "term", "_is_must")
+    val neg = parsed.flatMap { case (id, c) => c.not.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    (qt, neg, parsed.map { case (id, c) => id -> c.must.size }.toMap)
+  }
+
+  /** Inline boolean-clause search (the grammar above) over a raw corpus. */
+  def searchCorpusClauses(corpus: DataFrame, queries: Seq[(Int, String)],
+                          k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (qt, neg, nMust) = parseClauseQueries(spark, queries)
+    val occ = IndexBuild.termOccurrences(corpus)
+    val dl = IndexBuild.docLengths(occ)
+    val tf = IndexBuild.termFrequencies(occ)
+    val st = IndexBuild.stats(dl)
+    val qd = qt.join(IndexBuild.dictionary(tf).select("term", "df"), "term")
+    // one row per (query, term, doc) — tf is already aggregated, so a
+    // plain conditional count gives the per-doc matched-must count
+    val scored = IndexBuild.tfWithDl(tf, dl)
+      .join(broadcast(qd), "term")
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(st.nDocs), lit(st.avgdl)))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"),
+        count(when(col("_is_must"), lit(1))).as("_must_matched"))
+    val nMustDf = nMust.toSeq.toDF("query_id", "_n_must")
+    val negMatch = tf.join(broadcast(neg), "term")
+      .select("query_id", "doc_id").distinct()
+    rank(scored
+      .join(broadcast(nMustDf), "query_id")
+      .where(col("_must_matched") === col("_n_must"))
+      .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+  }
+
   /** Inline boolean-NOT search (Solr `q=a -b` semantics): positives score
     * as usual; docs matching any of a query's negative terms are excluded
     * by a left-anti join on the negative match set. A pure-negative query

@@ -57,6 +57,29 @@ class PhraseSpec extends SparkSpec {
     assert(phrase.nonEmpty)
   }
 
+  test("slop: ordered window matches gapped terms, never reversed ones") {
+    // doc 0: a..b gap 1 ("a x b"); doc 1: b then a (reversed); doc 2: a..b gap 3
+    val turns = Seq(
+      ("c0", 0, "user", "a x b", null.asInstanceOf[String], ts(0)),
+      ("c1", 0, "user", "b c c a", null.asInstanceOf[String], ts(1)),
+      ("c2", 0, "user", "a x x x b", null.asInstanceOf[String], ts(2)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "slop",
+      BuildIndexJob.Config(numShards = 4, blockSize = 2, storePositions = true))
+    val i = IndexSearch.open(spark, root)
+    assert(docsOf(IndexSearch.searchPhrase(i, Seq(1 -> "a b"), slop = 0), 1)
+      == Seq.empty, "slop 0: no adjacent 'a b' anywhere")
+    assert(docsOf(IndexSearch.searchPhrase(i, Seq(1 -> "a b"), slop = 1), 1)
+      == Seq(0L), "slop 1 reaches across one gap only")
+    assert(docsOf(IndexSearch.searchPhrase(i, Seq(1 -> "a b"), slop = 3), 1)
+      == Seq(0L, 2L), "slop 3 reaches the wider gap")
+    // in-order-only (the pinned divergence from Lucene's transpositions):
+    // doc 1's reversed "b ... a" never matches "a b" at any slop
+    assert(!docsOf(IndexSearch.searchPhrase(i, Seq(1 -> "a b"), slop = 9), 1)
+      .contains(1L))
+  }
+
   test("phrase frequency saturates scoring: 2 occurrences outrank 1 at equal dl") {
     // doc 0 has pf('a b')=2; craft a sibling with pf=1 and identical dl
     val turns = Seq(
