@@ -165,48 +165,6 @@ object Oracle {
        |FROM matched JOIN corpus USING (doc_id)
        |GROUP BY query_id, $facetCol ORDER BY query_id, $facetCol""".stripMargin
 
-  /** Twin of the boolean-NOT paths ([[graft.search.Search.searchCorpusBoolean]]
-    * / [[graft.search.IndexSearch.searchBoolean]]). Queries are parsed with
-    * the SAME driver-side parser the Spark side uses, so clause semantics
-    * can't drift: positives score as usual; docs matching any of a query's
-    * negative terms are anti-joined away; a pure-negative query yields no
-    * scored rows. */
-  def bm25TopKNot(corpusSql: String, queries: Seq[(Int, String)],
-                  k: Int): String = {
-    val parsed = queries.map { case (id, t) => (id, graft.search.Search.parseNot(t)) }
-    val posQ = parsed.map { case (id, (p, _)) => (id, p) }
-    val negValues = parsed.flatMap { case (id, (_, ns)) =>
-      ns.map(n => s"($id, '${esc(n)}')")
-    }
-    val negCte =
-      if (negValues.isEmpty)
-        "negs(query_id, term) AS (SELECT 0, '' WHERE 1 = 0)"
-      else s"negs(query_id, term) AS (VALUES ${negValues.mkString(", ")})"
-    s"""WITH ${indexCtes(corpusSql)},
-       |queries(query_id, qtext) AS (VALUES ${queryValues(posQ)}),
-       |$negCte,
-       |qt AS (SELECT DISTINCT query_id, term FROM
-       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
-       |ranked AS (
-       |  SELECT query_id, doc_id, score,
-       |         row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
-       |  FROM scored
-       |  WHERE NOT EXISTS (
-       |    SELECT 1 FROM negs JOIN tf USING (term)
-       |    WHERE negs.query_id = scored.query_id AND tf.doc_id = scored.doc_id))
-       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
-       |FROM ranked WHERE rnk <= $k
-       |ORDER BY query_id, rnk""".stripMargin
-  }
-
   /** Twin of the boolean clause grammar ([[graft.search.Search.searchCorpusClauses]]
     * / [[graft.search.IndexSearch.searchClauses]]); clause lists come from
     * the SAME driver-side parser. The must-count per query is computed

@@ -460,8 +460,8 @@ object SparkEntry {
     "q_facet_role" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_fq_index" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
     "q_facet_role_index" -> Oracle.facetCounts(DisjQueries, "role"),
-    "q_bm25_not" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10),
-    "q_bm25_not_index" -> Oracle.bm25TopKNot(Oracle.transcriptsCorpus, NotQueries, 10),
+    "q_bm25_not" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
+    "q_bm25_not_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
     "q_bm25_phrase" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus, PhraseQueries, 10),
     "q_bm25_phrase_slop" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus,
       PhraseSlopQueries, 10, slop = PhraseSlop),

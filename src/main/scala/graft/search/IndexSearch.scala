@@ -97,20 +97,12 @@ object IndexSearch {
     Search.rank(scoredDocs(idx, qt, conjunctive), k)
   }
 
-  /** Boolean NOT over the persisted index (Solr `q=a -b`): scores come
-    * from the positive clauses only; any doc matching a negative term is
-    * excluded via left-anti against the negative terms' (shard-pruned)
-    * match set. Lucene semantics: a pure-negative query matches nothing
-    * (no positive clause ⇒ no scored docs). */
+  /** Boolean NOT over the persisted index (Solr `q=a -b`): the no-must
+    * subset of the clause grammar — delegates to [[searchClauses]] (one
+    * boolean engine path). A pure-negative query matches nothing. */
   def searchBoolean(idx: OpenIndex, queries: Seq[(Int, String)],
-                    k: Int = 10): DataFrame = {
-    val spark = idx.spark
-    val (pos, neg) = Search.parseNotQueries(spark, queries)
-    val scored = scoredDocs(idx, Search.queryTerms(pos), conjunctive = false)
-    val negMatch = matchedPostings(idx, neg)
-      .select("query_id", "doc_id").distinct()
-    Search.rank(scored.join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
-  }
+                    k: Int = 10): DataFrame =
+    searchClauses(idx, queries, k)
 
   /** Full boolean clause grammar (`q=+a b -c`) over the persisted index —
     * same pinned semantics as [[Search.searchCorpusClauses]]: every must

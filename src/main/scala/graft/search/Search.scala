@@ -32,29 +32,6 @@ object Search {
         explode(Analyzer.tokens(col("text"))).as("term"))
       .distinct()
 
-  /** Boolean NOT syntax (Solr/Lucene `q=a -b`): whitespace-separated
-    * clauses beginning with '-' are negative; the shared analyzer runs on
-    * each clause body (so `-Key-Value` excludes both `key` and `value`).
-    * Returns (positiveText, negativeTerms). Driver-side — queries are a
-    * tiny literal set. */
-  def parseNot(text: String): (String, Seq[String]) = {
-    val clauses = text.split("\\s+").toSeq.filter(_.nonEmpty)
-    val (neg, pos) = clauses.partition(c => c.startsWith("-") && c.length > 1)
-    (pos.mkString(" "), neg.flatMap(c => Analyzer.tokenize(c.substring(1))).distinct)
-  }
-
-  /** Split a boolean query set into the positive query frame and the
-    * (query_id, term) negative-term frame. */
-  def parseNotQueries(spark: SparkSession,
-                      queries: Seq[(Int, String)]): (DataFrame, DataFrame) = {
-    import spark.implicits._
-    val parsed = queries.map { case (id, t) => (id, parseNot(t)) }
-    val pos = queryFrame(spark, parsed.map { case (id, (p, _)) => (id, p) })
-    val neg = parsed.flatMap { case (id, (_, ns)) => ns.map(n => (id, n)) }
-      .toDF("query_id", "term")
-    (pos, neg)
-  }
-
   /** Full Lucene/Solr boolean clause grammar (`q=+a b -c`): whitespace
     * clauses prefixed '+' are MUST, '-' are MUST_NOT, bare are SHOULD; the
     * shared analyzer runs on each clause body. Pinned semantics
@@ -122,23 +99,13 @@ object Search {
       .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
   }
 
-  /** Inline boolean-NOT search (Solr `q=a -b` semantics): positives score
-    * as usual; docs matching any of a query's negative terms are excluded
-    * by a left-anti join on the negative match set. A pure-negative query
-    * matches nothing (Lucene: no positive clause ⇒ empty). */
+  /** Boolean-NOT search (Solr `q=a -b`): the no-must subset of the clause
+    * grammar — bare clauses are SHOULD, '-' clauses exclude; a
+    * pure-negative query matches nothing. Delegates to
+    * [[searchCorpusClauses]] (one boolean engine path). */
   def searchCorpusBoolean(corpus: DataFrame, queries: Seq[(Int, String)],
-                          k: Int = 10): DataFrame = {
-    val spark = corpus.sparkSession
-    val (pos, neg) = parseNotQueries(spark, queries)
-    val occ = IndexBuild.termOccurrences(corpus)
-    val dl = IndexBuild.docLengths(occ)
-    val tf = IndexBuild.termFrequencies(occ)
-    val scored = scoredDocs(pos, IndexBuild.tfWithDl(tf, dl),
-      IndexBuild.dictionary(tf), IndexBuild.stats(dl))
-    val negMatch = tf.join(broadcast(neg), "term")
-      .select("query_id", "doc_id").distinct()
-    rank(scored.join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
-  }
+                          k: Int = 10): DataFrame =
+    searchCorpusClauses(corpus, queries, k)
 
   /** Exhaustive BM25 top-k from the scoring relation.
     *

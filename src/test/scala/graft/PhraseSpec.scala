@@ -1,7 +1,7 @@
 package graft
 
 import graft.index.BuildIndexJob
-import graft.search.IndexSearch
+import graft.search.{BlockMaxWand, IndexSearch}
 import org.apache.spark.sql.functions._
 
 /** Exact phrase search over positional postings: adjacency semantics,
@@ -78,6 +78,62 @@ class PhraseSpec extends SparkSpec {
     // doc 1's reversed "b ... a" never matches "a b" at any slop
     assert(!docsOf(IndexSearch.searchPhrase(i, Seq(1 -> "a b"), slop = 9), 1)
       .contains(1L))
+  }
+
+  test("property: searchPhrase ≡ brute force on random corpora (slop 0 and 2)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 0 until 3) {
+      val docs: Seq[Seq[String]] = (0 until 20).map { _ =>
+        Seq.fill(8 + rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val turns = docs.zipWithIndex.map { case (toks, i) =>
+        (f"c$i%03d", 0, "user", toks.mkString(" "),
+          null.asInstanceOf[String], ts(i))
+      }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val root = tmp()
+      BuildIndexJob.run(spark, turns, root, s"prop$trial",
+        BuildIndexJob.Config(numShards = 4, blockSize = 4, storePositions = true))
+      val idx = IndexSearch.open(spark, root)
+      // collection stats the engine uses
+      val n = docs.size.toLong
+      val avgdl = docs.map(_.size).sum.toDouble / n
+      def df(t: String) = docs.count(_.contains(t)).toLong
+      def brutePf(toks: Seq[String], phrase: Seq[String], slop: Int): Int = {
+        val pos = toks.zipWithIndex
+        def chain(slot: Int, prev: Int, p1: Int): Boolean =
+          if (slot == phrase.size) true
+          else pos.exists { case (t, p) =>
+            t == phrase(slot) && p > prev && p <= p1 + slot + slop &&
+              chain(slot + 1, p, p1)
+          }
+        pos.count { case (t, p) => t == phrase.head && chain(1, p, p) }
+      }
+      val phrases = Seq(
+        Seq(vocab(rnd.nextInt(5))),
+        Seq(vocab(rnd.nextInt(5)), vocab(rnd.nextInt(5))),
+        Seq(vocab(rnd.nextInt(5)), vocab(rnd.nextInt(5)), vocab(rnd.nextInt(5))),
+        Seq("a", "a"))
+      for (slop <- Seq(0, 2); (phrase, qi) <- phrases.zipWithIndex) {
+        val idfSum = phrase.map(t =>
+          math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))).sum
+        val want = docs.zipWithIndex
+          .map { case (toks, d) => (d.toLong, brutePf(toks, phrase, slop), toks.size) }
+          .filter(_._2 > 0)
+          .map { case (d, pf, dl) =>
+            (d, idfSum * pf / (pf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+          }
+          .sortBy { case (d, s) => (-BlockMaxWand.round(s, 7), d) }
+          .take(10)
+          .map { case (d, s) => (d, BlockMaxWand.round(s, 4)) }
+        val got = IndexSearch
+          .searchPhrase(idx, Seq(1 -> phrase.mkString(" ")), k = 10, slop = slop)
+          .orderBy("rank").collect()
+          .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+        assert(got == want,
+          s"trial $trial phrase=$phrase slop=$slop: got $got want $want")
+      }
+    }
   }
 
   test("phrase frequency saturates scoring: 2 occurrences outrank 1 at equal dl") {
