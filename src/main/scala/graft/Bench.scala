@@ -119,7 +119,7 @@ object Bench {
     // 2. index-build throughput: synthetic transcript corpus sized by sf
     val corpus = Transcripts.synthetic(spark, convsFor(sfDir))
     val nTurns = corpus.count()
-    val root = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val root = TempDirs.create("graft_bench")
     val (_, buildSec) = time {
       BuildIndexJob.run(spark, corpus, root, "bench", BuildIndexJob.Config())
     }

@@ -39,7 +39,7 @@ object Freeze {
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/queries_seed42.parquet")
 
-    val root = java.nio.file.Files.createTempDirectory("graft_freeze").toString
+    val root = TempDirs.create("graft_freeze")
     BuildIndexJob.run(spark, Transcripts.synthetic(spark, 200), root, "freeze",
       BuildIndexJob.Config(numShards = 8, blockSize = 32))
     IndexSearch.search(IndexSearch.open(spark, root), QuerySet.reference, k = 10)

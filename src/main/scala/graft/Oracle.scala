@@ -175,10 +175,16 @@ object Oracle {
     val parsed = queries.map { case (id, t) =>
       (id, graft.search.Search.parseClauses(t))
     }
-    val qtValues = parsed.flatMap { case (id, c) =>
+    val qtValues0 = parsed.flatMap { case (id, c) =>
       c.must.map(t => s"($id, '${esc(t)}', TRUE)") ++
         c.should.map(t => s"($id, '${esc(t)}', FALSE)")
     }
+    // guard the VALUES list: an all-pure-negative query set has no
+    // must/should terms anywhere, and `VALUES ()` is a parse error — a
+    // never-matching row keeps the CTE well-formed and the result empty
+    val qtValues =
+      if (qtValues0.nonEmpty) qtValues0
+      else Seq("(0, '', FALSE)")
     val nMustValues = parsed.map { case (id, c) => s"($id, ${c.must.size})" }
     val negValues = parsed.flatMap { case (id, c) =>
       c.not.map(t => s"($id, '${esc(t)}')")

@@ -25,7 +25,7 @@ object StageProbe {
 
     // materialize the corpus ONCE so both levels read identical bytes
     val inputDir = {
-      val dir = java.nio.file.Files.createTempDirectory("graft_probe_in").toString
+      val dir = TempDirs.create("graft_probe_in")
       val s = SparkSession.builder().master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.ui.enabled", "false").getOrCreate()

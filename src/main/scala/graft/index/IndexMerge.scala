@@ -67,22 +67,44 @@ object IndexMerge {
 
     // tf stage: reuse old tokenization via id remap — SURVIVOR keys only
     // (an overwritten key must not drag its stale postings along; its text
-    // is re-tokenized as part of the new batch)
-    val remap = cfg.io.read(spark, s"$oldRoot/tfdl")
+    // is re-tokenized as part of the new batch). Positional indexes merge
+    // positionally: the old positions column rides the remap untouched
+    // (positions are within-doc, id-independent) and the fresh batch runs
+    // the positional aggregate. A config/old-index mismatch fails loudly —
+    // silently mixing positional and non-positional rows would corrupt
+    // the per-block positions stream.
+    val oldTfdl = cfg.io.read(spark, s"$oldRoot/tfdl")
+    val oldHasPos = oldTfdl.columns.contains("positions")
+    require(oldHasPos == cfg.storePositions,
+      s"positional mismatch: old index storePositions=$oldHasPos but merge " +
+        s"config storePositions=${cfg.storePositions}")
+    val tfCols = Seq("term", "doc_id", "tf", "dl") ++
+      (if (cfg.storePositions) Seq("positions") else Nil)
+    val remap = oldTfdl
       .join(keepOld.select(col("doc_id").as("_old_id"), col("conv_id"), col("turn_idx"))
           .join(docsP.select(col("doc_id").as("_new_id"), col("conv_id"), col("turn_idx")), key)
           .select("_old_id", "_new_id"),
         col("doc_id") === col("_old_id"))
-      .select(col("term"), col("_new_id").as("doc_id"), col("tf"), col("dl"))
+      .withColumn("doc_id", col("_new_id"))
+      .select(tfCols.map(col): _*)
     val newKeys = newTurns.select(key.map(col): _*)
     val freshDocs = docsP.join(newKeys, key, "left_semi")
-    val freshTf = freshDocs
-      .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
-      .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .select("term", "doc_id", "tf", "dl")
-    val tfdl = remap.unionByName(freshTf)
-      .select("term", "doc_id", "tf", "dl")
+    val freshTf =
+      if (!cfg.storePositions)
+        freshDocs
+          .select(col("doc_id"), col("dl"), explode(Analyzer.tokens(col("text"))).as("term"))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).cast("int").as("tf"))
+          .select(tfCols.map(col): _*)
+      else
+        freshDocs
+          .select(col("doc_id"), col("dl"),
+            posexplode(Analyzer.tokens(col("text"))).as(Seq("_pos", "term")))
+          .groupBy("term", "doc_id", "dl")
+          .agg(count(lit(1)).cast("int").as("tf"),
+            sort_array(collect_list(col("_pos").cast("long"))).as("positions"))
+          .select(tfCols.map(col): _*)
+    val tfdl = remap.unionByName(freshTf).select(tfCols.map(col): _*)
     cfg.io.write(tfdl, p.tfdl, snapshotId = buildId)
 
     // dict + stats + postings: identical to the batch job's stages

@@ -223,45 +223,38 @@ object PostingBlocks {
         size(col("block")).as("block_len"))
   }
 
-  /** Inverse of [[build]]: decode blocks back to posting rows
-    * (term, doc_id, tf, dl). Codegen'd expressions throughout. */
-  def decodePostings(blocks: DataFrame): DataFrame = {
+  /** Shared decode scaffolding: explode the zipped per-block streams back
+    * to one row per posting, carrying every non-block column through. */
+  private def decodeWith(blocks: DataFrame, withPositions: Boolean): DataFrame = {
     val keep = blocks.columns.filter(c =>
       c != "doc_gaps" && c != "tfs" && c != "dls" && c != "poss" &&
         c != "first_doc" && c != "last_doc" && c != "block_id" &&
         c != "block_len" && c != "block_max_score")
+    val streams = Seq(
+      codec.varintDeltaDecode(col("doc_gaps")).as("doc_id"),
+      codec.varintDecode(col("tfs")).as("tf"),
+      codec.varintDecode(col("dls")).as("dl")) ++
+      (if (withPositions)
+        Seq(codec.varintNestedDecode(col("poss")).as("positions"))
+      else Nil)
+    val out = Seq(
+      col("_p.doc_id").as("doc_id"),
+      col("_p.tf").cast("int").as("tf"),
+      col("_p.dl").cast("int").as("dl")) ++
+      (if (withPositions) Seq(col("_p.positions").as("positions")) else Nil)
     blocks
-      .select(keep.map(col) :+
-        explode(arrays_zip(
-          codec.varintDeltaDecode(col("doc_gaps")).as("doc_id"),
-          codec.varintDecode(col("tfs")).as("tf"),
-          codec.varintDecode(col("dls")).as("dl"))).as("_p"): _*)
-      .select(keep.map(col) :+
-        col("_p.doc_id").as("doc_id") :+
-        col("_p.tf").cast("int").as("tf") :+
-        col("_p.dl").cast("int").as("dl"): _*)
+      .select(keep.map(col) :+ explode(arrays_zip(streams: _*)).as("_p"): _*)
+      .select(keep.map(col) ++ out: _*)
   }
 
-  /** Positional decode: like [[decodePostings]] but zips the nested
-    * positions stream back alongside each posting — (…, doc_id, tf, dl,
-    * positions:array<long>). Requires blocks built with positional
-    * postings (`poss` non-null). */
-  def decodePostingsWithPositions(blocks: DataFrame): DataFrame = {
-    val keep = blocks.columns.filter(c =>
-      c != "doc_gaps" && c != "tfs" && c != "dls" && c != "poss" &&
-        c != "first_doc" && c != "last_doc" && c != "block_id" &&
-        c != "block_len" && c != "block_max_score")
-    blocks
-      .select(keep.map(col) :+
-        explode(arrays_zip(
-          codec.varintDeltaDecode(col("doc_gaps")).as("doc_id"),
-          codec.varintDecode(col("tfs")).as("tf"),
-          codec.varintDecode(col("dls")).as("dl"),
-          codec.varintNestedDecode(col("poss")).as("positions"))).as("_p"): _*)
-      .select(keep.map(col) :+
-        col("_p.doc_id").as("doc_id") :+
-        col("_p.tf").cast("int").as("tf") :+
-        col("_p.dl").cast("int").as("dl") :+
-        col("_p.positions").as("positions"): _*)
-  }
+  /** Inverse of [[build]]: decode blocks back to posting rows
+    * (term, doc_id, tf, dl). Codegen'd expressions throughout. */
+  def decodePostings(blocks: DataFrame): DataFrame =
+    decodeWith(blocks, withPositions = false)
+
+  /** Positional decode: like [[decodePostings]] plus the nested positions
+    * stream — (…, doc_id, tf, dl, positions:array<long>). Requires blocks
+    * built with positional postings (`poss` non-null). */
+  def decodePostingsWithPositions(blocks: DataFrame): DataFrame =
+    decodeWith(blocks, withPositions = true)
 }

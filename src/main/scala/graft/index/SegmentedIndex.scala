@@ -104,6 +104,11 @@ object SegmentedIndex {
     cfg.io.read(spark, s"$sp/docs")
       .select(col("conv_id"), col("turn_idx"), col("dl"))
       .withColumn("kb", keyBucket(kb))
+      // cluster by bucket before the partitioned write: without it every
+      // scan task writes a file into every bucket dir it touches (up to
+      // tasks × kb tiny files), and the append-time pruned reads pay the
+      // listing/footer overhead the bucketing exists to save
+      .repartition(col("kb"))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$sp/keymeta")
     Fs.writeString(spark, s"$sp/keymeta/_NBUCKETS", kb.toString)
   }

@@ -97,8 +97,11 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
     val byVar = stats.sortBy { case (pos, v, _) => (-v, pos) }
+    // empty corpus: any plan works (no rows to band) — coordinate 0
     val qualified = byVar.filter(_._3 >= 2 * eps).take(maxBandDims).map(_._1)
-    val coords = if (qualified.nonEmpty) qualified.toSeq else Seq(byVar.head._1)
+    val coords =
+      if (qualified.nonEmpty) qualified.toSeq
+      else Seq(byVar.headOption.map(_._1).getOrElse(0))
     // distinct-cell count (tiny agg) → salt only when cells can't feed the
     // available parallelism on their own
     val cellCol = cellKey(col("u"), coords, eps, coords.map(_ => lit(0)))
@@ -161,39 +164,39 @@ object Similarity {
     * candidates ⊇ truth, result ≡ brute force, and <10% candidate volume
     * at τ=0.9 on a clustered corpus).
     *
-    * Caching contract: internally caches the unit-vector view while the
-    * plan is derived; the cache is dropped before returning, so callers
-    * need no clearCache discipline for this method.
+    * CALLER CONTRACT (cache lifecycle): the unit-vector view is cached —
+    * it feeds the eager banding-plan jobs AND three subtrees of the
+    * returned plan (both candidate sides plus the verify re-join), so one
+    * normalize scan serves all of them. As with [[Dedup.minhashPairs]],
+    * batch runners executing many queries in one JVM must
+    * `spark.catalog.clearCache()` (or unpersist) once the result is
+    * consumed, as Verify/Bench do.
     *
     * Output: (vec_a, vec_b, cos) with vec_a < vec_b. */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
                   maxBandDims: Int = 4): DataFrame = {
     val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
     val u = unitVectors(embeddings).cache()
-    try {
-      val plan = planBands(u, eps, maxBandDims)
-      val cand = candidates(u, plan)
-      // verify: re-attach unit vectors for candidate ids only
-      val ua = unitVectors(embeddings)
-        .select(col("vec_id").as("vec_a"), col("u").as("ua"))
-      val ub = unitVectors(embeddings)
-        .select(col("vec_id").as("vec_b"), col("u").as("ub"))
-      cand.join(ua, "vec_a").join(ub, "vec_b")
-        .withColumn("cos", dot(col("ua"), col("ub")))
-        .where(round(col("cos"), 7) >= threshold)
-        .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
-        .orderBy("vec_a", "vec_b")
-    } finally u.unpersist()
+    val plan = planBands(u, eps, maxBandDims)
+    val cand = candidates(u, plan)
+    // verify: re-attach unit vectors for candidate ids only (same cached u)
+    val ua = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+    val ub = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+    cand.join(ua, "vec_a").join(ub, "vec_b")
+      .withColumn("cos", dot(col("ua"), col("ub")))
+      .where(round(col("cos"), 7) >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** Candidate pairs only (pre-verification) — exposed for the
-    * completeness/pruning property tests. Same plan as [[cosinePairs]]. */
+    * completeness/pruning property tests. Same plan and caller contract
+    * as [[cosinePairs]]. */
   def cosinePairCandidates(embeddings: DataFrame, threshold: Double,
                            maxBandDims: Int = 4): DataFrame = {
     val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
     val u = unitVectors(embeddings).cache()
-    try candidates(u, planBands(u, eps, maxBandDims))
-    finally u.unpersist()
+    candidates(u, planBands(u, eps, maxBandDims))
   }
 
   /** Per-label centroids: (label, centroid array<double>). */

@@ -194,6 +194,14 @@ object IndexSearch {
                    k: Int = 10, slop: Int = 0): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
+    // fail fast on a non-positional index: poss = null would otherwise
+    // null out the arrays_zip and SILENTLY return zero hits for phrases
+    // the corpus contains (one sampled row; an empty index passes)
+    val sample = idx.io.read(spark, idx.paths.postings)
+      .select("poss").limit(1).collect()
+    require(sample.isEmpty || !sample(0).isNullAt(0),
+      "searchPhrase requires a positional index — rebuild with " +
+        "Config(storePositions = true)")
     def empty = Seq.empty[ResultRow].toDF()
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
     val perQuery = phrases.flatMap { case (qid, text) =>
@@ -334,8 +342,11 @@ object IndexSearch {
             .groupBy("query_id", "term").agg(max("block_max_score").as("_m"))
             .groupBy("query_id").agg(sum("_m").as("_gb"))
           val seedsDf = seedMap.toSeq.toDF("query_id", "_seed")
+          // `local` scales with |queries| × populated ranges — at design
+          // scale that is NOT broadcastable, so let Catalyst pick (it
+          // auto-broadcasts when small); `global`/`seeds` are O(|queries|)
           val kept = routed0
-            .join(broadcast(local), Seq("query_id", "range_id"), "left")
+            .join(local, Seq("query_id", "range_id"), "left")
             .join(broadcast(global), Seq("query_id"), "left")
             .join(broadcast(seedsDf), Seq("query_id"), "left")
             .where(coalesce(col("_lb"), lit(0.0)) + coalesce(col("_gb"), lit(0.0)) >=
