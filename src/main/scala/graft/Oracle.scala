@@ -65,6 +65,13 @@ object Oracle {
        |      WHERE text IS NOT NULL AND length(text) > 0)""".stripMargin
   }
 
+  /** doc_id ↔ stable key mapping over the transcripts corpus (dense ids
+    * assigned in key order — twin of IndexBuild.assignDocIds). */
+  def keymapCte: String =
+    s"""keymap AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |                  conv_id, turn_idx
+       |           FROM ($transcriptsSql))""".stripMargin
+
   /** Denormalized scoring relation (term, doc_id, tf, dl) — the oracle for
     * posting-assembly round-trips (E5 aggregate path, salted stream path). */
   def termTfDl(corpusSql: String): String =
@@ -101,9 +108,7 @@ object Oracle {
     * ASC). Disjunctive only. */
   def bm25TopKKeys(queries: Seq[(Int, String)], k: Int): String =
     s"""WITH ${indexCtes(transcriptsCorpus)},
-       |keymap AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
-       |                  conv_id, turn_idx
-       |           FROM ($transcriptsSql)),
+       |$keymapCte,
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
@@ -165,13 +170,38 @@ object Oracle {
        |FROM matched JOIN corpus USING (doc_id)
        |GROUP BY query_id, $facetCol ORDER BY query_id, $facetCol""".stripMargin
 
-  /** Twin of the boolean clause grammar ([[graft.search.Search.searchCorpusClauses]]
-    * / [[graft.search.IndexSearch.searchClauses]]); clause lists come from
-    * the SAME driver-side parser. The must-count per query is computed
-    * driver-side INCLUDING out-of-vocabulary must terms, so an OOV must
-    * eliminates the query in both engines. */
-  def bm25TopKClauses(corpusSql: String, queries: Seq[(Int, String)],
-                      k: Int): String = {
+  /** Keys-shaped fq twin (segmented-index gate): Solr filter-query
+    * semantics over the transcripts corpus with results identified by the
+    * stable key. */
+  def bm25TopKFilteredKeys(queries: Seq[(Int, String)], k: Int,
+                           filterSql: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusAttrs)},
+       |$keymapCte,
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, scored.doc_id AS doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, scored.doc_id ASC) AS rnk
+       |  FROM scored JOIN corpus ON scored.doc_id = corpus.doc_id
+       |  WHERE $filterSql)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score
+       |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** The qt/nmust/negs CTE trio of the clause grammar, parsed DRIVER-side
+    * (shared parser with the engine — see [[clauseParseCtes]] for the
+    * fully-SQL-parsed twin that de-shares this seam). */
+  private def clauseValueCtes(queries: Seq[(Int, String)]): String = {
+    require(queries.nonEmpty, "clause oracle needs at least one query")
     val parsed = queries.map { case (id, t) =>
       (id, graft.search.Search.parseClauses(t))
     }
@@ -192,11 +222,47 @@ object Oracle {
     val negCte =
       if (negValues.isEmpty) "negs(query_id, term) AS (SELECT 0, '' WHERE 1 = 0)"
       else s"negs(query_id, term) AS (VALUES ${negValues.mkString(", ")})"
-    s"""WITH ${indexCtes(corpusSql)},
-       |qt(query_id, term, is_must) AS (VALUES ${qtValues.mkString(", ")}),
+    s"""qt(query_id, term, is_must) AS (VALUES ${qtValues.mkString(", ")}),
        |nmust(query_id, n_must) AS (VALUES ${nMustValues.mkString(", ")}),
-       |$negCte,
-       |scored AS (
+       |$negCte""".stripMargin
+  }
+
+  /** The qt/nmust/negs trio parsed entirely IN SQL from the raw query
+    * strings (whitespace clause split, +/- prefix handling, analyzer,
+    * must-over-should dedupe, n_must incl. out-of-vocabulary musts) — the
+    * independent cross-check of [[graft.search.Search.parseClauses]]:
+    * with this prelude a driver-parser bug cannot pass both engines. */
+  private def clauseParseCtes(queries: Seq[(Int, String)]): String = {
+    require(queries.nonEmpty, "clause oracle needs at least one query")
+    s"""cqueries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |clauses AS (SELECT query_id, cl FROM
+       |  (SELECT query_id, unnest(list_filter(string_split_regex(qtext, '\\s+'), c -> c <> '')) AS cl
+       |   FROM cqueries)),
+       |cbodies AS (SELECT query_id,
+       |  CASE WHEN (substr(cl, 1, 1) = '+' OR substr(cl, 1, 1) = '-') AND length(cl) > 1
+       |       THEN CASE WHEN substr(cl, 1, 1) = '+' THEN 'must' ELSE 'not' END
+       |       ELSE 'should' END AS kind,
+       |  CASE WHEN (substr(cl, 1, 1) = '+' OR substr(cl, 1, 1) = '-') AND length(cl) > 1
+       |       THEN substr(cl, 2) ELSE cl END AS body
+       |  FROM clauses),
+       |cterms AS (SELECT DISTINCT query_id, kind, term FROM
+       |  (SELECT query_id, kind, unnest(${Analyzer.sqlTokenList("body")}) AS term FROM cbodies)),
+       |musts AS (SELECT query_id, term FROM cterms WHERE kind = 'must'),
+       |qt AS (SELECT query_id, term, TRUE AS is_must FROM musts
+       |       UNION ALL
+       |       SELECT t.query_id, t.term, FALSE FROM cterms t
+       |       WHERE t.kind = 'should' AND NOT EXISTS (
+       |         SELECT 1 FROM musts m
+       |         WHERE m.query_id = t.query_id AND m.term = t.term)),
+       |nmust AS (SELECT q.query_id,
+       |            (SELECT count(*) FROM musts m WHERE m.query_id = q.query_id) AS n_must
+       |          FROM cqueries q),
+       |negs AS (SELECT query_id, term FROM cterms WHERE kind = 'not')""".stripMargin
+  }
+
+  /** Clause-grammar scored/ranked tail, shared by every clause twin. */
+  private def clauseTail(k: Int, select: String, fromTail: String): String =
+    s"""scored AS (
        |  SELECT qt.query_id, tf.doc_id,
        |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
        |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score,
@@ -213,10 +279,38 @@ object Oracle {
        |    AND NOT EXISTS (
        |      SELECT 1 FROM negs JOIN tf USING (term)
        |      WHERE negs.query_id = scored.query_id AND tf.doc_id = scored.doc_id))
-       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
-       |FROM ranked WHERE rnk <= $k
+       |SELECT $select
+       |FROM ranked $fromTail WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
-  }
+
+  def bm25TopKClauses(corpusSql: String, queries: Seq[(Int, String)],
+                      k: Int): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |${clauseValueCtes(queries)},
+       |${clauseTail(k,
+          """query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score""",
+          "")}""".stripMargin
+
+  /** [[bm25TopKClauses]] with the clause PARSING done in SQL (see
+    * [[clauseParseCtes]]) — used by at least one boolean gate so the
+    * parse step is cross-checked end to end, not shared. */
+  def bm25TopKClausesSqlParsed(corpusSql: String, queries: Seq[(Int, String)],
+                               k: Int): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |${clauseParseCtes(queries)},
+       |${clauseTail(k,
+          """query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score""",
+          "")}""".stripMargin
+
+  /** Keys-shaped clause twin (segmented-index gates): dense doc ids are
+    * assigned in key order, so ranking on doc_id ≡ ranking on the key. */
+  def bm25TopKClausesKeys(queries: Seq[(Int, String)], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |$keymapCte,
+       |${clauseValueCtes(queries)},
+       |${clauseTail(k,
+          """query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score""",
+          "JOIN keymap USING (doc_id)")}""".stripMargin
 
   /** Twin of [[graft.search.IndexSearch.searchPhrase]] (Lucene PhraseQuery
     * scoring: idf = Σ per-term idfs with duplicates counted, tf = exact
@@ -273,9 +367,52 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** Full BM25 top-k oracle. */
+  /** Twin of [[graft.search.IndexSearch.searchHighlight]]: top-k plus a
+    * snippet of ±window analyzed tokens around the first query-term
+    * match. DuckDB's 1-based list_position ≡ the engine's 0-based
+    * min-position + 1; absent terms yield 0 (NOT null — verified on
+    * DuckDB 1.x) and must be filtered out of the min, mirroring terms
+    * with no posting in the doc. */
+  def bm25Highlight(corpusSql: String, queries: Seq[(Int, String)], k: Int,
+                    window: Int): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored),
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |fp AS (
+       |  SELECT r.query_id, r.doc_id, min(list_position(t.l, qt.term)) AS lp
+       |  FROM ranked r
+       |       JOIN toksl t ON t.doc_id = r.doc_id
+       |       JOIN qt ON qt.query_id = r.query_id
+       |  WHERE r.rnk <= $k AND list_position(t.l, qt.term) > 0
+       |  GROUP BY r.query_id, r.doc_id)
+       |SELECT r.query_id, CAST(r.rnk AS INT) AS "rank", r.doc_id,
+       |       round(r.score, 4) AS score,
+       |       array_to_string(list_slice(t.l, greatest(1, fp.lp - $window),
+       |         greatest(1, fp.lp - $window) + ${2 * window}), ' ') AS snippet
+       |FROM ranked r
+       |     JOIN fp ON fp.query_id = r.query_id AND fp.doc_id = r.doc_id
+       |     JOIN toksl t ON t.doc_id = r.doc_id
+       |WHERE r.rnk <= $k
+       |ORDER BY r.query_id, r.rnk""".stripMargin
+
+  /** Full BM25 top-k oracle. `start` is the pagination offset — rank
+    * positions stay ABSOLUTE, only ranks (start, start+k] are returned. */
   def bm25TopK(corpusSql: String, queries: Seq[(Int, String)], k: Int,
-               conjunctive: Boolean): String = {
+               conjunctive: Boolean, start: Int = 0): String = {
     val conjJoin =
       if (conjunctive) "JOIN nq USING (query_id) WHERE n_matched = n_q" else ""
     s"""WITH ${indexCtes(corpusSql)},
@@ -297,7 +434,7 @@ object Oracle {
        |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
        |  FROM scored $conjJoin)
        |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
-       |FROM ranked WHERE rnk <= $k
+       |FROM ranked WHERE rnk > $start AND rnk <= ${start + k}
        |ORDER BY query_id, rnk""".stripMargin
   }
 }

@@ -398,6 +398,25 @@ object SparkEntry {
       Search.searchCorpusClauses(transcriptCorpus(s, dir), BoolQueries)),
     "q_bm25_bool_index" -> ((s, dir) =>
       IndexSearch.searchClauses(indexFor(s, dir), BoolQueries)),
+    // Solr surface over the SEGMENTED (streaming) index: boolean clauses,
+    // fq, and facet composed onto the per-segment fan-out — a streaming
+    // deployment serves the full request grammar between compactions
+    "q_bm25_bool_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchClauses(s, streamedIndex(s, dir),
+        BoolQueries, cfg = BuildIndexJob.Config(numShards = 8))),
+    "q_bm25_fq_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchFiltered(s, streamedIndex(s, dir),
+        DisjQueries, col("role") === "user",
+        cfg = BuildIndexJob.Config(numShards = 8))),
+    "q_facet_role_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.facetCounts(s, streamedIndex(s, dir),
+        DisjQueries, "role", BuildIndexJob.Config(numShards = 8))),
+    // Solr start=/rows= pagination: absolute ranks (start, start+rows]
+    "q_bm25_page" -> ((s, dir) =>
+      Search.searchCorpus(documents(s, dir), DisjQueries, k = 5, start = 5)),
+    // Solr hl: ±5-token snippet around the first match, positions-driven
+    "q_bm25_highlight" -> ((s, dir) =>
+      IndexSearch.searchHighlight(indexFor(s, dir), DisjQueries)),
     // G7: rollup diagnostics (corpus profile by lang × source); grouping()
     // relabels the rollup's nulls so both engines emit 'ALL'
     "q_corpus_cube" -> ((s, dir) => {
@@ -465,6 +484,16 @@ object SparkEntry {
     "q_bm25_phrase" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus, PhraseQueries, 10),
     "q_bm25_phrase_slop" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus,
       PhraseSlopQueries, 10, slop = PhraseSlop),
-    "q_bm25_bool" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10),
-    "q_bm25_bool_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10))
+    // SQL-PARSED clause twin (clause splitting/prefixes/analyzer all in
+    // DuckDB): the parse step is cross-checked, not shared with the engine
+    "q_bm25_bool" -> Oracle.bm25TopKClausesSqlParsed(Oracle.transcriptsCorpus,
+      BoolQueries, 10),
+    "q_bm25_bool_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10),
+    "q_bm25_bool_segmented" -> Oracle.bm25TopKClausesKeys(BoolQueries, 10),
+    "q_bm25_fq_segmented" -> Oracle.bm25TopKFilteredKeys(DisjQueries, 10, "role = 'user'"),
+    "q_facet_role_segmented" -> Oracle.facetCounts(DisjQueries, "role"),
+    "q_bm25_page" -> Oracle.bm25TopK(Oracle.documentsCorpus, DisjQueries, 5,
+      conjunctive = false, start = 5),
+    "q_bm25_highlight" -> Oracle.bm25Highlight(Oracle.transcriptsCorpus,
+      DisjQueries, 10, window = 5))
 }

@@ -55,6 +55,8 @@ object BuildIndexJob {
     val dictionary = s"$root/dictionary"
     val stats = s"$root/stats"
     val postings = s"$root/postings"
+    val blockmeta = s"$root/blockmeta"
+    val positionalMarker = s"$root/_positional"
     val lineage = s"$root/lineage"
     val staging = s"$root/_staging"
     def marker(stage: String) = s"$root/_stage_done/$stage"
@@ -172,6 +174,16 @@ object BuildIndexJob {
         .repartition(cfg.numShards * 4, col("shard"),
           pmod(xxhash64(col("term")), lit(4)))
       io.write(blocks, p.postings, partitionBy = Seq("shard"), snapshotId = buildId)
+      // per-term top block maxes (metadata-only scan of what was just
+      // written): lets query time derive the WAND θ seed from the
+      // broadcast dictionary with ZERO extra Spark jobs per batch
+      io.write(PostingBlocks.topBlockMaxes(
+          io.read(spark, p.postings).select("term", "block_max_score")),
+        p.blockmeta, snapshotId = buildId)
+      // phrase-capability marker: lets searchPhrase fail fast (or
+      // proceed) without sampling data
+      if (cfg.storePositions)
+        Fs.writeString(spark, p.positionalMarker, "true")
       lineage(spark, p, "postings", buildId, t0,
         io.read(spark, p.postings).groupBy(col("shard").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),

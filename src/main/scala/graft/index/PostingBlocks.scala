@@ -22,6 +22,13 @@ object PostingBlocks {
 
   final val DefaultBlockSize = 128
 
+  /** Per-term count of top block-max scores persisted in `blockmeta/`
+    * ([[topBlockMaxes]]): enough for any top-k ≤ 16 query to derive its
+    * WAND θ seed from the broadcast dictionary alone (k-th largest block
+    * max of a term lower-bounds the final k-th best score — k
+    * doc-disjoint blocks each achieve their max from that term alone). */
+  final val TopBlockMaxes = 16
+
   def shardOf(termCol: org.apache.spark.sql.Column, numShards: Int) =
     pmod(xxhash64(termCol), lit(numShards)).cast("int")
 
@@ -221,6 +228,39 @@ object PostingBlocks {
           x.getField("tf"), x.getField("dl"), col("df"),
           lit(stats.nDocs), lit(stats.avgdl)))).as("block_max_score"),
         size(col("block")).as("block_len"))
+  }
+
+  /** Per-term TOP-K block-max scores — (term, top_block_maxes:array<double>
+    * descending, ≤ k entries) — computed scale-safely: a hot term can own
+    * millions of blocks (df/blockSize), so a collect_list-per-term would
+    * blow a task. Two phases instead: a per-partition bounded top-k
+    * (fixed O(k) state per distinct term in the partition), then a final
+    * per-term merge over ≤ partitions·k survivors. Metadata columns only —
+    * no binary streams are read. */
+  def topBlockMaxes(blocksMeta: DataFrame, k: Int = TopBlockMaxes): DataFrame = {
+    val spark = blocksMeta.sparkSession
+    import spark.implicits._
+    val partials = blocksMeta
+      .select(col("term"), col("block_max_score").cast("double"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[String, java.util.PriorityQueue[java.lang.Double]]
+        it.foreach { case (t, s) =>
+          val q = heaps.getOrElseUpdate(t,
+            new java.util.PriorityQueue[java.lang.Double](k + 1)) // min-heap
+          if (q.size < k) q.add(s)
+          else if (q.peek() < s) { q.poll(); q.add(s) }
+        }
+        heaps.iterator.map { case (t, q) =>
+          (t, q.toArray(Array.empty[java.lang.Double]).map(_.doubleValue()))
+        }
+      }
+    partials.toDF("term", "_part")
+      .select(col("term"), explode(col("_part")).as("_s"))
+      .groupBy("term")
+      .agg(slice(reverse(array_sort(collect_list(col("_s")))), 1, k)
+        .as("top_block_maxes"))
   }
 
   /** Shared decode scaffolding: explode the zipped per-block streams back

@@ -257,23 +257,25 @@ object SegmentedIndex {
     searchParts(spark, root, queries, k, cfg, doCache = false)
       .fold(identity, _._1)
 
-  private def searchParts(spark: SparkSession, root: String,
-                          queries: Seq[(Int, String)], k: Int,
-                          cfg: BuildIndexJob.Config, doCache: Boolean)
-      : Either[DataFrame, (DataFrame, DataFrame)] = {
+  private def keysEmpty(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    def empty = Seq.empty[(Int, Int, String, Int, Double)]
+    Seq.empty[(Int, Int, String, Int, Double)]
       .toDF("query_id", "rank", "conv_id", "turn_idx", "score")
-    val m = readManifest(spark, root).getOrElse(return Left(empty))
-    if (m.segments.isEmpty || m.nDocs == 0) return Left(empty)
-    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
-    val qTerms = qt.select("term").distinct()
-    val tombs = readTombstones(spark, root, m)
+  }
 
-    // one driver-side dict probe + one Spark job per segment: fine because
-    // compaction bounds the segment count (the documented invariant — a
-    // long-running ingest calls compactInPlace every `compactEvery`
-    // batches, so this loop is O(compactEvery), never O(all appends ever)
+  /** Live pruned posting relation for a term set: one row per (term, LIVE
+    * doc) — (term, conv_id, turn_idx, tf, dl) — across all segments.
+    * Per-segment shard pruning + tombstone filtering; the shared scan
+    * under every segmented query shape (disjunctive, boolean clauses, fq,
+    * facet). One driver-side dict probe + one Spark job per segment: fine
+    * because compaction bounds the segment count (the documented
+    * invariant — a long-running ingest calls compactInPlace every
+    * `compactEvery` batches, so this loop is O(compactEvery), never O(all
+    * appends ever)). */
+  private def liveMatched(spark: SparkSession, root: String, m: Manifest,
+                          qTerms: DataFrame,
+                          cfg: BuildIndexJob.Config): Option[DataFrame] = {
+    val tombs = readTombstones(spark, root, m)
     val perSeg = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
       val p = BuildIndexJob.IndexPaths(segPath(root, seg))
       val dict = cfg.io.read(spark, p.dictionary)
@@ -295,11 +297,58 @@ object SegmentedIndex {
             col("tf"), col("dl")))
       }
     }
-    if (perSeg.isEmpty) return Left(empty)
+    perSeg.reduceOption(_ unionByName _)
+  }
+
+  /** Live docs with their stored non-text attributes (keys + role/tool/ts
+    * + dl), across all segments — the fq/facet attribute side. Catalyst
+    * prunes the per-segment parquet scans to the columns a caller
+    * actually references. */
+  private def liveDocAttrs(spark: SparkSession, root: String, m: Manifest,
+                           cfg: BuildIndexJob.Config): DataFrame = {
+    val tombs = readTombstones(spark, root, m)
+    val segs = m.segments.zipWithIndex.map { case (seg, ord) =>
+      cfg.io.read(spark, s"${segPath(root, seg)}/docs")
+        .drop("text", "doc_id")
+        .withColumn("seg_ord", lit(ord))
+    }
+    liveFilter(segs.reduce(_ unionByName _), tombs).drop("seg_ord")
+  }
+
+  /** W1 over key-identified docs: the pinned tie-break (conv_id, turn_idx
+    * ascending ≡ the unified index's doc_id ascending — global ids are
+    * assigned in key order). */
+  private def rankKeys(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("_score"), Bm25.RankScale).desc,
+        col("conv_id").asc, col("turn_idx").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("conv_id"), col("turn_idx"),
+        round(col("_score"), Bm25.OutScale).as("score"))
+  }
+
+  /** Materialize a driver-safe result (≤ |queries|·k or facet-cardinality
+    * rows) so internal caches can be dropped before returning. */
+  private def localize(spark: SparkSession, out: DataFrame): DataFrame = {
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  private def searchParts(spark: SparkSession, root: String,
+                          queries: Seq[(Int, String)], k: Int,
+                          cfg: BuildIndexJob.Config, doCache: Boolean)
+      : Either[DataFrame, (DataFrame, DataFrame)] = {
+    def empty = keysEmpty(spark)
+    val m = readManifest(spark, root).getOrElse(return Left(empty))
+    if (m.segments.isEmpty || m.nDocs == 0) return Left(empty)
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val all0 = liveMatched(spark, root, m, qt.select("term").distinct(), cfg)
+      .getOrElse(return Left(empty))
     // cached (when doCache): the live tombstone-filtered decode feeds BOTH
     // the df aggregate and the scoring join — without the cache the pruned
     // decode of every segment executes twice per query batch (round-2 flag)
-    val all0 = perSeg.reduce(_ unionByName _)
     val all = if (doCache) all0.cache() else all0
     // exact global df: one live (term, key) row per posting — count per term
     val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
@@ -310,15 +359,101 @@ object SegmentedIndex {
         lit(m.nDocs), lit(m.avgdl)))
       .groupBy("query_id", "conv_id", "turn_idx")
       .agg(sum(col("_s")).as("_score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(round(col("_score"), Bm25.RankScale).desc,
-        col("conv_id").asc, col("turn_idx").asc)
-    val out = scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("int").as("rank"),
-        col("conv_id"), col("turn_idx"),
-        round(col("_score"), Bm25.OutScale).as("score"))
-    Right((out, all))
+    Right((rankKeys(scored, k), all))
+  }
+
+  /** Full boolean clause grammar (`q=+a b -c`, incl. the NOT-only subset)
+    * over the SEGMENTED index — the same pinned semantics as
+    * [[graft.search.Search.searchCorpusClauses]]: every must term required
+    * (an out-of-vocabulary must ⇒ no matches), not-terms anti-joined,
+    * score = BM25 over matching must+should terms, computed from the live
+    * tombstone-filtered fan-out (query-time df, manifest N/avgdl). Output
+    * keys-shaped, like [[search]]. */
+  def searchClauses(spark: SparkSession, root: String,
+                    queries: Seq[(Int, String)], k: Int = 10,
+                    cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = keysEmpty(spark)
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val (qt, neg, nMust) = Search.parseClauseQueries(spark, queries)
+    val allTerms = qt.select("term").unionByName(neg.select("term")).distinct()
+    val all = liveMatched(spark, root, m, allTerms, cfg)
+      .getOrElse(return empty).cache()
+    try {
+      val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = all
+        .join(broadcast(dfg), "term")
+        .join(broadcast(qt), "term") // (query_id, term, _is_must)
+        .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+          lit(m.nDocs), lit(m.avgdl)))
+        .groupBy("query_id", "conv_id", "turn_idx")
+        .agg(sum(col("_s")).as("_score"),
+          count(when(col("_is_must"), lit(1))).as("_must_matched"))
+      val nMustDf = nMust.toSeq.toDF("query_id", "_n_must")
+      val negMatch = all.join(broadcast(neg), Seq("term"))
+        .select("query_id", "conv_id", "turn_idx").distinct()
+      localize(spark, rankKeys(scored
+        .join(broadcast(nMustDf), "query_id")
+        .where(col("_must_matched") === col("_n_must"))
+        .join(negMatch, Seq("query_id", "conv_id", "turn_idx"), "left_anti"), k))
+    } finally all.unpersist()
+  }
+
+  /** Solr `fq` over the segmented index: the predicate (over live stored
+    * doc attributes) restricts RESULTS only — scores, query-time df, and
+    * manifest N/avgdl remain those of the full live corpus, exactly like
+    * [[graft.search.IndexSearch.searchFiltered]]. */
+  def searchFiltered(spark: SparkSession, root: String,
+                     queries: Seq[(Int, String)], filter: Column, k: Int = 10,
+                     cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    def empty = keysEmpty(spark)
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val all = liveMatched(spark, root, m, qt.select("term").distinct(), cfg)
+      .getOrElse(return empty).cache()
+    try {
+      val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = all
+        .join(broadcast(dfg), "term")
+        .join(broadcast(qt), "term")
+        .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+          lit(m.nDocs), lit(m.avgdl)))
+        .groupBy("query_id", "conv_id", "turn_idx")
+        .agg(sum(col("_s")).as("_score"))
+      val keep = liveDocAttrs(spark, root, m, cfg)
+        .where(filter).select("conv_id", "turn_idx")
+      localize(spark, rankKeys(
+        scored.join(keep, Seq("conv_id", "turn_idx"), "left_semi"), k))
+    } finally all.unpersist()
+  }
+
+  /** Solr `facet.field` over the segmented index's match set: per
+    * (query, facet value) LIVE doc counts — every live doc matching ≥1
+    * query term counts once. Same output shape as the unified-index
+    * faceting, so the same oracle gates it. */
+  def facetCounts(spark: SparkSession, root: String,
+                  queries: Seq[(Int, String)], facetCol: String,
+                  cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = Seq.empty[(Int, String, Long)]
+      .toDF("query_id", facetCol, "n_docs")
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val all = liveMatched(spark, root, m, qt.select("term").distinct(), cfg)
+      .getOrElse(return empty).cache()
+    try {
+      val matched = all.join(broadcast(qt), "term")
+        .select("query_id", "conv_id", "turn_idx").distinct()
+      val attrs = liveDocAttrs(spark, root, m, cfg)
+        .select(col("conv_id"), col("turn_idx"), col(facetCol))
+      localize(spark, matched.join(attrs, Seq("conv_id", "turn_idx"))
+        .groupBy("query_id", facetCol)
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("query_id", facetCol))
+    } finally all.unpersist()
   }
 
   /** All live turns with their stored fields — the compaction input. */

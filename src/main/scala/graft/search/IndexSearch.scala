@@ -47,8 +47,16 @@ object IndexSearch {
   def open(spark: SparkSession, root: String,
            io: graft.sources.TableIO = graft.sources.ParquetTableIO): OpenIndex = {
     val p = IndexPaths(root)
-    OpenIndex(p, io.read(spark, p.dictionary),
-      BuildIndexJob.readStats(spark, p, io), spark, io)
+    // per-term top block maxes ride the dictionary when present (indexes
+    // built since blockmeta landed): the broadcast dict then carries
+    // everything the WAND θ seed needs — no per-batch metadata job. An
+    // older index falls back to the window-job seed path in wandBlocks.
+    val dict0 = io.read(spark, p.dictionary)
+    val dict =
+      if (graft.sources.Fs.exists(spark, p.blockmeta))
+        dict0.join(io.read(spark, p.blockmeta), Seq("term"), "left")
+      else dict0
+    OpenIndex(p, dict, BuildIndexJob.readStats(spark, p, io), spark, io)
   }
 
   /** Decoded posting rows of the given (query_id, term) pairs, pruned to
@@ -92,9 +100,63 @@ object IndexSearch {
   }
 
   def search(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
-             conjunctive: Boolean = false): DataFrame = {
+             conjunctive: Boolean = false, start: Int = 0): DataFrame = {
     val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
-    Search.rank(scoredDocs(idx, qt, conjunctive), k)
+    Search.rank(scoredDocs(idx, qt, conjunctive), k, start)
+  }
+
+  /** Solr `hl`-style highlighting over the persisted index: [[search]]'s
+    * top-k, each hit carrying a snippet of ±`window` analyzed tokens
+    * around the FIRST query-term match in the doc. The match position
+    * comes from the positional postings stream (requires
+    * `Config.storePositions`), with BLOCK-level pruning against the hit
+    * doc ids (collected driver-side — ≤ |queries|·k ids by construction,
+    * the documented boundary); the snippet words come from the stored
+    * text of those docs only (`doc_id IN` reaches the parquet scan as a
+    * pushed filter → row-group pruning — a point lookup, not a corpus
+    * scan). Output: (query_id, rank, doc_id, score, snippet). */
+  def searchHighlight(idx: OpenIndex, queries: Seq[(Int, String)],
+                      k: Int = 10, window: Int = 5): DataFrame = {
+    val spark = idx.spark
+    requirePositional(idx)
+    val hits0 = search(idx, queries, k)
+    // materialize the small hit set once: it drives the block prune, the
+    // doc point-lookup, AND the final join — re-deriving it lazily would
+    // re-run the whole search per subtree
+    val hitRows = hits0.collect()
+    val hits = spark.createDataFrame(
+      java.util.Arrays.asList(hitRows: _*), hits0.schema)
+    if (hitRows.isEmpty) return hits.withColumn("snippet", lit(""))
+    val ids = hitRows.map(_.getLong(2)).distinct.toSeq
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val qd = qt.join(idx.dictionary, "term").select("term", "shard")
+    val termShards = qd.distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    val shards = termShards.map(_._2).distinct.toSeq
+    val terms = termShards.map(_._1).distinct.toSeq
+    // block-level prune: only blocks of query terms whose doc range holds
+    // a hit id decode their positions (idArr is a tiny literal array)
+    val idArr = array(ids.map(lit(_)): _*)
+    val blocks = idx.io.read(spark, idx.paths.postings)
+      .where(col("shard").isin(shards: _*) &&
+        col("term").isInCollection(terms) &&
+        exists(idArr, id => id >= col("first_doc") && id <= col("last_doc")))
+    val firstPos = PostingBlocks.decodePostingsWithPositions(blocks)
+      .where(col("doc_id").isin(ids: _*))
+      .join(broadcast(qt), Seq("term")) // attach query ownership
+      .groupBy("query_id", "doc_id")
+      .agg(min(array_min(col("positions"))).as("_fp"))
+    val texts = idx.io.read(spark, idx.paths.docs)
+      .where(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("text"))
+    val toks = graft.analysis.Analyzer.tokens(col("text"))
+    val lo = greatest(lit(1), col("_fp").cast("int") + 1 - window)
+    hits
+      .join(firstPos, Seq("query_id", "doc_id"))
+      .join(texts, Seq("doc_id"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        array_join(slice(toks, lo, lit(2 * window + 1)), " ").as("snippet"))
+      .orderBy("query_id", "rank")
   }
 
   /** Boolean NOT over the persisted index (Solr `q=a -b`): the no-must
@@ -163,88 +225,257 @@ object IndexSearch {
       .orderBy("query_id", facetCol)
   }
 
-  /** Exact (zero-slop) PHRASE search over positional postings — requires
-    * an index built with `Config.storePositions`. Pinned semantics are
-    * Lucene `PhraseQuery`'s documented scoring: the phrase acts as one
-    * virtual term with
+  /** Per-index verdict of the positional fail-fast, cached so repeated
+    * phrase calls never re-run the probe (one schema read; the data-sample
+    * fallback job runs at most once per root, only for indexes predating
+    * the `_positional` marker). */
+  private val positionalVerdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Fail fast on a non-positional index: poss = null would otherwise
+    * null out the position chain and SILENTLY return zero hits for
+    * phrases the corpus contains. Order of evidence: the build-time
+    * `_positional` marker (no Spark job), then the postings schema (a
+    * pre-positions index without a `poss` column fails here with the
+    * actionable message instead of an AnalysisException), then one
+    * sampled row (legacy positional indexes without the marker; an empty
+    * index passes). */
+  private def requirePositional(idx: OpenIndex): Unit = {
+    val ok = positionalVerdicts.computeIfAbsent(idx.paths.root, _ => {
+      if (graft.sources.Fs.exists(idx.spark, idx.paths.positionalMarker))
+        java.lang.Boolean.TRUE
+      else {
+        val postings = idx.io.read(idx.spark, idx.paths.postings)
+        if (!postings.schema.fieldNames.contains("poss")) java.lang.Boolean.FALSE
+        else {
+          val sample = postings.select("poss").limit(1).collect()
+          java.lang.Boolean.valueOf(sample.isEmpty || !sample(0).isNullAt(0))
+        }
+      }
+    })
+    require(ok.booleanValue(),
+      "searchPhrase requires a positional index — rebuild with " +
+        "Config(storePositions = true)")
+  }
+
+  /** Driver-side phrase-batch plan: per live query its analyzed terms (in
+    * phrase order), idf sum, rarest term, and the touched shards. Built
+    * from ONE dictionary probe over all phrases' distinct terms. */
+  private[graft] final case class PhraseBatch(
+      queries: Seq[(Int, Seq[String])], // (query_id, terms) — all in-dict
+      idfSums: Map[Int, Double], rarest: Map[Int, String], shards: Seq[Int])
+
+  private def planPhrases(idx: OpenIndex,
+                          phrases: Seq[(Int, String)]): Option[PhraseBatch] = {
+    val parsed = phrases
+      .map { case (qid, t) => (qid, graft.analysis.Analyzer.tokenize(t)) }
+      .filter(_._2.nonEmpty)
+    if (parsed.isEmpty) return None
+    val allTerms = parsed.flatMap(_._2).distinct
+    // ONE driver job for the whole batch: ≤ Σ|phrase| dictionary rows
+    val dictRows = idx.dictionary
+      .where(col("term").isInCollection(allTerms))
+      .select("term", "df", "shard").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // a phrase with an out-of-vocabulary term matches nothing (Lucene)
+    val live = parsed.filter(_._2.forall(dictRows.contains))
+    if (live.isEmpty) return None
+    val idfSums = live.map { case (qid, terms) =>
+      qid -> terms.map(t => Bm25.idfValue(dictRows(t)._1, idx.stats.nDocs)).sum
+    }.toMap
+    val rarest = live.map { case (qid, terms) =>
+      qid -> terms.distinct.minBy(t => (dictRows(t)._1, t))
+    }.toMap
+    val shards = live.flatMap(_._2).distinct.map(t => dictRows(t)._2).distinct
+    Some(PhraseBatch(live, idfSums, rarest, shards))
+  }
+
+  /** The phrase batch's pruned relations, shared by [[searchPhrase]] and
+    * the PhraseSpec decode-volume assertion:
+    *
+    *   - `cand`       (query_id, doc_id) docs containing ALL the query's
+    *                  distinct terms — CACHED (bounded above by the
+    *                  rarest term's df per query, the smallest relation
+    *                  in the problem), carrying the candidate block keys
+    *   - `fatBlocks`  only the encoded blocks that CONTAIN a candidate
+    *                  doc — the positional (fat) stream decodes nothing
+    *                  else
+    *
+    * The caller must call `unpersistAll()` after consuming the result. */
+  private[graft] final case class PhrasePlanned(
+      batch: PhraseBatch, cand: DataFrame, fatBlocks: DataFrame,
+      rarestRows: DataFrame) {
+    def unpersistAll(): Unit = { cand.unpersist(); rarestRows.unpersist() }
+  }
+
+  private[graft] def phrasePlanned(idx: OpenIndex,
+                                   phrases: Seq[(Int, String)]): Option[PhrasePlanned] = {
+    val spark = idx.spark
+    import spark.implicits._
+    val batch = planPhrases(idx, phrases) match {
+      case None => return None
+      case Some(b) => b
+    }
+    // (query_id, term) routed rarest-vs-rest: the intersection is DRIVEN
+    // by each query's rarest term (ascending-df order, Lucene's lead-term
+    // discipline) — the rest of the terms' doc streams semi-join against
+    // the rarest candidates BEFORE any shuffle, so a hot term riding a
+    // rare phrase never populates the intersection aggregation
+    val qtRows = batch.queries.flatMap { case (qid, terms) =>
+      terms.distinct.map(t => (qid, t, t == batch.rarest(qid)))
+    }
+    val rarestTerms = qtRows.filter(_._3).map(_._2).distinct
+    val restTerms = qtRows.filterNot(_._3).map(_._2).distinct
+    val nDistinct = batch.queries
+      .map { case (qid, terms) => (qid, terms.distinct.size) }
+    val blocks = idx.io.read(spark, idx.paths.postings)
+      .where(col("shard").isin(batch.shards: _*))
+    // THIN pass: doc-id stream only — `poss` (the fat stream) is never
+    // referenced, so parquet column pruning skips its bytes entirely.
+    // `_bfd` carries the block identity (first_doc is unique per term —
+    // blocks of one term are doc-disjoint) through the decode.
+    def thinSide(terms: Seq[String], pairs: Seq[(Int, String)]): DataFrame =
+      PostingBlocks.decodePostings(
+        blocks.drop("poss")
+          .where(col("term").isInCollection(terms))
+          .withColumn("_bfd", col("first_doc"))
+          .join(broadcast(pairs.toDF("query_id", "term")), Seq("term")))
+        .select("query_id", "term", "_bfd", "doc_id")
+    val rarestRows = thinSide(rarestTerms, qtRows.filter(_._3).map(r => (r._1, r._2)))
+      .cache() // ≤ Σ_q df(rarest term of q) rows of 4 small columns
+    val survivors =
+      if (restTerms.isEmpty) rarestRows
+      else {
+        // AQE broadcasts the rarest candidates when small (the hot+rare
+        // case) — the hot terms' rows then never reach the shuffle
+        val restRows = thinSide(restTerms, qtRows.filterNot(_._3).map(r => (r._1, r._2)))
+          .join(rarestRows.select("query_id", "doc_id"),
+            Seq("query_id", "doc_id"), "left_semi")
+        rarestRows.unionByName(restRows)
+      }
+    // docs holding ALL distinct terms of their query; the per-(doc, term)
+    // block keys ride the same aggregation (≤ m struct entries per row)
+    val cand = survivors
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("_n"),
+        collect_list(struct(col("term"), col("_bfd"))).as("_blks"))
+      .join(broadcast(nDistinct.toDF("query_id", "_nd")), "query_id")
+      .where(col("_n") === col("_nd"))
+      .select("query_id", "doc_id", "_blks")
+      .cache() // ≤ min-df candidates per query; feeds keys + the row filter
+    val blockKeys = cand
+      .select(explode(col("_blks")).as("_b"))
+      .select(col("_b.term").as("term"), col("_b._bfd").as("_bfd"))
+      .distinct()
+    // FAT pass: decode positions ONLY for blocks containing a candidate
+    val fatBlocks = blocks
+      .withColumn("_bfd", col("first_doc"))
+      .join(blockKeys, Seq("term", "_bfd"), "left_semi")
+    Some(PhrasePlanned(batch, cand, fatBlocks, rarestRows))
+  }
+
+  /** PHRASE search over positional postings — requires an index built with
+    * `Config.storePositions`. Pinned semantics are Lucene `PhraseQuery`'s
+    * documented scoring: the phrase acts as one virtual term with
     *
     *   idf   = Σ_i idf(t_i)        (duplicate phrase terms counted again)
     *   tf    = pf, the exact phrase frequency in the doc
     *   score = idf · pf / (pf + k1·(1−b+b·dl/avgdl))
     *
-    * and a doc matches iff pf ≥ 1. Plan shape: the postings scan prunes to
-    * the phrase terms' shards, positions decode through the nested-varint
-    * expression, the m relations equi-join on doc_id (m = phrase length,
-    * small), and pf is a pure Column fold over the first term's position
-    * list. A phrase containing an out-of-vocabulary term matches nothing
-    * (Lucene semantics).
+    * and a doc matches iff pf ≥ 1. A phrase containing an
+    * out-of-vocabulary term matches nothing (Lucene semantics).
     *
     * `slop` ≥ 0 relaxes adjacency to an ORDERED proximity window (Solr
     * `"a b"~N`-style): a start position p₁ of t₁ counts toward pf iff
     * positions p₁ < p₂ < … < p_m of t₂..t_m exist with total displacement
     * (p_m − p₁) − (m−1) ≤ slop. Pinned divergence from Lucene: Lucene's
     * sloppy matching also admits OUT-of-order transpositions and scores
-    * with sloppyFreq = Σ 1/(distance+1); this engine pins in-order-only
+    * with sloppyFreq = Σ 1/(distance+1); the default pins in-order-only
     * matching and pf = the count of valid start positions — deterministic
-    * and oracle-expressible. slop = 0 is exactly the adjacency case. The
-    * nested Column `exists` chain carries per-level bounds
-    * p_i ≤ p₁ + (i−1) + slop, which is implied by the final bound and
-    * ordering, so it prunes without changing the matched set. */
+    * and oracle-expressible. slop = 0 is exactly the adjacency case.
+    * `luceneSlop = true` switches to the Lucene-style algorithm
+    * ([[SloppyPhrase]] — out-of-order, reciprocal-distance freq),
+    * property-gated against a brute-force twin rather than the SQL oracle.
+    *
+    * PLAN SHAPE (one Spark plan for the whole batch — no per-phrase
+    * subtrees, no per-phrase driver jobs): a thin doc-id-only pass
+    * intersects each query's terms into a candidate doc set, driven by
+    * the query's RAREST term (ascending df — a hot term semi-joins
+    * against the rare term's candidates before it can shuffle); the
+    * positional (fat) stream then decodes ONLY blocks containing a
+    * candidate doc (block-level pruning on the (term, first_doc) key);
+    * the chain check runs per candidate over a term→positions map with a
+    * GREEDY fold — for ordered matching, taking at each slot the minimal
+    * position > previous completes iff any admissible chain exists (the
+    * greedy chain is pointwise minimal by induction), so pf is exact.
+    * The result is materialized eagerly (≤ |queries|·k rows) so the two
+    * internal caches can be dropped before returning. */
   def searchPhrase(idx: OpenIndex, phrases: Seq[(Int, String)],
-                   k: Int = 10, slop: Int = 0): DataFrame = {
+                   k: Int = 10, slop: Int = 0,
+                   luceneSlop: Boolean = false): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
-    // fail fast on a non-positional index: poss = null would otherwise
-    // null out the arrays_zip and SILENTLY return zero hits for phrases
-    // the corpus contains (one sampled row; an empty index passes)
-    val sample = idx.io.read(spark, idx.paths.postings)
-      .select("poss").limit(1).collect()
-    require(sample.isEmpty || !sample(0).isNullAt(0),
-      "searchPhrase requires a positional index — rebuild with " +
-        "Config(storePositions = true)")
+    requirePositional(idx)
     def empty = Seq.empty[ResultRow].toDF()
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
-    val perQuery = phrases.flatMap { case (qid, text) =>
-      val terms = graft.analysis.Analyzer.tokenize(text)
-      if (terms.isEmpty) None
-      else {
-        val distinctTerms = terms.distinct
-        // driver boundary: ≤ |phrase| dictionary rows
-        val dictRows = idx.dictionary
-          .where(col("term").isInCollection(distinctTerms))
-          .select("term", "df", "shard").collect()
-          .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
-        if (distinctTerms.exists(t => !dictRows.contains(t))) None
-        else {
-          val idfSum = terms.map(t => Bm25.idfValue(dictRows(t)._1, idx.stats.nDocs)).sum
-          val shards = distinctTerms.map(t => dictRows(t)._2).distinct
-          val blocks = idx.io.read(spark, idx.paths.postings)
-            .where(col("shard").isin(shards: _*) &&
-              col("term").isInCollection(distinctTerms))
-          val decoded = PostingBlocks.decodePostingsWithPositions(blocks)
-          var joined = decoded.where(col("term") === terms.head)
-            .select(col("doc_id"), col("dl"), col("positions").as("_p0"))
-          for (i <- 1 until terms.size)
-            joined = joined.join(
-              decoded.where(col("term") === terms(i))
-                .select(col("doc_id"), col("positions").as(s"_p$i")), "doc_id")
-          def chain(i: Int, prev: Column, p1: Column): Column =
-            if (i == terms.size) lit(true)
-            else exists(col(s"_p$i"), pi =>
-              pi > prev && pi <= p1 + lit(i + slop) && chain(i + 1, pi, p1))
-          val pf = size(filter(col("_p0"), p1 => chain(1, p1, p1)))
-          Some(joined
-            .withColumn("_pf", pf)
-            .where(col("_pf") > 0)
-            .select(lit(qid).as("query_id"), col("doc_id"),
-              (lit(idfSum) * col("_pf") /
-                (col("_pf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) +
-                  lit(Bm25.B) * col("dl") / lit(idx.stats.avgdl)))).as("_score")))
-        }
-      }
+    val planned = phrasePlanned(idx, phrases) match {
+      case None => return empty
+      case Some(p) => p
     }
-    if (perQuery.isEmpty) empty
-    else Search.rank(perQuery.reduce(_ unionByName _), k)
+    val PhrasePlanned(batch, cand, fatBlocks, _) = planned
+    try {
+      val qtAll = batch.queries
+        .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
+        .toDF("query_id", "term")
+      val fatRows = PostingBlocks.decodePostingsWithPositions(
+          fatBlocks.join(broadcast(qtAll), Seq("term")))
+        .join(cand.select("query_id", "doc_id"),
+          Seq("query_id", "doc_id"), "left_semi")
+        .select("query_id", "term", "doc_id", "dl", "positions")
+      // one row per candidate doc: term → ascending positions
+      val pm = fatRows
+        .groupBy("query_id", "doc_id")
+        .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+          .as("_pm"), min(col("dl")).as("dl"))
+      val meta = batch.queries
+        .map { case (qid, terms) => (qid, terms, batch.idfSums(qid)) }
+        .toDF("query_id", "_terms", "_idf")
+      val withMeta = pm.join(broadcast(meta), "query_id")
+      // greedy ordered chain: fold slots 2..m, each step the minimal
+      // position of that slot's term strictly after the previous slot's;
+      // a start p₁ is valid iff the fold's end ≤ p₁ + (m−1) + slop.
+      // Exhausted lists pin the accumulator to a sentinel that no bound
+      // accepts (comparisons only — never arithmetic — touch it).
+      val sentinel = lit(Long.MaxValue)
+      val p0 = element_at(col("_pm"), element_at(col("_terms"), 1))
+      val restSlots = slice(col("_terms"), lit(2),
+        greatest(size(col("_terms")) - 1, lit(0)))
+      def chainEnd(p1: Column): Column =
+        aggregate(restSlots, p1.cast("long"), (prev, t) =>
+          coalesce(array_min(filter(element_at(col("_pm"), t), p => p > prev)),
+            sentinel))
+      val pf: Column =
+        if (!luceneSlop)
+          size(filter(p0, p1 =>
+            chainEnd(p1) <= p1 + size(col("_terms")) - 1 + lit(slop)))
+            .cast("double")
+        else
+          SloppyPhrase.freqColumn(
+            transform(col("_terms"), (t, i) =>
+              transform(element_at(col("_pm"), t), p => p - i)), slop)
+      val scored = withMeta
+        .withColumn("_pf", pf)
+        .where(col("_pf") > 0)
+        .select(col("query_id"), col("doc_id"),
+          (col("_idf") * col("_pf") /
+            (col("_pf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) +
+              lit(Bm25.B) * col("dl") / lit(idx.stats.avgdl)))).as("_score"))
+      val out = Search.rank(scored, k)
+      // materialize (≤ |queries|·k rows — driver-safe by construction) so
+      // the internal caches can be dropped before returning
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally planned.unpersistAll()
   }
 
   /** A term's block spanning more ranges than this is treated as "global"
@@ -294,12 +525,37 @@ object IndexSearch {
     val spark = idx.spark
     import spark.implicits._
     val qt = Search.queryTerms(Search.queryFrame(spark, queries))
-    val qd = qt.join(idx.dictionary, "term")
-      .select("query_id", "term", "df", "shard")
-    val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    val hasBm = idx.dictionary.columns.contains("top_block_maxes")
+    val qdCols = Seq("query_id", "term", "df", "shard") ++
+      (if (hasBm) Seq("top_block_maxes") else Nil)
+    val qd = qt.join(idx.dictionary, "term").select(qdCols.map(col): _*)
+    // one driver job (≤ |query terms| rows): shards AND — when the index
+    // carries blockmeta — the per-term top block maxes the θ seed needs
+    val qdRows = qd.collect()
+    val shards = qdRows.map(_.getAs[Int]("shard")).distinct.toSeq
     if (shards.isEmpty) return None
+    // θ_seed(q) = max over q's terms of the k-th largest block max of the
+    // term (k doc-disjoint blocks each achieve their max from that term
+    // alone, so the final k-th best raw score is ≥ this) — free from the
+    // already-collected dictionary rows, zero extra Spark jobs
+    val driverSeeds: Option[Map[Int, Double]] =
+      if (!hasBm || k > graft.index.PostingBlocks.TopBlockMaxes) None
+      else Some(qdRows.iterator.flatMap { r =>
+        val i = r.fieldIndex("top_block_maxes")
+        if (r.isNullAt(i)) None
+        else {
+          val arr = r.getSeq[Double](i)
+          if (arr.size >= k) Some(r.getAs[Int]("query_id") -> arr(k - 1))
+          else None
+        }
+      }.toSeq.groupMapReduce(_._1)(_._2)(math.max))
     val rangeSize = math.max(1L, math.min(docsPerRange, idx.stats.nDocs))
     val nRanges = (idx.stats.nDocs + rangeSize - 1) / rangeSize
+    // a pathological caller-supplied docsPerRange on a huge corpus would
+    // wrap the int range id and silently mis-route blocks — fail loudly
+    require(nRanges <= Int.MaxValue,
+      s"docsPerRange=$docsPerRange yields $nRanges ranges over " +
+        s"${idx.stats.nDocs} docs — exceeds Int range ids")
     val base = idx.io.read(spark, idx.paths.postings)
       .where(col("shard").isin(shards: _*))
       .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
@@ -318,16 +574,24 @@ object IndexSearch {
           graft.index.codec.varintDeltaDecode(col("doc_gaps")), d => rangeOf(d))))))
 
     val (routed, seeds) =
-      if (!prune || nRanges < MinRangesForPrune) (routed0, Map.empty[Int, Double])
+      if (!prune || nRanges < MinRangesForPrune)
+        // the θ seed itself is free when blockmeta exists — pass it even
+        // when the range prune is gated off (topKRange starts its heap
+        // at a true lower bound; results unchanged, work only shrinks)
+        (routed0, driverSeeds.getOrElse(Map.empty[Int, Double]))
       else {
-        import org.apache.spark.sql.expressions.Window
-        val wqt = Window.partitionBy("query_id", "term")
-          .orderBy(col("block_max_score").desc)
-        val seedMap = base.select("query_id", "term", "block_max_score")
-          .withColumn("_r", row_number().over(wqt))
-          .where(col("_r") === k) // k-th largest block max of the term
-          .groupBy("query_id").agg(max("block_max_score").as("_seed"))
-          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val seedMap = driverSeeds.getOrElse {
+          // legacy index without blockmeta (or k beyond the stored top
+          // maxes): per-batch metadata window job, as before
+          import org.apache.spark.sql.expressions.Window
+          val wqt = Window.partitionBy("query_id", "term")
+            .orderBy(col("block_max_score").desc)
+          base.select("query_id", "term", "block_max_score")
+            .withColumn("_r", row_number().over(wqt))
+            .where(col("_r") === k) // k-th largest block max of the term
+            .groupBy("query_id").agg(max("block_max_score").as("_seed"))
+            .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        }
         if (seedMap.isEmpty) (routed0, seedMap)
         else {
           val meta = base.select(col("query_id"), col("term"),

@@ -122,8 +122,9 @@ object Search {
     */
   def topK(queries: DataFrame, tfdl: DataFrame, dict: DataFrame,
            stats: Stats, k: Int = 10, conjunctive: Boolean = false,
-           quantizeNorms: Boolean = false): DataFrame =
-    rank(scoredDocs(queries, tfdl, dict, stats, conjunctive, quantizeNorms), k)
+           quantizeNorms: Boolean = false, start: Int = 0): DataFrame =
+    rank(scoredDocs(queries, tfdl, dict, stats, conjunctive, quantizeNorms),
+      k, start)
 
   /** Pre-rank per-(query, doc) scores — shared by [[topK]], the filtered
     * (`fq`) variant, and faceting. */
@@ -153,13 +154,16 @@ object Search {
     }
   }
 
-  /** W1 — per-query top-k with the pinned tie-break. */
-  def rank(scored: DataFrame, k: Int): DataFrame = {
+  /** W1 — per-query top-k with the pinned tie-break. `start` is Solr's
+    * `start=` pagination offset (k = `rows=`): ranks (start, start+k] are
+    * returned with their ABSOLUTE rank positions, exactly like a Solr
+    * response's numbered page. */
+  def rank(scored: DataFrame, k: Int, start: Int = 0): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(round(col("_score"), Bm25.RankScale).desc, col("doc_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .where(col("rank") > start && col("rank") <= start + k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("doc_id"), round(col("_score"), Bm25.OutScale).as("score"))
   }
@@ -169,7 +173,7 @@ object Search {
     * oracle-twinned path used by Verify. */
   def searchCorpus(corpus: DataFrame, queries: Seq[(Int, String)],
                    k: Int = 10, conjunctive: Boolean = false,
-                   quantizeNorms: Boolean = false): DataFrame = {
+                   quantizeNorms: Boolean = false, start: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val occ = IndexBuild.termOccurrences(corpus)
     val dl = IndexBuild.docLengths(occ)
@@ -177,7 +181,8 @@ object Search {
     val tfdl = IndexBuild.tfWithDl(tf, dl)
     val dict = IndexBuild.dictionary(tf)
     val st = IndexBuild.stats(dl)
-    topK(queryFrame(spark, queries), tfdl, dict, st, k, conjunctive, quantizeNorms)
+    topK(queryFrame(spark, queries), tfdl, dict, st, k, conjunctive,
+      quantizeNorms, start)
   }
 
   /** Solr `fq` (filter query) semantics: the predicate restricts the

@@ -138,6 +138,60 @@ class WandSpec extends SparkSpec {
     }
   }
 
+  test("θ seed rides the dictionary probe: one Spark job inside wandBlocks") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val root = java.nio.file.Files.createTempDirectory("graftwseed").toString
+    BuildIndexJob.run(spark, Transcripts.synthetic(spark, 300), root, "w3",
+      BuildIndexJob.Config(numShards = 8, blockSize = 16, saltTarget = 64))
+    val idx = IndexSearch.open(spark, root)
+    assert(idx.dictionary.columns.contains("top_block_maxes"),
+      "fresh builds must carry blockmeta in the dictionary")
+    val queries = Seq(1 -> "w1", 2 -> "w1 zzzrareone")
+    val k = 10
+    // independent expectation straight from the persisted block metadata
+    val byTerm = spark.read.parquet(s"$root/postings")
+      .select("term", "block_max_score").collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted(Ordering[Double].reverse)).toMap
+    val expected = queries.flatMap { case (qid, text) =>
+      val kth = graft.analysis.Analyzer.tokenize(text).distinct
+        .flatMap(t => byTerm.get(t).filter(_.length >= k).map(_(k - 1)))
+      if (kth.isEmpty) None else Some(qid -> kth.max)
+    }.toMap
+    assert(expected.nonEmpty)
+    // legacy view of the same index: dictionary WITHOUT blockmeta forces
+    // the old per-batch window-job seed derivation
+    val idxLegacy = idx.copy(
+      dictionary = spark.read.parquet(s"$root/dictionary"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    def countJobs(body: => Map[Int, Double]): (Map[Int, Double], Int) = {
+      org.apache.spark.graftshim.TestShims.waitUntilListenerBusEmpty(sc)
+      jobs.set(0)
+      val r = body
+      org.apache.spark.graftshim.TestShims.waitUntilListenerBusEmpty(sc)
+      (r, jobs.get())
+    }
+    sc.addSparkListener(listener)
+    try {
+      // warm both paths once (parquet footer/listing jobs are one-time)
+      IndexSearch.wandBlocks(idx, queries, k, 64L, prune = true)
+      IndexSearch.wandBlocks(idxLegacy, queries, k, 64L, prune = true)
+      val (seedsBm, jobsBm) = countJobs(
+        IndexSearch.wandBlocks(idx, queries, k, 64L, prune = true).get._2)
+      val (seedsLegacy, jobsLegacy) = countJobs(
+        IndexSearch.wandBlocks(idxLegacy, queries, k, 64L, prune = true).get._2)
+      assert(seedsBm == expected, s"seeds $seedsBm != blockmeta-derived $expected")
+      assert(seedsLegacy == expected, "legacy window path must agree")
+      assert(jobsBm < jobsLegacy,
+        s"blockmeta seed path ran $jobsBm jobs, legacy $jobsLegacy — must be fewer")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("θ-seed range prune ships fewer blocks on hot and hot+rare queries") {
     val root = java.nio.file.Files.createTempDirectory("graftwprune").toString
     BuildIndexJob.run(spark, Transcripts.synthetic(spark, 300), root, "w2",
