@@ -96,53 +96,82 @@ object Bench {
     }
     cpuProbe() // warm codegen
     def probe3() = Seq(cpuProbe(), cpuProbe(), cpuProbe()).min
-    val probeBefore = probe3()
 
-    // 1. registered queries (the driver contract); a failed query records
-    // -1, never its elapsed time, so failures can't masquerade as results.
-    // The memoized sfDir index is built FIRST on its own line — otherwise
-    // its one-time cost lands on whichever q_bm25_index* query runs first
-    // and distorts per-query attribution.
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    results("index_prepare") = time(SparkEntry.prepareIndex(spark, sfDir))._2
-    results("corpus_prepare") = time(SparkEntry.prepareCorpus(spark, sfDir))._2
-    SparkEntry.queries.foreach { case (name, fn) =>
-      results(name) =
-        try time(fn(spark, sfDir).count())._2
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
-      spark.catalog.clearCache() // per-query caches must not accumulate
+    /** One full timed rep: registered queries, synthetic index build,
+      * WAND workload. Self-contained so a load-flagged first rep can be
+      * re-run cold ([[SparkEntry.resetMemos]] first — otherwise the
+      * rerun's prepare/merge/stream lines report near-zero and per-query
+      * attribution is incomparable). */
+    case class Rep(results: scala.collection.mutable.LinkedHashMap[String, Double],
+                   nTurns: Long, buildSec: Double, qps: Double,
+                   probeBefore: Double, probeAfter: Double) {
+      def probeMax: Double = math.max(probeBefore, probeAfter)
+    }
+    def runRep(): Rep = {
+      val probeB = probe3()
+      // 1. registered queries (the driver contract); a failed query
+      // records -1, never its elapsed time, so failures can't masquerade
+      // as results. The memoized sfDir index is built FIRST on its own
+      // line — otherwise its one-time cost lands on whichever
+      // q_bm25_index* query runs first and distorts attribution.
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      results("index_prepare") = time(SparkEntry.prepareIndex(spark, sfDir))._2
+      results("corpus_prepare") = time(SparkEntry.prepareCorpus(spark, sfDir))._2
+      SparkEntry.queries.foreach { case (name, fn) =>
+        results(name) =
+          try time(fn(spark, sfDir).count())._2
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+          }
+        spark.catalog.clearCache() // per-query caches must not accumulate
+      }
+      // 2. index-build throughput: synthetic corpus sized by sf
+      val corpus = Transcripts.synthetic(spark, convsFor(sfDir))
+      val nTurns = corpus.count()
+      val root = TempDirs.create("graft_bench")
+      val (_, buildSec) = time {
+        BuildIndexJob.run(spark, corpus, root, s"bench-${System.nanoTime()}",
+          BuildIndexJob.Config())
+      }
+      results("index_build") = buildSec
+      // 3. query throughput: WAND top-10 over the persisted index
+      val idx = IndexSearch.open(spark, root)
+      val qs = workload
+      IndexSearch.searchWand(idx, qs).count() // warmup (plans + code gen)
+      val reps = 3
+      val (_, qSec) = time {
+        var i = 0
+        while (i < reps) { IndexSearch.searchWand(idx, qs).count(); i += 1 }
+      }
+      results("wand_workload") = qSec / reps
+      Rep(results, nTurns, buildSec, qs.size * reps / qSec, probeB, probe3())
     }
 
-    // 2. index-build throughput: synthetic transcript corpus sized by sf
-    val corpus = Transcripts.synthetic(spark, convsFor(sfDir))
-    val nTurns = corpus.count()
-    val root = TempDirs.create("graft_bench")
-    val (_, buildSec) = time {
-      BuildIndexJob.run(spark, corpus, root, "bench", BuildIndexJob.Config())
-    }
-    results("index_build") = buildSec
-    val turnsPerSec = nTurns / buildSec
-
-    // 3. query throughput: WAND top-10 over the persisted index
-    val idx = IndexSearch.open(spark, root)
-    val qs = workload
-    IndexSearch.searchWand(idx, qs).count() // warmup (plans + code gen)
-    val reps = 3
-    val (_, qSec) = time {
-      var i = 0
-      while (i < reps) { IndexSearch.searchWand(idx, qs).count(); i += 1 }
-    }
-    results("wand_workload") = qSec / reps
-    val qps = qs.size * reps / qSec
-
-    val probeAfter = probe3()
     val idleRef = sys.env.get("SPARK_GRAFT_PROBE_IDLE_SEC").map(_.toDouble)
       .getOrElse(IdleProbeSecRef)
-    val loadFlagged =
-      probeBefore > idleRef * 1.3 || probeAfter > idleRef * 1.3
+    def flagged(r: Rep): Boolean = r.probeMax > idleRef * 1.3
+
+    // auto-rerun on load flag: one retry, keep the cleaner rep; a
+    // double-flagged artifact stays flagged and reports both probe pairs
+    val first = runRep()
+    val (rep, reruns, allProbes) =
+      if (!flagged(first)) (first, 0, Seq(first))
+      else {
+        System.err.println("[bench] first rep load-flagged — rerunning cold")
+        SparkEntry.resetMemos()
+        spark.catalog.clearCache()
+        val second = runRep()
+        (if (second.probeMax < first.probeMax) second else first,
+          1, Seq(first, second))
+      }
+    val loadFlagged = flagged(rep)
+    val results = rep.results
+    val (nTurns, buildSec, qps, qsSize) =
+      (rep.nTurns, rep.buildSec, rep.qps, workload.size)
+    val turnsPerSec = nTurns / buildSec
+    val probePairsJson = allProbes
+      .map(r => s"[${r.probeBefore},${r.probeAfter}]").mkString("[", ",", "]")
 
     val total = results.values.filter(_ >= 0).sum
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -150,19 +179,21 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","build_turns":$nTurns,"build_sec":$buildSec,""" +
-        s""""build_turns_per_sec":$turnsPerSec,"wand_queries":${qs.size},""" +
+        s""""build_turns_per_sec":$turnsPerSec,"wand_queries":$qsSize,""" +
         s""""wand_qps":$qps,"cpus":$cpus,""" +
-        s""""probe_sec_before":$probeBefore,"probe_sec_after":$probeAfter,""" +
-        s""""probe_idle_ref":$idleRef,"load_flagged":$loadFlagged}"""
+        s""""probe_sec_before":${rep.probeBefore},"probe_sec_after":${rep.probeAfter},""" +
+        s""""probe_idle_ref":$idleRef,"load_flagged":$loadFlagged,""" +
+        s""""bench_reruns":$reruns,"probe_pairs":$probePairsJson}"""
     // build.sbt routes forked-run output to stdout RAW (OutputStrategy),
     // so this line is driver-parseable; the file copy is belt-and-braces
     println(line)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.out.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     if (loadFlagged)
-      System.err.println(f"[bench] WARNING: cpu probe $probeBefore%.2f/" +
-        f"$probeAfter%.2f s vs idle ref $idleRef%.2f s — box loaded, " +
-        "numbers not comparable to idle-box runs")
+      System.err.println(f"[bench] WARNING: cpu probe ${rep.probeBefore}%.2f/" +
+        f"${rep.probeAfter}%.2f s vs idle ref $idleRef%.2f s across " +
+        f"${reruns + 1} rep(s) — box loaded, numbers not comparable to " +
+        "idle-box runs")
     spark.stop()
   }
 }

@@ -409,6 +409,55 @@ object Oracle {
        |WHERE r.rnk <= $k
        |ORDER BY r.query_id, r.rnk""".stripMargin
 
+  /** Twin of [[graft.search.MultiField.searchFields]] over the transcripts
+    * corpus: fields title = first `titleTokens` analyzed tokens and body =
+    * the full text, each with its OWN df/avgdl/docCount (docs where the
+    * field analyzes to ≥1 token), combined as
+    * titleBoost·BM25_title + bodyBoost·BM25_body. The two per-field sums
+    * add commutatively (two doubles), so the cross-engine union order
+    * cannot perturb the score. */
+  def bm25MultiField(queries: Seq[(Int, String)], k: Int, titleBoost: Double,
+                     bodyBoost: Double, titleTokens: Int): String = {
+    def fieldCtes(f: String) =
+      s"""dl_$f AS (SELECT doc_id, count(*)::INT AS dl FROM t_$f GROUP BY doc_id),
+         |st_$f AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_$f),
+         |tf_$f AS (SELECT term, doc_id, count(*)::INT AS tf FROM t_$f GROUP BY term, doc_id),
+         |df_$f AS (SELECT term, count(*)::BIGINT AS df FROM tf_$f GROUP BY term)""".stripMargin
+    def scoredCte(f: String, boost: Double) =
+      s"""s_$f AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |         $boost * sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+         |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS fs
+         |  FROM qt JOIN tf_$f tf USING (term) JOIN df_$f df USING (term)
+         |       JOIN dl_$f dl ON tf.doc_id = dl.doc_id CROSS JOIN st_$f s
+         |  GROUP BY qt.query_id, tf.doc_id)""".stripMargin
+    s"""WITH corpus AS ($transcriptsCorpus),
+       |lb AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |t_title AS (SELECT doc_id, term FROM
+       |  (SELECT doc_id, unnest(list_slice(l, 1, $titleTokens)) AS term FROM lb)),
+       |t_body AS (SELECT doc_id, term FROM
+       |  (SELECT doc_id, unnest(l) AS term FROM lb)),
+       |${fieldCtes("title")},
+       |${fieldCtes("body")},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredCte("title", titleBoost)},
+       |${scoredCte("body", bodyBoost)},
+       |scored AS (
+       |  SELECT query_id, doc_id, sum(fs) AS score FROM
+       |    (SELECT * FROM s_title UNION ALL SELECT * FROM s_body)
+       |  GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Full BM25 top-k oracle. `start` is the pagination offset — rank
     * positions stay ABSOLUTE, only ranks (start, start+k] are returned. */
   def bm25TopK(corpusSql: String, queries: Seq[(Int, String)], k: Int,

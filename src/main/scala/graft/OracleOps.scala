@@ -295,6 +295,92 @@ object OracleOps {
        |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
        |${rankedTail(k)}""".stripMargin
 
+  /** Unrolled Lloyd's k-means CTE chain — twin of
+    * [[graft.ops.Similarity.kmeansLabels]]'s pinned semantics (init from
+    * vec_id < k, cosine assignment on round(sim, 9) with lowest-label
+    * ties, per-coordinate mean rounded to 6 decimals, empty clusters keep
+    * their previous centroid, fixed iterations). Returns (CTE prelude,
+    * name of the final-assignment CTE). The cosine spells the exact
+    * sequential fold of the Spark side (list_reduce ≡ the native
+    * DotProduct — see [[embeddingPairs]]), so the round(…, 9) argmax
+    * agrees bit-for-bit. */
+  private def kmeansChain(k: Int, iters: Int): (String, String) = {
+    def assignCte(name: String, centName: String) =
+      s"""$name AS (SELECT vec_id, label, e FROM (
+         |    SELECT en.vec_id, c.label, en.e,
+         |      row_number() OVER (PARTITION BY en.vec_id ORDER BY
+         |        round(list_reduce(list_transform(range(1, len(en.e) + 1), j -> en.e[j] * c.c[j]), (x, y) -> x + y)
+         |              / (en.nrm * sqrt(list_reduce(list_transform(c.c, x -> x * x), (a, b) -> a + b))), 9) DESC,
+         |        c.label ASC) AS r
+         |    FROM en CROSS JOIN $centName c) WHERE r = 1)""".stripMargin
+    val head =
+      s"""kemb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |en AS (SELECT vec_id, e,
+         |    sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm
+         |  FROM kemb),
+         |c0 AS (SELECT CAST(vec_id AS INT) AS label, e AS c FROM kemb WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |u$i AS (SELECT label, list(cv ORDER BY pos) AS c FROM (
+         |    SELECT label, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM a$i)
+         |    GROUP BY label, pos) GROUP BY label),
+         |c$i AS (SELECT p.label, COALESCE(u.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN u$i u USING (label))""".stripMargin
+    }
+    val fin = assignCte("afin", s"c$iters")
+    ((head +: steps :+ fin).mkString(",\n"), "afin")
+  }
+
+  /** Twin of q_ann_kmeans: final (vec_id, label) assignments. */
+  def kmeans(k: Int, iters: Int): String = {
+    val (ctes, fin) = kmeansChain(k, iters)
+    s"""WITH $ctes
+       |SELECT vec_id, label FROM $fin ORDER BY vec_id""".stripMargin
+  }
+
+  /** Twin of q_ann_ivf_kmeans: [[ivfTopK]] with the label column replaced
+    * by the TRAINED k-means assignment (the serving path over its own
+    * training operator — the self-contained ANN story). */
+  def ivfKmeans(queryIds: Seq[Long], k: Int, nProbe: Int,
+                clusters: Int, iters: Int): String = {
+    val (ctes, fin) = kmeansChain(clusters, iters)
+    s"""WITH $ctes,
+       |n AS (SELECT en.vec_id, a.label, en.e, en.nrm
+       |  FROM en JOIN $fin a USING (vec_id)),
+       |q AS (SELECT vec_id AS query_vec, e AS qe, nrm AS qn FROM n
+       |  WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, avg(v) AS c FROM (
+       |      SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM n)
+       |    GROUP BY label, pos) GROUP BY label),
+       |centn AS (SELECT label, centroid,
+       |    sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b)) AS cnrm
+       |  FROM cent),
+       |cpairs AS (SELECT q.query_vec, q.qe, q.qn, c.label, c.centroid, c.cnrm
+       |  FROM q CROSS JOIN centn c),
+       |cdots AS (SELECT query_vec, label, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, label, unnest(qe) AS a, unnest(centroid) AS b FROM cpairs)
+       |  GROUP BY query_vec, label),
+       |probes AS (SELECT query_vec, label FROM (
+       |    SELECT d.query_vec, d.label,
+       |      row_number() OVER (PARTITION BY d.query_vec
+       |        ORDER BY round(d.dot / (p.qn * p.cnrm), 9) DESC, d.label ASC) AS pr
+       |    FROM cdots d JOIN cpairs p ON p.query_vec = d.query_vec AND p.label = d.label)
+       |  WHERE pr <= $nProbe),
+       |pairs AS (SELECT q.query_vec, n.vec_id, q.qe, n.e, q.qn, n.nrm
+       |  FROM probes pb JOIN q ON q.query_vec = pb.query_vec
+       |  JOIN n ON n.label = pb.label
+       |  WHERE n.vec_id <> q.query_vec),
+       |dots AS (SELECT query_vec, vec_id, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, vec_id, unnest(qe) AS a, unnest(e) AS b FROM pairs)
+       |  GROUP BY query_vec, vec_id),
+       |scored AS (SELECT d.query_vec, d.vec_id, d.dot / (p.qn * p.nrm) AS sim
+       |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
+       |${rankedTail(k)}""".stripMargin
+  }
+
   def ivfTopK(queryIds: Seq[Long], k: Int, nProbe: Int): String =
     s"""WITH ${embCtes(queryIds)},
        |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM (

@@ -164,24 +164,22 @@ object Similarity {
     * candidates ⊇ truth, result ≡ brute force, and <10% candidate volume
     * at τ=0.9 on a clustered corpus).
     *
-    * CALLER CONTRACT (cache lifecycle): the unit-vector view is cached —
-    * it feeds the eager banding-plan jobs AND three subtrees of the
-    * returned plan (both candidate sides plus the verify re-join), so one
-    * normalize scan serves all of them. As with [[Dedup.minhashPairs]],
-    * batch runners executing many queries in one JVM must
-    * `spark.catalog.clearCache()` (or unpersist) once the result is
-    * consumed, as Verify/Bench do.
+    * CACHE LIFECYCLE (self-contained — no caller contract): the cached
+    * unit-vector view feeds the eager banding-plan jobs and both candidate
+    * sides; the candidate ids are then MATERIALIZED to a temp parquet and
+    * the cache dropped before returning, so nothing this operator caches
+    * can leak into (or be evicted from under) a shared session. The
+    * verify re-join reads the materialized candidates and re-derives unit
+    * vectors lazily — one extra normalize scan, the standard
+    * prune-then-verify materialization shape.
     *
     * Output: (vec_a, vec_b, cos) with vec_a < vec_b. */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
                   maxBandDims: Int = 4): DataFrame = {
-    val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
-    val u = unitVectors(embeddings).cache()
-    val plan = planBands(u, eps, maxBandDims)
-    val cand = candidates(u, plan)
-    // verify: re-attach unit vectors for candidate ids only (same cached u)
-    val ua = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
-    val ub = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+    val cand = materializedCandidates(embeddings, threshold, maxBandDims)
+    val u2 = unitVectors(embeddings)
+    val ua = u2.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+    val ub = u2.select(col("vec_id").as("vec_b"), col("u").as("ub"))
     cand.join(ua, "vec_a").join(ub, "vec_b")
       .withColumn("cos", dot(col("ua"), col("ub")))
       .where(round(col("cos"), 7) >= threshold)
@@ -189,15 +187,29 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Candidate pairs only (pre-verification) — exposed for the
-    * completeness/pruning property tests. Same plan and caller contract
-    * as [[cosinePairs]]. */
-  def cosinePairCandidates(embeddings: DataFrame, threshold: Double,
-                           maxBandDims: Int = 4): DataFrame = {
+  /** Candidate (vec_a, vec_b) ids under the banding plan, written eagerly
+    * to a temp parquet with the internal cache dropped before returning —
+    * shared by [[cosinePairs]] and the completeness/pruning property
+    * tests ([[cosinePairCandidates]]). */
+  private def materializedCandidates(embeddings: DataFrame, threshold: Double,
+                                     maxBandDims: Int): DataFrame = {
+    val spark = embeddings.sparkSession
     val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
     val u = unitVectors(embeddings).cache()
-    candidates(u, planBands(u, eps, maxBandDims))
+    try {
+      val plan = planBands(u, eps, maxBandDims)
+      val path = graft.TempDirs.create("graft_cospairs")
+      candidates(u, plan).write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    } finally u.unpersist()
   }
+
+  /** Candidate pairs only (pre-verification) — exposed for the
+    * completeness/pruning property tests. Same self-contained cache
+    * lifecycle as [[cosinePairs]]. */
+  def cosinePairCandidates(embeddings: DataFrame, threshold: Double,
+                           maxBandDims: Int = 4): DataFrame =
+    materializedCandidates(embeddings, threshold, maxBandDims)
 
   /** Per-label centroids: (label, centroid array<double>). */
   def centroids(embeddings: DataFrame): DataFrame =
@@ -207,6 +219,55 @@ object Similarity {
       .groupBy("label")
       .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("centroid"))
+
+  /** Deterministic Lloyd's k-means over the embedding column — the IVF
+    * TRAINING operator ([[ivfTopK]] consumes its label column). Pinned,
+    * oracle-expressible semantics:
+    *
+    *  - init: centroid j = the embedding of vec_id j (j < k), as doubles;
+    *  - assignment: cosine similarity against the current centroids,
+    *    ordered on round(sim, 9) DESC with ties to the LOWEST label;
+    *  - update: per-coordinate mean over assigned vectors, ROUNDED to 6
+    *    decimals (absorbs cross-engine FP sum-order noise in avg); a
+    *    label that captured no vectors keeps its previous centroid;
+    *  - a FIXED iteration count (no convergence test — determinism).
+    *
+    * Centroids are DRIVER state (k×d doubles — tiny), collected once per
+    * iteration; the data relation is only ever scanned and the per-row
+    * work is a broadcast cross join against k centroids — the classic
+    * Lloyd shape that survives 100 TB (MLlib's layout [PUB]). Output:
+    * (vec_id, label:int) under the FINAL centroids. */
+  def kmeansLabels(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    var cent: Seq[(Int, Seq[Double])] = e.where(col("vec_id") < k)
+      .select(col("vec_id").cast("int"), col("e")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq.sortBy(_._1)
+    require(cent.nonEmpty, "kmeans needs at least one seed vector (vec_id < k)")
+    def assign(c: Seq[(Int, Seq[Double])]): DataFrame = {
+      val cdf = c.toDF("label", "centroid")
+      val w = Window.partitionBy("vec_id")
+        .orderBy(round(col("_sim"), 9).desc, col("label").asc)
+      e.crossJoin(broadcast(cdf))
+        .withColumn("_sim", cosine(col("e"), col("centroid")))
+        .withColumn("_r", row_number().over(w))
+        .where(col("_r") === 1)
+        .select(col("vec_id"), col("label"), col("e"))
+    }
+    for (_ <- 1 to iters) {
+      val upd = assign(cent)
+        .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(round(avg(col("v")), 6).as("c"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toMap
+      cent = cent.map { case (l, old) => (l, upd.getOrElse(l, old)) }
+    }
+    assign(cent).select(col("vec_id"), col("label")).orderBy("vec_id")
+  }
 
   /** IVF top-k: probe the nProbe labels whose centroids are closest to the
     * query (by cosine, tie-break label asc), then brute-force within those

@@ -1,0 +1,53 @@
+package graft.search
+
+import graft.index.IndexBuild
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Solr `qf`-style MULTI-FIELD BM25 (`qf=title^2 body^1` — the reference's
+  * Solr schema indexes title/abstract/claims separately with per-field
+  * boosts). Pinned semantics, per Lucene's documented per-field scoring
+  * [PUB]:
+  *
+  *   score(q, d) = Σ_f boost_f · BM25_f(q, d)
+  *
+  * where EVERY statistic is per-field — df_f, avgdl_f, dl_f, and
+  * N_f = the field's docCount (docs where the field analyzes to ≥1
+  * token — Lucene's per-field docCount, not the corpus size). Matching is
+  * disjunctive across fields: a doc ranks if any field matches any query
+  * term. This is a weighted SUM over fields (DisMax's tie=1.0 shape);
+  * Solr's default pure-max DisMax is a different documented combiner —
+  * the sum is pinned here as the oracle-expressible choice.
+  *
+  * Plan shape: one analysis + aggregation chain per field (fields are
+  * few and static), each the same shuffle-lean shape as the single-field
+  * path, then a per-(query, doc) weighted sum — the union adds no extra
+  * corpus scans beyond one per field, and each field's dictionary join
+  * broadcasts exactly like the single-field engine. */
+object MultiField {
+
+  /** @param corpus (doc_id, <field columns>) — one text column per field
+    * @param fields (field column name, boost), e.g. ("title", 2.0) */
+  def searchFields(corpus: DataFrame, fields: Seq[(String, Double)],
+                   queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+    require(fields.nonEmpty, "at least one field")
+    val spark = corpus.sparkSession
+    val qf = Search.queryFrame(spark, queries)
+    val perField = fields.map { case (f, boost) =>
+      val c = corpus.select(col("doc_id"), col(f).as("text"))
+      val occ = IndexBuild.termOccurrences(c)
+      val dl = IndexBuild.docLengths(occ)
+      val tf = IndexBuild.termFrequencies(occ)
+      // IndexBuild.stats counts docs with ≥1 token of THIS field — the
+      // per-field docCount Lucene uses for the field's idf and avgdl
+      Search.scoredDocs(qf, IndexBuild.tfWithDl(tf, dl),
+          IndexBuild.dictionary(tf), IndexBuild.stats(dl))
+        .select(col("query_id"), col("doc_id"),
+          (col("_score") * lit(boost)).as("_fs"))
+    }
+    val summed = perField.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_fs")).as("_score"))
+    Search.rank(summed, k)
+  }
+}

@@ -45,6 +45,24 @@ class SimilaritySpec extends SparkSpec {
 
   lazy val df = rows.toDF("vec_id", "embedding", "label")
 
+  test("kmeans separates planted clusters; labels deterministic across runs") {
+    val emb = (Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f))) ++ // seeds
+      (2 until 12).map { i =>
+        val (a, b) = if (i % 2 == 0) (0.9f, 0.1f) else (0.05f, 0.95f)
+        (i.toLong, Array(a, b, 0.01f * i, 0f))
+      }).toDF("vec_id", "embedding")
+    def run() = graft.ops.Similarity.kmeansLabels(emb, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val labels = run()
+    assert(labels(0L) == 0 && labels(1L) == 1, "seeds keep their own clusters")
+    (2 until 12).foreach { i =>
+      assert(labels(i.toLong) == (if (i % 2 == 0) 0 else 1),
+        s"vec $i landed in ${labels(i.toLong)}")
+    }
+    assert(run() == labels, "fixed seed + fixed iterations must be deterministic")
+  }
+
   test("cosinePairs ≡ brute force at the near-dup threshold") {
     val got = Similarity.cosinePairs(df, tau).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
