@@ -117,6 +117,7 @@ object Bench {
       val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       results("index_prepare") = time(SparkEntry.prepareIndex(spark, sfDir))._2
       results("corpus_prepare") = time(SparkEntry.prepareCorpus(spark, sfDir))._2
+      results("stream_prepare") = time(SparkEntry.prepareStream(spark, sfDir))._2
       SparkEntry.queries.foreach { case (name, fn) =>
         results(name) =
           try time(fn(spark, sfDir).count())._2

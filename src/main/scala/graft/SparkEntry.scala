@@ -126,6 +126,14 @@ object SparkEntry {
   def prepareCorpus(s: SparkSession, dir: String): Unit =
     { transcriptCorpusAttrs(s, dir); () }
 
+  /** Force the memoized streamed segmented index (three Structured
+    * Streaming micro-batches — the most expensive one-time fixture).
+    * Bench runs this on its own line so whichever segmented gate happens
+    * to execute first doesn't absorb the build cost into its per-query
+    * time. */
+  def prepareStream(s: SparkSession, dir: String): Unit =
+    { streamedIndex(s, dir); () }
+
   /** Drop every per-JVM memoized corpus/index root: Bench's load-flagged
     * auto-rerun needs a TRUE fresh rep — with the memos still warm, the
     * prepare/merge/stream lines of the rerun would report near-zero and
