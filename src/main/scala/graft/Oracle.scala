@@ -320,7 +320,16 @@ object Oracle {
     * with an out-of-vocabulary term self-eliminates (its pf self-join
     * matches nothing). */
   def bm25Phrase(corpusSql: String, phrases: Seq[(Int, String)],
-                 k: Int, slop: Int = 0): String = {
+                 k: Int, slop: Int = 0): String =
+    bm25PhraseCore(corpusSql, phrases, k, slop, keyed = false)
+
+  /** Keys-shaped phrase twin (segmented-index phrase gate). */
+  def bm25PhraseKeys(phrases: Seq[(Int, String)], k: Int,
+                     slop: Int = 0): String =
+    bm25PhraseCore(transcriptsCorpus, phrases, k, slop, keyed = true)
+
+  private def bm25PhraseCore(corpusSql: String, phrases: Seq[(Int, String)],
+                             k: Int, slop: Int, keyed: Boolean): String = {
     val parsed = phrases
       .map { case (id, t) => (id, Analyzer.tokenize(t)) }
       .filter(_._2.nonEmpty)
@@ -345,8 +354,15 @@ object Oracle {
     val ptermValues = parsed.flatMap { case (id, ts) =>
       ts.zipWithIndex.map { case (t, i) => s"($id, $i, '${esc(t)}')" }
     }
+    val (keymap, select, fromTail) =
+      if (!keyed) ("",
+        """query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score""",
+        "")
+      else (s"$keymapCte,\n",
+        """query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score""",
+        "JOIN keymap USING (doc_id)")
     s"""WITH ${indexCtes(corpusSql)},
-       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |$keymap toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
        |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
        |pterms(query_id, slot, term) AS (VALUES ${ptermValues.mkString(", ")}),
        |idfs AS (SELECT query_id, sum(ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
@@ -362,8 +378,8 @@ object Oracle {
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
        |  FROM scored)
-       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
-       |FROM ranked WHERE rnk <= $k
+       |SELECT $select
+       |FROM ranked $fromTail WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
   }
 

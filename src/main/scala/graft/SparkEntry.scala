@@ -143,6 +143,7 @@ object SparkEntry {
   def resetMemos(): Unit = {
     corpusRoots.clear(); builtIndexes.clear(); mergeOldRoots.clear()
     mergedRoots.clear(); streamRoots.clear(); compactRoots.clear()
+    fieldIndexRoots.clear()
   }
 
   /** Merge-gate inputs (U1/U2/J4): old index over docs < 4n/5; new batch =
@@ -201,11 +202,39 @@ object SparkEntry {
             s"$in/batch$i.parquet")
         }
       val root = tmp("graft_sroot")
+      // positions ON: the one streamed fixture also serves the segmented
+      // phrase gate; non-phrase segmented paths never read the extra
+      // stream (parquet column pruning)
       val q = graft.streaming.StreamingIngest.start(s, in, root, tmp("graft_sckpt"),
-        BuildIndexJob.Config(numShards = 8))
+        BuildIndexJob.Config(numShards = 8, storePositions = true))
       q.awaitTermination()
       root
     })
+
+  /** Memoized per-field persisted indexes over the sfDir transcripts
+    * (multi-field-over-indexes gate): title = first 5 analyzed tokens,
+    * body = full text. The title text gets a trailing space pad so a
+    * token-less doc still passes the ingest non-empty guard — every row
+    * survives in BOTH field indexes and the shared (conv_id, turn_idx)
+    * key order assigns THE SAME dense doc ids, which the cross-field
+    * score join relies on. */
+  private val fieldIndexRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def fieldIndexFor(s: SparkSession, dir: String,
+                            field: String): IndexSearch.OpenIndex = {
+    val root = fieldIndexRoots.computeIfAbsent((dir, field), _ => {
+      val r = TempDirs.create(s"graft_f$field")
+      val t = Transcripts.fromDocuments(s, dir)
+      val fielded =
+        if (field == "body") t
+        else t.withColumn("text", concat(
+          array_join(slice(Analyzer.tokens(col("text")), 1, 5), " "), lit(" ")))
+      BuildIndexJob.run(s, fielded, r, s"field-$field-$dir",
+        BuildIndexJob.Config(numShards = 8))
+      r
+    })
+    IndexSearch.open(s, root)
+  }
 
   /** Posting-assembly round-trip: build encoded blocks with the given
     * assembler, decode them back, return the scoring relation — oracle =
@@ -450,6 +479,18 @@ object SparkEntry {
     "q_facet_role_segmented" -> ((s, dir) =>
       graft.index.SegmentedIndex.facetCounts(s, streamedIndex(s, dir),
         DisjQueries, "role", BuildIndexJob.Config(numShards = 8))),
+    // Phrase over the segmented index (positional segments): block-pruned
+    // fat decode per segment, live-df idf — the last request shape a
+    // streaming deployment was missing
+    "q_bm25_phrase_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchPhrase(s, streamedIndex(s, dir),
+        PhraseQueries, cfg = BuildIndexJob.Config(numShards = 8))),
+    // Multi-field qf where each FIELD is a persisted index (its stats ARE
+    // the per-field statistics) — same oracle as the inline variant
+    "q_bm25_multifield_index" -> ((s, dir) =>
+      graft.search.MultiField.searchIndexes(
+        Seq(fieldIndexFor(s, dir, "title") -> 2.0,
+          fieldIndexFor(s, dir, "body") -> 1.0), DisjQueries)),
     // Solr start=/rows= pagination: absolute ranks (start, start+rows]
     "q_bm25_page" -> ((s, dir) =>
       Search.searchCorpus(documents(s, dir), DisjQueries, k = 5, start = 5)),
@@ -533,6 +574,9 @@ object SparkEntry {
       BoolQueries, 10),
     "q_bm25_bool_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10),
     "q_bm25_bool_segmented" -> Oracle.bm25TopKClausesKeys(BoolQueries, 10),
+    "q_bm25_phrase_segmented" -> Oracle.bm25PhraseKeys(PhraseQueries, 10),
+    "q_bm25_multifield_index" -> Oracle.bm25MultiField(DisjQueries, 10,
+      titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5),
     "q_bm25_fq_segmented" -> Oracle.bm25TopKFilteredKeys(DisjQueries, 10, "role = 'user'"),
     "q_facet_role_segmented" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_page" -> Oracle.bm25TopK(Oracle.documentsCorpus, DisjQueries, 5,

@@ -456,6 +456,125 @@ object SegmentedIndex {
     } finally all.unpersist()
   }
 
+  /** PHRASE search (exact, ordered-window slop, or Lucene-style sloppy)
+    * over the SEGMENTED index — requires segments built with
+    * `Config.storePositions`. Semantics match
+    * [[graft.search.IndexSearch.searchPhrase]] over the live corpus:
+    * idf per term from the exact LIVE df (counted from the
+    * tombstone-filtered thin fan-out — the same pass the disjunctive
+    * path pays for its query-time df), N/avgdl from the manifest, and a
+    * phrase with a term absent from the live corpus matches nothing.
+    * Output keys-shaped like [[search]].
+    *
+    * Scale shape mirrors the unified path: the thin (positional-free)
+    * fan-out both counts live df AND intersects candidates carrying
+    * their block identities (seg, term, first_doc); the positional (fat)
+    * stream then decodes ONLY blocks containing a candidate doc, per
+    * segment. A segment lacking any phrase term contributes nothing and
+    * is skipped at the dict probe. */
+  def searchPhrase(spark: SparkSession, root: String,
+                   phrases: Seq[(Int, String)], k: Int = 10, slop: Int = 0,
+                   luceneSlop: Boolean = false,
+                   cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = keysEmpty(spark)
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    require(m.segments.forall(seg => Fs.exists(spark,
+        BuildIndexJob.IndexPaths(segPath(root, seg)).positionalMarker)),
+      "segmented searchPhrase requires every segment built with " +
+        "Config(storePositions = true)")
+    val parsed = phrases
+      .map { case (q, t) => (q, graft.analysis.Analyzer.tokenize(t)) }
+      .filter(_._2.nonEmpty)
+    if (parsed.isEmpty) return empty
+    val allTerms = parsed.flatMap(_._2).distinct
+    val tombs = readTombstones(spark, root, m)
+    def liveKeys(ord: Int): DataFrame = {
+      val p = BuildIndexJob.IndexPaths(segPath(root, m.segments(ord)))
+      liveFilter(cfg.io.read(spark, p.docs)
+        .select(col("doc_id"), col("conv_id"), col("turn_idx"))
+        .withColumn("seg_ord", lit(ord)), tombs)
+    }
+    val perSeg = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
+      val p = BuildIndexJob.IndexPaths(segPath(root, seg))
+      val dict = cfg.io.read(spark, p.dictionary)
+      // driver boundary: ≤ |phrase terms| shard ids per segment; the
+      // per-segment loop is O(compactEvery), as everywhere in this file
+      val shards = dict.where(col("term").isInCollection(allTerms))
+        .select("shard").distinct().collect().map(_.getInt(0)).toSeq
+      if (shards.isEmpty) None
+      else {
+        val blocks = cfg.io.read(spark, p.postings)
+          .where(col("shard").isin(shards: _*) &&
+            col("term").isInCollection(allTerms))
+        Some(PostingBlocks.decodePostings(
+            blocks.drop("poss").withColumn("_bfd", col("first_doc")))
+          .join(liveKeys(ord), "doc_id")
+          .select(col("term"), col("conv_id"), col("turn_idx"), col("dl"),
+            col("_bfd"))
+          .withColumn("_seg", lit(ord)))
+      }
+    }
+    val thin = perSeg.reduceOption(_ unionByName _)
+      .getOrElse(return empty).cache()
+    try {
+      // exact live df per phrase term — the idf input (≤ |terms| rows)
+      val dfMap = thin.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val live = parsed.filter(_._2.forall(t => dfMap.getOrElse(t, 0L) > 0L))
+      if (live.isEmpty) return empty
+      val qt = live.flatMap { case (q, ts) => ts.distinct.map(t => (q, t)) }
+        .toDF("query_id", "term")
+      val nd = live.map { case (q, ts) => (q, ts.distinct.size) }
+        .toDF("query_id", "_nd")
+      val cand = thin.join(broadcast(qt), Seq("term"))
+        .groupBy("query_id", "conv_id", "turn_idx")
+        .agg(count(lit(1)).as("_n"),
+          collect_list(struct(col("_seg"), col("term"), col("_bfd"))).as("_blks"))
+        .join(broadcast(nd), "query_id")
+        .where(col("_n") === col("_nd"))
+        .select("query_id", "conv_id", "turn_idx", "_blks")
+        .cache()
+      try {
+        val blockKeys = cand.select(explode(col("_blks")).as("_b"))
+          .select(col("_b._seg").as("_seg"), col("_b.term").as("term"),
+            col("_b._bfd").as("_bfd"))
+          .distinct()
+        val fatPerSeg = m.segments.indices.map { ord =>
+          val p = BuildIndexJob.IndexPaths(segPath(root, m.segments(ord)))
+          val blocks = cfg.io.read(spark, p.postings)
+            .where(col("term").isInCollection(allTerms))
+            .withColumn("_bfd", col("first_doc"))
+            .join(blockKeys.where(col("_seg") === ord).select("term", "_bfd"),
+              Seq("term", "_bfd"), "left_semi")
+          PostingBlocks.decodePostingsWithPositions(blocks)
+            .join(liveKeys(ord), "doc_id")
+            .select(col("term"), col("conv_id"), col("turn_idx"), col("dl"),
+              col("positions"))
+        }
+        val fat = fatPerSeg.reduce(_ unionByName _)
+          .join(broadcast(qt), Seq("term"))
+          .join(cand.select("query_id", "conv_id", "turn_idx"),
+            Seq("query_id", "conv_id", "turn_idx"), "left_semi")
+        val pm = fat.groupBy("query_id", "conv_id", "turn_idx")
+          .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+            .as("_pm"), min(col("dl")).as("dl"))
+        val meta = live.map { case (q, ts) =>
+          (q, ts, ts.map(t => Bm25.idfValue(dfMap(t), m.nDocs)).sum)
+        }.toDF("query_id", "_terms", "_idf")
+        val scored = pm.join(broadcast(meta), "query_id")
+          .withColumn("_pf", graft.search.IndexSearch.phrasePf(slop, luceneSlop))
+          .where(col("_pf") > 0)
+          .select(col("query_id"), col("conv_id"), col("turn_idx"),
+            (col("_idf") * col("_pf") /
+              (col("_pf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) +
+                lit(Bm25.B) * col("dl") / lit(m.avgdl)))).as("_score"))
+        localize(spark, rankKeys(scored, k))
+      } finally cand.unpersist()
+    } finally thin.unpersist()
+  }
+
   /** All live turns with their stored fields — the compaction input. */
   def liveTurns(spark: SparkSession, root: String,
                 cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {

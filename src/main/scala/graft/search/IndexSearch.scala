@@ -81,9 +81,10 @@ object IndexSearch {
   }
 
   /** Pre-rank per-(query, doc) scores over the persisted index — the
-    * index-side twin of [[Search.scoredDocs]]. */
-  private def scoredDocs(idx: OpenIndex, qt: DataFrame,
-                         conjunctive: Boolean): DataFrame = {
+    * index-side twin of [[Search.scoredDocs]]. Package-visible so
+    * [[MultiField.searchIndexes]] can weight-combine per-field indexes. */
+  private[search] def scoredDocs(idx: OpenIndex, qt: DataFrame,
+                                 conjunctive: Boolean): DataFrame = {
     val scored = matchedPostings(idx, qt)
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
         lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
@@ -441,30 +442,8 @@ object IndexSearch {
         .map { case (qid, terms) => (qid, terms, batch.idfSums(qid)) }
         .toDF("query_id", "_terms", "_idf")
       val withMeta = pm.join(broadcast(meta), "query_id")
-      // greedy ordered chain: fold slots 2..m, each step the minimal
-      // position of that slot's term strictly after the previous slot's;
-      // a start p₁ is valid iff the fold's end ≤ p₁ + (m−1) + slop.
-      // Exhausted lists pin the accumulator to a sentinel that no bound
-      // accepts (comparisons only — never arithmetic — touch it).
-      val sentinel = lit(Long.MaxValue)
-      val p0 = element_at(col("_pm"), element_at(col("_terms"), 1))
-      val restSlots = slice(col("_terms"), lit(2),
-        greatest(size(col("_terms")) - 1, lit(0)))
-      def chainEnd(p1: Column): Column =
-        aggregate(restSlots, p1.cast("long"), (prev, t) =>
-          coalesce(array_min(filter(element_at(col("_pm"), t), p => p > prev)),
-            sentinel))
-      val pf: Column =
-        if (!luceneSlop)
-          size(filter(p0, p1 =>
-            chainEnd(p1) <= p1 + size(col("_terms")) - 1 + lit(slop)))
-            .cast("double")
-        else
-          SloppyPhrase.freqColumn(
-            transform(col("_terms"), (t, i) =>
-              transform(element_at(col("_pm"), t), p => p - i)), slop)
       val scored = withMeta
-        .withColumn("_pf", pf)
+        .withColumn("_pf", phrasePf(slop, luceneSlop))
         .where(col("_pf") > 0)
         .select(col("query_id"), col("doc_id"),
           (col("_idf") * col("_pf") /
@@ -476,6 +455,37 @@ object IndexSearch {
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally planned.unpersistAll()
+  }
+
+  /** Phrase-frequency Column over a row carrying `_pm` (map term →
+    * ascending positions) and `_terms` (the phrase's terms in order) —
+    * shared by the unified and segmented phrase paths.
+    *
+    * Default mode is the GREEDY ordered chain: fold slots 2..m, each step
+    * taking the minimal position of that slot's term strictly after the
+    * previous slot's; a start p₁ is valid iff the fold's end ≤
+    * p₁ + (m−1) + slop. Greedy is pointwise minimal by induction, so it
+    * completes iff ANY admissible chain exists — pf is exact. Exhausted
+    * lists pin the accumulator to a sentinel that no bound accepts
+    * (comparisons only — never arithmetic — touch it). `luceneSlop`
+    * switches to [[SloppyPhrase]]'s orderless sweep. */
+  private[graft] def phrasePf(slop: Int, luceneSlop: Boolean): Column = {
+    val sentinel = lit(Long.MaxValue)
+    val p0 = element_at(col("_pm"), element_at(col("_terms"), 1))
+    val restSlots = slice(col("_terms"), lit(2),
+      greatest(size(col("_terms")) - 1, lit(0)))
+    def chainEnd(p1: Column): Column =
+      aggregate(restSlots, p1.cast("long"), (prev, t) =>
+        coalesce(array_min(filter(element_at(col("_pm"), t), p => p > prev)),
+          sentinel))
+    if (!luceneSlop)
+      size(filter(p0, p1 =>
+        chainEnd(p1) <= p1 + size(col("_terms")) - 1 + lit(slop)))
+        .cast("double")
+    else
+      SloppyPhrase.freqColumn(
+        transform(col("_terms"), (t, i) =>
+          transform(element_at(col("_pm"), t), p => p - i)), slop)
   }
 
   /** A term's block spanning more ranges than this is treated as "global"

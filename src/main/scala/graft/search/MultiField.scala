@@ -50,4 +50,26 @@ object MultiField {
       .agg(sum(col("_fs")).as("_score"))
     Search.rank(summed, k)
   }
+
+  /** Multi-field qf over PERSISTED indexes — a field IS an index: each
+    * field's dictionary/stats artifacts are exactly its per-field
+    * df/avgdl/docCount, so no extra statistics plumbing is needed. The
+    * caller must have built every field's index over the SAME doc-id
+    * space (same ingest row set, ids assigned by the shared stable key
+    * order — see the q_bm25_multifield_index fixture, which pads a
+    * field's empty text so no row drops out of ingest and shifts ids). */
+  def searchIndexes(fields: Seq[(IndexSearch.OpenIndex, Double)],
+                    queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+    require(fields.nonEmpty, "at least one field index")
+    val spark = fields.head._1.spark
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val perField = fields.map { case (idx, boost) =>
+      IndexSearch.scoredDocs(idx, qt, conjunctive = false)
+        .select(col("query_id"), col("doc_id"),
+          (col("_score") * lit(boost)).as("_fs"))
+    }
+    Search.rank(perField.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_fs")).as("_score")), k)
+  }
 }

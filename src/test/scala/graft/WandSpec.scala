@@ -136,6 +136,14 @@ class WandSpec extends SparkSpec {
         assert(ranged == exh, s"k=$k docsPerRange=$docsPerRange")
       }
     }
+    // k beyond the stored top-block-maxes (16): the driver seed is
+    // unavailable and wandBlocks takes the legacy window path — answers
+    // must be unchanged
+    val k20exh = IndexSearch.search(idx, queries, k = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val k20wand = IndexSearch.searchWand(idx, queries, k = 20, docsPerRange = 64L)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(k20wand == k20exh, "k=20 (past blockmeta cap) must match exhaustive")
   }
 
   test("θ seed rides the dictionary probe: one Spark job inside wandBlocks") {
