@@ -225,10 +225,17 @@ object SparkEntry {
     val root = fieldIndexRoots.computeIfAbsent((dir, field), _ => {
       val r = TempDirs.create(s"graft_f$field")
       val t = Transcripts.fromDocuments(s, dir)
+      // the title pad applies ONLY to rows that pass the ingest guard:
+      // rows the body index drops (null/empty text) must keep their
+      // original failing text so BOTH field indexes drop the same row
+      // set and the shared key order assigns identical dense doc ids
       val fielded =
         if (field == "body") t
-        else t.withColumn("text", concat(
-          array_join(slice(Analyzer.tokens(col("text")), 1, 5), " "), lit(" ")))
+        else t.withColumn("text",
+          when(col("text").isNotNull && length(col("text")) > 0,
+            concat(array_join(slice(Analyzer.tokens(col("text")), 1, 5), " "),
+              lit(" ")))
+            .otherwise(col("text")))
       BuildIndexJob.run(s, fielded, r, s"field-$field-$dir",
         BuildIndexJob.Config(numShards = 8))
       r

@@ -496,25 +496,31 @@ object SegmentedIndex {
         .select(col("doc_id"), col("conv_id"), col("turn_idx"))
         .withColumn("seg_ord", lit(ord)), tombs)
     }
-    val perSeg = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
-      val p = BuildIndexJob.IndexPaths(segPath(root, seg))
-      val dict = cfg.io.read(spark, p.dictionary)
-      // driver boundary: ≤ |phrase terms| shard ids per segment; the
-      // per-segment loop is O(compactEvery), as everywhere in this file
-      val shards = dict.where(col("term").isInCollection(allTerms))
-        .select("shard").distinct().collect().map(_.getInt(0)).toSeq
-      if (shards.isEmpty) None
-      else {
-        val blocks = cfg.io.read(spark, p.postings)
-          .where(col("shard").isin(shards: _*) &&
-            col("term").isInCollection(allTerms))
-        Some(PostingBlocks.decodePostings(
-            blocks.drop("poss").withColumn("_bfd", col("first_doc")))
-          .join(liveKeys(ord), "doc_id")
-          .select(col("term"), col("conv_id"), col("turn_idx"), col("dl"),
-            col("_bfd"))
-          .withColumn("_seg", lit(ord)))
+    // per-segment shard lists computed ONCE at the dict probe and reused
+    // by the fat pass below (segments the probe proved term-free are
+    // skipped in both passes). Driver boundary: ≤ |phrase terms| shard
+    // ids per segment; the loop is O(compactEvery), as everywhere here.
+    val segShards: Seq[(Int, Seq[Int])] =
+      m.segments.zipWithIndex.flatMap { case (seg, ord) =>
+        val p = BuildIndexJob.IndexPaths(segPath(root, seg))
+        val shards = cfg.io.read(spark, p.dictionary)
+          .where(col("term").isInCollection(allTerms))
+          .select("shard").distinct().collect().map(_.getInt(0)).toSeq
+        if (shards.isEmpty) None else Some(ord -> shards)
       }
+    def prunedBlocks(ord: Int, shards: Seq[Int]): DataFrame =
+      cfg.io.read(spark,
+          BuildIndexJob.IndexPaths(segPath(root, m.segments(ord))).postings)
+        .where(col("shard").isin(shards: _*) &&
+          col("term").isInCollection(allTerms))
+    val perSeg = segShards.map { case (ord, shards) =>
+      PostingBlocks.decodePostings(
+          prunedBlocks(ord, shards).drop("poss")
+            .withColumn("_bfd", col("first_doc")))
+        .join(liveKeys(ord), "doc_id")
+        .select(col("term"), col("conv_id"), col("turn_idx"), col("dl"),
+          col("_bfd"))
+        .withColumn("_seg", lit(ord))
     }
     val thin = perSeg.reduceOption(_ unionByName _)
       .getOrElse(return empty).cache()
@@ -541,10 +547,8 @@ object SegmentedIndex {
           .select(col("_b._seg").as("_seg"), col("_b.term").as("term"),
             col("_b._bfd").as("_bfd"))
           .distinct()
-        val fatPerSeg = m.segments.indices.map { ord =>
-          val p = BuildIndexJob.IndexPaths(segPath(root, m.segments(ord)))
-          val blocks = cfg.io.read(spark, p.postings)
-            .where(col("term").isInCollection(allTerms))
+        val fatPerSeg = segShards.map { case (ord, shards) =>
+          val blocks = prunedBlocks(ord, shards)
             .withColumn("_bfd", col("first_doc"))
             .join(blockKeys.where(col("_seg") === ord).select("term", "_bfd"),
               Seq("term", "_bfd"), "left_semi")

@@ -164,22 +164,22 @@ object Similarity {
     * candidates ⊇ truth, result ≡ brute force, and <10% candidate volume
     * at τ=0.9 on a clustered corpus).
     *
-    * CACHE LIFECYCLE (self-contained — no caller contract): the cached
-    * unit-vector view feeds the eager banding-plan jobs and both candidate
-    * sides; the candidate ids are then MATERIALIZED to a temp parquet and
-    * the cache dropped before returning, so nothing this operator caches
-    * can leak into (or be evicted from under) a shared session. The
-    * verify re-join reads the materialized candidates and re-derives unit
-    * vectors lazily — one extra normalize scan, the standard
-    * prune-then-verify materialization shape.
+    * CACHE LIFECYCLE (self-contained — no caller contract): ONE cached
+    * normalize scan feeds the eager banding-plan jobs, both candidate
+    * sides, AND the unit vectors of the candidate ids; candidates and
+    * those (candidate-bounded) unit vectors are MATERIALIZED to temp
+    * parquet and the cache dropped before returning, so nothing this
+    * operator caches can leak into (or be evicted from under) a shared
+    * session, and the returned verify plan touches only the small
+    * materialized relations — never the corpus again.
     *
     * Output: (vec_a, vec_b, cos) with vec_a < vec_b. */
   def cosinePairs(embeddings: DataFrame, threshold: Double,
                   maxBandDims: Int = 4): DataFrame = {
-    val cand = materializedCandidates(embeddings, threshold, maxBandDims)
-    val u2 = unitVectors(embeddings)
-    val ua = u2.select(col("vec_id").as("vec_a"), col("u").as("ua"))
-    val ub = u2.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+    val (cand, uCand) = materializedCandidates(embeddings, threshold,
+      maxBandDims, withUnitVectors = true)
+    val ua = uCand.get.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+    val ub = uCand.get.select(col("vec_id").as("vec_b"), col("u").as("ub"))
     cand.join(ua, "vec_a").join(ub, "vec_b")
       .withColumn("cos", dot(col("ua"), col("ub")))
       .where(round(col("cos"), 7) >= threshold)
@@ -187,12 +187,14 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Candidate (vec_a, vec_b) ids under the banding plan, written eagerly
-    * to a temp parquet with the internal cache dropped before returning —
-    * shared by [[cosinePairs]] and the completeness/pruning property
-    * tests ([[cosinePairCandidates]]). */
+  /** Candidate (vec_a, vec_b) ids under the banding plan — plus, when
+    * requested, the unit vectors of exactly the ids appearing in a
+    * candidate pair — written eagerly to temp parquet off the ONE cached
+    * unit-vector scan, which is dropped before returning. Shared by
+    * [[cosinePairs]] and the property tests ([[cosinePairCandidates]]). */
   private def materializedCandidates(embeddings: DataFrame, threshold: Double,
-                                     maxBandDims: Int): DataFrame = {
+                                     maxBandDims: Int, withUnitVectors: Boolean)
+      : (DataFrame, Option[DataFrame]) = {
     val spark = embeddings.sparkSession
     val eps = math.sqrt(math.max(2.0 - 2.0 * threshold, 1e-12))
     val u = unitVectors(embeddings).cache()
@@ -200,7 +202,18 @@ object Similarity {
       val plan = planBands(u, eps, maxBandDims)
       val path = graft.TempDirs.create("graft_cospairs")
       candidates(u, plan).write.mode("overwrite").parquet(path)
-      spark.read.parquet(path)
+      val cand = spark.read.parquet(path)
+      val uc =
+        if (!withUnitVectors) None
+        else {
+          val ids = cand.select(col("vec_a").as("vec_id"))
+            .unionByName(cand.select(col("vec_b").as("vec_id"))).distinct()
+          val up = graft.TempDirs.create("graft_cosu")
+          u.join(ids, Seq("vec_id"), "left_semi")
+            .write.mode("overwrite").parquet(up)
+          Some(spark.read.parquet(up))
+        }
+      (cand, uc)
     } finally u.unpersist()
   }
 
@@ -209,7 +222,8 @@ object Similarity {
     * lifecycle as [[cosinePairs]]. */
   def cosinePairCandidates(embeddings: DataFrame, threshold: Double,
                            maxBandDims: Int = 4): DataFrame =
-    materializedCandidates(embeddings, threshold, maxBandDims)
+    materializedCandidates(embeddings, threshold, maxBandDims,
+      withUnitVectors = false)._1
 
   /** Per-label centroids: (label, centroid array<double>). */
   def centroids(embeddings: DataFrame): DataFrame =

@@ -226,35 +226,35 @@ object IndexSearch {
       .orderBy("query_id", facetCol)
   }
 
-  /** Per-index verdict of the positional fail-fast, cached so repeated
-    * phrase calls never re-run the probe (one schema read; the data-sample
-    * fallback job runs at most once per root, only for indexes predating
-    * the `_positional` marker). */
-  private val positionalVerdicts =
+  /** Sampled-probe verdicts for LEGACY marker-less roots only — cached so
+    * repeated phrase calls don't re-run the probe job. Marker-bearing
+    * roots never enter this map, so deleting and rebuilding a root WITH
+    * positions takes effect immediately (the marker is re-checked every
+    * call — a cheap filesystem stat, no Spark job). Residual staleness is
+    * confined to a marker-less legacy root rebuilt in place within one
+    * JVM, which no current builder produces. */
+  private val sampledVerdicts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Fail fast on a non-positional index: poss = null would otherwise
     * null out the position chain and SILENTLY return zero hits for
     * phrases the corpus contains. Order of evidence: the build-time
-    * `_positional` marker (no Spark job), then the postings schema (a
-    * pre-positions index without a `poss` column fails here with the
-    * actionable message instead of an AnalysisException), then one
-    * sampled row (legacy positional indexes without the marker; an empty
-    * index passes). */
+    * `_positional` marker (authoritative, re-checked every call — no
+    * Spark job), then the postings schema (a pre-positions index without
+    * a `poss` column fails here with the actionable message instead of an
+    * AnalysisException), then one sampled row (legacy positional indexes
+    * without the marker; an empty index passes; verdict cached per root). */
   private def requirePositional(idx: OpenIndex): Unit = {
-    val ok = positionalVerdicts.computeIfAbsent(idx.paths.root, _ => {
-      if (graft.sources.Fs.exists(idx.spark, idx.paths.positionalMarker))
-        java.lang.Boolean.TRUE
-      else {
+    val ok = graft.sources.Fs.exists(idx.spark, idx.paths.positionalMarker) ||
+      sampledVerdicts.computeIfAbsent(idx.paths.root, _ => {
         val postings = idx.io.read(idx.spark, idx.paths.postings)
         if (!postings.schema.fieldNames.contains("poss")) java.lang.Boolean.FALSE
         else {
           val sample = postings.select("poss").limit(1).collect()
           java.lang.Boolean.valueOf(sample.isEmpty || !sample(0).isNullAt(0))
         }
-      }
-    })
-    require(ok.booleanValue(),
+      }).booleanValue()
+    require(ok,
       "searchPhrase requires a positional index — rebuild with " +
         "Config(storePositions = true)")
   }
