@@ -368,8 +368,12 @@ object IndexSearch {
       .select(explode(col("_blks")).as("_b"))
       .select(col("_b.term").as("term"), col("_b._bfd").as("_bfd"))
       .distinct()
-    // FAT pass: decode positions ONLY for blocks containing a candidate
+    // FAT pass: decode positions ONLY for blocks containing a candidate.
+    // The term predicate repeats here so it reaches THIS scan as a pushed
+    // filter — without it the fat scan reads every term's poss bytes in
+    // the touched shards before the semi-join can drop the rows
     val fatBlocks = blocks
+      .where(col("term").isInCollection(qtRows.map(_._2).distinct))
       .withColumn("_bfd", col("first_doc"))
       .join(blockKeys, Seq("term", "_bfd"), "left_semi")
     Some(PhrasePlanned(batch, cand, fatBlocks, rarestRows))

@@ -60,4 +60,19 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("highlight's text lookup is a doc_id point lookup (pushed IN filter)") {
+    val r = java.nio.file.Files.createTempDirectory("graftplanhl").toString
+    BuildIndexJob.run(spark, Transcripts.synthetic(spark, 100), r, "plan-hl",
+      BuildIndexJob.Config(numShards = 8, blockSize = 16, storePositions = true))
+    val idx = IndexSearch.open(spark, r)
+    val df = IndexSearch.searchHighlight(idx, Seq(1 -> "w1 w2"), k = 5)
+    assert(df.count() > 0, "vacuous: no hits to highlight")
+    val plan = df.queryExecution.executedPlan.toString
+    // the docs/ text scan must carry the hit ids as a pushed In filter —
+    // row-group pruning, not a corpus scan for ≤ queries×k snippets
+    val docsScanPushed = plan.linesIterator
+      .exists(l => l.contains("PushedFilters") && l.contains("In(doc_id"))
+    assert(docsScanPushed, s"doc_id IN not pushed to the docs scan:\n$plan")
+  }
 }
