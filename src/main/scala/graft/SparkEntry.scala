@@ -33,6 +33,13 @@ object SparkEntry {
     2 -> "dup join",
     3 -> "key value filter sort group")
 
+  /** [[ConjQueries]] spelled in the clause grammar (every term MUST) —
+    * conjunctive AND is the all-must subset, so the segmented clause
+    * engine serves it without a dedicated code path. */
+  val ConjQueriesAsMust: Seq[(Int, String)] = ConjQueries.map {
+    case (id, t) => (id, Analyzer.tokenize(t).map("+" + _).mkString(" "))
+  }
+
   /** Boolean clause-grammar query set (`+must should -not`): must+should
     * mix, multi-must, OOV must (eliminates the query), shoulds with
     * exclusion, must-and-not of the same term (matches nothing), and
@@ -486,6 +493,11 @@ object SparkEntry {
     "q_facet_role_segmented" -> ((s, dir) =>
       graft.index.SegmentedIndex.facetCounts(s, streamedIndex(s, dir),
         DisjQueries, "role", BuildIndexJob.Config(numShards = 8))),
+    // Conjunctive AND over the segmented index — the clause engine's
+    // all-must subset (J3's semantics, fanned out per segment)
+    "q_bm25_conj_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchClauses(s, streamedIndex(s, dir),
+        ConjQueriesAsMust, cfg = BuildIndexJob.Config(numShards = 8))),
     // Phrase over the segmented index (positional segments): block-pruned
     // fat decode per segment, live-df idf — the last request shape a
     // streaming deployment was missing
@@ -581,6 +593,7 @@ object SparkEntry {
       BoolQueries, 10),
     "q_bm25_bool_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10),
     "q_bm25_bool_segmented" -> Oracle.bm25TopKClausesKeys(BoolQueries, 10),
+    "q_bm25_conj_segmented" -> Oracle.bm25TopKClausesKeys(ConjQueriesAsMust, 10),
     "q_bm25_phrase_segmented" -> Oracle.bm25PhraseKeys(PhraseQueries, 10),
     "q_bm25_multifield_index" -> Oracle.bm25MultiField(DisjQueries, 10,
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5),

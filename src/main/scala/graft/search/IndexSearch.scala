@@ -657,15 +657,18 @@ object IndexSearch {
     * its range's top-k under the pinned order; the θ seed and the range
     * prune only ever discard docs provably below the final k-th score. */
   def searchWand(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
-                 docsPerRange: Long = DefaultDocsPerRange): DataFrame = {
+                 docsPerRange: Long = DefaultDocsPerRange,
+                 start: Int = 0): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
-    val planned = wandBlocks(idx, queries, k, docsPerRange)
+    // pagination: every internal bound (θ seed, per-range heap) must hold
+    // the TOP start+k — an offset page still needs the full prefix exact
+    val planned = wandBlocks(idx, queries, start + k, docsPerRange)
     if (planned.isEmpty)
       return Seq.empty[ResultRow].toDF()
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
     val (blocks, seeds, rs) = planned.get
-    val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, k)
+    val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, start + k)
     val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
       .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
         val (qid, rid) = key
@@ -683,6 +686,6 @@ object IndexSearch {
           .iterator.map { case (doc, s) => (qid, doc, s) }
       }
       .toDF("query_id", "doc_id", "_score")
-    Search.rank(candidates, k)
+    Search.rank(candidates, k, start)
   }
 }

@@ -144,6 +144,16 @@ class WandSpec extends SparkSpec {
     val k20wand = IndexSearch.searchWand(idx, queries, k = 20, docsPerRange = 64L)
       .orderBy("query_id", "rank").collect().toSeq
     assert(k20wand == k20exh, "k=20 (past blockmeta cap) must match exhaustive")
+    // pagination through WAND: page 2 of 5 must equal the exhaustive
+    // offset page, absolute ranks included (heap internally sized start+k)
+    val pageExh = IndexSearch.search(idx, queries, k = 5, start = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val pageWand = IndexSearch.searchWand(idx, queries, k = 5,
+      docsPerRange = 64L, start = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(pageWand == pageExh, "WAND offset page must match exhaustive page")
+    assert(pageExh.nonEmpty && pageExh.head.getInt(1) == 6,
+      "absolute rank positions expected on the offset page")
   }
 
   test("θ seed rides the dictionary probe: one Spark job inside wandBlocks") {
