@@ -137,8 +137,19 @@ object Oracle {
     * avgdl from the FULL corpus; the predicate filters before ranking. */
   def bm25TopKFiltered(queries: Seq[(Int, String)], k: Int,
                        filterSql: String): String =
+    bm25TopKFilteredCore(queries, k, filterSql, keyed = false)
+
+  private def bm25TopKFilteredCore(queries: Seq[(Int, String)], k: Int,
+                                   filterSql: String, keyed: Boolean): String = {
+    val (keymap, select, fromTail) =
+      if (!keyed) ("",
+        """query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score""",
+        "")
+      else (s"$keymapCte,\n",
+        """query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score""",
+        "JOIN keymap USING (doc_id)")
     s"""WITH ${indexCtes(transcriptsCorpusAttrs)},
-       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |$keymap queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
        |scored AS (
@@ -154,9 +165,10 @@ object Oracle {
        |                            ORDER BY round(score, 7) DESC, scored.doc_id ASC) AS rnk
        |  FROM scored JOIN corpus ON scored.doc_id = corpus.doc_id
        |  WHERE $filterSql)
-       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
-       |FROM ranked WHERE rnk <= $k
+       |SELECT $select
+       |FROM ranked $fromTail WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Twin of Search.facetCounts (Solr facet.field on the match set). */
   def facetCounts(queries: Seq[(Int, String)], facetCol: String): String =
@@ -175,27 +187,7 @@ object Oracle {
     * stable key. */
   def bm25TopKFilteredKeys(queries: Seq[(Int, String)], k: Int,
                            filterSql: String): String =
-    s"""WITH ${indexCtes(transcriptsCorpusAttrs)},
-       |$keymapCte,
-       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
-       |qt AS (SELECT DISTINCT query_id, term FROM
-       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
-       |ranked AS (
-       |  SELECT query_id, scored.doc_id AS doc_id, score,
-       |         row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY round(score, 7) DESC, scored.doc_id ASC) AS rnk
-       |  FROM scored JOIN corpus ON scored.doc_id = corpus.doc_id
-       |  WHERE $filterSql)
-       |SELECT query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score
-       |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
-       |ORDER BY query_id, rnk""".stripMargin
+    bm25TopKFilteredCore(queries, k, filterSql, keyed = true)
 
   /** The qt/nmust/negs CTE trio of the clause grammar, parsed DRIVER-side
     * (shared parser with the engine — see [[clauseParseCtes]] for the

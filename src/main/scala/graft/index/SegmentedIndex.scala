@@ -315,6 +315,21 @@ object SegmentedIndex {
     liveFilter(segs.reduce(_ unionByName _), tombs).drop("seg_ord")
   }
 
+  /** Disjunctive per-(query, key) BM25 scores over a live matched
+    * relation: query-time df from the relation itself, manifest N/avgdl —
+    * the shared scoring tail of the plain, fq, and (extended with must
+    * counting) clause paths. */
+  private def disjunctiveScores(all: DataFrame, qt: DataFrame,
+                                m: Manifest): DataFrame = {
+    val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
+    all.join(broadcast(dfg), "term")
+      .join(broadcast(qt), "term")
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(m.nDocs), lit(m.avgdl)))
+      .groupBy("query_id", "conv_id", "turn_idx")
+      .agg(sum(col("_s")).as("_score"))
+  }
+
   /** W1 over key-identified docs: the pinned tie-break (conv_id, turn_idx
     * ascending ≡ the unified index's doc_id ascending — global ids are
     * assigned in key order). */
@@ -350,16 +365,7 @@ object SegmentedIndex {
     // the df aggregate and the scoring join — without the cache the pruned
     // decode of every segment executes twice per query batch (round-2 flag)
     val all = if (doCache) all0.cache() else all0
-    // exact global df: one live (term, key) row per posting — count per term
-    val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = all
-      .join(broadcast(dfg), "term")
-      .join(broadcast(qt), "term")
-      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
-        lit(m.nDocs), lit(m.avgdl)))
-      .groupBy("query_id", "conv_id", "turn_idx")
-      .agg(sum(col("_s")).as("_score"))
-    Right((rankKeys(scored, k), all))
+    Right((rankKeys(disjunctiveScores(all, qt, m), k), all))
   }
 
   /** Full boolean clause grammar (`q=+a b -c`, incl. the NOT-only subset)
@@ -414,18 +420,10 @@ object SegmentedIndex {
     val all = liveMatched(spark, root, m, qt.select("term").distinct(), cfg)
       .getOrElse(return empty).cache()
     try {
-      val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
-      val scored = all
-        .join(broadcast(dfg), "term")
-        .join(broadcast(qt), "term")
-        .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
-          lit(m.nDocs), lit(m.avgdl)))
-        .groupBy("query_id", "conv_id", "turn_idx")
-        .agg(sum(col("_s")).as("_score"))
       val keep = liveDocAttrs(spark, root, m, cfg)
         .where(filter).select("conv_id", "turn_idx")
-      localize(spark, rankKeys(
-        scored.join(keep, Seq("conv_id", "turn_idx"), "left_semi"), k))
+      localize(spark, rankKeys(disjunctiveScores(all, qt, m)
+        .join(keep, Seq("conv_id", "turn_idx"), "left_semi"), k))
     } finally all.unpersist()
   }
 

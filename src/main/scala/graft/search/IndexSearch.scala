@@ -44,6 +44,14 @@ object IndexSearch {
     * round-1 behavior, with zero extra overhead. */
   final val DefaultDocsPerRange: Long = 1L << 20
 
+  /** Materialize a driver-safe (≤ |queries|·k rows by construction)
+    * result into a local frame so internal caches can be dropped before
+    * returning — the same idiom as SegmentedIndex's localize. */
+  private def localize(spark: SparkSession, out: DataFrame): DataFrame = {
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   def open(spark: SparkSession, root: String,
            io: graft.sources.TableIO = graft.sources.ParquetTableIO): OpenIndex = {
     val p = IndexPaths(root)
@@ -120,13 +128,11 @@ object IndexSearch {
                       k: Int = 10, window: Int = 5): DataFrame = {
     val spark = idx.spark
     requirePositional(idx)
-    val hits0 = search(idx, queries, k)
     // materialize the small hit set once: it drives the block prune, the
     // doc point-lookup, AND the final join — re-deriving it lazily would
     // re-run the whole search per subtree
-    val hitRows = hits0.collect()
-    val hits = spark.createDataFrame(
-      java.util.Arrays.asList(hitRows: _*), hits0.schema)
+    val hits = localize(spark, search(idx, queries, k))
+    val hitRows = hits.collect() // local — no recompute
     if (hitRows.isEmpty) return hits.withColumn("snippet", lit(""))
     val ids = hitRows.map(_.getLong(2)).distinct.toSeq
     val qt = Search.queryTerms(Search.queryFrame(spark, queries))
@@ -453,11 +459,7 @@ object IndexSearch {
           (col("_idf") * col("_pf") /
             (col("_pf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) +
               lit(Bm25.B) * col("dl") / lit(idx.stats.avgdl)))).as("_score"))
-      val out = Search.rank(scored, k)
-      // materialize (≤ |queries|·k rows — driver-safe by construction) so
-      // the internal caches can be dropped before returning
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      localize(spark, Search.rank(scored, k))
     } finally planned.unpersistAll()
   }
 

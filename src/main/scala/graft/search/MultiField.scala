@@ -45,11 +45,16 @@ object MultiField {
         .select(col("query_id"), col("doc_id"),
           (col("_score") * lit(boost)).as("_fs"))
     }
-    val summed = perField.reduce(_ unionByName _)
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("_fs")).as("_score"))
-    Search.rank(summed, k)
+    combine(perField, k)
   }
+
+  /** Weighted per-field score rows → per-(query, doc) sum → ranked top-k
+    * (two doubles add commutatively, so field union order cannot perturb
+    * the score). */
+  private def combine(perField: Seq[DataFrame], k: Int): DataFrame =
+    Search.rank(perField.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_fs")).as("_score")), k)
 
   /** Multi-field qf over PERSISTED indexes — a field IS an index: each
     * field's dictionary/stats artifacts are exactly its per-field
@@ -68,8 +73,6 @@ object MultiField {
         .select(col("query_id"), col("doc_id"),
           (col("_score") * lit(boost)).as("_fs"))
     }
-    Search.rank(perField.reduce(_ unionByName _)
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("_fs")).as("_score")), k)
+    combine(perField, k)
   }
 }
