@@ -68,6 +68,66 @@ class SegmentSpec extends SparkSpec {
     assert(m.nDocs == st.nDocs && m.totalTokens == st.totalTokens)
   }
 
+  test("boolean/fq/facet/phrase over segments with upserts+deletes ≡ unified rebuild") {
+    // the driver gates exercise these surfaces on a tombstone-FREE
+    // streamed fixture; this pins the liveFilter path: killed instances
+    // must vanish from clause matching, fq/facet attributes, AND the
+    // positional candidate set
+    val cfgPos = BuildIndexJob.Config(numShards = 4, blockSize = 8,
+      saltTarget = 64, storePositions = true)
+    val all = Transcripts.synthetic(spark, 120).cache()
+    val b1 = all.where($"conv_id" < "conv00000050")
+    val b2 = all.where($"conv_id" >= "conv00000050" && $"conv_id" < "conv00000090")
+    val b3 = all.where($"conv_id" >= "conv00000090").unionByName(
+      all.where($"conv_id" >= "conv00000080" && $"conv_id" < "conv00000085")
+        .withColumn("text", concat($"text", lit(" upserted zzzupserted"))))
+    val dead = Seq(("conv00000001", 1), ("conv00000095", 0))
+      .toDF("conv_id", "turn_idx")
+    val root = tmp()
+    SegmentedIndex.append(spark, root, b1, noDeletes, "seg-a", cfgPos)
+    SegmentedIndex.append(spark, root, b2, noDeletes, "seg-b", cfgPos)
+    SegmentedIndex.append(spark, root, b3, dead, "seg-c", cfgPos)
+    val liveCorpus = all
+      .join(all.where($"conv_id" >= "conv00000080" && $"conv_id" < "conv00000085")
+        .select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+      .unionByName(all.where($"conv_id" >= "conv00000080" && $"conv_id" < "conv00000085")
+        .withColumn("text", concat($"text", lit(" upserted zzzupserted"))))
+      .join(dead, Seq("conv_id", "turn_idx"), "left_anti")
+    val uroot = tmp()
+    BuildIndexJob.run(spark, liveCorpus, uroot, "fullsurf", cfgPos)
+    val uidx = IndexSearch.open(spark, uroot)
+    val keys = spark.read.parquet(s"$uroot/docs")
+      .select("doc_id", "conv_id", "turn_idx")
+    def keyed(df: DataFrame): Seq[Row] = df.join(keys, "doc_id")
+      .select("query_id", "rank", "conv_id", "turn_idx", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+    def sorted(df: DataFrame): Seq[Row] =
+      df.orderBy("query_id", "rank").collect().toSeq
+
+    val bq = Seq(1 -> "+w1 w3 -w2", 2 -> "w2 -zzzupserted", 3 -> "+zzzupserted")
+    val segBool = sorted(SegmentedIndex.searchClauses(spark, root, bq, cfg = cfgPos))
+    assert(segBool == keyed(IndexSearch.searchClauses(uidx, bq)))
+    assert(segBool.exists(_.getInt(0) == 3), "upserted must-term must match")
+
+    val fqQs = Seq(1 -> "w1 w2", 2 -> "zzzupserted")
+    assert(sorted(SegmentedIndex.searchFiltered(spark, root, fqQs,
+        col("role") === "user", cfg = cfgPos))
+      == keyed(IndexSearch.searchFiltered(uidx, fqQs, col("role") === "user")))
+    assert(SegmentedIndex.facetCounts(spark, root, fqQs, "role", cfgPos)
+        .collect().toSeq
+      == IndexSearch.facetCounts(uidx, fqQs, "role").collect().toSeq)
+
+    val pq = Seq(1 -> "upserted zzzupserted", 2 -> "w1")
+    val segPhrase = sorted(SegmentedIndex.searchPhrase(spark, root, pq, cfg = cfgPos))
+    assert(segPhrase == keyed(IndexSearch.searchPhrase(uidx, pq)))
+    assert(segPhrase.exists(_.getInt(0) == 1), "planted phrase must match")
+    val sq = Seq(1 -> "zzzupserted upserted")
+    assert(sorted(SegmentedIndex.searchPhrase(spark, root, sq, slop = 2,
+        luceneSlop = true, cfg = cfgPos))
+      == keyed(IndexSearch.searchPhrase(uidx, sq, slop = 2, luceneSlop = true)),
+      "sloppy mode must agree across segmented and unified paths")
+  }
+
   test("append writes O(batch) bytes — not O(corpus): deltas stay flat as the index grows") {
     def du(path: String): Long = {
       val f = new java.io.File(path)
