@@ -78,6 +78,29 @@ object OracleOps {
   def fingerprints: String =
     s"WITH $corpusCte, $tkCte, $fpCte SELECT doc_id, fp, fp_bag FROM fps ORDER BY doc_id"
 
+  /** Twin of [[graft.ops.TextOps.rollingFingerprints]] — the identical
+    * per-step-mod fold (list_reduce seeded via a prepended 0 ≡ Spark's
+    * aggregate with init 0), 1-based inclusive window slices. */
+  def rollingFingerprints(k: Int): String = {
+    val b = 1L << 20
+    val m = (1L << 31) - 1
+    s"""WITH $corpusCte, $tkCte,
+       |th AS (SELECT doc_id,
+       |    list_transform(toks, t -> ('0x' || substr(md5(t), 1, 6))::BIGINT) AS th
+       |  FROM tk),
+       |w AS (SELECT doc_id,
+       |    CASE WHEN len(th) >= $k THEN
+       |      list_transform(range(1, len(th) - ${k - 1} + 1), i ->
+       |        list_reduce(list_prepend(0, th[i:i+${k - 1}]),
+       |                    (h, t) -> (h * $b + t) % $m))
+       |    ELSE CAST([] AS BIGINT[]) END AS w
+       |  FROM th)
+       |SELECT doc_id, CAST(len(w) AS INT) AS n_windows,
+       |       COALESCE(list_min(w), -1) AS rh_min,
+       |       COALESCE(list_max(w), -1) AS rh_max
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   def dupGroups: String =
     s"""WITH $corpusCte, $tkCte, $fpCte
        |SELECT fp_bag, count(*)::BIGINT AS n_docs, min(doc_id) AS canonical

@@ -328,6 +328,8 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextOps.quality(documents(s, dir))),
     "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(documents(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
+    "q_fingerprints_rolling" -> ((s, dir) =>
+      TextOps.rollingFingerprints(documents(s, dir))),
     "q_dedup_exact" -> ((s, dir) => TextOps.dupGroups(documents(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(documents(s, dir), 0.7)),
     "q_simhash" -> ((s, dir) => Dedup.simhash(documents(s, dir))),
@@ -548,6 +550,7 @@ object SparkEntry {
     "q_quality" -> OracleOps.quality,
     "q_token_counts" -> OracleOps.tokenCounts,
     "q_fingerprints" -> OracleOps.fingerprints,
+    "q_fingerprints_rolling" -> OracleOps.rollingFingerprints(3),
     "q_dedup_exact" -> OracleOps.dupGroups,
     "q_dedup_minhash" -> OracleOps.minhashPairs(0.7),
     "q_simhash" -> OracleOps.simhash,

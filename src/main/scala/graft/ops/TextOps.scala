@@ -102,6 +102,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** ROLLING-HASH document fingerprints (Rabin–Karp over the analyzed
+    * token stream): every k-token window hashes iteratively as
+    * h = (h·B + tok) mod M with per-token 24-bit md5-derived values — the
+    * mod applies at EVERY step so no intermediate exceeds M·B + 2^24
+    * (long-safe under ANSI mode) and the DuckDB twin can spell the
+    * identical fold. The doc fingerprint is the MIN window hash
+    * (winnowing-style local fingerprinting — Schleimer et al., SIGMOD
+    * 2003 [PUB]: the minimum of a window-hash family is robust to
+    * insertions outside the matching region, unlike the whole-doc md5).
+    * Output: (doc_id, n_windows, rh_min, rh_max); docs shorter than k
+    * tokens report (0, -1, -1). */
+  def rollingFingerprints(corpus: DataFrame, k: Int = 3): DataFrame = {
+    val B = 1L << 20
+    val M = (1L << 31) - 1
+    val th = transform(Analyzer.tokens(col("text")),
+      t => conv(substring(md5(t), 1, 6), 16, 10).cast("long"))
+    val n = size(col("_th"))
+    val windows = transform(sequence(lit(1), n - (k - 1)),
+      i => aggregate(slice(col("_th"), i, lit(k)), lit(0L),
+        (h, t) => pmod(h * B + t, lit(M))))
+    corpus.select(col("doc_id"), th.as("_th"))
+      .select(col("doc_id"),
+        when(n >= k, windows)
+          .otherwise(array().cast("array<bigint>")).as("_w"))
+      .select(col("doc_id"),
+        size(col("_w")).as("n_windows"),
+        coalesce(array_min(col("_w")), lit(-1L)).as("rh_min"),
+        coalesce(array_max(col("_w")), lit(-1L)).as("rh_max"))
+      .orderBy("doc_id")
+  }
+
   /** Exact/bag duplicate groups: (fp_bag, n_docs, canonical) for groups
     * with ≥ 2 members; canonical = smallest doc_id (the survivor a dedup
     * pass would keep). */
