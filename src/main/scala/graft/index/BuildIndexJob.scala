@@ -174,20 +174,33 @@ object BuildIndexJob {
         .repartition(cfg.numShards * 4, col("shard"),
           pmod(xxhash64(col("term")), lit(4)))
       io.write(blocks, p.postings, partitionBy = Seq("shard"), snapshotId = buildId)
-      // per-term top block maxes (metadata-only scan of what was just
-      // written): lets query time derive the WAND θ seed from the
-      // broadcast dictionary with ZERO extra Spark jobs per batch
-      io.write(PostingBlocks.topBlockMaxes(
-          io.read(spark, p.postings).select("term", "block_max_score")),
-        p.blockmeta, snapshotId = buildId)
-      // phrase-capability marker: lets searchPhrase fail fast (or
-      // proceed) without sampling data
-      if (cfg.storePositions)
-        Fs.writeString(spark, p.positionalMarker, "true")
-      lineage(spark, p, "postings", buildId, t0,
-        io.read(spark, p.postings).groupBy(col("shard").as("partition_id"))
-          .agg(count(lit(1)).as("output_rows"),
-            bit_xor(xxhash64(col("term"), col("first_doc"), col("doc_gaps"))).as("checksum")))
+      // ONE cached metadata-only scan of what was just written feeds both
+      // the blockmeta sidecar and the lineage rows (round-4 ran two
+      // separate postings scans here, and the lineage one hashed the
+      // doc_gaps BINARY column — a full payload re-read just for a
+      // checksum; (term, first_doc, last_doc, block_len) catches layout
+      // and content drift without touching the streams, the same trade
+      // the docs-stage lineage makes with dl)
+      val meta = io.read(spark, p.postings)
+        .select("shard", "term", "first_doc", "last_doc", "block_len",
+          "block_max_score").cache()
+      try {
+        // per-term top block maxes: lets query time derive the WAND θ
+        // seed from the broadcast dictionary with ZERO extra Spark jobs
+        // per batch
+        io.write(PostingBlocks.topBlockMaxes(
+            meta.select("term", "block_max_score")),
+          p.blockmeta, snapshotId = buildId)
+        // phrase-capability marker: lets searchPhrase fail fast (or
+        // proceed) without sampling data
+        if (cfg.storePositions)
+          Fs.writeString(spark, p.positionalMarker, "true")
+        lineage(spark, p, "postings", buildId, t0,
+          meta.groupBy(col("shard").as("partition_id"))
+            .agg(count(lit(1)).as("output_rows"),
+              bit_xor(xxhash64(col("term"), col("first_doc"), col("last_doc"),
+                col("block_len"))).as("checksum")))
+      } finally meta.unpersist()
     }
   }
 

@@ -344,11 +344,22 @@ object SegmentedIndex {
         round(col("_score"), Bm25.OutScale).as("score"))
   }
 
-  /** Materialize a driver-safe result (≤ |queries|·k or facet-cardinality
-    * rows) so internal caches can be dropped before returning. */
+  /** Materialize a driver-safe result (≤ |queries|·k rows by
+    * construction) so internal caches can be dropped before returning. */
   private def localize(spark: SparkSession, out: DataFrame): DataFrame = {
     val rows = out.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Materialize a result of UNBOUNDED cardinality (e.g. queries ×
+    * facet-cardinality) to temp parquet instead of the driver — same
+    * cache-lifecycle purpose as [[localize]] without the driver-OOM risk
+    * on a high-cardinality facet column (the
+    * [[graft.ops.Similarity]] materializedCandidates idiom). */
+  private def materialize(spark: SparkSession, out: DataFrame): DataFrame = {
+    val p = graft.TempDirs.create("graft_seg_out")
+    out.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
   }
 
   private def searchParts(spark: SparkSession, root: String,
@@ -447,10 +458,14 @@ object SegmentedIndex {
         .select("query_id", "conv_id", "turn_idx").distinct()
       val attrs = liveDocAttrs(spark, root, m, cfg)
         .select(col("conv_id"), col("turn_idx"), col(facetCol))
-      localize(spark, matched.join(attrs, Seq("conv_id", "turn_idx"))
+      // queries × facet-cardinality rows — unbounded for a high-cardinality
+      // facet column, so this goes to temp parquet, never to the driver;
+      // the returned plan re-sorts the (small relative to the corpus)
+      // materialized counts
+      materialize(spark, matched.join(attrs, Seq("conv_id", "turn_idx"))
         .groupBy("query_id", facetCol)
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy("query_id", facetCol))
+        .agg(count(lit(1)).as("n_docs")))
+        .orderBy("query_id", facetCol)
     } finally all.unpersist()
   }
 

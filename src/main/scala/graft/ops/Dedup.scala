@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.analysis.Analyzer
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators: MinHash+LSH, SimHash, and n-gram
@@ -11,14 +12,25 @@ import org.apache.spark.sql.functions._
   * Scale shape (the point of LSH): candidate generation is a self-join on
   * small band buckets — postings-style shuffles keyed on the bucket, never
   * an all-pairs product. The exact-Jaccard verify touches only candidate
-  * pairs.
+  * pairs. HOT-BUCKET GUARD: docs are first collapsed into groups with
+  * identical dedup keys (identical shingle SET for MinHash/Jaccard,
+  * identical simhash value for SimHash) and the banded self-join runs over
+  * one REPRESENTATIVE per group — a million-doc exact-dup cluster
+  * contributes ONE row per band to candidate generation instead of making
+  * one bucket quadratic. The (inherently quadratic) member-pair expansion
+  * of verified group pairs is distributed: within-group pairs are
+  * enumerated arithmetically (each member row emits its O(n) partners —
+  * no single task ever OWNS O(n²) input rows) and cross-group expansion
+  * salts the build side. Output is provably identical to the naive
+  * all-docs banding because group members are interchangeable under the
+  * respective metric.
   *
-  * Cache lifecycle: the `.cache()` calls below exist because each cached
-  * frame feeds BOTH sides of a self-join (without it Spark executes the
-  * subtree twice). They are scoped to one query execution; batch runners
-  * that execute many registered queries in one JVM (Verify, Bench) call
-  * `spark.catalog.clearCache()` between queries so cached relations don't
-  * accumulate across unrelated queries.
+  * Cache lifecycle (self-contained — no caller contract): each pair
+  * operator caches its corpus-derived relations only for the duration of
+  * the call, materializes the small candidate/group frames to temp
+  * parquet, and unpersists everything before returning; the returned plan
+  * touches only the materialized relations (the
+  * [[Similarity.cosinePairs]] idiom).
   */
 object Dedup {
 
@@ -58,29 +70,104 @@ object Dedup {
         md5(array_join(slice(col("sig"), col("band") * BandRows + 1, lit(BandRows)), ","))
           .as("bucket"))
 
+  /** Salt factor for the cross-group member-pair expansion build side. */
+  private final val ExpandSalts = 16
+
+  /** Expand verified GROUP pairs into member DOC pairs.
+    *
+    * `repPairs` is (doc_a=rep ga, doc_b=rep gb, <metric>) with ga ≠ gb;
+    * `members` is (doc_id, gid). Cross-group expansion joins members of ga
+    * (distributed over the ga members) against members of gb with the
+    * build side replicated over [[ExpandSalts]] salts, so two hot groups
+    * split their |A|·|B| output across salts instead of one task. Pairs
+    * WITHIN a group (metric = `withinValue`: jaccard 1.0 / hamming 0) are
+    * enumerated arithmetically: member i (rank within group) emits its
+    * partners j > i via an index join on (gid, j) — n distinct join keys
+    * per group, so no task owns O(n²) input rows even for one huge
+    * exact-dup cluster (DedupRecallSpec pins this). */
+  private def expandGroupPairs(repPairs: DataFrame, members: DataFrame,
+                               metric: String, withinValue: Column): DataFrame = {
+    val mA = members.select(col("gid").as("ga"), col("doc_id").as("_da"))
+    val mB = members.select(col("gid").as("gb"), col("doc_id").as("_db"))
+      .withColumn("_salt",
+        explode(sequence(lit(0), lit(ExpandSalts - 1))))
+    val cross = repPairs
+      .select(col("doc_a").as("ga"), col("doc_b").as("gb"), col(metric))
+      .join(mA, "ga")
+      .withColumn("_salt", pmod(xxhash64(col("_da")), lit(ExpandSalts)).cast("int"))
+      .join(mB, Seq("gb", "_salt"))
+      .select(least(col("_da"), col("_db")).as("doc_a"),
+        greatest(col("_da"), col("_db")).as("doc_b"), col(metric))
+    val idx = members.withColumn("_i",
+      row_number().over(Window.partitionBy("gid").orderBy("doc_id")) - 1)
+    val sizes = members.groupBy("gid").agg(count(lit(1)).as("_n"))
+    val within = idx.join(sizes, "gid")
+      .where(col("_i") < col("_n") - 1)
+      // spread member rows across tasks BEFORE the explode so pair
+      // GENERATION distributes too (the window above necessarily
+      // co-located each group in one partition)
+      .repartition(col("doc_id"))
+      .withColumn("_j", explode(sequence(col("_i") + 1, col("_n") - 1)))
+      .select(col("gid"), col("doc_id").as("doc_a"), col("_j"))
+      .join(idx.select(col("gid"), col("_i").as("_j"), col("doc_id").as("doc_b")),
+        Seq("gid", "_j"))
+      .select(col("doc_a"), col("doc_b"), withinValue.as(metric))
+    cross.unionByName(within)
+  }
+
+  /** (doc_id, gid) with gid = the group's smallest doc_id, grouping by the
+    * given per-doc key column (identical key ⟺ same group). Two-phase
+    * (groupBy min + join back) — the hot-group key only ever carries O(n)
+    * rows through any one task. */
+  private def groupByKey(perDoc: DataFrame, key: String): DataFrame = {
+    val gids = perDoc.groupBy(key).agg(min("doc_id").as("gid"))
+    perDoc.join(gids, key).select("doc_id", "gid")
+  }
+
   /** MinHash+LSH near-dup pairs over 3-gram SHINGLE sets (shingles, not
     * token sets: a 31-term vocab makes token-set Jaccard useless — nearly
-    * every doc pair collides). Candidates (doc_a < doc_b) share ≥1 band
-    * bucket; verified with EXACT shingle Jaccard; kept if ≥ threshold.
-    * Output: (doc_a, doc_b, jaccard) — jaccard rounded to 4.
+    * every doc pair collides). Docs collapse into identical-shingle-SET
+    * groups (members are interchangeable under Jaccard); candidates are
+    * REPRESENTATIVE pairs sharing ≥1 band bucket, verified with EXACT
+    * shingle Jaccard at rep level, kept if ≥ threshold, then expanded to
+    * member pairs (within-group pairs have jaccard exactly 1.0 ≥ any valid
+    * threshold). Output: (doc_a, doc_b, jaccard) — jaccard rounded to 4 —
+    * provably identical to banding all docs directly.
     *
-    * CALLER CONTRACT (cache lifecycle): the returned frame's plan holds
-    * `.cache()`d self-join inputs that stay resident after materialization
-    * — callers executing many queries in one JVM must
-    * `spark.catalog.clearCache()` (or unpersist) once the result is
-    * consumed, as Verify/Bench do. */
+    * Cache lifecycle: self-contained (see object doc). */
   def minhashPairs(corpus: DataFrame, threshold: Double = 0.7,
                    n: Int = 3): DataFrame = {
+    require(threshold <= 1.0, s"jaccard threshold must be <= 1.0, got $threshold")
+    val spark = corpus.sparkSession
     val sh = shingles(corpus, n).cache()
-    val b = bands(minhashSignatures(sh)).cache()
-    val cand = b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(cand, sh)
-      .where(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
+    var shReps: DataFrame = null
+    try {
+      val fps = sh.groupBy("doc_id").agg(
+        md5(array_join(array_sort(collect_list(col("term"))), "\u0001")).as("_fp"))
+      val membersPath = graft.TempDirs.create("graft_mh_members")
+      groupByKey(fps, "_fp").write.mode("overwrite").parquet(membersPath)
+      val members = spark.read.parquet(membersPath)
+      val reps = members.where(col("doc_id") === col("gid")).select("doc_id")
+      shReps = sh.join(reps, Seq("doc_id"), "left_semi").cache()
+      val b = bands(minhashSignatures(shReps))
+      val candPath = graft.TempDirs.create("graft_mh_cand")
+      b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .write.mode("overwrite").parquet(candPath)
+      val repPairsPath = graft.TempDirs.create("graft_mh_reppairs")
+      withJaccard(spark.read.parquet(candPath), shReps)
+        .where(col("jaccard") >= threshold)
+        .write.mode("overwrite").parquet(repPairsPath)
+      expandGroupPairs(spark.read.parquet(repPairsPath), members,
+        "jaccard", lit(1.0))
+        .orderBy("doc_a", "doc_b")
+    } finally {
+      sh.unpersist()
+      if (shReps != null) shReps.unpersist()
+    }
   }
 
   /** Exact Jaccard for given (doc_a, doc_b) pairs over distinct tokens.
@@ -89,10 +176,10 @@ object Dedup {
     * intersection joins and the size aggregation scale with the CANDIDATE
     * set, not the corpus (LSH's whole point carried through to the
     * verify). */
-  def withJaccard(pairs0: DataFrame, docTerms: DataFrame): DataFrame = {
-    // the pair set feeds candDocs AND three joins below — without the
-    // cache the candidate self-join subtree would execute once per use
-    val pairs = pairs0.cache()
+  def withJaccard(pairs: DataFrame, docTerms: DataFrame): DataFrame = {
+    // the pair set feeds candDocs AND three joins below — callers pass a
+    // MATERIALIZED (or cheap-to-recompute) pairs relation, so the repeated
+    // subtree is a small parquet scan, not a re-run of the self-join
     val candDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val dt = docTerms.join(candDocs, Seq("doc_id"), "left_semi")
@@ -130,7 +217,11 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band on 4×15-bit chunks, then hamming ≤ maxDist.
-    * Output (doc_a, doc_b, hamming).
+    * Docs collapse into identical-simhash-VALUE groups (hamming depends on
+    * the values alone, so members are interchangeable); banding and the
+    * hamming check run over group representatives, then verified group
+    * pairs expand to member pairs (within-group hamming is exactly 0).
+    * Output (doc_a, doc_b, hamming) — identical to banding all docs.
     *
     * Recall contract (pigeonhole): with 4 bands, a pair differing in at
     * most 3 bits must leave at least one band identical, so every pair
@@ -138,28 +229,39 @@ object Dedup {
     * whose differing bits spread across all 4 bands — hence the require.
     * DedupRecallSpec property-tests this against brute-force hamming.
     *
-    * CALLER CONTRACT: caches a self-join input; clearCache/unpersist after
-    * consuming the result (see [[minhashPairs]]). */
+    * Cache lifecycle: self-contained (see object doc). */
   def simhashPairs(corpus: DataFrame, maxDist: Int = 3): DataFrame = {
-    val bands = SimhashBits / 15 // 4 bands of 15 bits
-    require(maxDist < bands,
-      s"simhash banding with $bands bands only guarantees recall for " +
-        s"hamming <= ${bands - 1}; got maxDist=$maxDist")
-    val sh = simhash(corpus).cache()
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("chunk", expr("shiftright(simhash, band * 15) & 32767"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("sha"), col("y.simhash").as("shb"))
-      .distinct()
-    cand.withColumn("hamming",
-        bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int"))
-      .where(col("hamming") <= maxDist)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    val nBands = SimhashBits / 15 // 4 bands of 15 bits
+    require(maxDist < nBands,
+      s"simhash banding with $nBands bands only guarantees recall for " +
+        s"hamming <= ${nBands - 1}; got maxDist=$maxDist")
+    val spark = corpus.sparkSession
+    val sg = simhash(corpus).cache()
+    try {
+      val membersPath = graft.TempDirs.create("graft_sh_members")
+      groupByKey(sg, "simhash").write.mode("overwrite").parquet(membersPath)
+      val members = spark.read.parquet(membersPath)
+      val reps = sg.join(members.where(col("doc_id") === col("gid"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      val banded = reps.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+        .withColumn("chunk", expr("shiftright(simhash, band * 15) & 32767"))
+      val repPairsPath = graft.TempDirs.create("graft_sh_reppairs")
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.simhash").as("sha"), col("y.simhash").as("shb"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("sha").bitwiseXOR(col("shb"))).cast("int"))
+        .where(col("hamming") <= maxDist)
+        .select("doc_a", "doc_b", "hamming")
+        .write.mode("overwrite").parquet(repPairsPath)
+      expandGroupPairs(spark.read.parquet(repPairsPath), members,
+        "hamming", lit(0).cast("int"))
+        .orderBy("doc_a", "doc_b")
+    } finally sg.unpersist()
   }
 
   /** Token n-gram (shingle) strings per doc, distinct. */
@@ -181,22 +283,37 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs: candidates share ≥1 RARE shingle
     * (df ≤ [[MaxCandidateShingleDf]]); kept if exact shingle-set Jaccard
-    * ≥ threshold. Output (doc_a, doc_b, jaccard).
+    * ≥ threshold. Output (doc_a, doc_b, jaccard). The df cap is this
+    * family's hot-bucket guard: a stop-shingle shared by thousands of
+    * docs never reaches the candidate self-join.
     *
-    * CALLER CONTRACT: caches self-join inputs; clearCache/unpersist after
-    * consuming the result (see [[minhashPairs]]). */
+    * Cache lifecycle: self-contained (see object doc) — candidates and
+    * the candidate-pruned shingle relation are materialized, the shingle
+    * cache is dropped, and the returned verify plan reads only the
+    * materialized frames. */
   def ngramJaccardPairs(corpus: DataFrame, n: Int = 3,
                         threshold: Double = 0.3): DataFrame = {
+    val spark = corpus.sparkSession
     val sh = shingles(corpus, n).cache()
-    val rare = sh.groupBy("term").agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= MaxCandidateShingleDf).select("term")
-    val shRare = sh.join(rare, "term")
-    val cand = shRare.as("x").join(shRare.as("y"),
-        col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(cand, sh)
-      .where(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
+    try {
+      val rare = sh.groupBy("term").agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= MaxCandidateShingleDf).select("term")
+      val shRare = sh.join(rare, "term")
+      val candPath = graft.TempDirs.create("graft_ng_cand")
+      shRare.as("x").join(shRare.as("y"),
+          col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .write.mode("overwrite").parquet(candPath)
+      val cand = spark.read.parquet(candPath)
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val dtPath = graft.TempDirs.create("graft_ng_dt")
+      sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(dtPath)
+      withJaccard(cand, spark.read.parquet(dtPath))
+        .where(col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    } finally sh.unpersist()
   }
 }

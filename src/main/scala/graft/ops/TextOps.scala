@@ -112,7 +112,15 @@ object TextOps {
     * 2003 [PUB]: the minimum of a window-hash family is robust to
     * insertions outside the matching region, unlike the whole-doc md5).
     * Output: (doc_id, n_windows, rh_min, rh_max); docs shorter than k
-    * tokens report (0, -1, -1). */
+    * tokens report (0, -1, -1).
+    *
+    * COST BOUND: each window is folded from scratch (aggregate over
+    * slice), so the per-doc cost is O(n·k) hash steps, NOT the O(n) of a
+    * true rolling update — fine at the default k = 3; for large k spell
+    * the subtract-leading-term recurrence (precomputed B^(k−1) mod M)
+    * instead. A sequential scan is not expressible as an O(n) Column HOF
+    * (aggregate-with-array-append copies the accumulator per step), which
+    * is why the window fold is pinned at small k. */
   def rollingFingerprints(corpus: DataFrame, k: Int = 3): DataFrame = {
     val B = 1L << 20
     val M = (1L << 31) - 1

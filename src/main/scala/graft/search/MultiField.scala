@@ -56,17 +56,34 @@ object MultiField {
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_fs")).as("_score")), k)
 
+  /** Memoized per-root docs/ row counts for the shared-id-space guard —
+    * one count job per index root per JVM, not per query batch. */
+  private val docsCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Multi-field qf over PERSISTED indexes — a field IS an index: each
     * field's dictionary/stats artifacts are exactly its per-field
     * df/avgdl/docCount, so no extra statistics plumbing is needed. The
     * caller must have built every field's index over the SAME doc-id
     * space (same ingest row set, ids assigned by the shared stable key
     * order — see the q_bm25_multifield_index fixture, which pads a
-    * field's empty text so no row drops out of ingest and shifts ids). */
+    * field's empty text so no row drops out of ingest and shifts ids).
+    * Guarded at runtime: all field indexes must report the same docs/
+    * row count (a necessary condition for a shared dense id space —
+    * mismatched ingest row sets would silently sum scores across
+    * unrelated docs). The count is memoized per root, so the guard costs
+    * zero Spark jobs on a warm path. */
   def searchIndexes(fields: Seq[(IndexSearch.OpenIndex, Double)],
                     queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
     require(fields.nonEmpty, "at least one field index")
     val spark = fields.head._1.spark
+    val counts = fields.map { case (idx, _) =>
+      idx.paths.root -> docsCounts.computeIfAbsent(idx.paths.root,
+        _ => idx.io.read(spark, idx.paths.docs).count()).longValue()
+    }
+    require(counts.map(_._2).distinct.size == 1,
+      s"field indexes must share one doc-id space (same ingest row set); " +
+        s"docs/ row counts differ: $counts")
     val qt = Search.queryTerms(Search.queryFrame(spark, queries))
     val perField = fields.map { case (idx, boost) =>
       IndexSearch.scoredDocs(idx, qt, conjunctive = false)

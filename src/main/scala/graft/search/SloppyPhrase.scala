@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *    slots at the same pp);
   *  - sweep one pointer per slot over its ascending pp list: at each step
   *    the current configuration spans d = max(pp) − min(pp); if d ≤ slop
+  *    AND no two slots sit on the same underlying token occurrence
+  *    (compare pp + slot index — only repeated phrase terms can collide),
   *    it is a match contributing 1/(1+d) to the sloppy frequency
   *    (reciprocal-distance weighting — Lucene's documented sloppyFreq);
   *  - advance the pointer holding the minimum (ties: lowest slot index);
@@ -27,12 +29,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Matching is orderless (a transposed "b a" matches "a b" at slop ≥ 2 —
   * each transposition costs 2 displacement, as Lucene documents) and the
-  * frequency is a Double, consumed in BM25's tf slot. Pinned divergence
-  * from Lucene proper: repeated phrase terms reuse one position list per
-  * slot with independent pointers — two slots may land on the same
-  * underlying token occurrence (Lucene's repeat-collision avoidance is
-  * not replicated); exact semantics are whatever [[freq]] computes, and
-  * the brute twin re-derives them from raw token lists.
+  * frequency is a Double, consumed in BM25's tf slot. The same-occurrence
+  * rejection mirrors Lucene's repeat-collision avoidance in its effect on
+  * the MATCH SET: `"a a"~1` does not match a doc containing a single "a"
+  * (two slots may not consume one token). Residual divergence from Lucene
+  * proper is confined to the exact sloppyFreq weighting of repeated-term
+  * configurations; the brute-force twin in PhraseSpec re-derives the
+  * pinned semantics independently from raw token lists.
   */
 object SloppyPhrase {
 
@@ -60,11 +63,31 @@ object SloppyPhrase {
         j += 1
       }
       val d = mx - mn
-      if (d <= slop) f += 1.0 / (1L + d)
+      if (d <= slop && distinctOccurrences(pp, ptr)) f += 1.0 / (1L + d)
       ptr(mnI) += 1
       if (ptr(mnI) >= pp(mnI).length) done = true
     }
     f
+  }
+
+  /** True iff no two slots of the current configuration resolve to the
+    * same underlying token occurrence (raw position = pp + slot index).
+    * Only repeated phrase terms can collide; distinct terms occupy
+    * distinct token positions by construction, so for them this is a
+    * no-op. O(m²) over the phrase length m (tiny). */
+  private def distinctOccurrences(pp: Array[Array[Long]],
+                                  ptr: Array[Int]): Boolean = {
+    var i = 0
+    while (i < pp.length) {
+      val ri = pp(i)(ptr(i)) + i
+      var j = i + 1
+      while (j < pp.length) {
+        if (pp(j)(ptr(j)) + j == ri) return false
+        j += 1
+      }
+      i += 1
+    }
+    true
   }
 
   /** Column form over an array<array<long>> of per-slot phrase positions. */

@@ -43,4 +43,51 @@ class DedupRecallSpec extends SparkSpec {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Dedup.simhashPairs(docs, 8))
   }
+
+  test("hot-bucket guard: a 1,000-doc exact-dup cluster never funnels O(n²) rows through one task") {
+    import spark.implicits._
+    val n = 1000
+    val docs = (0 until n)
+      .map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // per-task record ceiling: the naive all-docs banding funnels all
+    // n(n-1)/2 = 499,500 candidate rows (× 4 bands, pre-distinct) through
+    // the ONE task owning the hot bucket; the rep-collapsed path caps any
+    // task at ~output/partitions. 260k sits between them with headroom.
+    val cap = 260000L
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = math.max(m.shuffleReadMetrics.recordsRead,
+            m.shuffleWriteMetrics.recordsWritten)
+          maxTask.getAndUpdate(cur => math.max(cur, r))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // AQE's partition coalescing legitimately funnels this corpus's ~15 MB
+    // expansion into one partition (it is under the 64 MB advisory size);
+    // disable it here so the listener measures the PLAN's distribution
+    // property, which is what survives at real byte sizes
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val mh = Dedup.minhashPairs(docs, 0.7).collect()
+      val sh = Dedup.simhashPairs(docs, 3).collect()
+      org.apache.spark.graftshim.TestShims
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      assert(mh.length == n * (n - 1) / 2, s"minhash pairs: ${mh.length}")
+      assert(mh.forall(_.getDouble(2) == 1.0), "exact dups must have jaccard 1.0")
+      assert(sh.length == n * (n - 1) / 2, s"simhash pairs: ${sh.length}")
+      assert(sh.forall(_.getInt(2) == 0), "exact dups must have hamming 0")
+      assert(maxTask.get() < cap,
+        s"a single task owned ${maxTask.get()} rows — expansion not distributed " +
+          s"(n²/2 = ${n.toLong * (n - 1) / 2})")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
 }

@@ -185,7 +185,12 @@ class PhraseSpec extends SparkSpec {
     while (going) {
       val mx = cur.max
       val mn = cur.min
-      if (mx - mn <= slop) f += 1.0 / (1 + (mx - mn))
+      // a configuration counts only when no two slots consume the SAME
+      // token occurrence (raw position = pp + slot index) — mirrors the
+      // engine's repeat-collision rejection
+      val raws = cur.zipWithIndex.map { case (p, i) => p + i }
+      if (mx - mn <= slop && raws.distinct.length == raws.length)
+        f += 1.0 / (1 + (mx - mn))
       val mnI = cur.indexOf(mn) // ties advance the lowest slot
       rest(mnI) match {
         case h :: t => cur(mnI) = h; rest(mnI) = t
