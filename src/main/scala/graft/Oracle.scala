@@ -304,6 +304,109 @@ object Oracle {
           """query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score""",
           "JOIN keymap USING (doc_id)")}""".stripMargin
 
+  /** Twin of the phrase-bearing boolean clause engine
+    * ([[graft.search.IndexSearch.searchClauses]] on a query batch with
+    * quoted phrases): term clause CTEs × positional phrase CTEs, combined
+    * with a FULL OUTER join exactly like the engine — score =
+    * coalesce(term BM25 sum, 0) + coalesce(matching must/should phrase
+    * scores, 0); a doc matches iff must_t + must_ph reaches the n_must
+    * that counts term musts AND ALL parsed must phrases (a dead/OOV must
+    * phrase eliminates its query), and neither a not-term nor a
+    * not-phrase occurs. Clause parsing shared with the engine
+    * ([[graft.search.Search.parseClauses]]); the plain-bool gate keeps
+    * the fully-SQL-parsed twin for the parser cross-check. */
+  def bm25TopKBoolPhrase(corpusSql: String, queries: Seq[(Int, String)],
+                         k: Int): String = {
+    val parsed = queries.map { case (id, t) =>
+      (id, graft.search.Search.parseClauses(t))
+    }
+    val phraseClauses = parsed.flatMap { case (id, c) =>
+      c.mustPhrases.map(p => (id, "m", p)) ++
+        c.shouldPhrases.map(p => (id, "s", p)) ++
+        c.notPhrases.map(p => (id, "n", p))
+    }.zipWithIndex.map { case ((id, kind, p), pid) => (pid, id, kind, p) }
+    require(phraseClauses.nonEmpty,
+      "no phrase clauses — use bm25TopKClauses for plain boolean queries")
+    val qtValues0 = parsed.flatMap { case (id, c) =>
+      c.must.map(t => s"($id, '${esc(t)}', TRUE)") ++
+        c.should.map(t => s"($id, '${esc(t)}', FALSE)")
+    }
+    val qtValues = if (qtValues0.nonEmpty) qtValues0 else Seq("(0, '', FALSE)")
+    val nMustValues = parsed.map { case (id, c) =>
+      s"($id, ${c.must.size + c.mustPhrases.size})" }
+    val negValues = parsed.flatMap { case (id, c) =>
+      c.not.map(t => s"($id, '${esc(t)}')") }
+    val negCte =
+      if (negValues.isEmpty) "negs(query_id, term) AS (SELECT 0, '' WHERE 1 = 0)"
+      else s"negs(query_id, term) AS (VALUES ${negValues.mkString(", ")})"
+    val ptermValues = phraseClauses.flatMap { case (pid, _, _, ts) =>
+      ts.zipWithIndex.map { case (t, i) => s"($pid, $i, '${esc(t)}')" }
+    }
+    // per phrase clause: exact-adjacency pf (slop 0) via the positional
+    // self-join chain, same shape as bm25PhraseCore
+    val pfSelects = phraseClauses.map { case (pid, id, kind, terms) =>
+      val joins = (1 until terms.size).map { i =>
+        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id " +
+          s"AND p$i.pos > p${i - 1}.pos AND p$i.pos <= p0.pos + $i " +
+          s"AND p$i.term = '${esc(terms(i))}'"
+      }.mkString(" ")
+      s"""SELECT $pid AS pid, $id AS query_id, '$kind' AS kind,
+         |    p0.doc_id AS doc_id, count(DISTINCT p0.pos)::INT AS pf
+         |  FROM ptoks p0 $joins
+         |  WHERE p0.term = '${esc(terms.head)}'
+         |  GROUP BY p0.doc_id""".stripMargin
+    }
+    s"""WITH ${indexCtes(corpusSql)},
+       |qt(query_id, term, is_must) AS (VALUES ${qtValues.mkString(", ")}),
+       |nmust(query_id, n_must) AS (VALUES ${nMustValues.mkString(", ")}),
+       |$negCte,
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
+       |pterms(pid, slot, term) AS (VALUES ${ptermValues.mkString(", ")}),
+       |idfs AS (SELECT pid, sum(ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+       |         FROM pterms JOIN df USING (term) CROSS JOIN stats s GROUP BY pid),
+       |pf AS (${pfSelects.mkString("\nUNION ALL\n")}),
+       |ps AS (
+       |  SELECT pf.query_id, pf.kind, pf.doc_id,
+       |         idfs.idf_sum * pf.pf / (pf.pf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS pscore
+       |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
+       |       JOIN idfs USING (pid) CROSS JOIN stats s),
+       |posph AS (SELECT query_id, doc_id, sum(pscore) AS phsum,
+       |                 count(CASE WHEN kind = 'm' THEN 1 END)::BIGINT AS must_ph
+       |          FROM ps WHERE kind <> 'n' GROUP BY query_id, doc_id),
+       |negph AS (SELECT DISTINCT query_id, doc_id FROM ps WHERE kind = 'n'),
+       |tscored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS tscore,
+       |         count(CASE WHEN is_must THEN 1 END)::BIGINT AS must_t
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |comb AS (
+       |  SELECT coalesce(t.query_id, p.query_id) AS query_id,
+       |         coalesce(t.doc_id, p.doc_id) AS doc_id,
+       |         coalesce(t.tscore, 0) + coalesce(p.phsum, 0) AS score,
+       |         coalesce(t.must_t, 0) + coalesce(p.must_ph, 0) AS mm
+       |  FROM tscored t FULL OUTER JOIN posph p
+       |       ON t.query_id = p.query_id AND t.doc_id = p.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM comb JOIN nmust USING (query_id)
+       |  WHERE mm = n_must
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM negs JOIN tf USING (term)
+       |      WHERE negs.query_id = comb.query_id AND tf.doc_id = comb.doc_id)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM negph
+       |      WHERE negph.query_id = comb.query_id AND negph.doc_id = comb.doc_id))
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchPhrase]] (Lucene PhraseQuery
     * scoring: idf = Σ per-term idfs with duplicates counted, tf = exact
     * phrase frequency). Token positions come from DuckDB's aligned
@@ -420,12 +523,16 @@ object Oracle {
   /** Twin of [[graft.search.MultiField.searchFields]] over the transcripts
     * corpus: fields title = first `titleTokens` analyzed tokens and body =
     * the full text, each with its OWN df/avgdl/docCount (docs where the
-    * field analyzes to ≥1 token), combined as
-    * titleBoost·BM25_title + bodyBoost·BM25_body. The two per-field sums
-    * add commutatively (two doubles), so the cross-engine union order
-    * cannot perturb the score. */
+    * field analyzes to ≥1 token), combined per DisMax `tie`:
+    * tie = 1.0 → titleBoost·BM25_title + bodyBoost·BM25_body (plain sum,
+    * spelled as sum(fs) exactly like the engine's fast path); otherwise
+    * max(fs) + tie·(sum(fs) − max(fs)) — the identical expression shape
+    * the engine evaluates, so the doubles agree bit-for-bit. The
+    * per-field sums/maxes aggregate order-independently, so the
+    * cross-engine union order cannot perturb the score. */
   def bm25MultiField(queries: Seq[(Int, String)], k: Int, titleBoost: Double,
-                     bodyBoost: Double, titleTokens: Int): String = {
+                     bodyBoost: Double, titleTokens: Int,
+                     tie: Double = 1.0): String = {
     def fieldCtes(f: String) =
       s"""dl_$f AS (SELECT doc_id, count(*)::INT AS dl FROM t_$f GROUP BY doc_id),
          |st_$f AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl_$f),
@@ -439,6 +546,9 @@ object Oracle {
          |  FROM qt JOIN tf_$f tf USING (term) JOIN df_$f df USING (term)
          |       JOIN dl_$f dl ON tf.doc_id = dl.doc_id CROSS JOIN st_$f s
          |  GROUP BY qt.query_id, tf.doc_id)""".stripMargin
+    val combineSql =
+      if (tie == 1.0) "sum(fs)"
+      else s"max(fs) + $tie * (sum(fs) - max(fs))"
     s"""WITH corpus AS ($transcriptsCorpus),
        |lb AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
        |t_title AS (SELECT doc_id, term FROM
@@ -453,9 +563,92 @@ object Oracle {
        |${scoredCte("title", titleBoost)},
        |${scoredCte("body", bodyBoost)},
        |scored AS (
-       |  SELECT query_id, doc_id, sum(fs) AS score FROM
+       |  SELECT query_id, doc_id, $combineSql AS score FROM
        |    (SELECT * FROM s_title UNION ALL SELECT * FROM s_body)
        |  GROUP BY query_id, doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Transcripts corpus carrying the event-time second (ts_sec) — the
+    * sort-by-stored-field twin. ts in the transcripts view is
+    * Epoch2024 + original_doc_id·30 ([[Transcripts.fromDocumentsDf]]), so
+    * the oracle re-derives the SAME value arithmetically; the engine
+    * reads the actual stored timestamp, so the gate also pins the stored
+    * field's round-trip. */
+  def transcriptsCorpusTs: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |       text, ts_sec
+       |FROM (SELECT 'conv' || lpad(CAST(doc_id // 4 AS VARCHAR), 6, '0') AS conv_id,
+       |             CAST(doc_id % 4 AS INT) AS turn_idx, text,
+       |             CAST(${Transcripts.Epoch2024} + doc_id * 30 AS BIGINT) AS ts_sec
+       |      FROM documents
+       |      WHERE text IS NOT NULL AND length(text) > 0)""".stripMargin
+
+  /** Twin of [[graft.search.IndexSearch.searchSorted]] with
+    * `sort=ts desc`: the disjunctive match set ranked by the stored
+    * timestamp DESC with the pinned doc_id ASC tie-break; BM25 scores
+    * computed and reported but not driving the order. */
+  def bm25SortTs(queries: Seq[(Int, String)], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpusTs)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, scored.doc_id AS doc_id, score, corpus.ts_sec AS ts_sec,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY corpus.ts_sec DESC, scored.doc_id ASC) AS rnk
+       |  FROM scored JOIN corpus ON scored.doc_id = corpus.doc_id)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, ts_sec, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[graft.search.IndexSearch.searchPrefix]]: prefixes expand
+    * against the df relation (`term LIKE 'p%'` — the dictionary), each
+    * expanded term scoring with its own idf (the pinned scoring-boolean
+    * rewrite); expanded ∪ literal terms dedupe per query. The query parse
+    * is shared with the engine ([[graft.search.IndexSearch.parsePrefixQuery]]),
+    * like the phrase and (driver-parsed) clause twins. */
+  def bm25Prefix(corpusSql: String, queries: Seq[(Int, String)],
+                 k: Int): String = {
+    val parsed = queries.map { case (qid, t) =>
+      (qid, graft.search.IndexSearch.parsePrefixQuery(t))
+    }
+    val litValues0 = parsed.flatMap { case (qid, (terms, _)) =>
+      terms.map(t => s"($qid, '${esc(t)}')")
+    }
+    // never-matching guard row keeps the VALUES list well-formed for a
+    // prefixes-only query set (same trick as the clause oracle)
+    val litValues = if (litValues0.nonEmpty) litValues0 else Seq("(0, '')")
+    val expSelects = parsed.flatMap { case (qid, (_, prefixes)) =>
+      prefixes.map(p => s"SELECT $qid AS query_id, term FROM df WHERE term LIKE '${esc(p)}%'")
+    }
+    val qtBody = (
+      s"SELECT query_id, term FROM (VALUES ${litValues.mkString(", ")}) lit0(query_id, term)" +:
+        expSelects).mkString("\n  UNION ALL\n  ")
+    s"""WITH ${indexCtes(corpusSql)},
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |  $qtBody)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
        |ranked AS (
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id

@@ -85,6 +85,35 @@ object SparkEntry {
     5 -> "group -zzzmissing",
     6 -> "sort -Key-Value!")
 
+  /** Boolean grammar WITH quoted phrases (`+"a b" c -d` — the most common
+    * real Solr query shape): must-phrase + should term, should-phrase +
+    * not term, must-phrase + not-phrase, OOV must-phrase (eliminates the
+    * query), must term + duplicated-term should phrase, single-token
+    * phrase (degrades to a term clause), and a pure-negative phrase
+    * (matches nothing). */
+  val BoolPhraseQueries: Seq[(Int, String)] = Seq(
+    1 -> "+\"order fast\" spark",
+    2 -> "\"big order scan\" -dup",
+    3 -> "+\"order fast\" -\"big order scan\"",
+    4 -> "+\"the zzzmissing\" batch",
+    5 -> "+merge \"order order\"",
+    6 -> "\"window\" value",
+    7 -> "-\"order fast\"")
+
+  /** Prefix query set (`te*`-style MultiTermQuery): a fat expansion
+    * (s* → scan/slow/small/sort/spark/stream), expansion + literal rare
+    * term, a prefix matching nothing, analyzer-in-stem (uppercase), a
+    * multi-token stem ("key-va*" → term 'key' + prefix 'va'), and two
+    * prefixes in one query. */
+  val PrefixQueries: Seq[(Int, String)] = Seq(
+    1 -> "s*",
+    2 -> "qu* dup",
+    3 -> "zz*",
+    4 -> "c* merge",
+    5 -> "VAL*",
+    6 -> "key-va*",
+    7 -> "b* gr*")
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
 
@@ -359,6 +388,26 @@ object SparkEntry {
       graft.search.MultiField.searchFields(c,
         Seq("title" -> 2.0, "body" -> 1.0), DisjQueries)
     }),
+    // Solr DisMax tie combiner at tie=0 (pure max over fields) — the
+    // same title/body fixture as q_bm25_multifield, different combiner
+    "q_bm25_dismax" -> ((s, dir) => {
+      val c = transcriptCorpus(s, dir)
+        .withColumn("title",
+          array_join(slice(Analyzer.tokens(col("text")), 1, 5), " "))
+        .withColumnRenamed("text", "body")
+      graft.search.MultiField.searchFields(c,
+        Seq("title" -> 2.0, "body" -> 1.0), DisjQueries, tie = 0.0)
+    }),
+    // Solr sort=ts desc: match set ranked by the stored timestamp (score
+    // still computed/reported); ts_sec output pins the stored field value
+    "q_bm25_sort_ts" -> ((s, dir) =>
+      IndexSearch.searchSorted(indexFor(s, dir), DisjQueries,
+        Seq(col("ts_sec").desc), 10,
+        extra = Seq("ts_sec" -> unix_timestamp(col("ts"))))),
+    // Lucene/Solr prefix queries (te*): dictionary range-scan expansion,
+    // scoring-boolean rewrite, maxExpansions guard
+    "q_bm25_prefix" -> ((s, dir) =>
+      IndexSearch.searchPrefix(indexFor(s, dir), PrefixQueries)),
     // Multimodal plumbing: binary payloads, partition-batched decode stub
     "q_media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaTable(s, dir))),
@@ -482,6 +531,10 @@ object SparkEntry {
       Search.searchCorpusClauses(transcriptCorpus(s, dir), BoolQueries)),
     "q_bm25_bool_index" -> ((s, dir) =>
       IndexSearch.searchClauses(indexFor(s, dir), BoolQueries)),
+    // Quoted phrases INSIDE the boolean grammar (+"a b" c -d): term and
+    // phrase clauses composed in one engine over the positional index
+    "q_bm25_bool_phrase" -> ((s, dir) =>
+      IndexSearch.searchClauses(indexFor(s, dir), BoolPhraseQueries)),
     // Solr surface over the SEGMENTED (streaming) index: boolean clauses,
     // fq, and facet composed onto the per-segment fan-out — a streaming
     // deployment serves the full request grammar between compactions
@@ -562,6 +615,10 @@ object SparkEntry {
     "q_ann_ivf_kmeans" -> OracleOps.ivfKmeans(Seq(0L, 1L, 2L), 10, 2, 4, 2),
     "q_bm25_multifield" -> Oracle.bm25MultiField(DisjQueries, 10,
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5),
+    "q_bm25_dismax" -> Oracle.bm25MultiField(DisjQueries, 10,
+      titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5, tie = 0.0),
+    "q_bm25_sort_ts" -> Oracle.bm25SortTs(DisjQueries, 10),
+    "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
     "q_media_features" -> OracleOps.mediaFeatures,
     "q_media_frames" -> OracleOps.mediaFrames(256, 2),
     "q_events_props" -> OracleOps.eventsProps,
@@ -595,6 +652,8 @@ object SparkEntry {
     "q_bm25_bool" -> Oracle.bm25TopKClausesSqlParsed(Oracle.transcriptsCorpus,
       BoolQueries, 10),
     "q_bm25_bool_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10),
+    "q_bm25_bool_phrase" -> Oracle.bm25TopKBoolPhrase(Oracle.transcriptsCorpus,
+      BoolPhraseQueries, 10),
     "q_bm25_bool_segmented" -> Oracle.bm25TopKClausesKeys(BoolQueries, 10),
     "q_bm25_conj_segmented" -> Oracle.bm25TopKClausesKeys(ConjQueriesAsMust, 10),
     "q_bm25_phrase_segmented" -> Oracle.bm25PhraseKeys(PhraseQueries, 10),

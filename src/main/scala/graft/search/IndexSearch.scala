@@ -114,6 +114,28 @@ object IndexSearch {
     Search.rank(scoredDocs(idx, qt, conjunctive), k, start)
   }
 
+  /** Solr `sort=` over the persisted index (e.g. `sort=ts desc`): the
+    * disjunctive MATCH set ordered by stored-field sort expressions (over
+    * the `docs/` attributes) with the pinned doc_id ASC tie-break; BM25
+    * scores still computed and reported. The attribute scan is
+    * column-pruned to doc_id + whatever the sort/extra expressions
+    * reference (text is dropped explicitly — the one column pruning must
+    * never be asked to carry). `extra` columns (name → expression over
+    * the doc attributes) ride into the output for verification.
+    * A small generalization of [[Search.rank]] — same window shape, a
+    * sort key list instead of the score. */
+  def searchSorted(idx: OpenIndex, queries: Seq[(Int, String)],
+                   sortCols: Seq[Column], k: Int = 10,
+                   extra: Seq[(String, Column)] = Nil): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val attrs = idx.io.read(idx.spark, idx.paths.docs).drop("text")
+    val joined = scoredDocs(idx, qt, conjunctive = false)
+      .join(attrs, "doc_id")
+    val withExtra = extra.foldLeft(joined) { case (d, (n, c)) =>
+      d.withColumn(n, c) }
+    Search.rankBy(withExtra, sortCols, k, keep = extra.map(_._1))
+  }
+
   /** Solr `hl`-style highlighting over the persisted index: [[search]]'s
     * top-k, each hit carrying a snippet of ±`window` analyzed tokens
     * around the FIRST query-term match in the doc. The match position
@@ -166,6 +188,70 @@ object IndexSearch {
       .orderBy("query_id", "rank")
   }
 
+  /** Solr `maxBooleanClauses` analog — the hard cap on how many dictionary
+    * terms one prefix pattern may expand to before the query fails loudly
+    * (Lucene throws TooManyClauses; silent truncation would silently
+    * change the match set). */
+  final val DefaultMaxExpansions = 1024
+
+  /** Parse a prefix-query string: whitespace clauses; a clause ending in
+    * '*' is a PREFIX pattern — the analyzer normalizes its stem and the
+    * stem's LAST token becomes the prefix (earlier stem tokens, e.g.
+    * "key-va*" → "key", contribute as plain terms); every other clause
+    * contributes analyzed plain terms. Returns (terms, prefixes), both
+    * deduped. Shared with the oracle builder so clause semantics cannot
+    * drift between engines. */
+  def parsePrefixQuery(text: String): (Seq[String], Seq[String]) = {
+    val clauses = text.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (prefCl, termCl) = clauses.partition(c => c.endsWith("*") && c.length > 1)
+    val stems = prefCl.map(c => graft.analysis.Analyzer.tokenize(c.dropRight(1)))
+    val terms = (termCl.flatMap(graft.analysis.Analyzer.tokenize) ++
+      stems.flatMap(_.dropRight(1))).distinct
+    (terms, stems.flatMap(_.lastOption).distinct)
+  }
+
+  /** Lucene/Solr PREFIX queries (`te*`) over the persisted index
+    * (MultiTermQuery rewrite): each prefix pattern expands against the
+    * DICTIONARY into a bounded term disjunction, then the standard
+    * disjunctive engine scores the expanded query. Pinned rewrite:
+    * SCORING_BOOLEAN_QUERY_REWRITE — every expanded term scores with its
+    * OWN idf (oracle-expressible in SQL), NOT Lucene's modern
+    * CONSTANT_SCORE default (which assigns all expansion matches a flat
+    * score; a documented, deliberate divergence — the scoring rewrite is
+    * what pre-4.0 Lucene did and what the SQL twin can reproduce
+    * bit-for-bit). Expanded and literal terms dedupe per query, exactly
+    * like the analyzer's distinct-term pinning for plain queries.
+    *
+    * Scale shape: the dictionary probe is one range predicate per prefix
+    * (StringStartsWith — pushed to the parquet dictionary scan), the
+    * per-prefix collect is `limit(maxExpansions + 1)`-bounded BEFORE it
+    * reaches the driver, and an over-broad pattern ("a*" on a billion-term
+    * dictionary) fails loudly instead of materializing its expansion. */
+  def searchPrefix(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
+                   maxExpansions: Int = DefaultMaxExpansions): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val parsed = queries.map { case (qid, t) => (qid, parsePrefixQuery(t)) }
+    val expansions: Map[String, Seq[String]] =
+      parsed.flatMap(_._2._2).distinct.map { p =>
+        val terms = idx.dictionary.where(col("term").startsWith(p))
+          .select("term").limit(maxExpansions + 1)
+          .collect().map(_.getString(0)).toSeq
+        require(terms.size <= maxExpansions,
+          s"prefix '$p*' expands to more than maxExpansions=$maxExpansions " +
+            "dictionary terms (Lucene TooManyClauses analog)")
+        p -> terms
+      }.toMap
+    val qtRows = parsed.flatMap { case (qid, (terms, prefixes)) =>
+      (terms ++ prefixes.flatMap(expansions)).distinct.map(t => (qid, t))
+    }
+    if (qtRows.isEmpty)
+      return Seq.empty[ResultRow].toDF()
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    Search.rank(
+      scoredDocs(idx, qtRows.toDF("query_id", "term"), conjunctive = false), k)
+  }
+
   /** Boolean NOT over the persisted index (Solr `q=a -b`): the no-must
     * subset of the clause grammar — delegates to [[searchClauses]] (one
     * boolean engine path). A pure-negative query matches nothing. */
@@ -173,29 +259,96 @@ object IndexSearch {
                     k: Int = 10): DataFrame =
     searchClauses(idx, queries, k)
 
-  /** Full boolean clause grammar (`q=+a b -c`) over the persisted index —
-    * same pinned semantics as [[Search.searchCorpusClauses]]: every must
-    * term required (OOV must ⇒ no matches), not-terms anti-joined, score
-    * over matching must+should terms. */
+  /** Full boolean clause grammar over the persisted index — `q=+a b -c`
+    * AND quoted-phrase clauses (`q=+"block max" wand -deprecated`), the
+    * composition Solr users hit constantly. Same pinned semantics as
+    * [[Search.parseClauses]]'s scaladoc: every must clause satisfied
+    * (term present / phrase pf ≥ 1; an OOV must term or dead must phrase
+    * eliminates the query), not-terms and not-phrases anti-joined, score
+    * = BM25 sum over matching must+should terms PLUS the PhraseQuery
+    * score of each matching must+should phrase (exact adjacency). A doc
+    * matching only a phrase clause still ranks (the term and phrase sides
+    * combine with a full outer join). Phrase-less query batches take the
+    * historical terms-only plan unchanged; phrase-bearing batches
+    * additionally require a positional index and return a materialized
+    * ≤ |queries|·k frame (phrase caches dropped before returning). */
   def searchClauses(idx: OpenIndex, queries: Seq[(Int, String)],
                     k: Int = 10): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
-    val (qt, neg, nMust) = Search.parseClauseQueries(spark, queries)
-    val scored = matchedPostings(idx, qt.select("query_id", "term"))
+    val parsed = queries.map { case (id, t) => (id, Search.parseClauses(t)) }
+    val hasPhrases = parsed.exists { case (_, c) =>
+      c.mustPhrases.nonEmpty || c.shouldPhrases.nonEmpty || c.notPhrases.nonEmpty }
+
+    val qt = parsed.flatMap { case (id, c) =>
+      c.must.map(t => (id, t, true)) ++ c.should.map(t => (id, t, false))
+    }.toDF("query_id", "term", "_is_must")
+    val neg = parsed.flatMap { case (id, c) => c.not.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val tscored = matchedPostings(idx, qt.select("query_id", "term"))
       .join(broadcast(qt), Seq("query_id", "term"))
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
         lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
       .groupBy("query_id", "doc_id")
-      .agg(sum(col("_s")).as("_score"),
-        count(when(col("_is_must"), lit(1))).as("_must_matched"))
-    val nMustDf = nMust.toSeq.toDF("query_id", "_n_must")
+      .agg(sum(col("_s")).as("_tscore"),
+        count(when(col("_is_must"), lit(1))).as("_must_t"))
     val negMatch = matchedPostings(idx, neg)
       .select("query_id", "doc_id").distinct()
-    Search.rank(scored
-      .join(broadcast(nMustDf), "query_id")
-      .where(col("_must_matched") === col("_n_must"))
-      .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+
+    if (!hasPhrases) {
+      // historical terms-only plan, bit-identical to round 4
+      val nMustDf = parsed.map { case (id, c) => (id, c.must.size) }
+        .toDF("query_id", "_n_must")
+      return Search.rank(tscored
+        .withColumnRenamed("_tscore", "_score")
+        .join(broadcast(nMustDf), "query_id")
+        .where(col("_must_t") === col("_n_must"))
+        .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+    }
+
+    requirePositional(idx)
+    // synthetic clause ids key the batched phrase machinery; n_must counts
+    // TERM musts + ALL parsed must phrases (a dead/OOV phrase still counts,
+    // so its query can never satisfy the filter — Lucene MUST semantics)
+    val phraseClauses: Seq[(Int, Int, String, Seq[String])] =
+      parsed.flatMap { case (id, c) =>
+        c.mustPhrases.map(p => (id, "m", p)) ++
+          c.shouldPhrases.map(p => (id, "s", p)) ++
+          c.notPhrases.map(p => (id, "n", p))
+      }.zipWithIndex.map { case ((id, kind, p), pid) => (pid, id, kind, p) }
+    val nMustDf = parsed
+      .map { case (id, c) => (id, c.must.size + c.mustPhrases.size) }
+      .toDF("query_id", "_n_must")
+    val pidMeta = phraseClauses.map { case (pid, id, kind, _) => (pid, id, kind) }
+      .toDF("_pid", "query_id", "_kind")
+    val planned = phrasePlanned(idx,
+      phraseClauses.map { case (pid, _, _, toks) => (pid, toks.mkString(" ")) })
+    try {
+      val psRaw = planned match {
+        case None => Seq.empty[(Int, Long, Double)].toDF("_pid", "doc_id", "_pscore")
+        case Some(p) => phraseScoredFromPlan(idx, p, slop = 0, luceneSlop = false)
+          .select(col("query_id").as("_pid"), col("doc_id"),
+            col("_score").as("_pscore"))
+      }
+      val ps = psRaw.join(broadcast(pidMeta), "_pid")
+      val posph = ps.where(col("_kind") =!= "n")
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("_pscore")).as("_phsum"),
+          count(when(col("_kind") === "m", lit(1))).as("_must_ph"))
+      val negph = ps.where(col("_kind") === "n")
+        .select("query_id", "doc_id").distinct()
+      val comb = tscored
+        .join(posph, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("_score",
+          coalesce(col("_tscore"), lit(0.0)) + coalesce(col("_phsum"), lit(0.0)))
+        .withColumn("_mm",
+          coalesce(col("_must_t"), lit(0L)) + coalesce(col("_must_ph"), lit(0L)))
+      localize(spark, Search.rank(comb
+        .join(broadcast(nMustDf), "query_id")
+        .where(col("_mm") === col("_n_must"))
+        .join(negMatch, Seq("query_id", "doc_id"), "left_anti")
+        .join(negph, Seq("query_id", "doc_id"), "left_anti"), k))
+    } finally planned.foreach(_.unpersistAll())
   }
 
   /** Solr `fq` over the persisted index: the predicate (over the stored
@@ -433,34 +586,45 @@ object IndexSearch {
       case None => return empty
       case Some(p) => p
     }
+    try localize(spark,
+      Search.rank(phraseScoredFromPlan(idx, planned, slop, luceneSlop), k))
+    finally planned.unpersistAll()
+  }
+
+  /** Lazy per-(query, doc) phrase scores over a planned batch:
+    * (query_id, doc_id, _score), pf > 0 rows only — the scoring tail of
+    * [[searchPhrase]], shared with the phrase-bearing boolean clause
+    * engine (which keys phrases by synthetic clause ids in query_id).
+    * The caller owns the plan's cache lifecycle
+    * ([[PhrasePlanned.unpersistAll]] after the result is consumed). */
+  private def phraseScoredFromPlan(idx: OpenIndex, planned: PhrasePlanned,
+                                   slop: Int, luceneSlop: Boolean): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
     val PhrasePlanned(batch, cand, fatBlocks, _) = planned
-    try {
-      val qtAll = batch.queries
-        .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
-        .toDF("query_id", "term")
-      val fatRows = PostingBlocks.decodePostingsWithPositions(
-          fatBlocks.join(broadcast(qtAll), Seq("term")))
-        .join(cand.select("query_id", "doc_id"),
-          Seq("query_id", "doc_id"), "left_semi")
-        .select("query_id", "term", "doc_id", "dl", "positions")
-      // one row per candidate doc: term → ascending positions
-      val pm = fatRows
-        .groupBy("query_id", "doc_id")
-        .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
-          .as("_pm"), min(col("dl")).as("dl"))
-      val meta = batch.queries
-        .map { case (qid, terms) => (qid, terms, batch.idfSums(qid)) }
-        .toDF("query_id", "_terms", "_idf")
-      val withMeta = pm.join(broadcast(meta), "query_id")
-      val scored = withMeta
-        .withColumn("_pf", phrasePf(slop, luceneSlop))
-        .where(col("_pf") > 0)
-        .select(col("query_id"), col("doc_id"),
-          (col("_idf") * col("_pf") /
-            (col("_pf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) +
-              lit(Bm25.B) * col("dl") / lit(idx.stats.avgdl)))).as("_score"))
-      localize(spark, Search.rank(scored, k))
-    } finally planned.unpersistAll()
+    val qtAll = batch.queries
+      .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val fatRows = PostingBlocks.decodePostingsWithPositions(
+        fatBlocks.join(broadcast(qtAll), Seq("term")))
+      .join(cand.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_semi")
+      .select("query_id", "term", "doc_id", "dl", "positions")
+    // one row per candidate doc: term → ascending positions
+    val pm = fatRows
+      .groupBy("query_id", "doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("positions"))))
+        .as("_pm"), min(col("dl")).as("dl"))
+    val meta = batch.queries
+      .map { case (qid, terms) => (qid, terms, batch.idfSums(qid)) }
+      .toDF("query_id", "_terms", "_idf")
+    pm.join(broadcast(meta), "query_id")
+      .withColumn("_pf", phrasePf(slop, luceneSlop))
+      .where(col("_pf") > 0)
+      .select(col("query_id"), col("doc_id"),
+        (col("_idf") * col("_pf") /
+          (col("_pf") + lit(Bm25.K1) * (lit(1.0) - lit(Bm25.B) +
+            lit(Bm25.B) * col("dl") / lit(idx.stats.avgdl)))).as("_score"))
   }
 
   /** Phrase-frequency Column over a row carrying `_pm` (map term →

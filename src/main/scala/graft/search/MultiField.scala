@@ -15,9 +15,18 @@ import org.apache.spark.sql.functions._
   * N_f = the field's docCount (docs where the field analyzes to ≥1
   * token — Lucene's per-field docCount, not the corpus size). Matching is
   * disjunctive across fields: a doc ranks if any field matches any query
-  * term. This is a weighted SUM over fields (DisMax's tie=1.0 shape);
-  * Solr's default pure-max DisMax is a different documented combiner —
-  * the sum is pinned here as the oracle-expressible choice.
+  * term.
+  *
+  * COMBINER (Solr DisMax `tie` semantics, both oracle-gated):
+  *
+  *   score(q, d) = max_f s_f + tie · (Σ_f s_f − max_f s_f),   s_f = boost_f·BM25_f
+  *
+  * tie = 1.0 (the default) is the weighted SUM over fields; tie = 0.0 is
+  * Solr's default pure-max DisMax; intermediate values blend, exactly as
+  * Solr's `tie` parameter documents. tie = 1.0 is special-cased to a
+  * plain sum aggregate so the default stays BIT-identical to the
+  * pre-DisMax engine (max + (sum − max) re-rounds twice in FP and could
+  * drift an ulp).
   *
   * Plan shape: one analysis + aggregation chain per field (fields are
   * few and static), each the same shuffle-lean shape as the single-field
@@ -29,7 +38,8 @@ object MultiField {
   /** @param corpus (doc_id, <field columns>) — one text column per field
     * @param fields (field column name, boost), e.g. ("title", 2.0) */
   def searchFields(corpus: DataFrame, fields: Seq[(String, Double)],
-                   queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+                   queries: Seq[(Int, String)], k: Int = 10,
+                   tie: Double = 1.0): DataFrame = {
     require(fields.nonEmpty, "at least one field")
     val spark = corpus.sparkSession
     val qf = Search.queryFrame(spark, queries)
@@ -45,16 +55,22 @@ object MultiField {
         .select(col("query_id"), col("doc_id"),
           (col("_score") * lit(boost)).as("_fs"))
     }
-    combine(perField, k)
+    combine(perField, k, tie)
   }
 
-  /** Weighted per-field score rows → per-(query, doc) sum → ranked top-k
-    * (two doubles add commutatively, so field union order cannot perturb
-    * the score). */
-  private def combine(perField: Seq[DataFrame], k: Int): DataFrame =
-    Search.rank(perField.reduce(_ unionByName _)
-      .groupBy("query_id", "doc_id")
-      .agg(sum(col("_fs")).as("_score")), k)
+  /** Weighted per-field score rows → per-(query, doc) DisMax combine →
+    * ranked top-k. tie = 1.0 takes the plain-sum fast path (bit-identical
+    * to the historical weighted sum; sum and max both aggregate
+    * order-independently, so the field union order cannot perturb the
+    * score either way). */
+  private def combine(perField: Seq[DataFrame], k: Int, tie: Double): DataFrame = {
+    val grouped = perField.reduce(_ unionByName _).groupBy("query_id", "doc_id")
+    val scored =
+      if (tie == 1.0) grouped.agg(sum(col("_fs")).as("_score"))
+      else grouped.agg((max(col("_fs")) +
+        lit(tie) * (sum(col("_fs")) - max(col("_fs")))).as("_score"))
+    Search.rank(scored, k)
+  }
 
   /** Memoized per-root docs/ row counts for the shared-id-space guard —
     * one count job per index root per JVM, not per query batch. */
@@ -74,7 +90,8 @@ object MultiField {
     * unrelated docs). The count is memoized per root, so the guard costs
     * zero Spark jobs on a warm path. */
   def searchIndexes(fields: Seq[(IndexSearch.OpenIndex, Double)],
-                    queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+                    queries: Seq[(Int, String)], k: Int = 10,
+                    tie: Double = 1.0): DataFrame = {
     require(fields.nonEmpty, "at least one field index")
     val spark = fields.head._1.spark
     val counts = fields.map { case (idx, _) =>
@@ -90,6 +107,6 @@ object MultiField {
         .select(col("query_id"), col("doc_id"),
           (col("_score") * lit(boost)).as("_fs"))
     }
-    combine(perField, k)
+    combine(perField, k, tie)
   }
 }

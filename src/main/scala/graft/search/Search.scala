@@ -32,27 +32,58 @@ object Search {
         explode(Analyzer.tokens(col("text"))).as("term"))
       .distinct()
 
-  /** Full Lucene/Solr boolean clause grammar (`q=+a b -c`): whitespace
-    * clauses prefixed '+' are MUST, '-' are MUST_NOT, bare are SHOULD; the
-    * shared analyzer runs on each clause body. Pinned semantics
-    * (BooleanQuery, documented): a doc matches iff it contains EVERY must
-    * term (an out-of-vocabulary must term matches nothing), no not-term,
-    * and — with no must clauses — at least one should term; the score is
-    * the BM25 sum over the doc's matching must+should terms. A term listed
-    * both must and should dedupes to must and scores once. */
+  /** Full Lucene/Solr boolean clause grammar (`q=+a "b c" -d`):
+    * whitespace clauses prefixed '+' are MUST, '-' are MUST_NOT, bare are
+    * SHOULD; a clause body wrapped in double quotes is a PHRASE clause
+    * (`+"block max" wand -deprecated` — the most common real Solr query
+    * shape); the shared analyzer runs on each clause body. Pinned
+    * semantics (BooleanQuery, documented): a doc matches iff it satisfies
+    * EVERY must clause (term present / phrase pf ≥ 1 — an
+    * out-of-vocabulary must term OR a must phrase containing one matches
+    * nothing), no not-term and no not-phrase occurs in it, and — with no
+    * must clauses — at least one should clause matches; the score is the
+    * BM25 sum over the doc's matching must+should TERM clauses plus the
+    * PhraseQuery score (idf-sum · pf BM25 shape, exact adjacency) of each
+    * matching must+should PHRASE clause. Dedupe pinning: a term listed
+    * both must and should dedupes to must and scores once; phrase clauses
+    * dedupe by token sequence with the same must-over-should rule. A
+    * phrase that analyzes to ONE token is a term clause (Lucene parity:
+    * single-term PhraseQuery ≡ TermQuery); one that analyzes to zero
+    * tokens is a no-op. */
   final case class BoolClauses(must: Seq[String], should: Seq[String],
-                               not: Seq[String])
+                               not: Seq[String],
+                               mustPhrases: Seq[Seq[String]] = Seq.empty,
+                               shouldPhrases: Seq[Seq[String]] = Seq.empty,
+                               notPhrases: Seq[Seq[String]] = Seq.empty)
+
+  /** One clause: optional +/- prefix, then a quoted or bare body. */
+  private val ClauseRe = """([+-]?"[^"]*"|\S+)""".r
 
   def parseClauses(text: String): BoolClauses = {
-    val clauses = text.split("\\s+").toSeq.filter(_.nonEmpty)
-    def terms(cs: Seq[String], drop: Int) =
-      cs.flatMap(c => Analyzer.tokenize(c.substring(drop))).distinct
-    val must = terms(clauses.filter(c => c.startsWith("+") && c.length > 1), 1)
-    val not = terms(clauses.filter(c => c.startsWith("-") && c.length > 1), 1)
-    val should = terms(clauses.filterNot(c =>
-      (c.startsWith("+") || c.startsWith("-")) && c.length > 1), 0)
-      .filterNot(must.contains)
-    BoolClauses(must, should, not)
+    val clauses = ClauseRe.findAllIn(text).toSeq
+    sealed trait Kind; case object M extends Kind; case object S extends Kind
+    case object N extends Kind
+    val split: Seq[(Kind, String, Boolean)] = clauses.map { c =>
+      val (kind, body) =
+        if (c.startsWith("+") && c.length > 1) (M, c.substring(1))
+        else if (c.startsWith("-") && c.length > 1) (N, c.substring(1))
+        else (S, c)
+      val quoted = body.length >= 2 && body.startsWith("\"") && body.endsWith("\"")
+      (kind, if (quoted) body.substring(1, body.length - 1) else body, quoted)
+    }
+    // a quoted body analyzing to 1 token degrades to a term clause; to 0
+    // tokens it is a no-op
+    val (phraseCl, termCl) = split.map { case (k, body, q) =>
+      (k, Analyzer.tokenize(body), q)
+    }.partition { case (_, toks, q) => q && toks.size >= 2 }
+    def terms(k: Kind) =
+      termCl.filter(_._1 == k).flatMap(_._2).distinct
+    def phrases(k: Kind) =
+      phraseCl.filter(_._1 == k).map(_._2).distinct
+    val must = terms(M)
+    val mustPh = phrases(M)
+    BoolClauses(must, terms(S).filterNot(must.contains), terms(N),
+      mustPh, phrases(S).filterNot(mustPh.contains), phrases(N))
   }
 
   /** Boolean query set → ((query_id, term, is_must) frame over must ∪
@@ -62,6 +93,12 @@ object Search {
       : (DataFrame, DataFrame, Map[Int, Int]) = {
     import spark.implicits._
     val parsed = queries.map { case (id, t) => (id, parseClauses(t)) }
+    // the terms-only engines (inline corpus, segmented fan-out) would
+    // silently DROP a quoted phrase clause — fail loudly instead
+    require(parsed.forall { case (_, c) =>
+      c.mustPhrases.isEmpty && c.shouldPhrases.isEmpty && c.notPhrases.isEmpty },
+      "quoted phrase clauses are served by IndexSearch.searchClauses over " +
+        "a positional persisted index; this engine path is terms-only")
     val qt = parsed.flatMap { case (id, c) =>
       c.must.map(t => (id, t, true)) ++ c.should.map(t => (id, t, false))
     }.toDF("query_id", "term", "_is_must")
@@ -166,6 +203,25 @@ object Search {
       .where(col("rank") > start && col("rank") <= start + k)
       .select(col("query_id"), col("rank").cast("int").as("rank"),
         col("doc_id"), round(col("_score"), Bm25.OutScale).as("score"))
+  }
+
+  /** Solr `sort=` result ordering (e.g. `sort=ts desc`): rank the MATCH
+    * set by arbitrary sort expressions with the pinned doc_id ASC
+    * tie-break appended; BM25 scores are still computed and reported
+    * (Solr returns them alongside), they just don't drive the order.
+    * `keep` names extra columns of `scored` to carry into the output
+    * (e.g. the sort field itself, for verification). The generalization
+    * of [[rank]]: rank(scored, k) ≡ rankBy(scored, score-desc order, k). */
+  def rankBy(scored: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+             k: Int, start: Int = 0, keep: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(sortCols :+ col("doc_id").asc: _*)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") > start && col("rank") <= start + k)
+      .select(Seq(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id")) ++ keep.map(col) :+
+        round(col("_score"), Bm25.OutScale).as("score"): _*)
   }
 
   /** End-to-end exhaustive search over a raw (doc_id, text) corpus —

@@ -1,0 +1,142 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.{BlockMaxWand, IndexSearch, Search}
+import org.apache.spark.sql.functions._
+
+/** Quoted phrases inside the boolean clause grammar
+  * (`+"a b" c -d` through [[IndexSearch.searchClauses]]): parser pinning,
+  * hand-auditable semantics, and a randomized equivalence against an
+  * independent brute-force implementation of the pinned semantics. */
+class BoolPhraseSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftbp").toString
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  def buildIdx(docs: Seq[Seq[String]], tag: String): IndexSearch.OpenIndex = {
+    val turns = docs.zipWithIndex.map { case (toks, i) =>
+      (f"c$i%03d", 0, "user", toks.mkString(" "), null.asInstanceOf[String], ts(i))
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, tag,
+      BuildIndexJob.Config(numShards = 4, blockSize = 4, storePositions = true))
+    IndexSearch.open(spark, root)
+  }
+
+  def docsOf(res: org.apache.spark.sql.DataFrame, qid: Int): Seq[Long] =
+    res.where(col("query_id") === qid).orderBy("rank")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+
+  test("parser: quoted phrases with +/- prefixes, degenerate cases") {
+    val c = Search.parseClauses("""+"block max" wand -deprecated -"hot path" "one" +"" x""")
+    assert(c.mustPhrases == Seq(Seq("block", "max")))
+    assert(c.notPhrases == Seq(Seq("hot", "path")))
+    assert(c.not == Seq("deprecated"))
+    // "one" (single token) degrades to a SHOULD term; +"" is a no-op
+    assert(c.should.toSet == Set("wand", "one", "x"))
+    assert(c.must.isEmpty && c.shouldPhrases.isEmpty)
+    // must-over-should dedupe applies to phrases too
+    val d = Search.parseClauses("""+"a b" "a b"""")
+    assert(d.mustPhrases == Seq(Seq("a", "b")) && d.shouldPhrases.isEmpty)
+  }
+
+  test("semantics: must-phrase, phrase-only match, OOV elimination, not-phrase") {
+    val idx = buildIdx(Seq(
+      Seq("a", "b", "c"),       // 0: has "a b" and c
+      Seq("a", "b", "x"),       // 1: has "a b", no c
+      Seq("b", "a", "c"),       // 2: no "a b" (reversed), has c
+      Seq("a", "x", "b", "c")), // 3: a and b present but not adjacent
+      "sem")
+    // +"a b" c : docs 0,1 (2,3 fail the must-phrase); doc 1 matches the
+    // phrase but not the should term and still ranks
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "+\"a b\" c")), 1).toSet == Set(0L, 1L))
+    // "a b" -c : phrase should, not-term excludes docs 0
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "\"a b\" -c")), 1) == Seq(1L))
+    // -"a b" alone: pure negative matches nothing
+    assert(IndexSearch.searchClauses(idx, Seq(1 -> "-\"a b\"")).count() == 0)
+    // +"a zzzmissing" x : OOV must-phrase eliminates the query entirely
+    assert(IndexSearch.searchClauses(idx,
+      Seq(1 -> "+\"a zzzmissing\" x")).count() == 0)
+    // not-phrase: a -"b c" — docs 0 ("a b c") and 3 ("a x b c") contain
+    // the phrase "b c" and are excluded; 1 ("a b x") and 2 ("b a c") are not
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "a -\"b c\"")), 1).toSet == Set(1L, 2L))
+  }
+
+  test("phrase-less batches keep the historical terms-only plan's answers") {
+    val idx = buildIdx(Seq(
+      Seq("a", "b", "c"), Seq("a", "x", "x"), Seq("b", "c", "c")), "plain")
+    val got = IndexSearch.searchClauses(idx, Seq(1 -> "+a b", 2 -> "a -c"))
+      .orderBy("query_id", "rank").collect().toSeq
+    val want = IndexSearch.searchBoolean(idx, Seq(1 -> "+a b", 2 -> "a -c"))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  /** Independent brute-force of the pinned boolean+phrase semantics from
+    * raw token lists. */
+  def brute(docs: Seq[Seq[String]], query: String, k: Int): Seq[(Long, Double)] = {
+    val c = Search.parseClauses(query)
+    val n = docs.size.toLong
+    val avgdl = docs.map(_.size).sum.toDouble / n
+    def df(t: String) = docs.count(_.contains(t)).toLong
+    def idf(t: String) = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    def pf(toks: Seq[String], p: Seq[String]): Int =
+      (0 to toks.size - p.size).count(i => p.indices.forall(j => toks(i + j) == p(j)))
+    val hits = docs.zipWithIndex.flatMap { case (toks, d) =>
+      val dl = toks.size
+      val posTerms = c.must ++ c.should
+      val posPhrases = c.mustPhrases ++ c.shouldPhrases
+      val mustOk = c.must.forall(toks.contains) &&
+        c.mustPhrases.forall(p => pf(toks, p) > 0)
+      val notHit = c.not.exists(toks.contains) ||
+        c.notPhrases.exists(p => pf(toks, p) > 0)
+      val anyPos = posTerms.exists(toks.contains) ||
+        posPhrases.exists(p => pf(toks, p) > 0)
+      if (!mustOk || notHit || !anyPos) None
+      else {
+        val tScore = posTerms.filter(toks.contains).map { t =>
+          val tf = toks.count(_ == t)
+          idf(t) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        }.sum
+        val pScore = posPhrases.map { p =>
+          val f = pf(toks, p).toDouble
+          if (f == 0) 0.0
+          else p.map(idf).sum * f / (f + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        }.sum
+        Some((d.toLong, tScore + pScore))
+      }
+    }
+    hits.sortBy { case (d, s) => (-BlockMaxWand.round(s, 7), d) }.take(k)
+      .map { case (d, s) => (d, BlockMaxWand.round(s, 4)) }
+  }
+
+  test("property: searchClauses with phrases ≡ brute force on random corpora") {
+    val rnd = new scala.util.Random(37)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    for (trial <- 0 until 2) {
+      val docs: Seq[Seq[String]] = (0 until 20).map { _ =>
+        Seq.fill(8 + rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size)))
+      }
+      val idx = buildIdx(docs, s"bp$trial")
+      def t() = vocab(rnd.nextInt(vocab.size))
+      val queries = Seq(
+        1 -> s"""+"${t()} ${t()}" ${t()}""",
+        2 -> s""""${t()} ${t()} ${t()}" -${t()}""",
+        3 -> s"""+${t()} -"${t()} ${t()}"""",
+        4 -> s"""+"${t()} ${t()}" -"${t()} ${t()}"""",
+        5 -> { val x = t(); s"""+"$x $x" ${t()}""" }) // duplicate-term phrase
+      val res = IndexSearch.searchClauses(idx, queries, k = 10)
+      for ((qid, q) <- queries) {
+        val want = brute(docs, q, 10)
+        val got = res.where(col("query_id") === qid).orderBy("rank")
+          .select("doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(got == want, s"trial $trial q$qid '$q': got $got want $want")
+      }
+    }
+  }
+}

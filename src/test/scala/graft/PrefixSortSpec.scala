@@ -1,0 +1,63 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.IndexSearch
+import org.apache.spark.sql.functions._
+
+/** Prefix-query expansion ([[IndexSearch.searchPrefix]]) and
+  * sort-by-stored-field results ([[IndexSearch.searchSorted]]). */
+class PrefixSortSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftps").toString
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  // ts ties between docs 0 and 1 exercise the doc_id tie-break in sorting
+  lazy val idx: IndexSearch.OpenIndex = {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(5)),
+      ("c1", 0, "user", "ant bee cat", null.asInstanceOf[String], ts(5)),
+      ("c2", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(9)),
+      ("c3", 0, "user", "cat dog emu", null.asInstanceOf[String], ts(1)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "ps", BuildIndexJob.Config(numShards = 4))
+    IndexSearch.open(spark, root)
+  }
+
+  test("prefix expands against the dictionary ≡ the hand-expanded disjunction") {
+    // a* → {ant, apple}; the scoring-boolean rewrite must equal the plain
+    // disjunctive query over the expanded terms (each with its own idf)
+    val got = IndexSearch.searchPrefix(idx, Seq(1 -> "a* dog"))
+      .orderBy("rank").collect().toSeq
+    val want = IndexSearch.search(idx, Seq(1 -> "ant apple dog"))
+      .orderBy("rank").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // prefix matching nothing contributes nothing; no terms at all → empty
+    assert(IndexSearch.searchPrefix(idx, Seq(1 -> "zz*")).count() == 0)
+    // multi-token stem: "bee-ca*" → literal term 'bee' + prefix 'ca'
+    val mixed = IndexSearch.searchPrefix(idx, Seq(1 -> "bee-ca*"))
+      .orderBy("rank").collect().toSeq
+    val mixedWant = IndexSearch.search(idx, Seq(1 -> "bee cat"))
+      .orderBy("rank").collect().toSeq
+    assert(mixed == mixedWant)
+  }
+
+  test("over-broad prefix fails loudly at maxExpansions (TooManyClauses analog)") {
+    val e = intercept[IllegalArgumentException](
+      IndexSearch.searchPrefix(idx, Seq(1 -> "a*"), maxExpansions = 1))
+    assert(e.getMessage.contains("maxExpansions"))
+  }
+
+  test("searchSorted ranks by the stored field desc with doc_id tie-break") {
+    val res = IndexSearch.searchSorted(idx, Seq(1 -> "bee"),
+      Seq(col("ts").desc), 10).orderBy("rank").collect()
+    // bee matches docs 0,1,2; ts desc → doc 2 (ts 9) first, then the
+    // ts-tied pair 0,1 in doc_id order
+    assert(res.map(_.getLong(2)).toSeq == Seq(2L, 0L, 1L))
+    // scores still reported and equal to the score-ranked engine's values
+    val byScore = IndexSearch.search(idx, Seq(1 -> "bee")).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(res.forall(r => byScore(r.getLong(2)) == r.getDouble(3)))
+  }
+}
