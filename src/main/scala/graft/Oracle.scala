@@ -486,8 +486,24 @@ object Oracle {
     * with no posting in the doc. */
   def bm25Highlight(corpusSql: String, queries: Seq[(Int, String)], k: Int,
                     window: Int): String =
+    bm25HighlightCore(corpusSql, queries, k, window, keyed = false)
+
+  /** Keys-shaped highlight twin (segmented-index highlight gate). */
+  def bm25HighlightKeys(queries: Seq[(Int, String)], k: Int,
+                        window: Int): String =
+    bm25HighlightCore(transcriptsCorpus, queries, k, window, keyed = true)
+
+  private def bm25HighlightCore(corpusSql: String, queries: Seq[(Int, String)],
+                                k: Int, window: Int, keyed: Boolean): String = {
+    val (keymap, select, fromTail) =
+      if (!keyed) ("",
+        """r.query_id, CAST(r.rnk AS INT) AS "rank", r.doc_id""",
+        "")
+      else (s"$keymapCte,\n",
+        """r.query_id, CAST(r.rnk AS INT) AS "rank", keymap.conv_id, keymap.turn_idx""",
+        "JOIN keymap ON keymap.doc_id = r.doc_id")
     s"""WITH ${indexCtes(corpusSql)},
-       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |$keymap queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
        |scored AS (
@@ -510,15 +526,17 @@ object Oracle {
        |       JOIN qt ON qt.query_id = r.query_id
        |  WHERE r.rnk <= $k AND list_position(t.l, qt.term) > 0
        |  GROUP BY r.query_id, r.doc_id)
-       |SELECT r.query_id, CAST(r.rnk AS INT) AS "rank", r.doc_id,
+       |SELECT $select,
        |       round(r.score, 4) AS score,
        |       array_to_string(list_slice(t.l, greatest(1, fp.lp - $window),
        |         greatest(1, fp.lp - $window) + ${2 * window}), ' ') AS snippet
        |FROM ranked r
        |     JOIN fp ON fp.query_id = r.query_id AND fp.doc_id = r.doc_id
        |     JOIN toksl t ON t.doc_id = r.doc_id
+       |     $fromTail
        |WHERE r.rnk <= $k
        |ORDER BY r.query_id, r.rnk""".stripMargin
+  }
 
   /** Twin of [[graft.search.MultiField.searchFields]] over the transcripts
     * corpus: fields title = first `titleTokens` analyzed tokens and body =

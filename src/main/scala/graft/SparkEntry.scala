@@ -571,6 +571,11 @@ object SparkEntry {
     // Solr hl: ±5-token snippet around the first match, positions-driven
     "q_bm25_highlight" -> ((s, dir) =>
       IndexSearch.searchHighlight(indexFor(s, dir), DisjQueries)),
+    // Solr hl over the SEGMENTED index: per-segment block-pruned position
+    // decode + point-lookup snippets, keys-shaped output
+    "q_bm25_highlight_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchHighlight(s, streamedIndex(s, dir),
+        DisjQueries, cfg = BuildIndexJob.Config(numShards = 8))),
     // G7: rollup diagnostics (corpus profile by lang × source); grouping()
     // relabels the rollup's nulls so both engines emit 'ALL'
     "q_corpus_cube" -> ((s, dir) => {
@@ -664,5 +669,7 @@ object SparkEntry {
     "q_bm25_page" -> Oracle.bm25TopK(Oracle.documentsCorpus, DisjQueries, 5,
       conjunctive = false, start = 5),
     "q_bm25_highlight" -> Oracle.bm25Highlight(Oracle.transcriptsCorpus,
-      DisjQueries, 10, window = 5))
+      DisjQueries, 10, window = 5),
+    "q_bm25_highlight_segmented" -> Oracle.bm25HighlightKeys(DisjQueries, 10,
+      window = 5))
 }

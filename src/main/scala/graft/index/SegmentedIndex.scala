@@ -592,6 +592,91 @@ object SegmentedIndex {
     } finally thin.unpersist()
   }
 
+  /** Solr `hl` highlighting over the SEGMENTED index — [[search]]'s
+    * keys-shaped top-k, each hit carrying up to `fragments` snippets of
+    * ±`window` analyzed tokens around query-term matches (the same greedy
+    * fragment selection as the unified
+    * [[graft.search.IndexSearch.searchHighlight]]). Requires positional
+    * segments (the streaming ingest config). Per segment, match
+    * positions decode ONLY from blocks whose doc range holds a hit's
+    * segment-local id, and snippet text comes from a `doc_id IN` point
+    * lookup on that segment's docs/ — never a corpus scan. Tombstones are
+    * respected by construction: hits map to their single LIVE instance
+    * per key. Driver boundaries: ≤ |queries|·k hit keys, and per segment
+    * ≤ that many local ids. Output: (query_id, rank, conv_id, turn_idx,
+    * score, snippet). */
+  def searchHighlight(spark: SparkSession, root: String,
+                      queries: Seq[(Int, String)], k: Int = 10,
+                      window: Int = 5, fragments: Int = 1,
+                      cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = keysEmpty(spark).withColumn("snippet", lit(""))
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    require(m.segments.forall(seg => Fs.exists(spark,
+        BuildIndexJob.IndexPaths(segPath(root, seg)).positionalMarker)),
+      "segmented searchHighlight requires every segment built with " +
+        "Config(storePositions = true)")
+    val hits = search(spark, root, queries, k, cfg)
+    if (hits.isEmpty) return hits.withColumn("snippet", lit(""))
+    val hitKeys = hits.select("conv_id", "turn_idx").distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    val keysDf = broadcast(hitKeys.toDF("conv_id", "turn_idx"))
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val qTerms = queries.flatMap(q => graft.analysis.Analyzer.tokenize(q._2)).distinct
+    val tombs = readTombstones(spark, root, m)
+    val perSeg = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
+      val p = BuildIndexJob.IndexPaths(segPath(root, seg))
+      // driver boundary: ≤ |query terms| shards per segment
+      val shards = cfg.io.read(spark, p.dictionary)
+        .where(col("term").isInCollection(qTerms))
+        .select("shard").distinct().collect().map(_.getInt(0)).toSeq
+      if (shards.isEmpty) None
+      else {
+        val live = liveFilter(cfg.io.read(spark, p.docs)
+          .select(col("doc_id"), col("conv_id"), col("turn_idx"))
+          .withColumn("seg_ord", lit(ord)), tombs)
+        // driver boundary: ≤ |hit keys| live local ids in this segment
+        val ids = live.join(keysDf, Key, "left_semi")
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        if (ids.isEmpty) None
+        else {
+          val idArr = array(ids.map(lit(_)): _*)
+          val blocks = cfg.io.read(spark, p.postings)
+            .where(col("shard").isin(shards: _*) &&
+              col("term").isInCollection(qTerms) &&
+              exists(idArr, id => id >= col("first_doc") && id <= col("last_doc")))
+          val keyed = live.select("doc_id", "conv_id", "turn_idx")
+          val pos = PostingBlocks.decodePostingsWithPositions(blocks)
+            .where(col("doc_id").isin(ids: _*))
+            .join(keyed, "doc_id")
+            .select(col("term"), col("conv_id"), col("turn_idx"), col("positions"))
+          val texts = cfg.io.read(spark, p.docs)
+            .where(col("doc_id").isin(ids: _*))
+            .select(col("conv_id"), col("turn_idx"), col("text"))
+          Some((pos, texts))
+        }
+      }
+    }
+    if (perSeg.isEmpty) return hits.withColumn("snippet", lit(""))
+    val matchPos = perSeg.map(_._1).reduce(_ unionByName _)
+      .join(broadcast(qt), Seq("term"))
+      .groupBy("query_id", "conv_id", "turn_idx")
+      .agg(sort_array(array_distinct(flatten(collect_list(col("positions")))))
+        .as("_ps"))
+    val texts = perSeg.map(_._2).reduce(_ unionByName _)
+    val toks = graft.analysis.Analyzer.tokens(col("text"))
+    localize(spark, hits
+      .join(matchPos, Seq("query_id", "conv_id", "turn_idx"))
+      .join(texts, Seq("conv_id", "turn_idx"))
+      .select(col("query_id"), col("rank"), col("conv_id"), col("turn_idx"),
+        col("score"),
+        graft.search.IndexSearch.snippetCol(toks,
+          graft.search.IndexSearch.fragmentPicks(col("_ps"), window, fragments),
+          window).as("snippet"))
+      .orderBy("query_id", "rank"))
+  }
+
   /** All live turns with their stored fields — the compaction input. */
   def liveTurns(spark: SparkSession, root: String,
                 cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {

@@ -136,18 +136,44 @@ object IndexSearch {
     Search.rankBy(withExtra, sortCols, k, keep = extra.map(_._1))
   }
 
+  /** Greedy non-overlapping fragment picks over ASCENDING match
+    * positions: take a position iff it starts a new ±window snippet
+    * (p > last pick + 2·window), up to `fragments` picks. With
+    * fragments = 1 this is exactly the minimum position — the historical
+    * single-snippet behavior. Pure Column fold, shared by the unified and
+    * segmented highlight paths. */
+  private[graft] def fragmentPicks(posArr: Column, window: Int,
+                                   fragments: Int): Column =
+    aggregate(posArr, array().cast("array<bigint>"),
+      (acc, p) => when(size(acc) < fragments &&
+          (size(acc) === 0 || p > element_at(acc, -1) + 2 * window),
+        concat(acc, array(p))).otherwise(acc))
+
+  /** One " … "-joined snippet string: per picked position, ±window
+    * analyzed tokens around it (1-based slice clamped at the doc start —
+    * identical arithmetic to the DuckDB twin's list_slice). */
+  private[graft] def snippetCol(toks: Column, picks: Column,
+                                window: Int): Column =
+    array_join(transform(picks, p =>
+      array_join(slice(toks,
+        greatest(lit(1), p.cast("int") + 1 - window), lit(2 * window + 1)), " ")),
+      " ... ")
+
   /** Solr `hl`-style highlighting over the persisted index: [[search]]'s
-    * top-k, each hit carrying a snippet of ±`window` analyzed tokens
-    * around the FIRST query-term match in the doc. The match position
-    * comes from the positional postings stream (requires
-    * `Config.storePositions`), with BLOCK-level pruning against the hit
-    * doc ids (collected driver-side — ≤ |queries|·k ids by construction,
-    * the documented boundary); the snippet words come from the stored
-    * text of those docs only (`doc_id IN` reaches the parquet scan as a
-    * pushed filter → row-group pruning — a point lookup, not a corpus
-    * scan). Output: (query_id, rank, doc_id, score, snippet). */
+    * top-k, each hit carrying up to `fragments` snippets of ±`window`
+    * analyzed tokens around query-term matches (greedy non-overlapping
+    * fragment selection in match-position order; fragments = 1 — the
+    * default and the oracle-gated shape — is the snippet around the FIRST
+    * match). Match positions come from the positional postings stream
+    * (requires `Config.storePositions`), with BLOCK-level pruning against
+    * the hit doc ids (collected driver-side — ≤ |queries|·k ids by
+    * construction, the documented boundary); the snippet words come from
+    * the stored text of those docs only (`doc_id IN` reaches the parquet
+    * scan as a pushed filter → row-group pruning — a point lookup, not a
+    * corpus scan). Output: (query_id, rank, doc_id, score, snippet). */
   def searchHighlight(idx: OpenIndex, queries: Seq[(Int, String)],
-                      k: Int = 10, window: Int = 5): DataFrame = {
+                      k: Int = 10, window: Int = 5,
+                      fragments: Int = 1): DataFrame = {
     val spark = idx.spark
     requirePositional(idx)
     // materialize the small hit set once: it drives the block prune, the
@@ -170,21 +196,22 @@ object IndexSearch {
       .where(col("shard").isin(shards: _*) &&
         col("term").isInCollection(terms) &&
         exists(idArr, id => id >= col("first_doc") && id <= col("last_doc")))
-    val firstPos = PostingBlocks.decodePostingsWithPositions(blocks)
+    val matchPos = PostingBlocks.decodePostingsWithPositions(blocks)
       .where(col("doc_id").isin(ids: _*))
       .join(broadcast(qt), Seq("term")) // attach query ownership
       .groupBy("query_id", "doc_id")
-      .agg(min(array_min(col("positions"))).as("_fp"))
+      .agg(sort_array(array_distinct(flatten(collect_list(col("positions")))))
+        .as("_ps"))
     val texts = idx.io.read(spark, idx.paths.docs)
       .where(col("doc_id").isin(ids: _*))
       .select(col("doc_id"), col("text"))
     val toks = graft.analysis.Analyzer.tokens(col("text"))
-    val lo = greatest(lit(1), col("_fp").cast("int") + 1 - window)
     hits
-      .join(firstPos, Seq("query_id", "doc_id"))
+      .join(matchPos, Seq("query_id", "doc_id"))
       .join(texts, Seq("doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
-        array_join(slice(toks, lo, lit(2 * window + 1)), " ").as("snippet"))
+        snippetCol(toks, fragmentPicks(col("_ps"), window, fragments), window)
+          .as("snippet"))
       .orderBy("query_id", "rank")
   }
 

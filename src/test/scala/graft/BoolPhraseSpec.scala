@@ -76,6 +76,23 @@ class BoolPhraseSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("multi-fragment highlighting: greedy non-overlapping snippets") {
+    val idx = buildIdx(Seq(
+      // matches at 0-based 0 and 12 — far apart → two ±2 fragments
+      Seq("hit", "x", "x", "x", "x", "x", "x", "x", "x", "x", "x", "x", "hit", "y"),
+      // matches at 0 and 2 — inside one ±2 window → one fragment
+      Seq("hit", "x", "hit", "x")), "frag")
+    def snips(fragments: Int) =
+      IndexSearch.searchHighlight(idx, Seq(1 -> "hit"), window = 2,
+        fragments = fragments)
+        .collect().map(r => r.getLong(2) -> r.getString(4)).toMap
+    val two = snips(2)
+    assert(two(0L) == "hit x x x x ... x x hit y", s"got '${two(0L)}'")
+    assert(two(1L) == "hit x hit x", s"got '${two(1L)}'")
+    // fragments = 1 keeps the historical single-snippet behavior
+    assert(snips(1)(0L) == "hit x x x x")
+  }
+
   /** Independent brute-force of the pinned boolean+phrase semantics from
     * raw token lists. */
   def brute(docs: Seq[Seq[String]], query: String, k: Int): Seq[(Long, Double)] = {
