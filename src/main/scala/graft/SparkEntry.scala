@@ -456,6 +456,12 @@ object SparkEntry {
     "q_streaming_topk" -> ((s, dir) =>
       graft.index.SegmentedIndex.search(s, streamedIndex(s, dir), DisjQueries,
         cfg = BuildIndexJob.Config(numShards = 8))),
+    // Block-max WAND over the SEGMENTED index: top-k-pruned traversal with
+    // metadata-derived live df, corrected block maxes, and θ seeds — the
+    // scale path for hot-term disjunctive queries between compactions
+    "q_bm25_wand_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchWand(s, streamedIndex(s, dir),
+        DisjQueries, cfg = BuildIndexJob.Config(numShards = 8))),
     // U1 at scale: compaction of the streamed segments back to a unified
     // global-id index — same oracle as any full-corpus BM25 query
     // (memoized: the compacted index is deterministic per sfDir)
@@ -635,6 +641,7 @@ object SparkEntry {
     "q_posting_agg" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
+    "q_bm25_wand_segmented" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     "q_segments_compact" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries,
       10, conjunctive = false),
     "q_queryset_bm25" -> Oracle.bm25TopK(Oracle.documentsCorpus,

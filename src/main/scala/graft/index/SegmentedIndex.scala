@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.search.{Bm25, Search}
+import graft.search.{BlockMaxWand, Bm25, IndexSearch, Search}
 import graft.sources.Fs
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -54,6 +54,7 @@ object SegmentedIndex {
 
   def segPath(root: String, seg: String) = s"$root/segments/$seg"
   def tombPath(root: String, name: String) = s"$root/tombstones/$name"
+  def dfDeltaPath(root: String, name: String) = s"$root/dfdeltas/$name"
   def manifestPath(root: String) = s"$root/MANIFEST"
 
   def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
@@ -88,21 +89,27 @@ object SegmentedIndex {
   private def keyBucket(kb: Int): Column =
     pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(kb)).cast("int")
 
-  /** Write a segment's keymeta sidecar: (conv_id, turn_idx, dl) partitioned
-    * by a key-hash bucket column whose COUNT scales with the segment's
-    * size (cfg.keymetaBucketRows rows per bucket). Appends prune their
-    * old-metadata scan to the batch's buckets — per segment that is
-    * ≤ min(|batch|, buckets) × bucketRows rows read, i.e. O(batch) with a
-    * constant factor of bucketRows × (segment count, bounded by
-    * compaction), instead of the round-2 O(total corpus) re-scan per
-    * micro-batch. Plain parquet (an internal acceleration structure
-    * derived from `docs/`, rebuildable, not a table-format artifact). */
+  /** Write a segment's keymeta sidecar: (conv_id, turn_idx, dl, terms)
+    * partitioned by a key-hash bucket column whose COUNT scales with the
+    * segment's size (cfg.keymetaBucketRows rows per bucket). Appends
+    * prune their old-metadata scan to the batch's buckets — per segment
+    * that is ≤ min(|batch|, buckets) × bucketRows rows read, i.e.
+    * O(batch) with a constant factor of bucketRows × (segment count,
+    * bounded by compaction), instead of the round-2 O(total corpus)
+    * re-scan per micro-batch. `terms` (the doc's DISTINCT analyzed
+    * tokens — a per-key forward index, the docvalues analog) lets an
+    * append derive the per-term df deltas of the instances it kills
+    * without re-reading any killed doc's text: the WAND-over-segments
+    * query path needs exact live df from metadata alone. Plain parquet
+    * (an internal acceleration structure derived from `docs/`,
+    * rebuildable, not a table-format artifact). */
   private def writeKeymeta(spark: SparkSession, sp: String, segDocs: Long,
                            cfg: BuildIndexJob.Config): Unit = {
     val kb = math.max(1L, math.min(4096L,
       (segDocs + cfg.keymetaBucketRows - 1) / cfg.keymetaBucketRows)).toInt
     cfg.io.read(spark, s"$sp/docs")
-      .select(col("conv_id"), col("turn_idx"), col("dl"))
+      .select(col("conv_id"), col("turn_idx"), col("dl"),
+        array_distinct(graft.analysis.Analyzer.tokens(col("text"))).as("terms"))
       .withColumn("kb", keyBucket(kb))
       // cluster by bucket before the partitioned write: without it every
       // scan task writes a file into every bucket dir it touches (up to
@@ -118,28 +125,34 @@ object SegmentedIndex {
     if (Fs.exists(spark, p)) Some(Fs.readString(spark, p).trim.toInt) else None
   }
 
-  /** Older-segment doc metadata (seg ordinal, key, dl) restricted to rows
-    * whose key COULD be in `keys`: each segment's keymeta read prunes to
-    * the key-hash buckets the batch touches (partition pruning on the
-    * bucket directory column — the same trick as the term shards).
-    * Segments without a keymeta sidecar (pre-upgrade) fall back to the
-    * full docs metadata scan. */
+  /** Older-segment doc metadata (seg ordinal, key, dl, distinct terms)
+    * restricted to rows whose key COULD be in `keys`: each segment's
+    * keymeta read prunes to the key-hash buckets the batch touches
+    * (partition pruning on the bucket directory column — the same trick
+    * as the term shards). Segments without a keymeta sidecar, or with a
+    * pre-terms one, fall back to the full docs metadata scan (terms
+    * re-tokenized from the stored text — correct, just not
+    * bucket-pruned). */
   private def segDocsMetaFor(spark: SparkSession, root: String, m: Manifest,
                              keys: DataFrame,
                              cfg: BuildIndexJob.Config): Option[DataFrame] =
     m.segments.zipWithIndex.map { case (seg, ord) =>
       val sp = segPath(root, seg)
+      val fromDocs = cfg.io.read(spark, s"$sp/docs")
+        .select(col("conv_id"), col("turn_idx"), col("dl"),
+          array_distinct(graft.analysis.Analyzer.tokens(col("text"))).as("terms"))
       val base = keymetaBuckets(spark, sp) match {
         case Some(kb) =>
           // driver boundary: ≤ min(|batch keys|, kb) bucket ids
           val touched = keys.select(keyBucket(kb).as("kb")).distinct()
             .collect().map(_.getInt(0)).toSeq
           val km = spark.read.parquet(s"$sp/keymeta")
-          if (touched.size < kb) km.where(col("kb").isin(touched: _*)) else km
-        case None =>
-          cfg.io.read(spark, s"$sp/docs")
+          if (!km.columns.contains("terms")) fromDocs
+          else if (touched.size < kb) km.where(col("kb").isin(touched: _*))
+          else km
+        case None => fromDocs
       }
-      base.select(col("conv_id"), col("turn_idx"), col("dl"))
+      base.select(col("conv_id"), col("turn_idx"), col("dl"), col("terms"))
         .withColumn("seg_ord", lit(ord))
     }.reduceOption(_ unionByName _)
 
@@ -196,11 +209,11 @@ object SegmentedIndex {
           case None => (0L, 0L, false)
           case Some(olderMeta) =>
             val oldTombs = readTombstones(spark, root, old)
-            // cached: feeds the stats aggregate AND the tombstone write
-            // (one scan, not one per action)
+            // cached: feeds the stats aggregate, the tombstone write, AND
+            // the df-delta write (one scan, not one per action)
             val killed = liveFilter(olderMeta, oldTombs)
               .join(tombKeys, Key, "left_semi")
-              .select(col("conv_id"), col("turn_idx"),
+              .select(col("conv_id"), col("turn_idx"), col("terms"),
                 when(col("dl") > 0, col("dl")).otherwise(lit(0)).as("dl"),
                 (col("dl") > 0).cast("int").as("counted"))
               .cache()
@@ -210,10 +223,22 @@ object SegmentedIndex {
                 coalesce(sum(col("counted")), lit(0L)).cast("long"),
                 coalesce(sum(col("dl").cast("long")), lit(0L)).cast("long")).head()
               val any = agg.getLong(0) > 0
-              if (any)
+              if (any) {
                 killed.select(Key.map(col): _*).distinct()
                   .withColumn("upto", lit(ord))
                   .write.mode("overwrite").parquet(tombPath(root, segName))
+                // per-term df delta of the instances this append kills
+                // (each killed instance's DISTINCT terms lose one doc):
+                // lets query time derive exact LIVE df from dictionary
+                // metadata alone — Σ_seg df_build − Σ_deltas killed — the
+                // input the segmented WAND path needs without an O(df)
+                // posting decode. Committed through the same manifest
+                // entry as the tombstone dir (same name, same condition;
+                // overwrite ⇒ crash-replay safe).
+                killed.select(explode(col("terms")).as("term"))
+                  .groupBy("term").agg(count(lit(1)).as("killed"))
+                  .write.mode("overwrite").parquet(dfDeltaPath(root, segName))
+              }
               (agg.getLong(1), agg.getLong(2), any)
             } finally killed.unpersist()
         } finally tombKeys.unpersist()
@@ -592,6 +617,224 @@ object SegmentedIndex {
     } finally thin.unpersist()
   }
 
+  /** One posting block routed to one (query, segment, doc-range) group —
+    * the segmented WAND unit. `df` carries the LIVE global df (the exact
+    * scoring input); `block_max_score` is the stored build-time max
+    * CORRECTED to an upper bound under the live scoring function. */
+  // public: Spark's generated row (de)serializer must access the class
+  final case class SegQBlock(query_id: Int, seg_ord: Int,
+      range_id: Int, term: String, df: Long, first_doc: Long, last_doc: Long,
+      doc_gaps: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+      block_max_score: Double)
+
+  /** Block-max WAND top-k over the SEGMENTED index — the top-k-pruned
+    * traversal that replaces the exhaustive O(df) live posting scan a
+    * hot-term disjunctive query would otherwise pay between compactions.
+    * Output keys-shaped and EXACT — identical to [[search]] (SegmentSpec
+    * pins the equivalence under upserts + tombstones).
+    *
+    * The three inputs WAND needs, each derived WITHOUT decoding postings:
+    *
+    *  1. EXACT LIVE df per term (BM25's idf input): Σ over segments of
+    *     the segment dictionary's build-time df, minus the per-append
+    *     kill deltas (`dfdeltas/` — written by [[append]] from the killed
+    *     instances' keymeta term lists). Metadata only. A legacy root
+    *     with tombstones but no delta sidecars falls back to the
+    *     exhaustive [[search]] (still exact, just unpruned).
+    *  2. UPPER-BOUND block maxes under the live scoring function: a
+    *     stored max was computed with the segment's build-time
+    *     (df_b, N_b, avgdl_b); for the live function (df_l, N_l, avgdl_l)
+    *     every posting satisfies s_live/s_build = (idf_l/idf_b)·g(tf, dl)
+    *     where g = (tf + K_b(dl))/(tf + K_l(dl)) is monotone in dl with
+    *     range bounded by [min(1, avgdl_l/avgdl_b),
+    *     max(1, avgdl_l/avgdl_b)] over tf ≥ 1, dl ≥ 1 (K(dl) =
+    *     k1(1−b+b·dl/avg) is affine in dl, so the ratio's extrema sit at
+    *     dl → {1, ∞} and tf → {1, ∞}). Scaling each stored max by
+    *     (idf_l/idf_b)·max(1, avgdl_l/avgdl_b) therefore yields a valid
+    *     upper bound — over-estimates only inhibit skipping, never break
+    *     exactness.
+    *  3. A θ SEED from the blockmeta top maxes scaled by the LOWER
+    *     factor (idf_l/idf_b)·min(1, avgdl_l/avgdl_b) — used only when
+    *     the manifest has NO tombstones: then every stored max's doc is
+    *     live and keys are globally distinct (an upsert always writes a
+    *     tombstone), so the k-th largest corrected-lower max of a term
+    *     witnesses k doc-disjoint live docs scoring at least it.
+    *
+    * TOMBSTONE GUARD: killed docs are invisible to the traversal's
+    * metadata, so they can occupy heap slots; each (query, segment,
+    * range) group over-fetches k + t_s candidates, where t_s = the count
+    * of tombstone rows with upto > the segment's ordinal (an upper bound
+    * on killed instances in that segment — each tombstone row kills at
+    * most one instance per segment), and killed candidates are dropped
+    * by the live-key join before the global rank-merge: any live doc
+    * outside a group's k + t_s heap has ≥ k live docs ranked above it in
+    * its own range, so it cannot enter the global top-k. t_s is bounded
+    * by the appends since the last compaction (the documented segment-
+    * count invariant); heavy delete workloads degrade toward larger
+    * heaps, never toward wrong answers.
+    *
+    * Parallelism is across (query, segment, doc-range) — the same
+    * doc-range sharding as the unified [[IndexSearch.searchWand]], with
+    * segment-local id spaces; per-range results rank-merge through the
+    * pinned key order (segment-local ids are assigned in key order, so
+    * the in-range tie-break is consistent with the global one). Driver
+    * state: ≤ |query terms| dictionary rows per segment, the per-term
+    * kill totals, and ≤ #appends tombstone ordinal counts. */
+  def searchWand(spark: SparkSession, root: String,
+                 queries: Seq[(Int, String)], k: Int = 10,
+                 docsPerRange: Long = IndexSearch.DefaultDocsPerRange,
+                 cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = keysEmpty(spark)
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val parsed = queries
+      .map { case (qid, t) => (qid, graft.analysis.Analyzer.tokenize(t).distinct) }
+      .filter(_._2.nonEmpty)
+    if (parsed.isEmpty) return empty
+    val allTerms = parsed.flatMap(_._2).distinct
+
+    val deltaDirs = m.tombs.map(t => dfDeltaPath(root, t))
+    if (!deltaDirs.forall(d => Fs.exists(spark, d)))
+      return search(spark, root, queries, k, cfg) // legacy root: exhaustive
+    val killedByTerm: Map[String, Long] =
+      if (deltaDirs.isEmpty) Map.empty
+      else deltaDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .where(col("term").isInCollection(allTerms))
+        .groupBy("term").agg(sum("killed").as("killed"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val tombs = readTombstones(spark, root, m)
+    val hasTombs = m.tombs.nonEmpty
+    val uptoCounts: Seq[(Int, Long)] =
+      if (!hasTombs) Seq.empty
+      else tombs.groupBy("upto").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+
+    // per-segment dict probe (driver boundary: ≤ |terms| rows per segment)
+    case class SegMeta(ord: Int, idx: IndexSearch.OpenIndex,
+        rows: Map[String, (Long, Int, Option[Seq[Double]])])
+    val segs: Seq[SegMeta] = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
+      val idx = IndexSearch.open(spark, segPath(root, seg), cfg.io)
+      val hasBm = idx.dictionary.columns.contains("top_block_maxes")
+      val sel = Seq("term", "df", "shard") ++
+        (if (hasBm) Seq("top_block_maxes") else Nil)
+      val rows = idx.dictionary.where(col("term").isInCollection(allTerms))
+        .select(sel.map(col): _*).collect().map { r =>
+          val tm = if (hasBm && !r.isNullAt(3)) Some(r.getSeq[Double](3).toSeq)
+                   else None
+          r.getString(0) -> ((r.getLong(1), r.getInt(2), tm))
+        }.toMap
+      if (rows.isEmpty) None else Some(SegMeta(ord, idx, rows))
+    }
+    if (segs.isEmpty) return empty
+
+    val dfLive: Map[String, Long] = allTerms.flatMap { t =>
+      val total = segs.map(_.rows.get(t).map(_._1).getOrElse(0L)).sum -
+        killedByTerm.getOrElse(t, 0L)
+      if (total > 0) Some(t -> total) else None
+    }.toMap
+    val liveParsed = parsed
+      .map { case (q, ts) => (q, ts.filter(dfLive.contains)) }
+      .filter(_._2.nonEmpty)
+    if (liveParsed.isEmpty) return empty
+    val liveTerms = liveParsed.flatMap(_._2).distinct
+    val (nL, avgL) = (m.nDocs, m.avgdl)
+
+    def factors(sm: SegMeta, t: String): (Double, Double) = {
+      val r = Bm25.idfValue(dfLive(t), nL) /
+        Bm25.idfValue(sm.rows(t)._1, sm.idx.stats.nDocs)
+      val a = avgL / sm.idx.stats.avgdl
+      (r * math.max(1.0, a), r * math.min(1.0, a))
+    }
+
+    val seeds: Map[Int, Double] =
+      if (hasTombs) Map.empty
+      else {
+        val perTermKth = liveTerms.flatMap { t =>
+          val lows = segs.flatMap { sm =>
+            sm.rows.get(t).flatMap(_._3) match {
+              case Some(tm) => val cLo = factors(sm, t)._2; tm.map(_ * cLo)
+              case None => Seq.empty[Double]
+            }
+          }.sorted(Ordering[Double].reverse)
+          if (lows.size >= k) Some(t -> lows(k - 1)) else None
+        }.toMap
+        liveParsed.flatMap { case (q, ts) =>
+          val s = ts.flatMap(perTermKth.get)
+          if (s.isEmpty) None else Some(q -> s.max)
+        }.toMap
+      }
+
+    val rangeSize = math.max(1L, docsPerRange)
+    segs.foreach(sm => require(
+      (sm.idx.stats.nDocs + rangeSize - 1) / rangeSize <= Int.MaxValue,
+      s"docsPerRange=$docsPerRange yields too many ranges for segment ${sm.ord}"))
+    def rangeOf(c: Column): Column =
+      ((c - pmod(c, lit(rangeSize))) / lit(rangeSize)).cast("int")
+
+    val qtDf = liveParsed.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val perSeg: Seq[DataFrame] = segs.flatMap { sm =>
+      val segTerms = liveTerms.filter(sm.rows.contains)
+      if (segTerms.isEmpty) None
+      else {
+        val shards = segTerms.map(t => sm.rows(t)._2).distinct
+        val fdf = segTerms.map(t => (t, dfLive(t), factors(sm, t)._1))
+          .toDF("term", "df", "_cup")
+        Some(cfg.io.read(spark, sm.idx.paths.postings)
+          .where(col("shard").isin(shards: _*))
+          .join(broadcast(qtDf), Seq("term"))
+          .join(broadcast(fdf), Seq("term"))
+          // precise block→range routing (decode ids map-side only for the
+          // rare boundary-spanning block), same as the unified WAND
+          .withColumn("range_id", explode(
+            when(rangeOf(col("first_doc")) === rangeOf(col("last_doc")),
+              array(rangeOf(col("first_doc"))))
+            .otherwise(array_distinct(transform(
+              codec.varintDeltaDecode(col("doc_gaps")), d => rangeOf(d))))))
+          .select(col("query_id"), lit(sm.ord).as("seg_ord"), col("range_id"),
+            col("term"), col("df"), col("first_doc"), col("last_doc"),
+            col("doc_gaps"), col("tfs"), col("dls"),
+            (col("block_max_score") * col("_cup")).as("block_max_score")))
+      }
+    }
+    val overMap = segs.map { sm =>
+      val t = uptoCounts.filter(_._1 > sm.ord).map(_._2).sum
+      sm.ord -> math.min(t, Int.MaxValue.toLong - k).toInt
+    }.toMap
+    val blocks = perSeg.reduce(_ unionByName _).as[SegQBlock]
+    val candidates = blocks
+      .groupByKey(r => (r.query_id, r.seg_ord, r.range_id))
+      .flatMapGroups { (key: (Int, Int, Int), rows: Iterator[SegQBlock]) =>
+        val (qid, ord, rid) = key
+        val byTerm = rows.toVector.groupBy(_.term)
+        val terms = byTerm.valuesIterator.map { trs =>
+          val sorted = trs.sortBy(_.first_doc)
+          BlockMaxWand.TermPostings(sorted.head.df,
+            sorted.map(r => BlockMaxWand.BlockRef(r.first_doc, r.last_doc,
+              r.block_max_score, r.doc_gaps, r.tfs, r.dls)).toArray)
+        }.toSeq
+        val lo = rid.toLong * rangeSize
+        val kk = k + overMap(ord)
+        val seed = seeds.getOrElse(qid, Double.NegativeInfinity)
+        BlockMaxWand.topKRange(terms, kk, nL, avgL, lo, lo + rangeSize, seed)
+          .iterator.map { case (doc, s) => (qid, ord, doc, s) }
+      }.toDF("query_id", "seg_ord", "doc_id", "_score")
+    // resolve keys + drop killed instances (the over-fetch guard): the
+    // candidate set is tiny (≤ queries × ranges × (k + t_s)), so AQE
+    // broadcasts it against the thin per-segment key columns
+    val keyed = m.segments.zipWithIndex.map { case (seg, ord) =>
+      cfg.io.read(spark, s"${segPath(root, seg)}/docs")
+        .select(col("doc_id"), col("conv_id"), col("turn_idx"))
+        .withColumn("seg_ord", lit(ord))
+    }.reduce(_ unionByName _)
+    val live = liveFilter(keyed, tombs)
+    localize(spark, rankKeys(
+      candidates.join(live, Seq("seg_ord", "doc_id"))
+        .select("query_id", "conv_id", "turn_idx", "_score"), k))
+  }
+
   /** Solr `hl` highlighting over the SEGMENTED index — [[search]]'s
     * keys-shaped top-k, each hit carrying up to `fragments` snippets of
     * ±`window` analyzed tokens around query-term matches (the same greedy
@@ -748,5 +991,6 @@ object SegmentedIndex {
     }
     clean(s"$root/segments", m.segments.toSet)
     clean(s"$root/tombstones", m.tombs.toSet)
+    clean(s"$root/dfdeltas", m.tombs.toSet)
   }
 }

@@ -128,6 +128,51 @@ class SegmentSpec extends SparkSpec {
       "sloppy mode must agree across segmented and unified paths")
   }
 
+  test("segmented WAND ≡ exhaustive fan-out under upserts + tombstones") {
+    val all = Transcripts.synthetic(spark, 120).cache()
+    val b1 = all.where($"conv_id" < "conv00000050")
+    val b2 = all.where($"conv_id" >= "conv00000050" && $"conv_id" < "conv00000090")
+    val b3 = all.where($"conv_id" >= "conv00000090").unionByName(
+      all.where($"conv_id" >= "conv00000080" && $"conv_id" < "conv00000085")
+        .withColumn("text", concat($"text", lit(" upserted zzzupserted"))))
+    val dead = Seq(("conv00000001", 1), ("conv00000095", 0))
+      .toDF("conv_id", "turn_idx")
+    val root = tmp()
+    SegmentedIndex.append(spark, root, b1, noDeletes, "seg-a", cfg)
+    // WAND with NO tombstones yet (θ seeds active) must already agree
+    val wq = queries ++ Seq(5 -> "w1", 6 -> "w2 w7 zzzrareone", 7 -> "w1 w2 w3 w4")
+    def wand() = SegmentedIndex.searchWand(spark, root, wq, cfg = cfg)
+      .orderBy("query_id", "rank").collect().toSeq
+    def exhaustive() = SegmentedIndex.search(spark, root, wq, cfg = cfg)
+      .orderBy("query_id", "rank").collect().toSeq
+    val oneSeg = wand()
+    assert(oneSeg == exhaustive() && oneSeg.nonEmpty, "single tombless segment")
+    SegmentedIndex.append(spark, root, b2, noDeletes, "seg-b", cfg)
+    assert(wand() == exhaustive(), "two tombless segments (cross-segment seeds)")
+    // upserts + explicit deletes: live df now differs from build df, the
+    // over-fetch guard must absorb killed heap occupants, seeds disabled
+    SegmentedIndex.append(spark, root, b3, dead, "seg-c", cfg)
+    val got = wand()
+    assert(got == exhaustive(), "upserts + tombstones")
+    assert(got.nonEmpty)
+    // and against the independent full-rebuild expectation
+    val liveCorpus = all
+      .join(all.where($"conv_id" >= "conv00000080" && $"conv_id" < "conv00000085")
+        .select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+      .unionByName(all.where($"conv_id" >= "conv00000080" && $"conv_id" < "conv00000085")
+        .withColumn("text", concat($"text", lit(" upserted zzzupserted"))))
+      .join(dead, Seq("conv_id", "turn_idx"), "left_anti")
+    val uroot = tmp()
+    BuildIndexJob.run(spark, liveCorpus, uroot, "fullwand", cfg)
+    val keys = spark.read.parquet(s"$uroot/docs")
+      .select("doc_id", "conv_id", "turn_idx")
+    val expected = IndexSearch.search(IndexSearch.open(spark, uroot), wq)
+      .join(keys, "doc_id")
+      .select("query_id", "rank", "conv_id", "turn_idx", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got == expected, "≡ full rebuild over the live corpus")
+  }
+
   test("append writes O(batch) bytes — not O(corpus): deltas stay flat as the index grows") {
     def du(path: String): Long = {
       val f = new java.io.File(path)
