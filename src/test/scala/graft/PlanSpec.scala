@@ -61,6 +61,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("prefix expansion probes the dictionary with a pushed StartsWith range") {
+    val idx = IndexSearch.open(spark, root)
+    val probe = idx.dictionary.where(col("term").startsWith("w1"))
+      .select("term").limit(10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,w1"),
+      s"prefix range predicate not pushed to the dictionary scan:\n$plan")
+    // and the engine path built on it expands without error
+    assert(IndexSearch.searchPrefix(idx, Seq(1 -> "w1*"), k = 5).count() > 0)
+  }
+
   test("highlight's text lookup is a doc_id point lookup (pushed IN filter)") {
     val r = java.nio.file.Files.createTempDirectory("graftplanhl").toString
     BuildIndexJob.run(spark, Transcripts.synthetic(spark, 100), r, "plan-hl",
