@@ -654,6 +654,57 @@ object Oracle {
     val expSelects = parsed.flatMap { case (qid, (_, prefixes)) =>
       prefixes.map(p => s"SELECT $qid AS query_id, term FROM df WHERE term LIKE '${esc(p)}%'")
     }
+    bm25Expanded(corpusSql, litValues, expSelects, k)
+  }
+
+  /** Twin of [[graft.search.MultiTerm.searchWildcard]]: wildcard patterns
+    * expand against the df relation via LIKE ('*'→'%', '?'→'_'; patterns
+    * are alphabet-checked by the shared parse, so no LIKE-escape
+    * divergence is possible), then the scoring-boolean rewrite. */
+  def bm25Wildcard(corpusSql: String, queries: Seq[(Int, String)],
+                   k: Int): String = {
+    val parsed = queries.map { case (qid, t) =>
+      (qid, graft.search.MultiTerm.parseWildcardQuery(t))
+    }
+    val litValues0 = parsed.flatMap { case (qid, (terms, _)) =>
+      terms.map(t => s"($qid, '${esc(t)}')")
+    }
+    val litValues = if (litValues0.nonEmpty) litValues0 else Seq("(0, '')")
+    val expSelects = parsed.flatMap { case (qid, (_, pats)) =>
+      pats.map(p => s"SELECT $qid AS query_id, term FROM df " +
+        s"WHERE term LIKE '${graft.search.MultiTerm.likePattern(p)}'")
+    }
+    bm25Expanded(corpusSql, litValues, expSelects, k)
+  }
+
+  /** Twin of [[graft.search.MultiTerm.searchFuzzy]]: fuzzy stems expand
+    * against the df relation via PLAIN levenshtein ≤ maxEdits (both
+    * engines evaluate it natively — the pinned distance; Lucene's
+    * transposition-counting default is a documented divergence), then the
+    * scoring-boolean rewrite. */
+  def bm25Fuzzy(corpusSql: String, queries: Seq[(Int, String)],
+                k: Int): String = {
+    val parsed = queries.map { case (qid, t) =>
+      (qid, graft.search.MultiTerm.parseFuzzyQuery(t))
+    }
+    val litValues0 = parsed.flatMap { case (qid, (terms, _)) =>
+      terms.map(t => s"($qid, '${esc(t)}')")
+    }
+    val litValues = if (litValues0.nonEmpty) litValues0 else Seq("(0, '')")
+    val expSelects = parsed.flatMap { case (qid, (_, stems)) =>
+      stems.map { case (st, n) =>
+        s"SELECT $qid AS query_id, term FROM df " +
+          s"WHERE levenshtein(term, '${esc(st)}') <= $n"
+      }
+    }
+    bm25Expanded(corpusSql, litValues, expSelects, k)
+  }
+
+  /** Shared tail of the MultiTermQuery twins (prefix/wildcard/fuzzy):
+    * literal (query_id, term) VALUES ∪ per-pattern dictionary-expansion
+    * SELECTs, deduped, scored by the standard BM25 CTE chain. */
+  private def bm25Expanded(corpusSql: String, litValues: Seq[String],
+                           expSelects: Seq[String], k: Int): String = {
     val qtBody = (
       s"SELECT query_id, term FROM (VALUES ${litValues.mkString(", ")}) lit0(query_id, term)" +:
         expSelects).mkString("\n  UNION ALL\n  ")
@@ -703,6 +754,173 @@ object Oracle {
        |  FROM scored $conjJoin)
        |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
        |FROM ranked WHERE rnk > $start AND rnk <= ${start + k}
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Transcripts corpus carrying the full facetable attribute set (the
+    * persisted index's `docs/` columns minus ts — dl rides the dl CTE). */
+  def transcriptsCorpusFacets: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |       text, conv_id, role, tool, turn_idx
+       |FROM ($transcriptsSql)""".stripMargin
+
+  /** queries → qt → distinct (query_id, doc_id) match-set CTE chain —
+    * the DocSet every facet twin shares. */
+  private def matchedCtes(queries: Seq[(Int, String)]): String =
+    s"""queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |matched AS (SELECT DISTINCT qt.query_id, tf.doc_id
+       |  FROM qt JOIN tf USING (term))""".stripMargin
+
+  /** Twin of [[graft.search.Facets.fields]] via IndexSearch.facetFields:
+    * repeated facet.field params, NULL values uncounted, string-valued. */
+  def facetFields(queries: Seq[(Int, String)], cols: Seq[String]): String = {
+    val branches = cols.map { c =>
+      s"""SELECT query_id, '$c' AS field, CAST($c AS VARCHAR) AS value, count(*)::BIGINT AS n_docs
+         |  FROM matched JOIN corpus USING (doc_id) WHERE $c IS NOT NULL
+         |  GROUP BY query_id, $c""".stripMargin
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)}
+       |SELECT * FROM (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY query_id, field, value""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Facets.queryCounts]]: named facet.query
+    * predicates (SQL twins of the Spark Columns), zero-filled on the
+    * query-id spine — a query with an empty match set still reports
+    * all-zero rows. Predicates may reference corpus attributes and dl. */
+  def facetQueries(queries: Seq[(Int, String)],
+                   named: Seq[(String, String)]): String = {
+    val aggCols = named.zipWithIndex.map { case ((_, pred), i) =>
+      s"count(*) FILTER (WHERE $pred) AS c$i"
+    }
+    val branches = named.zipWithIndex.map { case ((n, _), i) =>
+      s"SELECT query_id, '${esc(n)}' AS facet, CAST(coalesce(c$i, 0) AS BIGINT) AS n_docs FROM filled"
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |agg AS (SELECT query_id, ${aggCols.mkString(", ")}
+       |        FROM matched JOIN corpus USING (doc_id) JOIN dl USING (doc_id)
+       |        GROUP BY query_id),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |filled AS (SELECT qids.query_id, ${named.indices.map(i => s"c$i").mkString(", ")}
+       |           FROM qids LEFT JOIN agg ON qids.query_id = agg.query_id)
+       |SELECT * FROM (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY query_id, facet""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Facets.range]] over the dl attribute:
+    * half-open [b, b+gap) buckets keyed by LONG bucket start, full
+    * (query × bucket) spine zero-filled, values outside [start, end)
+    * uncounted. */
+  def facetRangeDl(queries: Seq[(Int, String)], start: Long, end: Long,
+                   gap: Long): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |buckets AS (SELECT unnest(range($start, $end, $gap)) AS bucket),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |spine AS (SELECT query_id, bucket FROM qids CROSS JOIN buckets),
+       |cnt AS (SELECT query_id,
+       |               CAST($start + ((dl - $start) // $gap) * $gap AS BIGINT) AS bucket,
+       |               count(*)::BIGINT AS n
+       |        FROM matched JOIN dl USING (doc_id)
+       |        WHERE dl >= $start AND dl < $end
+       |        GROUP BY 1, 2)
+       |SELECT query_id, bucket, CAST(coalesce(n, 0) AS BIGINT) AS n_docs
+       |FROM spine LEFT JOIN cnt USING (query_id, bucket)
+       |ORDER BY query_id, bucket""".stripMargin
+
+  /** Twin of [[graft.search.Facets.topValues]] via IndexSearch.facetTop:
+    * facet.sort=count + facet.limit — top-N values by (n_docs DESC,
+    * value ASC), rank in the output. */
+  def facetTop(queries: Seq[(Int, String)], field: String,
+               topN: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |cnt AS (SELECT query_id, CAST($field AS VARCHAR) AS value, count(*)::BIGINT AS n_docs
+       |        FROM matched JOIN corpus USING (doc_id)
+       |        WHERE $field IS NOT NULL GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY n_docs DESC, value ASC) AS rnk FROM cnt)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", value, n_docs
+       |FROM ranked WHERE rnk <= $topN
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[graft.search.Facets.stats]] via IndexSearch.statsField over
+    * the dl attribute: per-query count/min/max/sum/mean over the match
+    * set, zero-filled on the query spine (empty match set → n_docs 0,
+    * NULL min/max/sum/mean). mean = exact integer sum / exact count,
+    * rounded once — the FP-safe shape. */
+  def statsDl(queries: Seq[(Int, String)]): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |agg AS (SELECT query_id, count(*)::BIGINT AS n,
+       |               CAST(min(dl) AS BIGINT) AS vmin, CAST(max(dl) AS BIGINT) AS vmax,
+       |               CAST(sum(dl) AS BIGINT) AS vsum
+       |        FROM matched JOIN dl USING (doc_id) GROUP BY query_id),
+       |qids AS (SELECT DISTINCT query_id FROM queries)
+       |SELECT qids.query_id, CAST(coalesce(n, 0) AS BIGINT) AS n_docs,
+       |       vmin, vmax, vsum,
+       |       round(CAST(vsum AS DOUBLE) / n, 4) AS vmean
+       |FROM qids LEFT JOIN agg ON qids.query_id = agg.query_id
+       |ORDER BY qids.query_id""".stripMargin
+
+  /** Twin of [[graft.search.Grouping.topGroups]] via
+    * IndexSearch.searchGrouped: top-kGroups groups by head-doc
+    * (round(score,7) DESC, doc_id ASC), groupLimit docs per group by the
+    * same ordering, NULL group values excluded (the pinned divergence —
+    * see Grouping's scaladoc), group value as string. */
+  def groupTopK(queries: Seq[(Int, String)], groupField: String,
+                kGroups: Int, groupLimit: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |gdocs AS (SELECT query_id, doc_id, score, CAST($groupField AS VARCHAR) AS group_value
+       |          FROM scored JOIN corpus USING (doc_id)
+       |          WHERE $groupField IS NOT NULL),
+       |dranked AS (SELECT *, row_number() OVER (PARTITION BY query_id, group_value
+       |                       ORDER BY round(score, 7) DESC, doc_id ASC) AS doc_rank
+       |            FROM gdocs),
+       |granked AS (SELECT query_id, group_value,
+       |                   row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY round(score, 7) DESC, doc_id ASC) AS group_rank
+       |            FROM dranked WHERE doc_rank = 1)
+       |SELECT query_id, CAST(group_rank AS INT) AS group_rank, group_value,
+       |       CAST(doc_rank AS INT) AS doc_rank, doc_id, round(score, 4) AS score
+       |FROM dranked JOIN granked USING (query_id, group_value)
+       |WHERE group_rank <= $kGroups AND doc_rank <= $groupLimit
+       |ORDER BY query_id, group_rank, doc_rank""".stripMargin
+
+  /** Twin of [[graft.search.Suggest.suggest]]: per-request prefix probes
+    * of the df relation ranked by (df DESC, term ASC), top-n each. The
+    * request prefixes are alphabet-checked by the shared engine parse
+    * rules, so LIKE needs no escaping. */
+  def suggest(prefixes: Seq[(Int, String)], n: Int): String = {
+    val branches = prefixes.map { case (qid, p0) =>
+      val p = p0.toLowerCase
+      require(p.matches("[a-z0-9]+"),
+        s"suggest prefix '$p' must be a partial token over [a-z0-9]")
+      s"SELECT $qid AS query_id, term, df FROM df WHERE term LIKE '${esc(p)}%'"
+    }
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |cand AS (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY df DESC, term ASC) AS rnk FROM cand)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", term, df
+       |FROM ranked WHERE rnk <= $n
        |ORDER BY query_id, rnk""".stripMargin
   }
 }

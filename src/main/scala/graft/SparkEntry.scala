@@ -114,6 +114,56 @@ object SparkEntry {
     6 -> "key-va*",
     7 -> "b* gr*")
 
+  /** Wildcard query set (Lucene WildcardQuery: '*' any run, '?' one
+    * char): single-char wildcard, inner star, LEADING star (the full-scan
+    * caveat case), wildcard + literal term mix, a pattern matching
+    * nothing, a multi-star multi-match (s*m* → small/stream), case
+    * normalization, and the bare '?' (single-letter terms). */
+  val WildcardQueries: Seq[(Int, String)] = Seq(
+    1 -> "s?an",
+    2 -> "me*e",
+    3 -> "*dow",
+    4 -> "b?tch dup",
+    5 -> "zz?missing",
+    6 -> "s*m*",
+    7 -> "W?NDOW",
+    8 -> "?")
+
+  /** Fuzzy query set (Lucene FuzzyQuery, plain-Levenshtein pinning — see
+    * [[graft.search.MultiTerm]]): one-edit hit, self-match, default ~ (=2
+    * edits), exact-only ~0 (TermQuery degenerate), a stem matching
+    * nothing, analyzer case-fold on the stem, a multi-term expansion
+    * (sort~2 → sort + part), and fuzzy + literal mix. */
+  val FuzzyQueries: Seq[(Int, String)] = Seq(
+    1 -> "merqe~1",
+    2 -> "spark~1",
+    3 -> "windoq~",
+    4 -> "dup~0",
+    5 -> "zzqq~1",
+    6 -> "ORDER~1",
+    7 -> "sort~2",
+    8 -> "batch~2 merge")
+
+  /** facet.query request: (name, Spark predicate, SQL twin) triples over
+    * the stored doc attributes — defined once so the engine and the
+    * oracle cannot drift. */
+  val FacetQueryDefs: Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("assistant_docs", col("role") === "assistant", "role = 'assistant'"),
+    ("early_turns", col("turn_idx") <= 1, "turn_idx <= 1"),
+    ("long_docs", col("dl") >= 60, "dl >= 60"),
+    ("tool_turns", col("tool").isNotNull, "tool IS NOT NULL"))
+
+  /** Suggester request set: common stem, a fat single-letter prefix, a
+    * longer stem, a prefix matching nothing, case normalization, and a
+    * digit-bearing prefix. */
+  val SuggestPrefixes: Seq[(Int, String)] = Seq(
+    1 -> "me",
+    2 -> "s",
+    3 -> "win",
+    4 -> "zzzzqq",
+    5 -> "DU",
+    6 -> "ba")
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
 
@@ -408,6 +458,42 @@ object SparkEntry {
     // scoring-boolean rewrite, maxExpansions guard
     "q_bm25_prefix" -> ((s, dir) =>
       IndexSearch.searchPrefix(indexFor(s, dir), PrefixQueries)),
+    // Lucene WildcardQuery (te*t / t?st): LIKE expansion against the
+    // dictionary, literal prefix pushed to the scan where one exists
+    "q_bm25_wildcard" -> ((s, dir) =>
+      graft.search.MultiTerm.searchWildcard(indexFor(s, dir), WildcardQueries)),
+    // Lucene FuzzyQuery (roam~1): one batched dictionary pass,
+    // length-window prune + levenshtein <= maxEdits expansion
+    "q_bm25_fuzzy" -> ((s, dir) =>
+      graft.search.MultiTerm.searchFuzzy(indexFor(s, dir), FuzzyQueries)),
+    // Solr multi-facet request: repeated facet.field params counted from
+    // ONE match-set join (role + tool, NULLs uncounted)
+    "q_facet_multi" -> ((s, dir) =>
+      IndexSearch.facetFields(indexFor(s, dir), DisjQueries, Seq("role", "tool"))),
+    // Solr facet.query: named attribute predicates, zero-filled on the
+    // query spine (query 5 matches nothing — all-zero rows pin the spine)
+    "q_facet_query" -> ((s, dir) =>
+      IndexSearch.facetQueries(indexFor(s, dir), DisjQueries,
+        FacetQueryDefs.map(d => (d._1, d._2)))),
+    // Solr facet.range over the stored dl attribute: [0,120) by 20,
+    // full bucket spine per query with zero-filled gaps
+    "q_facet_range" -> ((s, dir) =>
+      IndexSearch.facetRange(indexFor(s, dir), DisjQueries, "dl", 0L, 120L, 20L)),
+    // Solr facet.sort=count + facet.limit: top-3 tool values per query
+    "q_facet_top" -> ((s, dir) =>
+      IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "tool", 3)),
+    // Solr StatsComponent over dl: count/min/max/sum/mean per query,
+    // zero-filled spine (query 5 matches nothing)
+    "q_stats_dl" -> ((s, dir) =>
+      IndexSearch.statsField(indexFor(s, dir), DisjQueries, "dl")),
+    // Solr result grouping / field collapsing: top-5 conversations per
+    // query by best-turn score, 3 turns each
+    "q_group_conv" -> ((s, dir) =>
+      IndexSearch.searchGrouped(indexFor(s, dir), DisjQueries, "conv_id",
+        kGroups = 5, groupLimit = 3)),
+    // Lucene term suggester: df-weighted prefix completion, top-5
+    "q_suggest" -> ((s, dir) =>
+      graft.search.Suggest.suggest(indexFor(s, dir), SuggestPrefixes, 5)),
     // Multimodal plumbing: binary payloads, partition-batched decode stub
     "q_media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaTable(s, dir))),
@@ -630,6 +716,16 @@ object SparkEntry {
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5, tie = 0.0),
     "q_bm25_sort_ts" -> Oracle.bm25SortTs(DisjQueries, 10),
     "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
+    "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
+    "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
+    "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
+    "q_facet_query" -> Oracle.facetQueries(DisjQueries,
+      FacetQueryDefs.map(d => (d._1, d._3))),
+    "q_facet_range" -> Oracle.facetRangeDl(DisjQueries, 0L, 120L, 20L),
+    "q_facet_top" -> Oracle.facetTop(DisjQueries, "tool", 3),
+    "q_stats_dl" -> Oracle.statsDl(DisjQueries),
+    "q_group_conv" -> Oracle.groupTopK(DisjQueries, "conv_id", 5, 3),
+    "q_suggest" -> Oracle.suggest(SuggestPrefixes, 5),
     "q_media_features" -> OracleOps.mediaFeatures,
     "q_media_frames" -> OracleOps.mediaFrames(256, 2),
     "q_events_props" -> OracleOps.eventsProps,

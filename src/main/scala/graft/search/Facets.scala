@@ -1,0 +1,195 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Solr faceting beyond the single `facet.field`: multi-field facet
+  * composition, arbitrary `facet.query` predicates, and `facet.range`
+  * bucketing — the three facet shapes one real Solr request mixes freely.
+  *
+  * Shared core over (matched(query_id, doc_id), attrs(doc_id, …)): engine
+  * paths supply `matched` (inline corpus: term-occurrence join; persisted
+  * index: decoded postings — see [[IndexSearch.facetFields]]) and `attrs`
+  * (corpus columns / the column-pruned `docs/` scan). Each operator is ONE
+  * key-join plus one aggregation shuffle for ALL its facets — Solr
+  * computes every facet of a request in one pass over the matching DocSet,
+  * and the Spark twin keeps that shape (N fields do NOT cost N joins: the
+  * field set unpivots through a struct-array explode inside the same
+  * scan).
+  *
+  * Pinned semantics:
+  *  - facet.field: NULL attribute values are NOT counted (Solr's
+  *    `facet.missing=false` default); values surface as strings (they are
+  *    JSON keys in a Solr response); output ordered (query_id, field,
+  *    value) — `facet.sort=index`.
+  *  - facet.query: one count per (query × named predicate) INCLUDING
+  *    zeros — Solr returns every requested facet.query key, so a query
+  *    whose match set misses the predicate (or is EMPTY) still reports 0;
+  *    the spine is the driver-known query-id list, not the match set.
+  *  - facet.range: half-open [b, b+gap) buckets keyed by bucket start,
+  *    full spine from `start` to `end` for EVERY query with zero-filled
+  *    gaps (`facet.mincount=0` default); values outside [start, end) are
+  *    uncounted (`facet.range.other=none` default — no before/after
+  *    buckets).
+  */
+object Facets {
+
+  /** Multi-field `facet.field`: (query_id, field, value, n_docs). */
+  def fields(matched: DataFrame, attrs: DataFrame,
+             fieldNames: Seq[String]): DataFrame = {
+    require(fieldNames.nonEmpty, "facet.field list must be non-empty")
+    val fv = explode(array(fieldNames.map(f =>
+      struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
+    matched
+      .join(attrs.select(col("doc_id") +: fieldNames.map(col): _*), "doc_id")
+      .select(col("query_id"), fv.as("_fv"))
+      .select(col("query_id"), col("_fv.field").as("field"),
+        col("_fv.value").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("query_id", "field", "value")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id", "field", "value")
+  }
+
+  /** `facet.query`: (query_id, facet, n_docs) for named predicates over
+    * the stored attributes, zero-filled on the (queryIds × named) spine.
+    * All predicates aggregate in the one pass (conditional sums), then
+    * unpivot to rows. */
+  def queryCounts(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                  named: Seq[(String, Column)]): DataFrame = {
+    require(named.nonEmpty, "facet.query list must be non-empty")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val aggs = named.map { case (n, p) =>
+      sum(when(p, lit(1L)).otherwise(lit(0L))).as(n)
+    }
+    val agged = matched.join(attrs, "doc_id")
+      .groupBy("query_id").agg(aggs.head, aggs.tail: _*)
+    val spine = queryIds.distinct.sorted.toDF("query_id")
+    val fr = explode(array(named.map { case (n, _) =>
+      struct(lit(n).as("facet"), coalesce(col(n), lit(0L)).as("n_docs"))
+    }: _*))
+    // agged is ≤ |queries| rows — broadcast the RIGHT side (Spark cannot
+    // broadcast the left side of a left-outer join)
+    spine.join(broadcast(agged), Seq("query_id"), "left")
+      .select(col("query_id"), fr.as("_f"))
+      .select(col("query_id"), col("_f.facet").as("facet"),
+        col("_f.n_docs").as("n_docs"))
+      .orderBy("query_id", "facet")
+  }
+
+  /** Solr `facet.sort=count` + `facet.limit`: the top-N values of ONE
+    * facet field per query, ranked by (n_docs DESC, value ASC) — count
+    * sort IS Solr's default; [[fields]] pins the `facet.sort=index`
+    * variant, this pins the other. The rank column makes the truncation
+    * order part of the verified output. NULLs uncounted, string-valued,
+    * same as [[fields]]. */
+  def topValues(matched: DataFrame, attrs: DataFrame, field: String,
+                topN: Int): DataFrame = {
+    require(topN > 0, s"facet.limit must be positive (got $topN)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_docs").desc, col("value").asc)
+    matched
+      .join(attrs.select(col("doc_id"), col(field).cast("string").as("value")),
+        "doc_id")
+      .where(col("value").isNotNull)
+      .groupBy("query_id", "value")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= topN)
+      .select("query_id", "rank", "value", "n_docs")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Solr StatsComponent (`stats=true&stats.field=f`) over a numeric
+    * stored attribute: per-query count/min/max/sum/mean of the field over
+    * the match set, zero-filled on the driver-known query spine — a query
+    * with an empty match set reports n_docs=0 with NULL min/max/sum/mean
+    * (Solr reports the stats key regardless). mean is the one double:
+    * computed as sum/count on exact integer aggregates and rounded once
+    * at the end (the only FP-safe shape — see BASELINE.md rounding
+    * notes). */
+  def stats(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+            field: String): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val v = col(field).cast("long")
+    val agged = matched.join(attrs.select(col("doc_id"), col(field)), "doc_id")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("_n"), min(v).as("_min"), max(v).as("_max"),
+        sum(v).as("_sum"))
+    val spine = queryIds.distinct.sorted.toDF("query_id")
+    // agged is ≤ |queries| rows — broadcast the right side of the left join
+    spine.join(broadcast(agged), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_n"), lit(0L)).as("n_docs"),
+        col("_min").as("vmin"), col("_max").as("vmax"),
+        col("_sum").as("vsum"),
+        round(col("_sum").cast("double") / col("_n"), 4).as("vmean"))
+      .orderBy("query_id")
+  }
+
+  /** Solr `facet.pivot=parent,child` — hierarchical (two-level) pivot
+    * faceting: for each query, the count of every parent value AND of
+    * every (parent, child) pair nested under it, from ONE aggregation
+    * pass (ROLLUP + grouping-id filter — both engines evaluate grouping
+    * sets natively, so N levels do not cost N scans).
+    *
+    * Pinned semantics:
+    *  - docs with a NULL parent are uncounted entirely
+    *    (facet.missing=false, as in [[fields]]);
+    *  - a NULL child still counts at the PARENT level but contributes no
+    *    child row (Solr: the pivot's child list just omits it);
+    *  - values string-typed; parent-level rows carry child = NULL;
+    *  - output ordered (query_id, parent, child NULLS FIRST) — ordering
+    *    is presentational, the gate compares row sets.
+    *
+    * Scale shape: same single match-set join as every facet; the rollup
+    * is one hash aggregation keyed by (query, parent, child) — cardinality
+    * is facet-shaped, never corpus-shaped. */
+  def pivot(matched: DataFrame, attrs: DataFrame, parentField: String,
+            childField: String): DataFrame = {
+    val joined = matched
+      .join(attrs.select(col("doc_id"),
+        col(parentField).cast("string").as("parent"),
+        col(childField).cast("string").as("child")), "doc_id")
+      .where(col("parent").isNotNull)
+    // rollup levels: gid 0 = (q, parent, child), 1 = (q, parent),
+    // 3 = (q), 7 = (); keep the pivot's two levels, and drop the
+    // ambiguous (parent, NULL-child) leaf rows — those docs already
+    // counted at the parent level.
+    joined.rollup(col("query_id"), col("parent"), col("child"))
+      .agg(count(lit(1)).as("n_docs"), grouping_id().as("_gid"))
+      .where(col("_gid") === 1 ||
+        (col("_gid") === 0 && col("child").isNotNull))
+      .select("query_id", "parent", "child", "n_docs")
+      .orderBy(col("query_id"), col("parent"), col("child").asc_nulls_first)
+  }
+
+  /** `facet.range` over a numeric attribute: (query_id, bucket, n_docs)
+    * with bucket = the LONG start of its half-open [b, b+gap) window. The
+    * (queryIds × buckets) spine is driver-built — O(|queries| ·
+    * (end-start)/gap), a request-shaped size, never corpus-shaped. */
+  def range(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+            field: String, start: Long, end: Long, gap: Long): DataFrame = {
+    require(gap > 0 && end > start,
+      s"facet.range needs gap > 0 and end > start (got [$start, $end) by $gap)")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val spine = (for { q <- queryIds.distinct; b <- start until end by gap }
+      yield (q, b)).toDF("query_id", "bucket")
+    val v = col(field).cast("long")
+    val cnt = matched.join(attrs.select(col("doc_id"), col(field)), "doc_id")
+      .where(v >= start && v < end)
+      .withColumn("bucket",
+        (lit(start) + floor((v - lit(start)) / lit(gap)) * lit(gap)).cast("long"))
+      .groupBy("query_id", "bucket").agg(count(lit(1)).as("n_docs"))
+    // cnt is ≤ |queries|·|buckets| rows post-aggregation — broadcast the
+    // RIGHT side (left side of a left-outer join cannot broadcast)
+    spine.join(broadcast(cnt), Seq("query_id", "bucket"), "left")
+      .select(col("query_id"), col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("query_id", "bucket")
+  }
+}

@@ -272,6 +272,17 @@ object IndexSearch {
     val qtRows = parsed.flatMap { case (qid, (terms, prefixes)) =>
       (terms ++ prefixes.flatMap(expansions)).distinct.map(t => (qid, t))
     }
+    searchExpandedTerms(idx, qtRows, k)
+  }
+
+  /** Score + rank a pre-expanded (query_id, term) list with the standard
+    * disjunctive engine — the shared tail of every MultiTermQuery rewrite
+    * ([[searchPrefix]], [[MultiTerm.searchWildcard]],
+    * [[MultiTerm.searchFuzzy]]). */
+  private[search] def searchExpandedTerms(idx: OpenIndex,
+      qtRows: Seq[(Int, String)], k: Int): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
     if (qtRows.isEmpty)
       return Seq.empty[ResultRow].toDF()
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
@@ -401,15 +412,74 @@ object IndexSearch {
     * (column-pruned scan). */
   def facetCounts(idx: OpenIndex, queries: Seq[(Int, String)],
                   facetCol: String): DataFrame = {
-    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
-    val matched = matchedPostings(idx, qt)
-      .select("query_id", "doc_id").distinct()
     val attrs = idx.io.read(idx.spark, idx.paths.docs)
       .select(col("doc_id"), col(facetCol))
-    matched.join(attrs, "doc_id")
+    matchedDocSet(idx, queries).join(attrs, "doc_id")
       .groupBy("query_id", facetCol)
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("query_id", facetCol)
+  }
+
+  /** The distinct (query_id, doc_id) match set of a disjunctive query
+    * batch — the DocSet every facet of a request shares. */
+  private[search] def matchedDocSet(idx: OpenIndex,
+                                    queries: Seq[(Int, String)]): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    matchedPostings(idx, qt).select("query_id", "doc_id").distinct()
+  }
+
+  /** Stored attributes for faceting: the `docs/` scan minus the text
+    * column (facets never read text; Catalyst prunes further to the
+    * fields each facet actually references). */
+  private def facetAttrs(idx: OpenIndex): DataFrame =
+    idx.io.read(idx.spark, idx.paths.docs).drop("text")
+
+  /** Multi-field Solr `facet.field` over the persisted index — repeated
+    * facet.field params of one request, all counted from ONE match-set
+    * join ([[Facets.fields]] semantics). */
+  def facetFields(idx: OpenIndex, queries: Seq[(Int, String)],
+                  fieldNames: Seq[String]): DataFrame =
+    Facets.fields(matchedDocSet(idx, queries), facetAttrs(idx), fieldNames)
+
+  /** Solr `facet.query` over the persisted index: named predicates over
+    * the stored attributes, zero-filled on the request spine
+    * ([[Facets.queryCounts]] semantics). */
+  def facetQueries(idx: OpenIndex, queries: Seq[(Int, String)],
+                   named: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    Facets.queryCounts(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), named)
+
+  /** Solr `facet.range` over a numeric stored attribute of the persisted
+    * index ([[Facets.range]] semantics). */
+  def facetRange(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
+                 start: Long, end: Long, gap: Long): DataFrame =
+    Facets.range(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field, start, end, gap)
+
+  /** Solr `facet.sort=count` + `facet.limit` over the persisted index
+    * ([[Facets.topValues]] semantics). */
+  def facetTop(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
+               topN: Int): DataFrame =
+    Facets.topValues(matchedDocSet(idx, queries), facetAttrs(idx),
+      field, topN)
+
+  /** Solr StatsComponent over the persisted index ([[Facets.stats]]
+    * semantics). */
+  def statsField(idx: OpenIndex, queries: Seq[(Int, String)],
+                 field: String): DataFrame =
+    Facets.stats(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field)
+
+  /** Solr result grouping / field collapsing over the persisted index
+    * ([[Grouping.topGroups]] semantics): top-`kGroups` groups of each
+    * query's disjunctive match set by best-doc score, `groupLimit` docs
+    * per group. */
+  def searchGrouped(idx: OpenIndex, queries: Seq[(Int, String)],
+                    groupField: String, kGroups: Int = 10,
+                    groupLimit: Int = 1): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    Grouping.topGroups(scoredDocs(idx, qt, conjunctive = false),
+      facetAttrs(idx), groupField, kGroups, groupLimit)
   }
 
   /** Sampled-probe verdicts for LEGACY marker-less roots only — cached so

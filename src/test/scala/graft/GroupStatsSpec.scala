@@ -1,0 +1,107 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.{IndexSearch, Suggest}
+
+/** Result grouping ([[graft.search.Grouping]]), StatsComponent +
+  * facet.sort=count ([[graft.search.Facets]]), and the df-weighted term
+  * suggester ([[Suggest]]) — each checked against a brute in-spec twin
+  * derived from the plain engine / dictionary. */
+class GroupStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftgs").toString
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  // doc_ids 0..4 in (conv_id, turn_idx) order; dl = 3,3,3,7,9
+  lazy val idx: IndexSearch.OpenIndex = {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(0)),
+      ("c0", 1, "assistant", "ant bee cat", "toolA", ts(1)),
+      ("c1", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(2)),
+      ("c1", 1, "assistant", "cat dog emu fox gnu hen ibis", "toolB", ts(3)),
+      ("c2", 0, "user", "dog emu fox gnu hen ibis jay kit lark", null.asInstanceOf[String], ts(4)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "gs", BuildIndexJob.Config(numShards = 4))
+    IndexSearch.open(spark, root)
+  }
+
+  /** Brute grouping: fold the FULL plain ranking into groups in Scala. */
+  private def bruteGroups(q: Seq[(Int, String)], groupOf: Long => String,
+                          kG: Int, m: Int): Seq[(Int, Int, String, Int, Long)] = {
+    val full = IndexSearch.search(idx, q, k = 1000)
+      .select("query_id", "rank", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    full.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val byDoc = rows.sortBy(_._2) // plain rank order = score-desc, id-asc
+      // group order = order of first appearance in the plain ranking
+      val groupOrder = byDoc.map(r => groupOf(r._3)).distinct.take(kG)
+      groupOrder.zipWithIndex.flatMap { case (g, gi) =>
+        byDoc.filter(r => groupOf(r._3) == g).take(m).zipWithIndex.map {
+          case ((_, _, doc), di) => (qid, gi + 1, g, di + 1, doc)
+        }
+      }
+    }.sortBy(t => (t._1, t._2, t._4))
+  }
+
+  test("grouping ≡ brute group-fold of the plain ranking (conv_id)") {
+    val qs = Seq(1 -> "bee", 2 -> "cat dog", 3 -> "zzz")
+    val got = IndexSearch.searchGrouped(idx, qs, "conv_id", kGroups = 2,
+        groupLimit = 2)
+      .select("query_id", "group_rank", "group_value", "doc_rank", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    val conv = Map(0L -> "c0", 1L -> "c0", 2L -> "c1", 3L -> "c1", 4L -> "c2")
+    assert(got == bruteGroups(qs, conv, 2, 2) && got.nonEmpty)
+  }
+
+  test("grouping by a unique field with limit 1 ≡ the plain top-k") {
+    val qs = Seq(1 -> "cat dog", 2 -> "bee")
+    val got = IndexSearch.searchGrouped(idx, qs, "doc_id", kGroups = 3,
+        groupLimit = 1)
+      .select("query_id", "group_rank", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = IndexSearch.search(idx, qs, k = 3)
+      .select("query_id", "rank", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("grouping excludes NULL group values (pinned divergence)") {
+    // bee matches docs 0,1,2; only doc 1 has a tool → one group
+    val got = IndexSearch.searchGrouped(idx, Seq(1 -> "bee"), "tool",
+        kGroups = 5, groupLimit = 5)
+      .select("group_value", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("toolA", 1L)))
+  }
+
+  test("stats: count/min/max/sum/mean over the match set, zero-filled spine") {
+    // bee → docs 0,1,2 (dl 3,3,3); zzz → nothing
+    val rows = IndexSearch.statsField(idx, Seq(1 -> "bee", 2 -> "zzz"), "dl")
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(rows == Seq(
+      (1, 3L, Some(3L), Some(3L), Some(9L), Some(3.0)),
+      (2, 0L, None, None, None, None)))
+  }
+
+  test("facet.sort=count ranks by n_docs desc then value asc, capped") {
+    // "bee cat" matches docs 0,1,2,3 → roles user×2, assistant×2 —
+    // count tie broken by value: assistant first
+    val rows = IndexSearch.facetTop(idx, Seq(1 -> "bee cat"), "role", 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1, 1, "assistant", 2L)))
+  }
+
+  test("suggest: df-weighted prefix completion, case-folded, rank-capped") {
+    // dictionary df: ant 2, apple 1, bee 3, cat 3, dog 3, emu 2, …
+    val got = Suggest.suggest(idx, Seq(1 -> "a", 2 -> "C", 3 -> "zz"), n = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, 1, "ant", 2L), (2, 1, "cat", 3L)))
+    val e = intercept[IllegalArgumentException](
+      Suggest.suggest(idx, Seq(1 -> "a%b")))
+    assert(e.getMessage.contains("partial token"))
+  }
+}

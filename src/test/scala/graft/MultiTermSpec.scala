@@ -1,0 +1,100 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.{IndexSearch, MultiTerm}
+
+/** Wildcard + fuzzy MultiTermQuery rewrites ([[MultiTerm]]): each must
+  * equal the plain disjunctive engine over the hand/brute-expanded term
+  * set (the scoring-boolean rewrite pinning), with loud failure on
+  * over-broad expansion and malformed patterns. */
+class MultiTermSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftmt").toString
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  lazy val idx: IndexSearch.OpenIndex = {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(0)),
+      ("c1", 0, "user", "ant bee cat", null.asInstanceOf[String], ts(1)),
+      ("c2", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(2)),
+      ("c3", 0, "user", "cat dog emu", null.asInstanceOf[String], ts(3)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "mt", BuildIndexJob.Config(numShards = 4))
+    IndexSearch.open(spark, root)
+  }
+  lazy val dict: Seq[String] =
+    idx.dictionary.select("term").collect().map(_.getString(0)).toSeq.sorted
+
+  private def sameAs(got: org.apache.spark.sql.DataFrame,
+                     terms: String): Unit = {
+    val want = IndexSearch.search(idx, Seq(1 -> terms))
+      .orderBy("rank").collect().toSeq
+    assert(got.orderBy("rank").collect().toSeq == want)
+  }
+
+  test("wildcard ≡ hand-expanded disjunction (inner/leading/single-char)") {
+    // ?at → cat; mixed with a literal term
+    sameAs(MultiTerm.searchWildcard(idx, Seq(1 -> "?at dog")), "cat dog")
+    // a* as a wildcard ≡ the prefix engine's expansion {ant, apple}
+    sameAs(MultiTerm.searchWildcard(idx, Seq(1 -> "a*")), "ant apple")
+    // leading star pays a full dictionary scan but must still be exact
+    sameAs(MultiTerm.searchWildcard(idx, Seq(1 -> "*t")), "ant cat")
+    // inner star anchored on both ends
+    sameAs(MultiTerm.searchWildcard(idx, Seq(1 -> "a*e")), "apple")
+    // case folds before matching
+    sameAs(MultiTerm.searchWildcard(idx, Seq(1 -> "D?G")), "dog")
+    // nothing matches → that query is simply absent
+    assert(MultiTerm.searchWildcard(idx, Seq(1 -> "zz?x")).count() == 0)
+  }
+
+  test("wildcard guards: maxExpansions + token alphabet") {
+    val e = intercept[IllegalArgumentException](
+      MultiTerm.searchWildcard(idx, Seq(1 -> "a*"), maxExpansions = 1))
+    assert(e.getMessage.contains("maxExpansions"))
+    val e2 = intercept[IllegalArgumentException](
+      MultiTerm.searchWildcard(idx, Seq(1 -> "a%b*")))
+    assert(e2.getMessage.contains("alphabet"))
+  }
+
+  /** Plain Levenshtein — the spec's independent brute twin. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzy ≡ brute-expanded disjunction over the dictionary") {
+    for ((stem, n) <- Seq(("aple", 1), ("be", 1), ("cat", 2), ("dog", 0))) {
+      val expanded = dict.filter(t => lev(t, stem) <= n)
+      val got = MultiTerm.searchFuzzy(idx, Seq(1 -> s"$stem~$n"))
+        .orderBy("rank").collect().toSeq
+      val want =
+        if (expanded.isEmpty) Seq.empty
+        else IndexSearch.search(idx, Seq(1 -> expanded.mkString(" ")))
+          .orderBy("rank").collect().toSeq
+      assert(got == want, s"stem $stem~$n expanded to $expanded")
+    }
+    // sanity on the interesting case: cat~2 multi-expands (ant is 2 edits)
+    assert(dict.filter(t => lev(t, "cat") <= 2).toSet == Set("ant", "cat"))
+    // bare ~ means maxEdits 2
+    assert(MultiTerm.searchFuzzy(idx, Seq(1 -> "cat~")).collect().toSeq ==
+      MultiTerm.searchFuzzy(idx, Seq(1 -> "cat~2")).collect().toSeq)
+    // nothing within reach → empty
+    assert(MultiTerm.searchFuzzy(idx, Seq(1 -> "zzzzzz~1")).count() == 0)
+  }
+
+  test("fuzzy guards: maxEdits bound + maxExpansions") {
+    val e = intercept[IllegalArgumentException](
+      MultiTerm.searchFuzzy(idx, Seq(1 -> "cat~3")))
+    assert(e.getMessage.contains("maxEdits"))
+    val e2 = intercept[IllegalArgumentException](
+      MultiTerm.searchFuzzy(idx, Seq(1 -> "cat~2"), maxExpansions = 1))
+    assert(e2.getMessage.contains("maxExpansions"))
+  }
+}

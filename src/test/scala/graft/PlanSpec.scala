@@ -63,13 +63,31 @@ class PlanSpec extends SparkSpec {
 
   test("prefix expansion probes the dictionary with a pushed StartsWith range") {
     val idx = IndexSearch.open(spark, root)
-    val probe = idx.dictionary.where(col("term").startsWith("w1"))
+    // w12* stays under maxExpansions (w1* would match ~1,111 of the
+    // w1..w5000 synthetic vocab and trip the TooManyClauses guard)
+    val probe = idx.dictionary.where(col("term").startsWith("w12"))
+      .select("term").limit(10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(term,w12"),
+      s"prefix range predicate not pushed to the dictionary scan:\n$plan")
+    // and the engine path built on it expands without error
+    assert(IndexSearch.searchPrefix(idx, Seq(1 -> "w12*"), k = 5).count() > 0)
+  }
+
+  test("wildcard expansion pushes its literal prefix to the dictionary scan") {
+    val idx = IndexSearch.open(spark, root)
+    // w1?3 → literal prefix "w1" rides a pushed StartsWith; the LIKE
+    // residual evaluates on the pruned rows
+    val pre = graft.search.MultiTerm.literalPrefix("w1?3")
+    val probe = idx.dictionary.where(col("term").startsWith(pre))
+      .where(col("term").like(graft.search.MultiTerm.likePattern("w1?3")))
       .select("term").limit(10)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("StringStartsWith(term,w1"),
-      s"prefix range predicate not pushed to the dictionary scan:\n$plan")
-    // and the engine path built on it expands without error
-    assert(IndexSearch.searchPrefix(idx, Seq(1 -> "w1*"), k = 5).count() > 0)
+      s"wildcard literal prefix not pushed to the dictionary scan:\n$plan")
+    // single-char wildcard over the hot head (w1..w9) must rank results
+    assert(graft.search.MultiTerm.searchWildcard(idx, Seq(1 -> "w?"), k = 5)
+      .count() > 0)
   }
 
   test("highlight's text lookup is a doc_id point lookup (pushed IN filter)") {
