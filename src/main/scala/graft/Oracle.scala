@@ -923,4 +923,159 @@ object Oracle {
        |FROM ranked WHERE rnk <= $n
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Twin of [[graft.search.MoreLikeThis.moreLikeThis]]: seed-doc term
+    * stats from the SAME tf/df CTEs the index build pins (the engine
+    * re-analyzes the stored seed text — identical by the shared-analyzer
+    * contract), interesting terms by (round(tf×idf, 7) DESC, term ASC)
+    * top-maxqt after the mintf/mindf gates, then the standard BM25
+    * disjunction with the seed doc excluded. */
+  def moreLikeThis(seeds: Seq[(Int, Long)], k: Int, maxQueryTerms: Int,
+                   minTf: Int, minDf: Long): String = {
+    require(seeds.nonEmpty, "MLT oracle needs at least one seed")
+    val seedValues = seeds.map { case (qid, d) => s"($qid, $d)" }.mkString(", ")
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |seeds(query_id, seed_doc) AS (VALUES $seedValues),
+       |seed_tf AS (SELECT s.query_id, tf.term, CAST(sum(tf.tf) AS INT) AS tf
+       |            FROM seeds s JOIN tf ON tf.doc_id = s.seed_doc
+       |            GROUP BY 1, 2),
+       |cand AS (SELECT st.query_id, st.term,
+       |                ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)) * st.tf AS mscore
+       |         FROM seed_tf st JOIN df USING (term) CROSS JOIN stats s
+       |         WHERE st.tf >= $minTf AND df.df >= $minDf),
+       |qt AS (SELECT query_id, term FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY round(mscore, 7) DESC, term ASC) AS mrnk
+       |         FROM cand) WHERE mrnk <= $maxQueryTerms),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |unseeded AS (SELECT sc.* FROM scored sc
+       |             LEFT JOIN seeds e ON e.query_id = sc.query_id
+       |                              AND e.seed_doc = sc.doc_id
+       |             WHERE e.seed_doc IS NULL),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                    ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |           FROM unseeded)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Facets.pivot]] via IndexSearch.facetPivot:
+    * parent-level counts (NULL child column) plus nested (parent, child)
+    * counts; NULL parents uncounted entirely, NULL children only at the
+    * child level. */
+  def facetPivot(queries: Seq[(Int, String)], parentField: String,
+                 childField: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |joined AS (SELECT m.query_id,
+       |                  CAST($parentField AS VARCHAR) AS parent,
+       |                  CAST($childField AS VARCHAR) AS child
+       |           FROM matched m JOIN corpus USING (doc_id)
+       |           WHERE $parentField IS NOT NULL)
+       |SELECT * FROM (
+       |  SELECT query_id, parent, CAST(NULL AS VARCHAR) AS child,
+       |         count(*)::BIGINT AS n_docs
+       |  FROM joined GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT query_id, parent, child, count(*)::BIGINT AS n_docs
+       |  FROM joined WHERE child IS NOT NULL GROUP BY 1, 2, 3
+       |) ORDER BY query_id, parent, child""".stripMargin
+
+  /** Twin of [[graft.search.JoinQuery.join]] with from = to = `field`:
+    * constant-score key expansion of the match set, ranked by the pinned
+    * deterministic doc_id ASC key. */
+  def joinField(queries: Seq[(Int, String)], field: String,
+                k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |keys AS (SELECT DISTINCT m.query_id, c.$field AS _key
+       |         FROM matched m JOIN corpus c USING (doc_id)
+       |         WHERE c.$field IS NOT NULL),
+       |joined AS (SELECT k.query_id, c.doc_id, c.$field
+       |           FROM keys k JOIN corpus c ON c.$field = k._key),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY doc_id ASC) AS rnk FROM joined)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, $field
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[graft.search.SpellCheck.suggest]]: per misspelled analyzed
+    * token, dictionary candidates at plain levenshtein ≤ maxEdits ranked
+    * by (distance ASC, df DESC, term ASC); a token present in the
+    * dictionary suggests nothing. Tokens come from the SHARED analyzer
+    * parse so request handling cannot drift. */
+  def spellcheck(requests: Seq[(Int, String)], n: Int,
+                 maxEdits: Int): String = {
+    val toks = requests
+      .flatMap { case (qid, text) =>
+        Analyzer.tokenize(text).distinct.map((qid, _))
+      }.distinct
+    require(toks.nonEmpty, "spellcheck oracle needs at least one token")
+    val branches = toks.map { case (qid, tok) =>
+      s"""SELECT $qid AS query_id, '${esc(tok)}' AS token, term AS suggestion, df,
+         |       CAST(levenshtein(term, '${esc(tok)}') AS INT) AS distance
+         |FROM df
+         |WHERE levenshtein(term, '${esc(tok)}') <= $maxEdits
+         |  AND NOT EXISTS (SELECT 1 FROM df d2 WHERE d2.term = '${esc(tok)}')""".stripMargin
+    }
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |cand AS (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id, token
+       |                      ORDER BY distance ASC, df DESC, suggestion ASC) AS rnk
+       |           FROM cand)
+       |SELECT query_id, token, CAST(rnk AS INT) AS "rank", suggestion, distance, df
+       |FROM ranked WHERE rnk <= $n
+       |ORDER BY query_id, token, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Elevation.search]]: curated docs at ranks
+    * 1..e in the given order (organic score attached when matched, NULL
+    * when force-elevated unmatched), organic tail at e+1.. by the
+    * standard key with elevated docs excluded, k total per query. */
+  def elevate(queries: Seq[(Int, String)], elevations: Map[Int, Seq[Long]],
+              k: Int): String = {
+    val elevRows = queries.flatMap { case (qid, _) =>
+      elevations.getOrElse(qid, Nil).zipWithIndex
+        .map { case (d, i) => s"($qid, $d, ${i + 1})" }
+    }
+    require(elevRows.nonEmpty, "elevation oracle needs at least one curated doc")
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |elev(query_id, doc_id, pos) AS (VALUES ${elevRows.mkString(", ")}),
+       |elevated AS (SELECT e.query_id, CAST(e.pos AS INT) AS "rank", e.doc_id,
+       |                    round(s.score, 4) AS score, TRUE AS elevated
+       |             FROM elev e LEFT JOIN scored s
+       |               ON s.query_id = e.query_id AND s.doc_id = e.doc_id),
+       |nelev AS (SELECT query_id, count(*)::BIGINT AS n FROM elev GROUP BY 1),
+       |organic AS (SELECT s.query_id, s.doc_id, s.score,
+       |                   row_number() OVER (PARTITION BY s.query_id
+       |                     ORDER BY round(s.score, 7) DESC, s.doc_id ASC) AS rn
+       |            FROM scored s LEFT JOIN elev e
+       |              ON e.query_id = s.query_id AND e.doc_id = s.doc_id
+       |            WHERE e.doc_id IS NULL),
+       |org AS (SELECT o.query_id, CAST(o.rn + coalesce(n.n, 0) AS INT) AS "rank",
+       |               o.doc_id, round(o.score, 4) AS score, FALSE AS elevated
+       |        FROM organic o LEFT JOIN nelev n USING (query_id)
+       |        WHERE o.rn + coalesce(n.n, 0) <= $k)
+       |SELECT * FROM elevated UNION ALL SELECT * FROM org
+       |ORDER BY query_id, "rank"""".stripMargin
+  }
 }

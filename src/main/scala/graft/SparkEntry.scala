@@ -164,6 +164,37 @@ object SparkEntry {
     5 -> "DU",
     6 -> "ba")
 
+  /** MoreLikeThis seed requests: (request id, seed doc_id). Seeds span
+    * roles/turn positions (dense transcript doc ids — all < 500, present
+    * at every sf); request 4's seed pairs with request 1's conversation
+    * so overlapping neighborhoods are exercised. */
+  val MltSeeds: Seq[(Int, Long)] = Seq(
+    1 -> 0L,
+    2 -> 5L,
+    3 -> 42L,
+    4 -> 123L)
+
+  /** Spellcheck requests: one-edit misspellings, a correctly-spelled
+    * token (no rows), a mixed request (only the misspelled token
+    * suggests), an unfixable token (distance > 2 from everything), and a
+    * case-folded misspelling. */
+  val SpellRequests: Seq[(Int, String)] = Seq(
+    1 -> "mergw",
+    2 -> "windoq batch",
+    3 -> "spark",
+    4 -> "zzzzzzqqq",
+    5 -> "SPARQ",
+    6 -> "erorr qeury")
+
+  /** Query elevation table: query 1 pins two docs in curated order,
+    * query 2 pins one, query 5 (the zero-match query) force-elevates a
+    * doc the query never matched (NULL score path); other queries run
+    * purely organic. */
+  val ElevationTable: Map[Int, Seq[Long]] = Map(
+    1 -> Seq(5L, 3L),
+    2 -> Seq(0L),
+    5 -> Seq(7L))
+
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
 
@@ -494,6 +525,28 @@ object SparkEntry {
     // Lucene term suggester: df-weighted prefix completion, top-5
     "q_suggest" -> ((s, dir) =>
       graft.search.Suggest.suggest(indexFor(s, dir), SuggestPrefixes, 5)),
+    // Solr MoreLikeThis: seed-doc interesting terms (tf×idf, top-10) run
+    // as a scoring-boolean disjunction, seed excluded
+    "q_bm25_mlt" -> ((s, dir) =>
+      graft.search.MoreLikeThis.moreLikeThis(indexFor(s, dir), MltSeeds,
+        k = 10, maxQueryTerms = 10, minTf = 1, minDf = 2L)),
+    // Solr facet.pivot=role,tool: two-level pivot counts in one rollup
+    "q_facet_pivot" -> ((s, dir) =>
+      IndexSearch.facetPivot(indexFor(s, dir), DisjQueries, "role", "tool")),
+    // Solr {!join from=conv_id to=conv_id}: constant-score conversation
+    // expansion of the match set
+    "q_join_conv" -> ((s, dir) =>
+      graft.search.JoinQuery.join(indexFor(s, dir), DisjQueries,
+        "conv_id", "conv_id", k = 10)),
+    // Solr SpellCheckComponent: per-token correction candidates from the
+    // dictionary (lev ≤ 2, distance/df/term ranking)
+    "q_spellcheck" -> ((s, dir) =>
+      graft.search.SpellCheck.suggest(indexFor(s, dir), SpellRequests, 5)),
+    // Solr QueryElevationComponent: curated docs pinned to the top in
+    // order (incl. force-elevated unmatched), organic tail follows
+    "q_elevate" -> ((s, dir) =>
+      graft.search.Elevation.search(indexFor(s, dir), DisjQueries,
+        ElevationTable, k = 10)),
     // Multimodal plumbing: binary payloads, partition-batched decode stub
     "q_media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaTable(s, dir))),
@@ -726,6 +779,11 @@ object SparkEntry {
     "q_stats_dl" -> Oracle.statsDl(DisjQueries),
     "q_group_conv" -> Oracle.groupTopK(DisjQueries, "conv_id", 5, 3),
     "q_suggest" -> Oracle.suggest(SuggestPrefixes, 5),
+    "q_bm25_mlt" -> Oracle.moreLikeThis(MltSeeds, 10, 10, 1, 2L),
+    "q_facet_pivot" -> Oracle.facetPivot(DisjQueries, "role", "tool"),
+    "q_join_conv" -> Oracle.joinField(DisjQueries, "conv_id", 10),
+    "q_spellcheck" -> Oracle.spellcheck(SpellRequests, 5, 2),
+    "q_elevate" -> Oracle.elevate(DisjQueries, ElevationTable, 10),
     "q_media_features" -> OracleOps.mediaFeatures,
     "q_media_frames" -> OracleOps.mediaFrames(256, 2),
     "q_events_props" -> OracleOps.eventsProps,

@@ -456,6 +456,13 @@ object IndexSearch {
     Facets.range(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), field, start, end, gap)
 
+  /** Solr `facet.pivot=parent,child` over the persisted index
+    * ([[Facets.pivot]] semantics). */
+  def facetPivot(idx: OpenIndex, queries: Seq[(Int, String)],
+                 parentField: String, childField: String): DataFrame =
+    Facets.pivot(matchedDocSet(idx, queries), facetAttrs(idx),
+      parentField, childField)
+
   /** Solr `facet.sort=count` + `facet.limit` over the persisted index
     * ([[Facets.topValues]] semantics). */
   def facetTop(idx: OpenIndex, queries: Seq[(Int, String)], field: String,

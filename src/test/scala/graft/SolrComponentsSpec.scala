@@ -1,0 +1,163 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.{Elevation, IndexSearch, JoinQuery, MoreLikeThis, SpellCheck}
+
+/** The round-5 Solr component batch — MoreLikeThis, pivot faceting, the
+  * join query parser, spellcheck, and query elevation — each checked
+  * against brute/hand-computed twins on a corpus small enough to verify
+  * by eye. */
+class SolrComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftsc").toString
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  // dense doc ids by (conv_id, turn_idx): c0/0→0, c0/1→1, c1/0→2,
+  // c1/1→3, c2/0→4, c2/1→5
+  lazy val idx: IndexSearch.OpenIndex = {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(0)),
+      ("c0", 1, "assistant", "ant bee cat", "t1", ts(1)),
+      ("c1", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(2)),
+      ("c1", 1, "assistant", "cat dog emu", "t1", ts(3)),
+      ("c2", 0, "user", "emu fox goat", "t2", ts(4)),
+      ("c2", 1, "assistant", "apple emu fox", null.asInstanceOf[String], ts(5)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "sc", BuildIndexJob.Config(numShards = 4))
+    IndexSearch.open(spark, root)
+  }
+
+  test("MLT: interesting terms ≡ brute tf×idf ranking; seed excluded") {
+    // seed doc 0 = "apple ant bee": tf all 1; df apple=2 ant=2 bee=3 →
+    // idf(2) > idf(3), term ASC inside the df-2 tie → ant, apple, bee
+    val it = MoreLikeThis.interestingTerms(idx, Seq(1 -> 0L),
+      maxQueryTerms = 10, minTf = 1, minDf = 1)
+      .orderBy("mlt_rank").select("term").collect().map(_.getString(0)).toSeq
+    assert(it == Seq("ant", "apple", "bee"))
+
+    val got = MoreLikeThis.moreLikeThis(idx, Seq(1 -> 0L),
+      k = 10, maxQueryTerms = 10, minTf = 1, minDf = 1)
+      .orderBy("rank").collect().toSeq
+    // ≡ the plain disjunction over those terms with the seed filtered out
+    val want = IndexSearch.search(idx, Seq(1 -> "ant apple bee"))
+      .orderBy("rank").collect().toSeq
+      .filter(_.getLong(2) != 0L)
+    assert(got.map(r => (r.getLong(2), r.getDouble(3))) ==
+      want.map(r => (r.getLong(2), r.getDouble(3))))
+    // ranks re-number contiguously after the exclusion
+    assert(got.map(_.getInt(1)) == (1 to got.size))
+    assert(!got.exists(_.getLong(2) == 0L))
+  }
+
+  test("MLT: mintf/mindf gates") {
+    // every seed term appears once → minTf=2 empties the query
+    assert(MoreLikeThis.moreLikeThis(idx, Seq(1 -> 0L),
+      minTf = 2, minDf = 1).count() == 0)
+    // minDf=3 keeps only bee (df 3)
+    val it = MoreLikeThis.interestingTerms(idx, Seq(1 -> 0L),
+      maxQueryTerms = 10, minTf = 1, minDf = 3)
+      .select("term").collect().map(_.getString(0)).toSeq
+    assert(it == Seq("bee"))
+  }
+
+  test("facet.pivot ≡ hand counts; NULL child at parent level only") {
+    // "cat" matches docs 1, 2, 3: roles assistant(t1), user(null),
+    // assistant(t1)
+    val rows = IndexSearch.facetPivot(idx, Seq(1 -> "cat"), "role", "tool")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.getString(2)), r.getLong(3))).toSet
+    assert(rows == Set(
+      (1, "assistant", None, 2L),
+      (1, "user", None, 1L),
+      (1, "assistant", Some("t1"), 2L)))
+  }
+
+  test("facet.pivot invariant: parent count = Σ children + null-child docs") {
+    val df = IndexSearch.facetPivot(idx, Seq(1 -> "bee cat emu"), "role", "tool")
+    val parents = df.where("child IS NULL").collect()
+      .map(r => (r.getString(1), r.getLong(3))).toMap
+    val childSums = df.where("child IS NOT NULL").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(3)).sum).toMap
+    // every child sum is bounded by its parent count
+    childSums.foreach { case (p, s) => assert(s <= parents(p)) }
+    assert(parents.keySet.nonEmpty)
+  }
+
+  test("{!join}: conversation expansion of the match set, doc_id-ranked") {
+    // "apple" matches docs 0 (c0) and 5 (c2) → all turns of c0 and c2
+    val rows = JoinQuery.join(idx, Seq(1 -> "apple"), "conv_id", "conv_id")
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows == Seq((1, 0L, "c0"), (2, 1L, "c0"), (3, 4L, "c2"), (4, 5L, "c2")))
+    // top-k caps the expansion
+    assert(JoinQuery.join(idx, Seq(1 -> "apple"), "conv_id", "conv_id", k = 3)
+      .count() == 3)
+  }
+
+  /** Plain Levenshtein — independent brute twin. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("spellcheck ≡ brute dictionary scan; present tokens suggest nothing") {
+    val dict = idx.dictionary.select("term", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = SpellCheck.suggest(idx, Seq(1 -> "aple", 2 -> "apple", 3 -> "zzzzzz"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getInt(4))).toSeq
+    // "apple" is in the dictionary → no rows for request 2; "zzzzzz" is
+    // beyond 2 edits from everything → no rows for request 3
+    assert(!got.exists(_._1 == 2) && !got.exists(_._1 == 3))
+    val brute = dict.filter { case (t, _) => lev(t, "aple") <= 2 }
+      .map { case (t, df) => (t, lev(t, "aple"), df) }
+      .sortBy { case (t, d, df) => (d, -df, t) }
+    assert(got.filter(_._1 == 1).map(r => (r._4, r._5)) ==
+      brute.map(b => (b._1, b._2)))
+    // ranks are 1..n in the pinned (distance, df DESC, term) order
+    assert(got.filter(_._1 == 1).map(_._3) == (1 to brute.size))
+  }
+
+  test("elevation: curated order first, organic tail excluded+renumbered") {
+    // "cat" matches docs 1, 2, 3; elevate 3 then 0 (0 unmatched → NULL
+    // score, forceElevation shape)
+    val got = Elevation.search(idx, Seq(1 -> "cat"), Map(1 -> Seq(3L, 0L)))
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq.take(2) == Seq(3L, 0L))
+    assert(got.map(_.getBoolean(4)).toSeq.take(2) == Seq(true, true))
+    assert(got(1).isNullAt(3)) // unmatched elevated doc: NULL score
+    val organic = got.drop(2)
+    assert(organic.forall(!_.getBoolean(4)))
+    assert(organic.map(_.getLong(2)).toSet == Set(1L, 2L)) // 3 excluded
+    assert(got.map(_.getInt(1)).toSeq == (1 to got.length))
+    // organic tail keeps the score ordering of the plain engine
+    val plain = IndexSearch.search(idx, Seq(1 -> "cat")).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq.filterNot(Seq(3L, 0L).contains)
+    assert(organic.map(_.getLong(2)).toSeq == plain)
+  }
+
+  test("elevation guards: duplicates and over-k lists fail loudly") {
+    val e = intercept[IllegalArgumentException](
+      Elevation.search(idx, Seq(1 -> "cat"), Map(1 -> Seq(3L, 3L))))
+    assert(e.getMessage.contains("duplicates"))
+    val e2 = intercept[IllegalArgumentException](
+      Elevation.search(idx, Seq(1 -> "cat"), Map(1 -> Seq(1L, 2L, 3L)), k = 2))
+    assert(e2.getMessage.contains("exceeds"))
+  }
+
+  test("elevation with no curated docs ≡ the plain engine") {
+    val got = Elevation.search(idx, Seq(1 -> "cat"), Map.empty)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = IndexSearch.search(idx, Seq(1 -> "cat")).orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+  }
+}
