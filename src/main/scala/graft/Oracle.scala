@@ -924,6 +924,80 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of the cursorMark composition ([[graft.search.IndexSearch
+    * .pageCursor]] + `searchAfter`): because the engine derives its
+    * cursor from page 1 of the SAME ranking, page 2 via the cursor must
+    * equal absolute ranks (upto, upto+k] with page-relative rank
+    * positions — the twin states that directly, with no cursor values. */
+  def bm25CursorPage(queries: Seq[(Int, String)], upto: Int,
+                     k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk - $upto AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk > $upto AND rnk <= ${upto + k}
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[graft.search.IndexSearch.searchBoosted]] with the classic
+    * recip-over-dl bf: score' = BM25 + a/(dl + b); the boosted score
+    * drives both rank (round 7) and the reported value (round 4). */
+  def bm25BoostRecipDl(queries: Seq[(Int, String)], k: Int,
+                       a: Double, b: Double): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |boosted AS (SELECT sc.query_id, sc.doc_id,
+       |                   sc.score + $a/(dl.dl + $b) AS score
+       |            FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM boosted)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[graft.search.Suggest.terms]]: TermsComponent prefix
+    * enumeration in `terms.sort=index` (term ASC) order with exact df. */
+  def termsIndexSorted(prefixes: Seq[(Int, String)], n: Int): String = {
+    val branches = prefixes.map { case (qid, p0) =>
+      val p = p0.toLowerCase
+      require(p.matches("[a-z0-9]+"),
+        s"terms prefix '$p' must be a partial token over [a-z0-9]")
+      s"SELECT $qid AS query_id, term, df FROM df WHERE term LIKE '${esc(p)}%'"
+    }
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |cand AS (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY term ASC) AS rnk FROM cand)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", term, df
+       |FROM ranked WHERE rnk <= $n
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.MoreLikeThis.moreLikeThis]]: seed-doc term
     * stats from the SAME tf/df CTEs the index build pins (the engine
     * re-analyzes the stored seed text — identical by the shared-analyzer

@@ -547,6 +547,20 @@ object SparkEntry {
     "q_elevate" -> ((s, dir) =>
       graft.search.Elevation.search(indexFor(s, dir), DisjQueries,
         ElevationTable, k = 10)),
+    // Solr cursorMark: page 2 via the engine-computed cursor after the
+    // first 3 hits — a sort-key predicate, not an offset window
+    "q_bm25_cursor" -> ((s, dir) => {
+      val i = indexFor(s, dir)
+      IndexSearch.searchAfter(i, DisjQueries,
+        IndexSearch.pageCursor(i, DisjQueries, 3), k = 3)
+    }),
+    // edismax bf function-query boost: BM25 + recip(dl,1,100,10)
+    "q_bm25_boost" -> ((s, dir) =>
+      IndexSearch.searchBoosted(indexFor(s, dir), DisjQueries,
+        lit(100.0) / (col("dl") + lit(10.0)))),
+    // Solr TermsComponent: prefix enumeration, terms.sort=index
+    "q_terms" -> ((s, dir) =>
+      graft.search.Suggest.terms(indexFor(s, dir), SuggestPrefixes, 5)),
     // Multimodal plumbing: binary payloads, partition-batched decode stub
     "q_media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaTable(s, dir))),
@@ -784,6 +798,9 @@ object SparkEntry {
     "q_join_conv" -> Oracle.joinField(DisjQueries, "conv_id", 10),
     "q_spellcheck" -> Oracle.spellcheck(SpellRequests, 5, 2),
     "q_elevate" -> Oracle.elevate(DisjQueries, ElevationTable, 10),
+    "q_bm25_cursor" -> Oracle.bm25CursorPage(DisjQueries, 3, 3),
+    "q_bm25_boost" -> Oracle.bm25BoostRecipDl(DisjQueries, 10, 100.0, 10.0),
+    "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),
     "q_media_features" -> OracleOps.mediaFeatures,
     "q_media_frames" -> OracleOps.mediaFrames(256, 2),
     "q_events_props" -> OracleOps.eventsProps,

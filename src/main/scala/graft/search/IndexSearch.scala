@@ -136,6 +136,76 @@ object IndexSearch {
     Search.rankBy(withExtra, sortCols, k, keep = extra.map(_._1))
   }
 
+  /** Solr/edismax additive function-query boost (`bf=`): final score =
+    * BM25 + `boost`, where `boost` is an arbitrary numeric expression
+    * over the stored doc attributes (e.g. the classic recency/brevity
+    * shape `recip(x,m,a,b) = a/(m·x+b)`). The boosted score drives BOTH
+    * the ranking (at the pinned RankScale rounding) and the reported
+    * score — exactly Solr's behavior, where bf folds into the document
+    * score. Multiplicative `boost=` is the same composition with `*`;
+    * additive bf is the pinned gate shape. The attribute scan prunes to
+    * doc_id + whatever `boost` references. */
+  def searchBoosted(idx: OpenIndex, queries: Seq[(Int, String)],
+                    boost: Column, k: Int = 10): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val attrs = idx.io.read(idx.spark, idx.paths.docs).drop("text")
+    val scored = scoredDocs(idx, qt, conjunctive = false)
+      .join(attrs, "doc_id")
+      .withColumn("_score", col("_score") + boost)
+    Search.rank(scored, k)
+  }
+
+  /** The engine half of Solr's cursorMark: the cursor AFTER the first
+    * `upto` results of each query — per query the (RankScale-rounded
+    * score, doc_id) sort key of its `upto`-th (or last, if fewer) hit.
+    * Queries with an empty match set are absent. Driver-bounded: ≤
+    * |queries| rows collect. The cursor carries the RANK-scale key, not
+    * the OutScale-rounded display score — comparing display scores would
+    * mis-order ties that RankScale still separates. */
+  def pageCursor(idx: OpenIndex, queries: Seq[(Int, String)],
+                 upto: Int): Map[Int, (Double, Long)] = {
+    require(upto > 0, s"cursor page size must be positive (got $upto)")
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(round(col("_score"), Bm25.RankScale).desc, col("doc_id").asc)
+    scoredDocs(idx, qt, conjunctive = false)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= upto)
+      .groupBy("query_id")
+      .agg(max(struct(col("_rn"),
+        round(col("_score"), Bm25.RankScale).as("_s"),
+        col("doc_id"))).as("_last"))
+      .select(col("query_id"), col("_last._s"), col("_last.doc_id"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+  }
+
+  /** Solr cursorMark deep paging: the next page strictly AFTER each
+    * query's cursor in the (score DESC, doc_id ASC) order. The cursor is
+    * a PREDICATE on the sort key — cost O(match set), independent of page
+    * DEPTH — where `start=`-offset paging ([[Search.rank]]'s start) pays
+    * O(start + k) rank positions per page; that difference is the whole
+    * point of cursorMark at 10^12 docs. Ranks are page-relative 1..k (a
+    * Solr cursor response has no absolute positions). A query without a
+    * cursor entry starts from the top (Solr's `cursorMark=*`). */
+  def searchAfter(idx: OpenIndex, queries: Seq[(Int, String)],
+                  after: Map[Int, (Double, Long)], k: Int = 10): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val scored = scoredDocs(idx, qt, conjunctive = false)
+    if (after.isEmpty) return Search.rank(scored, k)
+    val aftDf = after.toSeq.map { case (qid, (s, d)) => (qid, s, d) }
+      .toDF("query_id", "_a_s", "_a_d")
+    val rs = round(col("_score"), Bm25.RankScale)
+    Search.rank(
+      scored.join(broadcast(aftDf), Seq("query_id"), "left")
+        .where(col("_a_s").isNull || rs < col("_a_s") ||
+          (rs === col("_a_s") && col("doc_id") > col("_a_d")))
+        .drop("_a_s", "_a_d"),
+      k)
+  }
+
   /** Greedy non-overlapping fragment picks over ASCENDING match
     * positions: take a position iff it starts a new ±window snippet
     * (p > last pick + 2·window), up to `fragments` picks. With

@@ -49,4 +49,35 @@ object Suggest {
       .select("query_id", "rank", "term", "df")
       .orderBy("query_id", "rank")
   }
+
+  /** Solr TermsComponent (`terms=true&terms.prefix=p&terms.limit=n`,
+    * default `terms.sort=index`): raw dictionary enumeration under a
+    * prefix in TERM order with exact df — the introspection twin of
+    * [[suggest]] (which pins the df-ranked `terms.sort=count` shape).
+    * Same pushed-prefix probes, same alphabet check, same
+    * rank-in-output truncation contract. */
+  def terms(idx: IndexSearch.OpenIndex, prefixes: Seq[(Int, String)],
+            n: Int = 10): DataFrame = {
+    require(n > 0, s"terms.limit must be positive (got $n)")
+    val spark = idx.spark
+    import spark.implicits._
+    val reqs = prefixes.map { case (qid, p) => (qid, p.toLowerCase) }
+    reqs.foreach { case (_, p) =>
+      require(p.matches("[a-z0-9]+"),
+        s"terms.prefix '$p' must be a partial token over [a-z0-9]")
+    }
+    if (reqs.isEmpty)
+      return Seq.empty[(Int, Int, String, Long)]
+        .toDF("query_id", "rank", "term", "df")
+    val branches = reqs.map { case (qid, p) =>
+      idx.dictionary.where(col("term").startsWith(p))
+        .select(lit(qid).as("query_id"), col("term"), col("df"))
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("term").asc)
+    branches.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= n)
+      .select("query_id", "rank", "term", "df")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -152,6 +152,64 @@ class SolrComponentsSpec extends SparkSpec {
     assert(e2.getMessage.contains("exceeds"))
   }
 
+  test("cursorMark: cursor pages tile the full ranking, no overlap/gap") {
+    val q = Seq(1 -> "bee cat emu") // matches all 6 docs
+    val all = IndexSearch.search(idx, q, k = 10).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    val p1 = IndexSearch.search(idx, q, k = 2).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    val c1 = IndexSearch.pageCursor(idx, q, 2)
+    val p2 = IndexSearch.searchAfter(idx, q, c1, k = 2).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    val c2 = IndexSearch.pageCursor(idx, q, 4)
+    val p3 = IndexSearch.searchAfter(idx, q, c2, k = 10).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(p1 ++ p2 ++ p3 == all)
+    // page-relative ranks restart at 1
+    assert(IndexSearch.searchAfter(idx, q, c1, k = 2).orderBy("rank")
+      .collect().map(_.getInt(1)).toSeq == Seq(1, 2))
+    // cursor past the last hit → empty page
+    val cEnd = IndexSearch.pageCursor(idx, q, 100)
+    assert(IndexSearch.searchAfter(idx, q, cEnd, k = 10).count() == 0)
+  }
+
+  test("bf boost ≡ brute re-rank of score + recip(dl)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val q = Seq(1 -> "cat dog")
+    val dl = idx.io.read(spark, idx.paths.docs)
+      .select("doc_id", "dl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val plain = IndexSearch.search(idx, q, k = 10).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    val got = IndexSearch.searchBoosted(idx, q,
+      lit(100.0) / (col("dl") + lit(10.0)), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    // same match set, each score lifted by its recip term, order by the
+    // boosted value (rounded-4 outputs → compare to 3 decimals)
+    val brute = plain.map { case (d, s) => (d, s + 100.0 / (dl(d) + 10.0)) }
+      .toSeq.sortBy { case (d, s) => (-math.round(s * 1e7), d) }
+    assert(got.map(_._1) == brute.map(_._1))
+    got.zip(brute).foreach { case ((_, gs), (_, bs)) =>
+      assert(math.abs(gs - bs) < 1e-3) }
+  }
+
+  test("TermsComponent: prefix enumeration in index (term ASC) order") {
+    val got = graft.search.Suggest.terms(idx, Seq(1 -> "a", 2 -> "e"), n = 10)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getLong(3))).toSeq
+    val dict = idx.dictionary.select("term", "df").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Seq("a" -> 1, "e" -> 2).flatMap { case (p, qid) =>
+      dict.filter(_._1.startsWith(p)).sortBy(_._1)
+        .map(t => (qid, t._1, t._2))
+    }.sortBy(r => (r._1, r._2))
+    assert(got == want)
+    // limit truncates in term order
+    assert(graft.search.Suggest.terms(idx, Seq(1 -> "a"), n = 1)
+      .collect().map(_.getString(2)).toSeq == Seq("ant"))
+  }
+
   test("elevation with no curated docs ≡ the plain engine") {
     val got = Elevation.search(idx, Seq(1 -> "cat"), Map.empty)
       .orderBy("rank").collect()
