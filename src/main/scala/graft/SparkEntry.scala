@@ -707,6 +707,15 @@ object SparkEntry {
     "q_facet_role_segmented" -> ((s, dir) =>
       graft.index.SegmentedIndex.facetCounts(s, streamedIndex(s, dir),
         DisjQueries, "role", BuildIndexJob.Config(numShards = 8))),
+    // round-5 facet engine composed onto the segmented keys identity:
+    // repeated facet.field and the StatsComponent served between
+    // compactions from the live match set
+    "q_facet_multi_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.facetFields(s, streamedIndex(s, dir),
+        DisjQueries, Seq("role", "tool"), BuildIndexJob.Config(numShards = 8))),
+    "q_stats_dl_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.statsField(s, streamedIndex(s, dir),
+        DisjQueries, "dl", BuildIndexJob.Config(numShards = 8))),
     // Conjunctive AND over the segmented index — the clause engine's
     // all-must subset (J3's semantics, fanned out per segment)
     "q_bm25_conj_segmented" -> ((s, dir) =>
@@ -844,6 +853,8 @@ object SparkEntry {
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5),
     "q_bm25_fq_segmented" -> Oracle.bm25TopKFilteredKeys(DisjQueries, 10, "role = 'user'"),
     "q_facet_role_segmented" -> Oracle.facetCounts(DisjQueries, "role"),
+    "q_facet_multi_segmented" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
+    "q_stats_dl_segmented" -> Oracle.statsDl(DisjQueries),
     "q_bm25_page" -> Oracle.bm25TopK(Oracle.documentsCorpus, DisjQueries, 5,
       conjunctive = false, start = 5),
     "q_bm25_highlight" -> Oracle.bm25Highlight(Oracle.transcriptsCorpus,

@@ -494,6 +494,65 @@ object SegmentedIndex {
     } finally all.unpersist()
   }
 
+  /** The segmented key columns every facet/stat joins on — the
+    * (conv_id, turn_idx) identity that replaces the unified index's dense
+    * doc_id ([[graft.search.Facets]] `key` parameter). */
+  private val KeyCols = Seq("conv_id", "turn_idx")
+
+  /** Live distinct (query_id, conv_id, turn_idx) match set — the shared
+    * DocSet of the segmented facet family. None when the root is empty or
+    * no query term matches. Caller owns the returned frame's lifecycle
+    * (it is NOT cached here; each facet op consumes it once). */
+  private def matchedKeys(spark: SparkSession, root: String, m: Manifest,
+                          queries: Seq[(Int, String)],
+                          cfg: BuildIndexJob.Config): Option[DataFrame] = {
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    liveMatched(spark, root, m, qt.select("term").distinct(), cfg)
+      .map(_.join(broadcast(qt), "term")
+        .select("query_id", "conv_id", "turn_idx").distinct())
+  }
+
+  /** Multi-field `facet.field` over the SEGMENTED index — the
+    * [[graft.search.Facets.fields]] composition on the keys identity:
+    * every repeated facet.field of a request counted from ONE live
+    * match-set join, between compactions, with the same NULL/string
+    * semantics as the unified path. */
+  def facetFields(spark: SparkSession, root: String,
+                  queries: Seq[(Int, String)], fieldNames: Seq[String],
+                  cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = Seq.empty[(Int, String, String, Long)]
+      .toDF("query_id", "field", "value", "n_docs")
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val matched = matchedKeys(spark, root, m, queries, cfg)
+      .getOrElse(return empty)
+    materialize(spark, graft.search.Facets.fields(
+      matched, liveDocAttrs(spark, root, m, cfg), fieldNames, KeyCols))
+      .orderBy("query_id", "field", "value")
+  }
+
+  /** StatsComponent over the SEGMENTED index
+    * ([[graft.search.Facets.stats]] on the keys identity): per-query
+    * count/min/max/sum/mean of a stored numeric attribute of the LIVE
+    * match set, zero-filled on the query spine. */
+  def statsField(spark: SparkSession, root: String,
+                 queries: Seq[(Int, String)], field: String,
+                 cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    val queryIds = queries.map(_._1)
+    def empty = graft.search.Facets.stats(queryIds,
+      Seq.empty[(Int, String, Int)].toDF("query_id", "conv_id", "turn_idx"),
+      Seq.empty[(String, Int, Int)].toDF(field, "conv_id", "turn_idx"),
+      field, KeyCols)
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val matched = matchedKeys(spark, root, m, queries, cfg)
+      .getOrElse(return empty)
+    graft.search.Facets.stats(queryIds, matched,
+      liveDocAttrs(spark, root, m, cfg), field, KeyCols)
+  }
+
   /** PHRASE search (exact, ordered-window slop, or Lucene-style sloppy)
     * over the SEGMENTED index — requires segments built with
     * `Config.storePositions`. Semantics match

@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * composition, arbitrary `facet.query` predicates, and `facet.range`
   * bucketing — the three facet shapes one real Solr request mixes freely.
   *
-  * Shared core over (matched(query_id, doc_id), attrs(doc_id, …)): engine
+  * Shared core over (matched(query_id, key…), attrs(key…, …)): the join
+  * `key` defaults to the unified index's dense doc_id and generalizes to
+  * the segmented index's (conv_id, turn_idx) identity — one facet engine
+  * for both serving paths. Engine
   * paths supply `matched` (inline corpus: term-occurrence join; persisted
   * index: decoded postings — see [[IndexSearch.facetFields]]) and `attrs`
   * (corpus columns / the column-pruned `docs/` scan). Each operator is ONE
@@ -36,12 +39,13 @@ object Facets {
 
   /** Multi-field `facet.field`: (query_id, field, value, n_docs). */
   def fields(matched: DataFrame, attrs: DataFrame,
-             fieldNames: Seq[String]): DataFrame = {
+             fieldNames: Seq[String],
+             key: Seq[String] = Seq("doc_id")): DataFrame = {
     require(fieldNames.nonEmpty, "facet.field list must be non-empty")
     val fv = explode(array(fieldNames.map(f =>
       struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
     matched
-      .join(attrs.select(col("doc_id") +: fieldNames.map(col): _*), "doc_id")
+      .join(attrs.select((key ++ fieldNames).map(col): _*), key)
       .select(col("query_id"), fv.as("_fv"))
       .select(col("query_id"), col("_fv.field").as("field"),
         col("_fv.value").as("value"))
@@ -56,14 +60,15 @@ object Facets {
     * All predicates aggregate in the one pass (conditional sums), then
     * unpivot to rows. */
   def queryCounts(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
-                  named: Seq[(String, Column)]): DataFrame = {
+                  named: Seq[(String, Column)],
+                  key: Seq[String] = Seq("doc_id")): DataFrame = {
     require(named.nonEmpty, "facet.query list must be non-empty")
     val spark = matched.sparkSession
     import spark.implicits._
     val aggs = named.map { case (n, p) =>
       sum(when(p, lit(1L)).otherwise(lit(0L))).as(n)
     }
-    val agged = matched.join(attrs, "doc_id")
+    val agged = matched.join(attrs, key)
       .groupBy("query_id").agg(aggs.head, aggs.tail: _*)
     val spine = queryIds.distinct.sorted.toDF("query_id")
     val fr = explode(array(named.map { case (n, _) =>
@@ -85,14 +90,14 @@ object Facets {
     * order part of the verified output. NULLs uncounted, string-valued,
     * same as [[fields]]. */
   def topValues(matched: DataFrame, attrs: DataFrame, field: String,
-                topN: Int): DataFrame = {
+                topN: Int, key: Seq[String] = Seq("doc_id")): DataFrame = {
     require(topN > 0, s"facet.limit must be positive (got $topN)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
       .orderBy(col("n_docs").desc, col("value").asc)
     matched
-      .join(attrs.select(col("doc_id"), col(field).cast("string").as("value")),
-        "doc_id")
+      .join(attrs.select(key.map(col) :+
+        col(field).cast("string").as("value"): _*), key)
       .where(col("value").isNotNull)
       .groupBy("query_id", "value")
       .agg(count(lit(1)).as("n_docs"))
@@ -111,11 +116,11 @@ object Facets {
     * at the end (the only FP-safe shape — see BASELINE.md rounding
     * notes). */
   def stats(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
-            field: String): DataFrame = {
+            field: String, key: Seq[String] = Seq("doc_id")): DataFrame = {
     val spark = matched.sparkSession
     import spark.implicits._
     val v = col(field).cast("long")
-    val agged = matched.join(attrs.select(col("doc_id"), col(field)), "doc_id")
+    val agged = matched.join(attrs.select(key.map(col) :+ col(field): _*), key)
       .groupBy("query_id")
       .agg(count(lit(1)).as("_n"), min(v).as("_min"), max(v).as("_max"),
         sum(v).as("_sum"))
@@ -149,11 +154,12 @@ object Facets {
     * is one hash aggregation keyed by (query, parent, child) — cardinality
     * is facet-shaped, never corpus-shaped. */
   def pivot(matched: DataFrame, attrs: DataFrame, parentField: String,
-            childField: String): DataFrame = {
+            childField: String,
+            key: Seq[String] = Seq("doc_id")): DataFrame = {
     val joined = matched
-      .join(attrs.select(col("doc_id"),
+      .join(attrs.select(key.map(col) ++ Seq(
         col(parentField).cast("string").as("parent"),
-        col(childField).cast("string").as("child")), "doc_id")
+        col(childField).cast("string").as("child")): _*), key)
       .where(col("parent").isNotNull)
     // rollup levels: gid 0 = (q, parent, child), 1 = (q, parent),
     // 3 = (q), 7 = (); keep the pivot's two levels, and drop the
@@ -172,7 +178,8 @@ object Facets {
     * (queryIds × buckets) spine is driver-built — O(|queries| ·
     * (end-start)/gap), a request-shaped size, never corpus-shaped. */
   def range(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
-            field: String, start: Long, end: Long, gap: Long): DataFrame = {
+            field: String, start: Long, end: Long, gap: Long,
+            key: Seq[String] = Seq("doc_id")): DataFrame = {
     require(gap > 0 && end > start,
       s"facet.range needs gap > 0 and end > start (got [$start, $end) by $gap)")
     val spark = matched.sparkSession
@@ -180,7 +187,7 @@ object Facets {
     val spine = (for { q <- queryIds.distinct; b <- start until end by gap }
       yield (q, b)).toDF("query_id", "bucket")
     val v = col(field).cast("long")
-    val cnt = matched.join(attrs.select(col("doc_id"), col(field)), "doc_id")
+    val cnt = matched.join(attrs.select(key.map(col) :+ col(field): _*), key)
       .where(v >= start && v < end)
       .withColumn("bucket",
         (lit(start) + floor((v - lit(start)) / lit(gap)) * lit(gap)).cast("long"))

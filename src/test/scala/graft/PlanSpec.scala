@@ -104,4 +104,26 @@ class PlanSpec extends SparkSpec {
       .exists(l => l.contains("PushedFilters") && l.contains("In(doc_id"))
     assert(docsScanPushed, s"doc_id IN not pushed to the docs scan:\n$plan")
   }
+
+  test("MLT seed text read is a doc_id point lookup (pushed IN filter)") {
+    val idx = IndexSearch.open(spark, root)
+    val df = graft.search.MoreLikeThis.interestingTerms(idx,
+      Seq(1 -> 0L, 2 -> 7L), maxQueryTerms = 5, minTf = 1, minDf = 1)
+    assert(df.count() > 0, "vacuous: no interesting terms")
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator
+      .exists(l => l.contains("PushedFilters") && l.contains("In(doc_id"))
+    assert(pushed, s"seed doc_id IN not pushed to the docs scan:\n$plan")
+  }
+
+  test("{!join} prunes the docs relation to key columns (no text read)") {
+    val idx = IndexSearch.open(spark, root)
+    val df = graft.search.JoinQuery.join(idx, Seq(1 -> "w1"),
+      "conv_id", "conv_id", k = 5)
+    assert(df.count() > 0, "vacuous: no joined docs")
+    val plan = df.queryExecution.executedPlan.toString
+    val textRead = plan.linesIterator
+      .exists(l => l.contains("ReadSchema") && l.contains("text"))
+    assert(!textRead, s"join read the text column it never uses:\n$plan")
+  }
 }

@@ -117,6 +117,17 @@ class SegmentSpec extends SparkSpec {
         .collect().toSeq
       == IndexSearch.facetCounts(uidx, fqQs, "role").collect().toSeq)
 
+    // round-5 facet family composed on the segmented keys identity:
+    // multi-field facets and stats must agree with the unified rebuild
+    // under the same upserts + tombstones
+    assert(SegmentedIndex.facetFields(spark, root, fqQs,
+        Seq("role", "tool"), cfgPos).collect().toSeq
+      == IndexSearch.facetFields(uidx, fqQs, Seq("role", "tool"))
+        .collect().toSeq)
+    assert(SegmentedIndex.statsField(spark, root, fqQs, "dl", cfgPos)
+        .collect().toSeq
+      == IndexSearch.statsField(uidx, fqQs, "dl").collect().toSeq)
+
     val pq = Seq(1 -> "upserted zzzupserted", 2 -> "w1")
     val segPhrase = sorted(SegmentedIndex.searchPhrase(spark, root, pq, cfg = cfgPos))
     assert(segPhrase == keyed(IndexSearch.searchPhrase(uidx, pq)))
