@@ -924,6 +924,105 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchClauses]] for MULTITERM
+    * group clauses (`+te*t b* -roam~1` — no quoted phrases): the shared
+    * parse splits plain/wildcard/fuzzy clauses; groups expand against the
+    * df relation (LIKE / levenshtein — the same pinned translations as
+    * the standalone engines); a doc passes iff it matches every plain
+    * must term AND a member of every must group AND no not-term/member;
+    * score = BM25 over the DISTINCT matched scoring terms (plain
+    * must+should ∪ must/should group members — the dedupe pinning in the
+    * engine's scaladoc). */
+  def bm25TopKClausesMulti(corpusSql: String, queries: Seq[(Int, String)],
+                           k: Int): String = {
+    val parsed = queries.map { case (qid, t) =>
+      (qid, graft.search.Search.parseClauses(t))
+    }
+    require(parsed.forall { case (_, c) =>
+      c.mustPhrases.isEmpty && c.shouldPhrases.isEmpty && c.notPhrases.isEmpty },
+      "this twin covers term+group grammars; phrase clauses have their own")
+    def bodySql(b: graft.search.Search.MultiTermBody): String = b match {
+      case graft.search.Search.WildcardBody(p) =>
+        s"term LIKE '${graft.search.MultiTerm.likePattern(p)}'"
+      case graft.search.Search.FuzzyBody(s, n) =>
+        s"levenshtein(term, '${esc(s)}') <= $n"
+    }
+    def values(rows: Seq[String], guard: String) =
+      if (rows.nonEmpty) rows.mkString(", ") else guard
+    val plainVals = values(parsed.flatMap { case (qid, c) =>
+      (c.must ++ c.should).distinct.map(t => s"($qid, '${esc(t)}')")
+    }, "(0, '')")
+    val memberSelects = parsed.flatMap { case (qid, c) =>
+      (c.mustGroups ++ c.shouldGroups).map(b =>
+        s"SELECT $qid AS query_id, term FROM df WHERE ${bodySql(b)}")
+    }
+    val qtBody = (s"SELECT query_id, term FROM (VALUES $plainVals) l0(query_id, term)" +:
+      memberSelects).mkString("\n  UNION ALL\n  ")
+    val mtVals = values(parsed.flatMap { case (qid, c) =>
+      c.must.map(t => s"($qid, '${esc(t)}')")
+    }, "(0, '')")
+    val mgSelects = parsed
+      .flatMap { case (qid, c) => c.mustGroups.map(b => (qid, b)) }
+      .zipWithIndex.map { case ((qid, b), gid) =>
+        s"SELECT $qid AS query_id, $gid AS gid, term FROM df WHERE ${bodySql(b)}"
+      }
+    val mgBody =
+      if (mgSelects.nonEmpty) mgSelects.mkString("\n  UNION ALL\n  ")
+      else "SELECT 0 AS query_id, 0 AS gid, '' AS term WHERE 1 = 0"
+    val negVals = values(parsed.flatMap { case (qid, c) =>
+      c.not.map(t => s"($qid, '${esc(t)}')")
+    }, "(0, '')")
+    val negSelects = parsed.flatMap { case (qid, c) =>
+      c.notGroups.map(b =>
+        s"SELECT $qid AS query_id, term FROM df WHERE ${bodySql(b)}")
+    }
+    val negBody = (s"SELECT query_id, term FROM (VALUES $negVals) n0(query_id, term)" +:
+      negSelects).mkString("\n  UNION ALL\n  ")
+    val spineVals = parsed.map { case (qid, c) =>
+      s"($qid, ${c.must.size}, ${c.mustGroups.size})"
+    }.mkString(", ")
+    s"""WITH ${indexCtes(corpusSql)},
+       |qt AS (SELECT DISTINCT query_id, term FROM (
+       |  $qtBody)),
+       |m AS (SELECT qt.query_id, tf.doc_id, qt.term,
+       |             ln(1 + (st.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |               * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/st.avgdl)) AS ps
+       |      FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |           JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats st),
+       |scored AS (SELECT query_id, doc_id, sum(ps) AS score FROM m GROUP BY 1, 2),
+       |mt AS (SELECT query_id, term FROM (VALUES $mtVals) mt0(query_id, term)),
+       |mtc AS (SELECT m.query_id, m.doc_id, count(*) AS must_t
+       |        FROM m JOIN mt ON mt.query_id = m.query_id AND mt.term = m.term
+       |        GROUP BY 1, 2),
+       |mg AS (
+       |  $mgBody),
+       |mgc AS (SELECT m.query_id, m.doc_id, count(DISTINCT g.gid) AS must_g
+       |        FROM m JOIN mg g ON g.query_id = m.query_id AND g.term = m.term
+       |        GROUP BY 1, 2),
+       |neg AS (SELECT DISTINCT query_id, term FROM (
+       |  $negBody)),
+       |negd AS (SELECT DISTINCT n.query_id, tf.doc_id
+       |         FROM neg n JOIN tf USING (term)),
+       |spine(query_id, n_must, n_mg) AS (VALUES $spineVals),
+       |passed AS (SELECT sc.query_id, sc.doc_id, sc.score
+       |           FROM scored sc
+       |           JOIN spine sp ON sp.query_id = sc.query_id
+       |           LEFT JOIN mtc ON mtc.query_id = sc.query_id AND mtc.doc_id = sc.doc_id
+       |           LEFT JOIN mgc ON mgc.query_id = sc.query_id AND mgc.doc_id = sc.doc_id
+       |           LEFT JOIN negd ON negd.query_id = sc.query_id AND negd.doc_id = sc.doc_id
+       |           WHERE coalesce(mtc.must_t, 0) = sp.n_must
+       |             AND coalesce(mgc.must_g, 0) = sp.n_mg
+       |             AND negd.doc_id IS NULL),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM passed)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of the cursorMark composition ([[graft.search.IndexSearch
     * .pageCursor]] + `searchAfter`): because the engine derives its
     * cursor from page 1 of the SAME ranking, page 2 via the cursor must

@@ -164,6 +164,20 @@ object SparkEntry {
     5 -> "DU",
     6 -> "ba")
 
+  /** Boolean grammar × MultiTermQuery composition (`+te*t b* -roam~1`):
+    * must/should/not wildcard and fuzzy GROUP clauses mixed with plain
+    * terms — incl. an empty must expansion (query 5: nothing in the
+    * dictionary matches, so Lucene MUST semantics eliminate the query). */
+  val MultiTermBoolQueries: Seq[(Int, String)] = Seq(
+    1 -> "+me*e dup",
+    2 -> "+batch -wind*",
+    3 -> "+merqe~1 stream",
+    4 -> "s?an +dup",
+    5 -> "+zzqx* batch",
+    6 -> "b* -batch",
+    7 -> "+windoq~ +dup",
+    8 -> "merge~1 -batch s*m*")
+
   /** MoreLikeThis seed requests: (request id, seed doc_id). Seeds span
     * roles/turn positions (dense transcript doc ids — all < 500, present
     * at every sf); request 4's seed pairs with request 1's conversation
@@ -561,6 +575,10 @@ object SparkEntry {
     // Solr TermsComponent: prefix enumeration, terms.sort=index
     "q_terms" -> ((s, dir) =>
       graft.search.Suggest.terms(indexFor(s, dir), SuggestPrefixes, 5)),
+    // Boolean grammar × multiterm: wildcard/fuzzy GROUP clauses under
+    // +/-/should, Lucene's +(t1 t2 ...) rewrite
+    "q_bm25_bool_multiterm" -> ((s, dir) =>
+      IndexSearch.searchClauses(indexFor(s, dir), MultiTermBoolQueries)),
     // Multimodal plumbing: binary payloads, partition-batched decode stub
     "q_media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaTable(s, dir))),
@@ -810,6 +828,8 @@ object SparkEntry {
     "q_bm25_cursor" -> Oracle.bm25CursorPage(DisjQueries, 3, 3),
     "q_bm25_boost" -> Oracle.bm25BoostRecipDl(DisjQueries, 10, 100.0, 10.0),
     "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),
+    "q_bm25_bool_multiterm" -> Oracle.bm25TopKClausesMulti(
+      Oracle.transcriptsCorpus, MultiTermBoolQueries, 10),
     "q_media_features" -> OracleOps.mediaFeatures,
     "q_media_frames" -> OracleOps.mediaFrames(256, 2),
     "q_events_props" -> OracleOps.eventsProps,

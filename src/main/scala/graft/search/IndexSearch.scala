@@ -379,38 +379,94 @@ object IndexSearch {
     * combine with a full outer join). Phrase-less query batches take the
     * historical terms-only plan unchanged; phrase-bearing batches
     * additionally require a positional index and return a materialized
-    * ≤ |queries|·k frame (phrase caches dropped before returning). */
+    * ≤ |queries|·k frame (phrase caches dropped before returning).
+    *
+    * MULTITERM group clauses (`+te*t`, `-roam~1` — round 5) compose into
+    * the same grammar: each wildcard/fuzzy clause expands against the
+    * dictionary (two batched probes per query batch, the
+    * [[MultiTerm.expandBodies]] path) into a GROUP — Lucene's
+    * `+(t1 t2 …)` rewrite. A must GROUP is satisfied by ANY member
+    * present (counted as DISTINCT satisfied group ids per doc, so an
+    * empty expansion — nothing in the dictionary matches the pattern —
+    * eliminates the query, Lucene MUST semantics); a not group excludes
+    * on any member; members SCORE with their own idf (scoring-boolean),
+    * deduped per (query, term) against the plain clauses — a term that is
+    * both a plain clause and a group member scores ONCE (pinned
+    * divergence from Lucene, which scores each clause occurrence). */
   def searchClauses(idx: OpenIndex, queries: Seq[(Int, String)],
-                    k: Int = 10): DataFrame = {
+                    k: Int = 10,
+                    maxExpansions: Int = DefaultMaxExpansions): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
     val parsed = queries.map { case (id, t) => (id, Search.parseClauses(t)) }
     val hasPhrases = parsed.exists { case (_, c) =>
       c.mustPhrases.nonEmpty || c.shouldPhrases.nonEmpty || c.notPhrases.nonEmpty }
+    val hasGroups = parsed.exists(_._2.hasGroups)
+
+    // multiterm groups: expand once per distinct body, then flatten to
+    // (query, gid, member) rows; gids are per-(query, clause) — the same
+    // body in two queries satisfies each independently
+    val expansions: Map[Search.MultiTermBody, Seq[String]] =
+      if (!hasGroups) Map.empty
+      else MultiTerm.expandBodies(idx,
+        parsed.flatMap { case (_, c) =>
+          c.mustGroups ++ c.shouldGroups ++ c.notGroups },
+        maxExpansions)
+    val mustGroupRows: Seq[(Int, Int, String)] = parsed
+      .flatMap { case (id, c) => c.mustGroups.map(b => (id, b)) }
+      .zipWithIndex
+      .flatMap { case ((id, b), gid) => expansions(b).map(t => (id, gid, t)) }
+    val nMustGroups: Map[Int, Int] =
+      parsed.map { case (id, c) => id -> c.mustGroups.size }.toMap
+    def memberTerms(id: Int, gs: Seq[Search.MultiTermBody]): Seq[String] =
+      gs.flatMap(expansions.getOrElse(_, Nil)).distinct
 
     val qt = parsed.flatMap { case (id, c) =>
-      c.must.map(t => (id, t, true)) ++ c.should.map(t => (id, t, false))
+      val plain = c.must.map(t => (id, t, true)) ++
+        c.should.map(t => (id, t, false))
+      val plainTerms = (c.must ++ c.should).toSet
+      val members =
+        memberTerms(id, c.mustGroups ++ c.shouldGroups)
+          .filterNot(plainTerms).map(t => (id, t, false))
+      plain ++ members
     }.toDF("query_id", "term", "_is_must")
-    val neg = parsed.flatMap { case (id, c) => c.not.map(t => (id, t)) }
-      .toDF("query_id", "term")
-    val tscored = matchedPostings(idx, qt.select("query_id", "term"))
+    val neg = parsed.flatMap { case (id, c) =>
+      (c.not ++ memberTerms(id, c.notGroups)).distinct.map(t => (id, t))
+    }.toDF("query_id", "term")
+    val matched = matchedPostings(idx, qt.select("query_id", "term"))
+    val tscored0 = matched
       .join(broadcast(qt), Seq("query_id", "term"))
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
         lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_tscore"),
         count(when(col("_is_must"), lit(1))).as("_must_t"))
+    // per-doc DISTINCT satisfied must-group ids, joined back onto the
+    // scored frame (group members are scoring terms, so any doc that can
+    // satisfy a group is present in tscored0)
+    val tscored =
+      if (mustGroupRows.isEmpty) tscored0.withColumn("_must_g", lit(0L))
+      else tscored0.join(
+        matched.join(broadcast(mustGroupRows.toDF("query_id", "_gid", "term")),
+            Seq("query_id", "term"))
+          .groupBy("query_id", "doc_id")
+          .agg(countDistinct(col("_gid")).as("_mg")),
+        Seq("query_id", "doc_id"), "left")
+        .withColumn("_must_g", coalesce(col("_mg"), lit(0L))).drop("_mg")
     val negMatch = matchedPostings(idx, neg)
       .select("query_id", "doc_id").distinct()
 
     if (!hasPhrases) {
-      // historical terms-only plan, bit-identical to round 4
-      val nMustDf = parsed.map { case (id, c) => (id, c.must.size) }
-        .toDF("query_id", "_n_must")
+      // the historical terms-only plan, extended with the group filter
+      // (lit(0)-vs-lit(0) for group-free batches — optimized away)
+      val nMustDf = parsed
+        .map { case (id, c) => (id, c.must.size, nMustGroups(id).toLong) }
+        .toDF("query_id", "_n_must", "_n_mg")
       return Search.rank(tscored
         .withColumnRenamed("_tscore", "_score")
         .join(broadcast(nMustDf), "query_id")
-        .where(col("_must_t") === col("_n_must"))
+        .where(col("_must_t") === col("_n_must") &&
+          col("_must_g") === col("_n_mg"))
         .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
     }
 
@@ -425,7 +481,8 @@ object IndexSearch {
           c.notPhrases.map(p => (id, "n", p))
       }.zipWithIndex.map { case ((id, kind, p), pid) => (pid, id, kind, p) }
     val nMustDf = parsed
-      .map { case (id, c) => (id, c.must.size + c.mustPhrases.size) }
+      .map { case (id, c) =>
+        (id, c.must.size + c.mustPhrases.size + nMustGroups(id)) }
       .toDF("query_id", "_n_must")
     val pidMeta = phraseClauses.map { case (pid, id, kind, _) => (pid, id, kind) }
       .toDF("_pid", "query_id", "_kind")
@@ -450,7 +507,8 @@ object IndexSearch {
         .withColumn("_score",
           coalesce(col("_tscore"), lit(0.0)) + coalesce(col("_phsum"), lit(0.0)))
         .withColumn("_mm",
-          coalesce(col("_must_t"), lit(0L)) + coalesce(col("_must_ph"), lit(0L)))
+          coalesce(col("_must_t"), lit(0L)) + coalesce(col("_must_ph"), lit(0L)) +
+            coalesce(col("_must_g"), lit(0L)))
       localize(spark, Search.rank(comb
         .join(broadcast(nMustDf), "query_id")
         .where(col("_mm") === col("_n_must"))

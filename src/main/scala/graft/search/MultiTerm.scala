@@ -63,28 +63,51 @@ object MultiTerm {
     * one `limit(maxExpansions + 1)`-bounded dictionary probe per DISTINCT
     * pattern (prefix-pushed where a literal prefix exists), then the
     * standard disjunctive engine over the expanded term set. */
+  /** Batch wildcard expansion: one bounded, prefix-pushed dictionary
+    * probe per DISTINCT pattern. Shared by the standalone wildcard engine
+    * and the boolean clause grammar's group clauses. */
+  def expandWildcards(idx: IndexSearch.OpenIndex, pats: Seq[String],
+                      maxExpansions: Int): Map[String, Seq[String]] =
+    pats.distinct.map { p =>
+      val pre = literalPrefix(p)
+      val base =
+        if (pre.nonEmpty) idx.dictionary.where(col("term").startsWith(pre))
+        else idx.dictionary
+      val terms = base.where(col("term").like(likePattern(p)))
+        .select("term").limit(maxExpansions + 1)
+        .collect().map(_.getString(0)).toSeq
+      require(terms.size <= maxExpansions,
+        s"wildcard '$p' expands to more than maxExpansions=$maxExpansions " +
+          "dictionary terms (Lucene TooManyClauses analog)")
+      p -> terms
+    }.toMap
+
   def searchWildcard(idx: IndexSearch.OpenIndex, queries: Seq[(Int, String)],
                      k: Int = 10,
                      maxExpansions: Int = IndexSearch.DefaultMaxExpansions): DataFrame = {
     val parsed = queries.map { case (qid, t) => (qid, parseWildcardQuery(t)) }
     val expansions: Map[String, Seq[String]] =
-      parsed.flatMap(_._2._2).distinct.map { p =>
-        val pre = literalPrefix(p)
-        val base =
-          if (pre.nonEmpty) idx.dictionary.where(col("term").startsWith(pre))
-          else idx.dictionary
-        val terms = base.where(col("term").like(likePattern(p)))
-          .select("term").limit(maxExpansions + 1)
-          .collect().map(_.getString(0)).toSeq
-        require(terms.size <= maxExpansions,
-          s"wildcard '$p' expands to more than maxExpansions=$maxExpansions " +
-            "dictionary terms (Lucene TooManyClauses analog)")
-        p -> terms
-      }.toMap
+      expandWildcards(idx, parsed.flatMap(_._2._2), maxExpansions)
     val qtRows = parsed.flatMap { case (qid, (terms, pats)) =>
       (terms ++ pats.flatMap(expansions)).distinct.map(t => (qid, t))
     }
     IndexSearch.searchExpandedTerms(idx, qtRows, k)
+  }
+
+  /** Expand a mixed set of boolean-grammar group bodies: the wildcard and
+    * fuzzy members batch through their respective single-pass probes
+    * (two dictionary jobs TOTAL per query batch, not per clause). */
+  def expandBodies(idx: IndexSearch.OpenIndex,
+                   bodies: Seq[Search.MultiTermBody], maxExpansions: Int)
+      : Map[Search.MultiTermBody, Seq[String]] = {
+    val wm = expandWildcards(idx,
+      bodies.collect { case Search.WildcardBody(p) => p }, maxExpansions)
+    val fm = expandFuzzies(idx,
+      bodies.collect { case Search.FuzzyBody(s, n) => (s, n) }, maxExpansions)
+    bodies.distinct.map {
+      case b @ Search.WildcardBody(p) => b -> wm.getOrElse(p, Nil)
+      case b @ Search.FuzzyBody(s, n) => b -> fm.getOrElse((s, n), Nil)
+    }.toMap
   }
 
   /** Parse a fuzzy-query string: whitespace clauses; a clause containing
@@ -123,35 +146,41 @@ object MultiTerm {
     * a Levenshtein automaton over the FST instead; the Spark-first analog
     * is the pruned scan — at most |dictionary| rows once per query
     * BATCH, not per query.) */
+  /** Batch fuzzy expansion: ONE pruned dictionary pass for the whole
+    * distinct stem set (see [[searchFuzzy]]'s scale note). Shared by the
+    * standalone fuzzy engine and the boolean clause grammar. */
+  def expandFuzzies(idx: IndexSearch.OpenIndex, stems0: Seq[(String, Int)],
+                    maxExpansions: Int): Map[(String, Int), Seq[String]] = {
+    val spark = idx.spark
+    import spark.implicits._
+    val stems = stems0.distinct
+    if (stems.isEmpty) return Map.empty
+    val stemsDf = broadcast(stems.toDF("_stem", "_n"))
+    val w = Window.partitionBy("_stem", "_n").orderBy("term")
+    val rows = idx.dictionary.select("term")
+      .join(stemsDf,
+        abs(length(col("term")) - length(col("_stem"))) <= col("_n") &&
+          levenshtein(col("term"), col("_stem")) <= col("_n"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxExpansions + 1)
+      .select("_stem", "_n", "term").collect()
+    val m: Map[(String, Int), Seq[String]] = rows.toSeq
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+      .map { case (key, rs) => key -> rs.map(_.getString(2)) }
+    m.foreach { case ((st, n), ts) =>
+      require(ts.size <= maxExpansions,
+        s"fuzzy '$st~$n' expands to more than maxExpansions=$maxExpansions " +
+          "dictionary terms (Lucene TooManyClauses analog)")
+    }
+    m
+  }
+
   def searchFuzzy(idx: IndexSearch.OpenIndex, queries: Seq[(Int, String)],
                   k: Int = 10,
                   maxExpansions: Int = IndexSearch.DefaultMaxExpansions): DataFrame = {
-    val spark = idx.spark
-    import spark.implicits._
     val parsed = queries.map { case (qid, t) => (qid, parseFuzzyQuery(t)) }
-    val stems = parsed.flatMap(_._2._2).distinct
     val expansions: Map[(String, Int), Seq[String]] =
-      if (stems.isEmpty) Map.empty
-      else {
-        val stemsDf = broadcast(stems.toDF("_stem", "_n"))
-        val w = Window.partitionBy("_stem", "_n").orderBy("term")
-        val rows = idx.dictionary.select("term")
-          .join(stemsDf,
-            abs(length(col("term")) - length(col("_stem"))) <= col("_n") &&
-              levenshtein(col("term"), col("_stem")) <= col("_n"))
-          .withColumn("_rn", row_number().over(w))
-          .where(col("_rn") <= maxExpansions + 1)
-          .select("_stem", "_n", "term").collect()
-        val m: Map[(String, Int), Seq[String]] = rows.toSeq
-          .groupBy(r => (r.getString(0), r.getInt(1)))
-          .map { case (key, rs) => key -> rs.map(_.getString(2)) }
-        m.foreach { case ((st, n), ts) =>
-          require(ts.size <= maxExpansions,
-            s"fuzzy '$st~$n' expands to more than maxExpansions=$maxExpansions " +
-              "dictionary terms (Lucene TooManyClauses analog)")
-        }
-        m
-      }
+      expandFuzzies(idx, parsed.flatMap(_._2._2), maxExpansions)
     val qtRows = parsed.flatMap { case (qid, (terms, fzs)) =>
       (terms ++ fzs.flatMap(s => expansions.getOrElse(s, Nil))).distinct
         .map(t => (qid, t))

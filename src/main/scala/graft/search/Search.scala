@@ -50,14 +50,58 @@ object Search {
     * phrase that analyzes to ONE token is a term clause (Lucene parity:
     * single-term PhraseQuery ≡ TermQuery); one that analyzes to zero
     * tokens is a no-op. */
+  /** A MultiTermQuery clause body inside the boolean grammar: expanded
+    * against the dictionary at query time, then treated as a GROUP —
+    * Lucene rewrites `+te*t` to `+(t1 t2 …)`: the must is satisfied by
+    * ANY member, a not-group excludes on ANY member, members score with
+    * their own idf (SCORING_BOOLEAN, the family's pinned rewrite). */
+  sealed trait MultiTermBody
+  /** `te*t` / `t?st` — [[MultiTerm.searchWildcard]]'s pattern rules
+    * (alphabet `[a-z0-9*?]`, prefix-only patterns are the subset). */
+  final case class WildcardBody(pattern: String) extends MultiTermBody
+  /** `roam~1` — [[MultiTerm.searchFuzzy]]'s plain-Levenshtein pinning;
+    * the body must analyze to exactly one token. */
+  final case class FuzzyBody(stem: String, maxEdits: Int) extends MultiTermBody
+
   final case class BoolClauses(must: Seq[String], should: Seq[String],
                                not: Seq[String],
                                mustPhrases: Seq[Seq[String]] = Seq.empty,
                                shouldPhrases: Seq[Seq[String]] = Seq.empty,
-                               notPhrases: Seq[Seq[String]] = Seq.empty)
+                               notPhrases: Seq[Seq[String]] = Seq.empty,
+                               mustGroups: Seq[MultiTermBody] = Seq.empty,
+                               shouldGroups: Seq[MultiTermBody] = Seq.empty,
+                               notGroups: Seq[MultiTermBody] = Seq.empty) {
+    def hasGroups: Boolean =
+      mustGroups.nonEmpty || shouldGroups.nonEmpty || notGroups.nonEmpty
+  }
 
   /** One clause: optional +/- prefix, then a quoted or bare body. */
   private val ClauseRe = """([+-]?"[^"]*"|\S+)""".r
+
+  /** Parse one bare (unquoted) multiterm clause body, or None for a
+    * plain-term body. Fuzzy wins over wildcard detection (a body cannot
+    * legally carry both — the wildcard alphabet excludes '~'). */
+  private def parseMultiTermBody(body: String): Option[MultiTermBody] =
+    if (body.contains("~")) {
+      val i = body.lastIndexOf('~')
+      val (stemRaw, suf) = (body.substring(0, i), body.substring(i + 1))
+      val n =
+        if (suf.isEmpty) 2
+        else {
+          require(suf.matches("[0-2]"),
+            s"fuzzy clause '$body': maxEdits must be 0..2 (Lucene automata bound)")
+          suf.toInt
+        }
+      val toks = Analyzer.tokenize(stemRaw)
+      require(toks.size == 1,
+        s"fuzzy clause '$body' must analyze to exactly one token (got $toks)")
+      Some(FuzzyBody(toks.head, n))
+    } else if (body.contains("*") || body.contains("?")) {
+      val p = body.toLowerCase
+      require(p.matches("[a-z0-9*?]+"),
+        s"wildcard clause '$p' must be over the token alphabet [a-z0-9*?]")
+      Some(WildcardBody(p))
+    } else None
 
   def parseClauses(text: String): BoolClauses = {
     val clauses = ClauseRe.findAllIn(text).toSeq
@@ -71,9 +115,14 @@ object Search {
       val quoted = body.length >= 2 && body.startsWith("\"") && body.endsWith("\"")
       (kind, if (quoted) body.substring(1, body.length - 1) else body, quoted)
     }
+    // unquoted bodies with multiterm syntax become group clauses
+    val (mtCl, restCl) = split.partition { case (_, body, q) =>
+      !q && parseMultiTermBody(body).isDefined }
+    def groups(k: Kind) =
+      mtCl.filter(_._1 == k).map(c => parseMultiTermBody(c._2).get).distinct
     // a quoted body analyzing to 1 token degrades to a term clause; to 0
     // tokens it is a no-op
-    val (phraseCl, termCl) = split.map { case (k, body, q) =>
+    val (phraseCl, termCl) = restCl.map { case (k, body, q) =>
       (k, Analyzer.tokenize(body), q)
     }.partition { case (_, toks, q) => q && toks.size >= 2 }
     def terms(k: Kind) =
@@ -82,8 +131,10 @@ object Search {
       phraseCl.filter(_._1 == k).map(_._2).distinct
     val must = terms(M)
     val mustPh = phrases(M)
+    val mustG = groups(M)
     BoolClauses(must, terms(S).filterNot(must.contains), terms(N),
-      mustPh, phrases(S).filterNot(mustPh.contains), phrases(N))
+      mustPh, phrases(S).filterNot(mustPh.contains), phrases(N),
+      mustG, groups(S).filterNot(mustG.contains), groups(N))
   }
 
   /** Boolean query set → ((query_id, term, is_must) frame over must ∪
@@ -99,6 +150,9 @@ object Search {
       c.mustPhrases.isEmpty && c.shouldPhrases.isEmpty && c.notPhrases.isEmpty },
       "quoted phrase clauses are served by IndexSearch.searchClauses over " +
         "a positional persisted index; this engine path is terms-only")
+    require(parsed.forall(!_._2.hasGroups),
+      "wildcard/fuzzy clauses are served by IndexSearch.searchClauses over " +
+        "a persisted index dictionary; this engine path is terms-only")
     val qt = parsed.flatMap { case (id, c) =>
       c.must.map(t => (id, t, true)) ++ c.should.map(t => (id, t, false))
     }.toDF("query_id", "term", "_is_must")

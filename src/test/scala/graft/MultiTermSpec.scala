@@ -97,4 +97,72 @@ class MultiTermSpec extends SparkSpec {
       MultiTerm.searchFuzzy(idx, Seq(1 -> "cat~2"), maxExpansions = 1))
     assert(e2.getMessage.contains("maxExpansions"))
   }
+
+  // ---- multiterm GROUP clauses inside the boolean grammar ----
+  // corpus: d0 "apple ant bee", d1 "ant bee cat", d2 "bee cat dog",
+  // d3 "cat dog emu"
+
+  private def docs(q: String): Seq[Long] =
+    IndexSearch.searchClauses(idx, Seq(1 -> q)).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+
+  test("must group: +a* satisfied by ANY member, members score") {
+    // a* → {ant, apple}: docs 0, 1; scoring terms {ant, apple, cat}
+    val got = IndexSearch.searchClauses(idx, Seq(1 -> "+a* cat"))
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val want = IndexSearch.search(idx, Seq(1 -> "ant apple cat"))
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+      .filter(r => Seq(0L, 1L).contains(r._1)).toSeq
+    assert(got == want)
+  }
+
+  test("not group and empty must expansion") {
+    // cat matches d1,d2,d3; -d?g kills dog docs d2,d3
+    assert(docs("cat -d?g") == Seq(1L))
+    // a must group expanding to nothing eliminates the query
+    assert(docs("+zzz* cat").isEmpty)
+    // pure-negative group matches nothing
+    assert(docs("-a*").isEmpty)
+  }
+
+  test("fuzzy group under must; dedupe against a plain clause") {
+    // aple~1 → {apple}: doc 0 only; bee scores alongside
+    assert(docs("+aple~1 bee") == Seq(0L))
+    // a group member that is also a plain term scores ONCE: +cat c?t
+    // must equal the plain +cat query exactly
+    val got = IndexSearch.searchClauses(idx, Seq(1 -> "+cat c?t"))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    val want = IndexSearch.searchClauses(idx, Seq(1 -> "+cat"))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
+  test("phrase + multiterm group composition (positional index)") {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(0)),
+      ("c1", 0, "user", "ant bee cat", null.asInstanceOf[String], ts(1)),
+      ("c2", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(2)),
+      ("c3", 0, "user", "cat dog emu", null.asInstanceOf[String], ts(3)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "mtp",
+      BuildIndexJob.Config(numShards = 4, storePositions = true))
+    val pidx = IndexSearch.open(spark, root)
+    def pdocs(q: String): Seq[Long] =
+      IndexSearch.searchClauses(pidx, Seq(1 -> q)).orderBy("rank")
+        .collect().map(_.getLong(2)).toSeq
+    // must phrase "ant bee" (docs 0,1) + should wildcard d?g (2,3):
+    // phrase gates the result set, wildcard only scores
+    assert(pdocs("+\"ant bee\" d?g") == Seq(0L, 1L))
+    // must group d?g (docs 2,3) + should phrase: group gates
+    assert(pdocs("\"ant bee\" +d?g").toSet == Set(2L, 3L))
+    // both must: disjoint gates → empty
+    assert(pdocs("+\"ant bee\" +d?g").isEmpty)
+  }
+
+  test("group clauses fail loudly on the terms-only engine paths") {
+    val e = intercept[IllegalArgumentException](
+      graft.search.Search.parseClauseQueries(spark, Seq(1 -> "+a* cat")))
+    assert(e.getMessage.contains("terms-only"))
+  }
 }
