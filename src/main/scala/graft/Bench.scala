@@ -171,9 +171,10 @@ object Bench {
     val (nTurns, buildSec, qps, qsSize) =
       (rep.nTurns, rep.buildSec, rep.qps, workload.size)
     val turnsPerSec = nTurns / buildSec
-    def p2(v: Double): String =
-      java.math.BigDecimal.valueOf(v).setScale(2, java.math.RoundingMode.HALF_UP)
+    def rnd(v: Double, scale: Int): String =
+      java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP)
         .stripTrailingZeros.toPlainString
+    def p2(v: Double): String = rnd(v, 2)
     val probePairsJson = allProbes
       .map(r => s"[${p2(r.probeBefore)},${p2(r.probeAfter)}]").mkString("[", ",", "]")
 
@@ -186,9 +187,6 @@ object Bench {
     // the count and total are right there, and the COMPLETE full-precision
     // per-query map lands in the BENCH.out.json file artifact). Print the
     // line LAST on stdout.
-    def rnd(v: Double, scale: Int): String =
-      java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP)
-        .stripTrailingZeros.toPlainString
     val total = results.values.filter(_ >= 0).sum
     val attributionKeys = Seq("index_prepare", "corpus_prepare",
       "stream_prepare", "index_build", "wand_workload")

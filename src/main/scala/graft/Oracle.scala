@@ -22,6 +22,20 @@ object Oracle {
 
   /** CTE prelude turning a (doc_id, text) relation into toks/dl/stats/tf/df.
     * `corpusSql` must yield columns (doc_id, text). */
+  /** The summed-BM25 `scored` CTE over an existing `qt(query_id, term)`
+    * relation — the one scoring expression every ranking twin splices, so
+    * a change to the pinned arithmetic lands in exactly one place.
+    * Expects the [[indexCtes]] relations (tf/df/dl/stats) in scope. */
+  val scoredFromQtCte: String =
+    """scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+      |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+      |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+      |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+      |  GROUP BY qt.query_id, tf.doc_id)""".stripMargin
+      .replace("\n", "\n       |")
+
   def indexCtes(corpusSql: String): String =
     s"""corpus AS ($corpusSql),
        |toks AS (SELECT doc_id, unnest(${Analyzer.sqlTokenList("text")}) AS term FROM corpus),
@@ -112,13 +126,7 @@ object Oracle {
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |ranked AS (
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
@@ -152,13 +160,7 @@ object Oracle {
        |$keymap queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |ranked AS (
        |  SELECT query_id, scored.doc_id AS doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
@@ -506,13 +508,7 @@ object Oracle {
        |$keymap queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |ranked AS (
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
@@ -618,13 +614,7 @@ object Oracle {
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |ranked AS (
        |  SELECT query_id, scored.doc_id AS doc_id, score, corpus.ts_sec AS ts_sec,
        |         row_number() OVER (PARTITION BY query_id
@@ -711,13 +701,7 @@ object Oracle {
     s"""WITH ${indexCtes(corpusSql)},
        |qt AS (SELECT DISTINCT query_id, term FROM (
        |  $qtBody)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |ranked AS (
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
@@ -858,12 +842,14 @@ object Oracle {
   def statsDl(queries: Seq[(Int, String)]): String =
     s"""WITH ${indexCtes(transcriptsCorpusFacets)},
        |${matchedCtes(queries)},
-       |agg AS (SELECT query_id, count(*)::BIGINT AS n,
+       |agg AS (SELECT query_id, count(dl)::BIGINT AS n,
+       |               count(*) FILTER (WHERE dl IS NULL)::BIGINT AS miss,
        |               CAST(min(dl) AS BIGINT) AS vmin, CAST(max(dl) AS BIGINT) AS vmax,
        |               CAST(sum(dl) AS BIGINT) AS vsum
        |        FROM matched JOIN dl USING (doc_id) GROUP BY query_id),
        |qids AS (SELECT DISTINCT query_id FROM queries)
        |SELECT qids.query_id, CAST(coalesce(n, 0) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(miss, 0) AS BIGINT) AS vmissing,
        |       vmin, vmax, vsum,
        |       round(CAST(vsum AS DOUBLE) / n, 4) AS vmean
        |FROM qids LEFT JOIN agg ON qids.query_id = agg.query_id
@@ -880,13 +866,7 @@ object Oracle {
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |gdocs AS (SELECT query_id, doc_id, score, CAST($groupField AS VARCHAR) AS group_value
        |          FROM scored JOIN corpus USING (doc_id)
        |          WHERE $groupField IS NOT NULL),
@@ -1034,13 +1014,7 @@ object Oracle {
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |ranked AS (
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
@@ -1059,13 +1033,7 @@ object Oracle {
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |boosted AS (SELECT sc.query_id, sc.doc_id,
        |                   sc.score + $a/(dl.dl + $b) AS score
        |            FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id),
@@ -1120,13 +1088,7 @@ object Oracle {
        |         SELECT *, row_number() OVER (PARTITION BY query_id
        |                    ORDER BY round(mscore, 7) DESC, term ASC) AS mrnk
        |         FROM cand) WHERE mrnk <= $maxQueryTerms),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |unseeded AS (SELECT sc.* FROM scored sc
        |             LEFT JOIN seeds e ON e.query_id = sc.query_id
        |                              AND e.seed_doc = sc.doc_id
@@ -1225,13 +1187,7 @@ object Oracle {
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
-       |scored AS (
-       |  SELECT qt.query_id, tf.doc_id,
-       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
-       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
-       |  GROUP BY qt.query_id, tf.doc_id),
+       |${scoredFromQtCte},
        |elev(query_id, doc_id, pos) AS (VALUES ${elevRows.mkString(", ")}),
        |elevated AS (SELECT e.query_id, CAST(e.pos AS INT) AS "rank", e.doc_id,
        |                    round(s.score, 4) AS score, TRUE AS elevated

@@ -143,13 +143,18 @@ object SegmentedIndex {
           array_distinct(graft.analysis.Analyzer.tokens(col("text"))).as("terms"))
       val base = keymetaBuckets(spark, sp) match {
         case Some(kb) =>
-          // driver boundary: ≤ min(|batch keys|, kb) bucket ids
-          val touched = keys.select(keyBucket(kb).as("kb")).distinct()
-            .collect().map(_.getInt(0)).toSeq
           val km = spark.read.parquet(s"$sp/keymeta")
+          // check the schema BEFORE the touched-bucket collect — a legacy
+          // terms-less keymeta would otherwise pay a wasted Spark job per
+          // segment per append
           if (!km.columns.contains("terms")) fromDocs
-          else if (touched.size < kb) km.where(col("kb").isin(touched: _*))
-          else km
+          else {
+            // driver boundary: ≤ min(|batch keys|, kb) bucket ids
+            val touched = keys.select(keyBucket(kb).as("kb")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            if (touched.size < kb) km.where(col("kb").isin(touched: _*))
+            else km
+          }
         case None => fromDocs
       }
       base.select(col("conv_id"), col("turn_idx"), col("dl"), col("terms"))
@@ -381,6 +386,16 @@ object SegmentedIndex {
     * cache-lifecycle purpose as [[localize]] without the driver-OOM risk
     * on a high-cardinality facet column (the
     * [[graft.ops.Similarity]] materializedCandidates idiom). */
+  /** Land a facet-shaped result (queries × facet cardinality — too big
+    * to collect, per the round-4 driver-OOM advisory) in temp parquet and
+    * return a scan over it, so internal caches can drop before the caller
+    * consumes the plan. LIFECYCLE: the directory lives until JVM exit
+    * ([[graft.TempDirs]]' shutdown hook) — per-request scratch, not a
+    * leak, for batch/driver-gate use. A LONG-RUNNING serving deployment
+    * should instead route facet output to its own sink (these methods
+    * return plans; `df.write` to the serving store replaces this scratch
+    * hop entirely) — letting per-query scratch accumulate for days is the
+    * one usage this helper does not bound. */
   private def materialize(spark: SparkSession, out: DataFrame): DataFrame = {
     val p = graft.TempDirs.create("graft_seg_out")
     out.write.mode("overwrite").parquet(p)

@@ -232,6 +232,9 @@ object Dedup {
     * Cache lifecycle: self-contained (see object doc). */
   def simhashPairs(corpus: DataFrame, maxDist: Int = 3): DataFrame = {
     val nBands = SimhashBits / 15 // 4 bands of 15 bits
+    require(maxDist >= 0,
+      s"maxDist must be non-negative (got $maxDist) — the identical-" +
+        "signature group expansion always emits hamming-0 pairs")
     require(maxDist < nBands,
       s"simhash banding with $nBands bands only guarantees recall for " +
         s"hamming <= ${nBands - 1}; got maxDist=$maxDist")

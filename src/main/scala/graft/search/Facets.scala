@@ -108,10 +108,14 @@ object Facets {
   }
 
   /** Solr StatsComponent (`stats=true&stats.field=f`) over a numeric
-    * stored attribute: per-query count/min/max/sum/mean of the field over
-    * the match set, zero-filled on the driver-known query spine — a query
-    * with an empty match set reports n_docs=0 with NULL min/max/sum/mean
-    * (Solr reports the stats key regardless). mean is the one double:
+    * stored attribute: per-query count/missing/min/max/sum/mean of the
+    * field over the match set, zero-filled on the driver-known query
+    * spine — a query with an empty match set reports n_docs=0, vmissing=0
+    * with NULL min/max/sum/mean (Solr reports the stats key regardless).
+    * Solr's NULL semantics pinned exactly: `count` (n_docs) is docs WITH
+    * a value, `missing` (vmissing) is matched docs without one, and mean
+    * = sum / count-with-value — so a nullable stats field cannot skew the
+    * mean (NULLs never enter any aggregate). mean is the one double:
     * computed as sum/count on exact integer aggregates and rounded once
     * at the end (the only FP-safe shape — see BASELINE.md rounding
     * notes). */
@@ -122,13 +126,15 @@ object Facets {
     val v = col(field).cast("long")
     val agged = matched.join(attrs.select(key.map(col) :+ col(field): _*), key)
       .groupBy("query_id")
-      .agg(count(lit(1)).as("_n"), min(v).as("_min"), max(v).as("_max"),
-        sum(v).as("_sum"))
+      .agg(count(v).as("_n"),
+        count(when(v.isNull, lit(1))).as("_miss"),
+        min(v).as("_min"), max(v).as("_max"), sum(v).as("_sum"))
     val spine = queryIds.distinct.sorted.toDF("query_id")
     // agged is ≤ |queries| rows — broadcast the right side of the left join
     spine.join(broadcast(agged), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("_n"), lit(0L)).as("n_docs"),
+        coalesce(col("_miss"), lit(0L)).as("vmissing"),
         col("_min").as("vmin"), col("_max").as("vmax"),
         col("_sum").as("vsum"),
         round(col("_sum").cast("double") / col("_n"), 4).as("vmean"))

@@ -433,7 +433,14 @@ object IndexSearch {
     val neg = parsed.flatMap { case (id, c) =>
       (c.not ++ memberTerms(id, c.notGroups)).distinct.map(t => (id, t))
     }.toDF("query_id", "term")
-    val matched = matchedPostings(idx, qt.select("query_id", "term"))
+    // group batches consume the decoded match relation TWICE (scoring agg
+    // + must-group countDistinct) — cache it so the shard-pruned block
+    // scan and varint decode run once; results localize before the cache
+    // drops (group-free batches keep the historical single-consumer lazy
+    // plan, uncached)
+    val matched0 = matchedPostings(idx, qt.select("query_id", "term"))
+    val matched =
+      if (mustGroupRows.isEmpty) matched0 else matched0.cache()
     val tscored0 = matched
       .join(broadcast(qt), Seq("query_id", "term"))
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
@@ -462,12 +469,14 @@ object IndexSearch {
       val nMustDf = parsed
         .map { case (id, c) => (id, c.must.size, nMustGroups(id).toLong) }
         .toDF("query_id", "_n_must", "_n_mg")
-      return Search.rank(tscored
+      val ranked = Search.rank(tscored
         .withColumnRenamed("_tscore", "_score")
         .join(broadcast(nMustDf), "query_id")
         .where(col("_must_t") === col("_n_must") &&
           col("_must_g") === col("_n_mg"))
         .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+      return if (mustGroupRows.isEmpty) ranked
+      else try localize(spark, ranked) finally matched.unpersist()
     }
 
     requirePositional(idx)
@@ -514,7 +523,10 @@ object IndexSearch {
         .where(col("_mm") === col("_n_must"))
         .join(negMatch, Seq("query_id", "doc_id"), "left_anti")
         .join(negph, Seq("query_id", "doc_id"), "left_anti"), k))
-    } finally planned.foreach(_.unpersistAll())
+    } finally {
+      planned.foreach(_.unpersistAll())
+      if (mustGroupRows.nonEmpty) matched.unpersist()
+    }
   }
 
   /** Solr `fq` over the persisted index: the predicate (over the stored

@@ -72,8 +72,12 @@ object MultiField {
     Search.rank(scored, k)
   }
 
-  /** Memoized per-root docs/ row counts for the shared-id-space guard —
-    * one count job per index root per JVM, not per query batch. */
+  /** Memoized docs/ row counts for the shared-id-space guard — one count
+    * job per index root per JVM, not per query batch. Keyed by
+    * (root, docs/ mtime) so an in-place REBUILD of a root invalidates the
+    * memo (a stale pre-rebuild count would defeat the very mismatch this
+    * guard exists to catch); the mtime is one filesystem stat per call,
+    * never a Spark job. */
   private val docsCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -95,7 +99,9 @@ object MultiField {
     require(fields.nonEmpty, "at least one field index")
     val spark = fields.head._1.spark
     val counts = fields.map { case (idx, _) =>
-      idx.paths.root -> docsCounts.computeIfAbsent(idx.paths.root,
+      val key =
+        s"${idx.paths.root}@${graft.sources.Fs.mtime(spark, idx.paths.docs)}"
+      idx.paths.root -> docsCounts.computeIfAbsent(key,
         _ => idx.io.read(spark, idx.paths.docs).count()).longValue()
     }
     require(counts.map(_._2).distinct.size == 1,

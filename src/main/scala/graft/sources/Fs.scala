@@ -30,6 +30,16 @@ object Fs {
   def delete(spark: SparkSession, path: String): Unit =
     fs(spark, path).delete(new Path(path), true)
 
+  /** Modification time of a path (0 when absent) — a cheap filesystem
+    * stat used to version per-JVM memo caches against in-place rebuilds
+    * (a rewritten directory gets a fresh mtime, so stale entries never
+    * resolve). */
+  def mtime(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
+  }
+
   /** Write `df` as ONE flat parquet FILE at `target` (not a directory).
     * Spark's file-stream source lists flat files only — part files nested
     * inside a `*.parquet` directory are invisible to it — so landing

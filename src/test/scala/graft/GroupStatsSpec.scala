@@ -77,14 +77,23 @@ class GroupStatsSpec extends SparkSpec {
     assert(got == Seq(("toolA", 1L)))
   }
 
-  test("stats: count/min/max/sum/mean over the match set, zero-filled spine") {
-    // bee → docs 0,1,2 (dl 3,3,3); zzz → nothing
+  test("stats: count/missing/min/max/sum/mean over the match set, zero-filled spine") {
+    // bee → docs 0,1,2 (dl 3,3,3, none NULL); zzz → nothing
     val rows = IndexSearch.statsField(idx, Seq(1 -> "bee", 2 -> "zzz"), "dl")
-      .collect().map(r => (r.getInt(0), r.getLong(1),
-        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSeq
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))).toSeq
     assert(rows == Seq(
-      (1, 3L, Some(3L), Some(3L), Some(9L), Some(3.0)),
-      (2, 0L, None, None, None, None)))
+      (1, 3L, 0L, Some(3L), Some(3L), Some(9L), Some(3.0)),
+      (2, 0L, 0L, None, None, None, None)))
+  }
+
+  test("stats over a NULLABLE field: NULLs count as missing, never skew the mean") {
+    // "bee cat" matches docs 0,1,2,3; tool is NULL on the user turns
+    // (docs 0, 2) and set on the assistant turns — count only the docs
+    // WITH a value (Solr count/missing semantics)
+    val rows = IndexSearch.statsField(idx, Seq(1 -> "bee cat"), "turn_idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.head._2 + rows.head._3 == 4L) // with-value + missing = matched
   }
 
   test("facet.sort=count ranks by n_docs desc then value asc, capped") {
