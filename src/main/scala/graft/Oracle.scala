@@ -254,13 +254,18 @@ object Oracle {
        |negs AS (SELECT query_id, term FROM cterms WHERE kind = 'not')""".stripMargin
   }
 
-  /** Clause-grammar scored/ranked tail, shared by every clause twin. */
-  private def clauseTail(k: Int, select: String, fromTail: String): String =
+  /** Clause-grammar scored/ranked tail, shared by every clause twin.
+    * `mm` > 0 adds the minimumNumberShouldMatch predicate (docs must
+    * match ≥ mm should terms — the engines' exact pinning). */
+  private def clauseTail(k: Int, select: String, fromTail: String,
+                         mm: Int = 0): String = {
+    val mmPred = if (mm == 0) "" else s"\n    AND should_matched >= $mm"
     s"""scored AS (
        |  SELECT qt.query_id, tf.doc_id,
        |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
        |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score,
-       |         count(CASE WHEN is_must THEN 1 END)::BIGINT AS must_matched
+       |         count(CASE WHEN is_must THEN 1 END)::BIGINT AS must_matched,
+       |         count(CASE WHEN NOT is_must THEN 1 END)::BIGINT AS should_matched
        |  FROM qt JOIN tf USING (term) JOIN df USING (term)
        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
        |  GROUP BY qt.query_id, tf.doc_id),
@@ -269,13 +274,25 @@ object Oracle {
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
        |  FROM scored JOIN nmust USING (query_id)
-       |  WHERE must_matched = n_must
+       |  WHERE must_matched = n_must$mmPred
        |    AND NOT EXISTS (
        |      SELECT 1 FROM negs JOIN tf USING (term)
        |      WHERE negs.query_id = scored.query_id AND tf.doc_id = scored.doc_id))
        |SELECT $select
        |FROM ranked $fromTail WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** [[bm25TopKClauses]] with minimumNumberShouldMatch — the oracle twin
+    * of the engines' `mm` parameter (Solr edismax `mm=` as an absolute
+    * count over should term clauses). */
+  def bm25TopKClausesMm(corpusSql: String, queries: Seq[(Int, String)],
+                        k: Int, mm: Int): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |${clauseValueCtes(queries)},
+       |${clauseTail(k,
+          """query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score""",
+          "", mm)}""".stripMargin
 
   def bm25TopKClauses(corpusSql: String, queries: Seq[(Int, String)],
                       k: Int): String =
@@ -297,14 +314,17 @@ object Oracle {
           "")}""".stripMargin
 
   /** Keys-shaped clause twin (segmented-index gates): dense doc ids are
-    * assigned in key order, so ranking on doc_id ≡ ranking on the key. */
-  def bm25TopKClausesKeys(queries: Seq[(Int, String)], k: Int): String =
+    * assigned in key order, so ranking on doc_id ≡ ranking on the key.
+    * `mm` > 0 is the minimumNumberShouldMatch twin of the segmented
+    * engine's `mm` parameter. */
+  def bm25TopKClausesKeys(queries: Seq[(Int, String)], k: Int,
+                          mm: Int = 0): String =
     s"""WITH ${indexCtes(transcriptsCorpus)},
        |$keymapCte,
        |${clauseValueCtes(queries)},
        |${clauseTail(k,
           """query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score""",
-          "JOIN keymap USING (doc_id)")}""".stripMargin
+          "JOIN keymap USING (doc_id)", mm)}""".stripMargin
 
   /** Twin of the phrase-bearing boolean clause engine
     * ([[graft.search.IndexSearch.searchClauses]] on a query batch with

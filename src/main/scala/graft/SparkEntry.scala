@@ -178,6 +178,21 @@ object SparkEntry {
     7 -> "+windoq~ +dup",
     8 -> "merge~1 -batch s*m*")
 
+  /** Minimum-should-match query set (Solr edismax `mm=2`): pure shoulds
+    * where mm tightens the match set, must + shoulds (docs matching only
+    * the must drop out), an OOV should (counts as a clause but never
+    * matches — both live shoulds become required), a single should
+    * (mm > |should| ⇒ matches nothing, Lucene parity), and a must-only
+    * query (zero shoulds ⇒ nothing under mm > 0). */
+  val MmQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark merge window",
+    2 -> "+dup batch join",
+    3 -> "order fast scan big",
+    4 -> "spark zzzmissing merge",
+    5 -> "batch",
+    6 -> "+dup")
+  val MmCount = 2
+
   /** MoreLikeThis seed requests: (request id, seed doc_id). Seeds span
     * roles/turn positions (dense transcript doc ids — all < 500, present
     * at every sf); request 4's seed pairs with request 1's conversation
@@ -579,6 +594,14 @@ object SparkEntry {
     // +/-/should, Lucene's +(t1 t2 ...) rewrite
     "q_bm25_bool_multiterm" -> ((s, dir) =>
       IndexSearch.searchClauses(indexFor(s, dir), MultiTermBoolQueries)),
+    // Solr edismax mm (minimumNumberShouldMatch): docs must match >= mm
+    // should clauses on top of every must clause
+    "q_bm25_mm" -> ((s, dir) =>
+      IndexSearch.searchClauses(indexFor(s, dir), MmQueries, mm = MmCount)),
+    // mm over the SEGMENTED (streaming-serving) clause engine
+    "q_bm25_mm_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchClauses(s, streamedIndex(s, dir),
+        MmQueries, cfg = BuildIndexJob.Config(numShards = 8), mm = MmCount)),
     // Multimodal plumbing: binary payloads, partition-batched decode stub
     "q_media_features" -> ((s, dir) =>
       Multimodal.decode(Multimodal.mediaTable(s, dir))),
@@ -830,6 +853,10 @@ object SparkEntry {
     "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),
     "q_bm25_bool_multiterm" -> Oracle.bm25TopKClausesMulti(
       Oracle.transcriptsCorpus, MultiTermBoolQueries, 10),
+    "q_bm25_mm" -> Oracle.bm25TopKClausesMm(Oracle.transcriptsCorpus,
+      MmQueries, 10, MmCount),
+    "q_bm25_mm_segmented" -> Oracle.bm25TopKClausesKeys(MmQueries, 10,
+      mm = MmCount),
     "q_media_features" -> OracleOps.mediaFeatures,
     "q_media_frames" -> OracleOps.mediaFrames(256, 2),
     "q_events_props" -> OracleOps.eventsProps,

@@ -425,11 +425,15 @@ object SegmentedIndex {
     * (an out-of-vocabulary must ⇒ no matches), not-terms anti-joined,
     * score = BM25 over matching must+should terms, computed from the live
     * tombstone-filtered fan-out (query-time df, manifest N/avgdl). Output
-    * keys-shaped, like [[search]]. */
+    * keys-shaped, like [[search]]. `mm` is minimumNumberShouldMatch with
+    * [[graft.search.Search.searchCorpusClauses]]'s exact pinning (term
+    * clauses — this engine path is terms-only). */
   def searchClauses(spark: SparkSession, root: String,
                     queries: Seq[(Int, String)], k: Int = 10,
-                    cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+                    cfg: BuildIndexJob.Config = BuildIndexJob.Config(),
+                    mm: Int = 0): DataFrame = {
     import spark.implicits._
+    require(mm >= 0, s"mm (minimum-should-match) must be >= 0, got $mm")
     def empty = keysEmpty(spark)
     val m = readManifest(spark, root).getOrElse(return empty)
     if (m.segments.isEmpty || m.nDocs == 0) return empty
@@ -446,13 +450,17 @@ object SegmentedIndex {
           lit(m.nDocs), lit(m.avgdl)))
         .groupBy("query_id", "conv_id", "turn_idx")
         .agg(sum(col("_s")).as("_score"),
-          count(when(col("_is_must"), lit(1))).as("_must_matched"))
+          count(when(col("_is_must"), lit(1))).as("_must_matched"),
+          count(when(!col("_is_must"), lit(1))).as("_should_matched"))
       val nMustDf = nMust.toSeq.toDF("query_id", "_n_must")
       val negMatch = all.join(broadcast(neg), Seq("term"))
         .select("query_id", "conv_id", "turn_idx").distinct()
-      localize(spark, rankKeys(scored
+      val mustOk = scored
         .join(broadcast(nMustDf), "query_id")
         .where(col("_must_matched") === col("_n_must"))
+      val mmOk = if (mm == 0) mustOk
+        else mustOk.where(col("_should_matched") >= mm)
+      localize(spark, rankKeys(mmOk
         .join(negMatch, Seq("query_id", "conv_id", "turn_idx"), "left_anti"), k))
     } finally all.unpersist()
   }

@@ -392,12 +392,25 @@ object IndexSearch {
     * on any member; members SCORE with their own idf (scoring-boolean),
     * deduped per (query, term) against the plain clauses — a term that is
     * both a plain clause and a group member scores ONCE (pinned
-    * divergence from Lucene, which scores each clause occurrence). */
+    * divergence from Lucene, which scores each clause occurrence).
+    *
+    * `mm` (round 5) is Lucene's BooleanQuery minimumNumberShouldMatch
+    * (Solr edismax `mm=` as an absolute count): a matching doc must
+    * satisfy at least `mm` SHOULD clauses, where each should TERM,
+    * should PHRASE, and should GROUP (any member present — the group
+    * counts once) contributes one clause. mm = 0 is Lucene's default
+    * (shoulds optional when musts exist, ≥1 implied otherwise); a query
+    * with fewer should clauses than `mm` matches nothing. Dedupe
+    * pinning carries over: a clause deduped must-over-should counts as
+    * MUST only, and a group-member term that is NOT also a plain should
+    * clause contributes to its group's count, never as a term clause. */
   def searchClauses(idx: OpenIndex, queries: Seq[(Int, String)],
                     k: Int = 10,
-                    maxExpansions: Int = DefaultMaxExpansions): DataFrame = {
+                    maxExpansions: Int = DefaultMaxExpansions,
+                    mm: Int = 0): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
+    require(mm >= 0, s"mm (minimum-should-match) must be >= 0, got $mm")
     val parsed = queries.map { case (id, t) => (id, Search.parseClauses(t)) }
     val hasPhrases = parsed.exists { case (_, c) =>
       c.mustPhrases.nonEmpty || c.shouldPhrases.nonEmpty || c.notPhrases.nonEmpty }
@@ -405,61 +418,74 @@ object IndexSearch {
 
     // multiterm groups: expand once per distinct body, then flatten to
     // (query, gid, member) rows; gids are per-(query, clause) — the same
-    // body in two queries satisfies each independently
+    // body in two queries satisfies each independently. Must and (when
+    // mm counts them) should groups share one gid space so satisfied
+    // groups aggregate in ONE pass over the match relation.
     val expansions: Map[Search.MultiTermBody, Seq[String]] =
       if (!hasGroups) Map.empty
       else MultiTerm.expandBodies(idx,
         parsed.flatMap { case (_, c) =>
           c.mustGroups ++ c.shouldGroups ++ c.notGroups },
         maxExpansions)
-    val mustGroupRows: Seq[(Int, Int, String)] = parsed
-      .flatMap { case (id, c) => c.mustGroups.map(b => (id, b)) }
+    val groupRows: Seq[(Int, Int, String, Boolean)] = parsed
+      .flatMap { case (id, c) =>
+        c.mustGroups.map(b => (id, b, true)) ++
+          (if (mm > 0) c.shouldGroups.map(b => (id, b, false)) else Nil)
+      }
       .zipWithIndex
-      .flatMap { case ((id, b), gid) => expansions(b).map(t => (id, gid, t)) }
+      .flatMap { case ((id, b, isMust), gid) =>
+        expansions(b).map(t => (id, gid, t, isMust)) }
     val nMustGroups: Map[Int, Int] =
       parsed.map { case (id, c) => id -> c.mustGroups.size }.toMap
     def memberTerms(id: Int, gs: Seq[Search.MultiTermBody]): Seq[String] =
       gs.flatMap(expansions.getOrElse(_, Nil)).distinct
 
     val qt = parsed.flatMap { case (id, c) =>
-      val plain = c.must.map(t => (id, t, true)) ++
-        c.should.map(t => (id, t, false))
+      val plain = c.must.map(t => (id, t, true, false)) ++
+        c.should.map(t => (id, t, false, true))
       val plainTerms = (c.must ++ c.should).toSet
       val members =
         memberTerms(id, c.mustGroups ++ c.shouldGroups)
-          .filterNot(plainTerms).map(t => (id, t, false))
+          .filterNot(plainTerms).map(t => (id, t, false, false))
       plain ++ members
-    }.toDF("query_id", "term", "_is_must")
+    }.toDF("query_id", "term", "_is_must", "_is_should")
     val neg = parsed.flatMap { case (id, c) =>
       (c.not ++ memberTerms(id, c.notGroups)).distinct.map(t => (id, t))
     }.toDF("query_id", "term")
     // group batches consume the decoded match relation TWICE (scoring agg
-    // + must-group countDistinct) — cache it so the shard-pruned block
-    // scan and varint decode run once; results localize before the cache
-    // drops (group-free batches keep the historical single-consumer lazy
-    // plan, uncached)
+    // + satisfied-group countDistinct) — cache it so the shard-pruned
+    // block scan and varint decode run once; results localize before the
+    // cache drops (group-free batches keep the historical single-consumer
+    // lazy plan, uncached)
     val matched0 = matchedPostings(idx, qt.select("query_id", "term"))
     val matched =
-      if (mustGroupRows.isEmpty) matched0 else matched0.cache()
+      if (groupRows.isEmpty) matched0 else matched0.cache()
     val tscored0 = matched
       .join(broadcast(qt), Seq("query_id", "term"))
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
         lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_tscore"),
-        count(when(col("_is_must"), lit(1))).as("_must_t"))
-    // per-doc DISTINCT satisfied must-group ids, joined back onto the
-    // scored frame (group members are scoring terms, so any doc that can
-    // satisfy a group is present in tscored0)
+        count(when(col("_is_must"), lit(1))).as("_must_t"),
+        count(when(col("_is_should"), lit(1))).as("_should_t"))
+    // per-doc DISTINCT satisfied group ids — must and should groups in
+    // one aggregation pass — joined back onto the scored frame (group
+    // members are scoring terms, so any doc that can satisfy a group is
+    // present in tscored0)
     val tscored =
-      if (mustGroupRows.isEmpty) tscored0.withColumn("_must_g", lit(0L))
+      if (groupRows.isEmpty)
+        tscored0.withColumn("_must_g", lit(0L)).withColumn("_should_g", lit(0L))
       else tscored0.join(
-        matched.join(broadcast(mustGroupRows.toDF("query_id", "_gid", "term")),
+        matched.join(
+            broadcast(groupRows.toDF("query_id", "_gid", "term", "_gm")),
             Seq("query_id", "term"))
           .groupBy("query_id", "doc_id")
-          .agg(countDistinct(col("_gid")).as("_mg")),
+          .agg(countDistinct(when(col("_gm"), col("_gid"))).as("_mg"),
+            countDistinct(when(!col("_gm"), col("_gid"))).as("_sg")),
         Seq("query_id", "doc_id"), "left")
-        .withColumn("_must_g", coalesce(col("_mg"), lit(0L))).drop("_mg")
+        .withColumn("_must_g", coalesce(col("_mg"), lit(0L)))
+        .withColumn("_should_g", coalesce(col("_sg"), lit(0L)))
+        .drop("_mg", "_sg")
     val negMatch = matchedPostings(idx, neg)
       .select("query_id", "doc_id").distinct()
 
@@ -469,13 +495,16 @@ object IndexSearch {
       val nMustDf = parsed
         .map { case (id, c) => (id, c.must.size, nMustGroups(id).toLong) }
         .toDF("query_id", "_n_must", "_n_mg")
-      val ranked = Search.rank(tscored
+      val mustOk = tscored
         .withColumnRenamed("_tscore", "_score")
         .join(broadcast(nMustDf), "query_id")
         .where(col("_must_t") === col("_n_must") &&
           col("_must_g") === col("_n_mg"))
-        .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
-      return if (mustGroupRows.isEmpty) ranked
+      val mmOk = if (mm == 0) mustOk
+        else mustOk.where(col("_should_t") + col("_should_g") >= mm)
+      val ranked = Search.rank(
+        mmOk.join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+      return if (groupRows.isEmpty) ranked
       else try localize(spark, ranked) finally matched.unpersist()
     }
 
@@ -508,24 +537,31 @@ object IndexSearch {
       val posph = ps.where(col("_kind") =!= "n")
         .groupBy("query_id", "doc_id")
         .agg(sum(col("_pscore")).as("_phsum"),
-          count(when(col("_kind") === "m", lit(1))).as("_must_ph"))
+          count(when(col("_kind") === "m", lit(1))).as("_must_ph"),
+          count(when(col("_kind") === "s", lit(1))).as("_should_ph"))
       val negph = ps.where(col("_kind") === "n")
         .select("query_id", "doc_id").distinct()
       val comb = tscored
         .join(posph, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("_score",
           coalesce(col("_tscore"), lit(0.0)) + coalesce(col("_phsum"), lit(0.0)))
-        .withColumn("_mm",
+        .withColumn("_mmust",
           coalesce(col("_must_t"), lit(0L)) + coalesce(col("_must_ph"), lit(0L)) +
             coalesce(col("_must_g"), lit(0L)))
-      localize(spark, Search.rank(comb
+        .withColumn("_mshould",
+          coalesce(col("_should_t"), lit(0L)) +
+            coalesce(col("_should_ph"), lit(0L)) +
+            coalesce(col("_should_g"), lit(0L)))
+      val mustOk = comb
         .join(broadcast(nMustDf), "query_id")
-        .where(col("_mm") === col("_n_must"))
+        .where(col("_mmust") === col("_n_must"))
+      val mmOk = if (mm == 0) mustOk else mustOk.where(col("_mshould") >= mm)
+      localize(spark, Search.rank(mmOk
         .join(negMatch, Seq("query_id", "doc_id"), "left_anti")
         .join(negph, Seq("query_id", "doc_id"), "left_anti"), k))
     } finally {
       planned.foreach(_.unpersistAll())
-      if (mustGroupRows.nonEmpty) matched.unpersist()
+      if (groupRows.nonEmpty) matched.unpersist()
     }
   }
 

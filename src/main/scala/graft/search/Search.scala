@@ -161,11 +161,21 @@ object Search {
     (qt, neg, parsed.map { case (id, c) => id -> c.must.size }.toMap)
   }
 
-  /** Inline boolean-clause search (the grammar above) over a raw corpus. */
+  /** Inline boolean-clause search (the grammar above) over a raw corpus.
+    *
+    * `mm` is Lucene's BooleanQuery minimumNumberShouldMatch (Solr
+    * edismax `mm=` as an absolute count): a matching doc must
+    * additionally satisfy at least `mm` SHOULD clauses. mm = 0 keeps
+    * Lucene's default — shoulds are optional when musts exist, ≥1
+    * implied otherwise (the scoring relation only ever contains docs
+    * with a matching term). A query with fewer should clauses than `mm`
+    * matches nothing (Lucene parity). Dedupe pinning carries over: a
+    * term deduped must-over-should counts as a MUST clause only. */
   def searchCorpusClauses(corpus: DataFrame, queries: Seq[(Int, String)],
-                          k: Int = 10): DataFrame = {
+                          k: Int = 10, mm: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    require(mm >= 0, s"mm (minimum-should-match) must be >= 0, got $mm")
     val (qt, neg, nMust) = parseClauseQueries(spark, queries)
     val occ = IndexBuild.termOccurrences(corpus)
     val dl = IndexBuild.docLengths(occ)
@@ -180,14 +190,16 @@ object Search {
         lit(st.nDocs), lit(st.avgdl)))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_score"),
-        count(when(col("_is_must"), lit(1))).as("_must_matched"))
+        count(when(col("_is_must"), lit(1))).as("_must_matched"),
+        count(when(!col("_is_must"), lit(1))).as("_should_matched"))
     val nMustDf = nMust.toSeq.toDF("query_id", "_n_must")
     val negMatch = tf.join(broadcast(neg), "term")
       .select("query_id", "doc_id").distinct()
-    rank(scored
+    val mustOk = scored
       .join(broadcast(nMustDf), "query_id")
       .where(col("_must_matched") === col("_n_must"))
-      .join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
+    val mmOk = if (mm == 0) mustOk else mustOk.where(col("_should_matched") >= mm)
+    rank(mmOk.join(negMatch, Seq("query_id", "doc_id"), "left_anti"), k)
   }
 
   /** Boolean-NOT search (Solr `q=a -b`): the no-must subset of the clause

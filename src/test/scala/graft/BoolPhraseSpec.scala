@@ -94,8 +94,10 @@ class BoolPhraseSpec extends SparkSpec {
   }
 
   /** Independent brute-force of the pinned boolean+phrase semantics from
-    * raw token lists. */
-  def brute(docs: Seq[Seq[String]], query: String, k: Int): Seq[(Long, Double)] = {
+    * raw token lists. `mm` is minimumNumberShouldMatch: each matched
+    * should TERM and should PHRASE clause counts one. */
+  def brute(docs: Seq[Seq[String]], query: String, k: Int,
+            mm: Int = 0): Seq[(Long, Double)] = {
     val c = Search.parseClauses(query)
     val n = docs.size.toLong
     val avgdl = docs.map(_.size).sum.toDouble / n
@@ -113,7 +115,9 @@ class BoolPhraseSpec extends SparkSpec {
         c.notPhrases.exists(p => pf(toks, p) > 0)
       val anyPos = posTerms.exists(toks.contains) ||
         posPhrases.exists(p => pf(toks, p) > 0)
-      if (!mustOk || notHit || !anyPos) None
+      val shouldMatched = c.should.count(toks.contains) +
+        c.shouldPhrases.count(p => pf(toks, p) > 0)
+      if (!mustOk || notHit || !anyPos || shouldMatched < mm) None
       else {
         val tScore = posTerms.filter(toks.contains).map { t =>
           val tf = toks.count(_ == t)
@@ -129,6 +133,39 @@ class BoolPhraseSpec extends SparkSpec {
     }
     hits.sortBy { case (d, s) => (-BlockMaxWand.round(s, 7), d) }.take(k)
       .map { case (d, s) => (d, BlockMaxWand.round(s, 4)) }
+  }
+
+  test("mm: minimum-should-match over terms, phrases, and groups") {
+    val idx = buildIdx(Seq(
+      Seq("a", "b", "c"),  // 0: a,b,c
+      Seq("a", "x", "x"),  // 1: a only
+      Seq("a", "b", "x"),  // 2: a,b + phrase "a b"
+      Seq("c", "x", "x")), // 3: c only
+      "mm")
+    // pure shoulds, mm=2: docs matching >= 2 of {a,b,c}
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "a b c"), mm = 2), 1).toSet == Set(0L, 2L))
+    // must + shoulds, mm=1: doc 1 (must a, zero shoulds matched) drops
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "+a b c"), mm = 1), 1).toSet == Set(0L, 2L))
+    // mm=0 keeps Lucene's default — must-only docs still match
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "+a b c"), mm = 0), 1).toSet == Set(0L, 1L, 2L))
+    // mm > |should clauses| matches nothing (Lucene parity)
+    assert(IndexSearch.searchClauses(idx, Seq(1 -> "a"), mm = 2).count() == 0)
+    // a should PHRASE counts as one clause: "a b" (docs 0,2) + c → mm=2
+    // keeps only doc 0 (phrase AND c); doc 2 has the phrase but no c
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "\"a b\" c"), mm = 2), 1) == Seq(0L))
+    // a should GROUP counts once however many members match: b* expands
+    // to {b}; group + c under mm=2 keeps doc 0 only
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "b* c"), mm = 2), 1) == Seq(0L))
+    // a group member that is ALSO a plain should clause counts for both:
+    // '?' expands to every single-letter term so the group matches all
+    // docs; mm=2 then keeps exactly the docs that also match should 'c'
+    assert(docsOf(IndexSearch.searchClauses(idx,
+      Seq(1 -> "? c"), mm = 2), 1).toSet == Set(0L, 3L))
   }
 
   test("property: searchClauses with phrases ≡ brute force on random corpora") {
@@ -153,6 +190,21 @@ class BoolPhraseSpec extends SparkSpec {
           .select("doc_id", "score").collect()
           .map(r => (r.getLong(0), r.getDouble(1))).toSeq
         assert(got == want, s"trial $trial q$qid '$q': got $got want $want")
+      }
+      // mm arm: same corpus, should-heavy term+phrase queries, mm = 1,2
+      val mmQueries = Seq(
+        1 -> s"${t()} ${t()} ${t()}",
+        2 -> s"""+${t()} ${t()} "${t()} ${t()}"""",
+        3 -> s"""${t()} "${t()} ${t()}" -${t()}""")
+      for (mm <- 1 to 2) {
+        val mmRes = IndexSearch.searchClauses(idx, mmQueries, k = 10, mm = mm)
+        for ((qid, q) <- mmQueries) {
+          val want = brute(docs, q, 10, mm = mm)
+          val got = mmRes.where(col("query_id") === qid).orderBy("rank")
+            .select("doc_id", "score").collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(got == want, s"trial $trial mm=$mm q$qid '$q': got $got want $want")
+        }
       }
     }
   }
