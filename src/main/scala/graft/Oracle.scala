@@ -136,11 +136,6 @@ object Oracle {
        |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
-  /** Transcripts corpus carrying the role attribute (fq/facet twins). */
-  def transcriptsCorpusAttrs: String =
-    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text, role
-       |FROM ($transcriptsSql)""".stripMargin
-
   /** Twin of Search.searchCorpusFiltered — Solr fq semantics: scores/df/
     * avgdl from the FULL corpus; the predicate filters before ranking. */
   def bm25TopKFiltered(queries: Seq[(Int, String)], k: Int,
@@ -156,7 +151,7 @@ object Oracle {
       else (s"$keymapCte,\n",
         """query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score""",
         "JOIN keymap USING (doc_id)")
-    s"""WITH ${indexCtes(transcriptsCorpusAttrs)},
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
        |$keymap queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
@@ -174,7 +169,7 @@ object Oracle {
 
   /** Twin of Search.facetCounts (Solr facet.field on the match set). */
   def facetCounts(queries: Seq[(Int, String)], facetCol: String): String =
-    s"""WITH ${indexCtes(transcriptsCorpusAttrs)},
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
@@ -841,18 +836,38 @@ object Oracle {
   /** Twin of [[graft.search.Facets.topValues]] via IndexSearch.facetTop:
     * facet.sort=count + facet.limit — top-N values by (n_docs DESC,
     * value ASC), rank in the output. */
+  /** Twin of the RealTimeGet engines: stored-doc lookup by key. The
+    * unified index carries text; segment doc attrs do not — `withText`
+    * selects the matching projection. */
+  def getDocs(keys: Seq[(String, Int)], withText: Boolean): String = {
+    require(keys.nonEmpty, "realtime get oracle needs at least one key")
+    val keyRows = keys.map { case (c, t) => s"('${esc(c)}', $t)" }
+    val textCol = if (withText) ", text" else ""
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |keys(conv_id, turn_idx) AS (VALUES ${keyRows.mkString(", ")})
+       |SELECT corpus.conv_id, corpus.turn_idx, role, tool,
+       |       CAST(dl.dl AS BIGINT) AS dl$textCol
+       |FROM corpus JOIN keys USING (conv_id, turn_idx)
+       |     JOIN dl ON corpus.doc_id = dl.doc_id
+       |ORDER BY conv_id, turn_idx""".stripMargin
+  }
+
   def facetTop(queries: Seq[(Int, String)], field: String,
-               topN: Int): String =
+               topN: Int, prefix: Option[String] = None): String = {
+    val prefixPred = prefix
+      .map(p => s" AND CAST($field AS VARCHAR) LIKE '${esc(p)}%'")
+      .getOrElse("")
     s"""WITH ${indexCtes(transcriptsCorpusFacets)},
        |${matchedCtes(queries)},
        |cnt AS (SELECT query_id, CAST($field AS VARCHAR) AS value, count(*)::BIGINT AS n_docs
        |        FROM matched JOIN corpus USING (doc_id)
-       |        WHERE $field IS NOT NULL GROUP BY 1, 2),
+       |        WHERE $field IS NOT NULL$prefixPred GROUP BY 1, 2),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |                      ORDER BY n_docs DESC, value ASC) AS rnk FROM cnt)
        |SELECT query_id, CAST(rnk AS INT) AS "rank", value, n_docs
        |FROM ranked WHERE rnk <= $topN
        |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Twin of [[graft.search.Facets.stats]] via IndexSearch.statsField over
     * the dl attribute: per-query count/min/max/sum/mean over the match

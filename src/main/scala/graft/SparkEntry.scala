@@ -193,6 +193,27 @@ object SparkEntry {
     6 -> "+dup")
   val MmCount = 2
 
+  /** edismax pf (phrase-boost) query set: a real fixture phrase ("order
+    * fast", ~10% of docs — exact-phrase docs outrank bag-of-words docs),
+    * a trigram phrase, a term pair that rarely sits adjacent, a
+    * single-token query (pf no-op, ≡ plain search), and a query whose
+    * phrase is dead but whose live term still scores. */
+  val PfQueries: Seq[(Int, String)] = Seq(
+    1 -> "order fast",
+    2 -> "big order scan",
+    3 -> "spark merge",
+    4 -> "batch",
+    5 -> "the zzzmissing")
+
+  /** RealTimeGet key set: found keys across roles/turns (doc_ids 5, 11,
+    * 40 — all < 500, present at every sf) plus a key that does not exist
+    * (omitted from the response, Solr parity). */
+  val GetKeys: Seq[(String, Int)] = Seq(
+    ("conv000001", 1),
+    ("conv000002", 3),
+    ("conv000010", 0),
+    ("convzzzzzz", 0))
+
   /** MoreLikeThis seed requests: (request id, seed doc_id). Seeds span
     * roles/turn positions (dense transcript doc ids — all < 500, present
     * at every sf); request 4's seed pairs with request 1's conversation
@@ -542,6 +563,11 @@ object SparkEntry {
     // Solr facet.sort=count + facet.limit: top-3 tool values per query
     "q_facet_top" -> ((s, dir) =>
       IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "tool", 3)),
+    // Solr facet.prefix over a high-cardinality field: only values in the
+    // conv00001x band are counted/ranked (the prefix prunes BEFORE the agg)
+    "q_facet_prefix" -> ((s, dir) =>
+      IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "conv_id", 5,
+        prefix = Some("conv00001"))),
     // Solr StatsComponent over dl: count/min/max/sum/mean per query,
     // zero-filled spine (query 5 matches nothing)
     "q_stats_dl" -> ((s, dir) =>
@@ -598,6 +624,25 @@ object SparkEntry {
     // should clauses on top of every must clause
     "q_bm25_mm" -> ((s, dir) =>
       IndexSearch.searchClauses(indexFor(s, dir), MmQueries, mm = MmCount)),
+    // edismax pf (phrase boost): q=a b&pf=text ≡ (a b) "a b" — exact-
+    // phrase docs boosted by the PhraseQuery score, match set unchanged
+    "q_bm25_pf" -> ((s, dir) =>
+      IndexSearch.searchPhraseBoosted(indexFor(s, dir), PfQueries)),
+    // Solr fq STRING syntax: range + negated term over stored attributes
+    // (repeated fq params AND-compose); NULL tool rows MATCH -tool:tool3
+    "q_bm25_fq_range" -> ((s, dir) => IndexSearch.searchFiltered(
+      indexFor(s, dir), DisjQueries,
+      graft.search.FilterQuery.parse("turn_idx:[1 TO 3]") &&
+        graft.search.FilterQuery.parse("-tool:tool3"))),
+    // Solr RealTimeGet: stored-doc lookup by key, predicate pushed to the
+    // docs/ scan; the missing key is omitted
+    "q_doc_get" -> ((s, dir) =>
+      IndexSearch.getDocs(indexFor(s, dir), GetKeys)),
+    // RealTimeGet over the SEGMENTED index — the live (upsert/tombstone-
+    // aware) doc attrs between compactions; text not stored per-segment
+    "q_doc_get_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.getDocs(s, streamedIndex(s, dir), GetKeys,
+        cfg = BuildIndexJob.Config(numShards = 8))),
     // mm over the SEGMENTED (streaming-serving) clause engine
     "q_bm25_mm_segmented" -> ((s, dir) =>
       graft.index.SegmentedIndex.searchClauses(s, streamedIndex(s, dir),
@@ -840,6 +885,8 @@ object SparkEntry {
       FacetQueryDefs.map(d => (d._1, d._3))),
     "q_facet_range" -> Oracle.facetRangeDl(DisjQueries, 0L, 120L, 20L),
     "q_facet_top" -> Oracle.facetTop(DisjQueries, "tool", 3),
+    "q_facet_prefix" -> Oracle.facetTop(DisjQueries, "conv_id", 5,
+      prefix = Some("conv00001")),
     "q_stats_dl" -> Oracle.statsDl(DisjQueries),
     "q_group_conv" -> Oracle.groupTopK(DisjQueries, "conv_id", 5, 3),
     "q_suggest" -> Oracle.suggest(SuggestPrefixes, 5),
@@ -855,6 +902,14 @@ object SparkEntry {
       Oracle.transcriptsCorpus, MultiTermBoolQueries, 10),
     "q_bm25_mm" -> Oracle.bm25TopKClausesMm(Oracle.transcriptsCorpus,
       MmQueries, 10, MmCount),
+    // pf twin: the SHARED pfRewrite feeds the independent boolean+phrase
+    // SQL twin (positional self-join phrase CTEs x clause CTEs)
+    "q_bm25_pf" -> Oracle.bm25TopKBoolPhrase(Oracle.transcriptsCorpus,
+      Search.pfRewrite(PfQueries), 10),
+    "q_bm25_fq_range" -> Oracle.bm25TopKFiltered(DisjQueries, 10,
+      "turn_idx BETWEEN 1 AND 3 AND (tool IS NULL OR tool <> 'tool3')"),
+    "q_doc_get" -> Oracle.getDocs(GetKeys, withText = true),
+    "q_doc_get_segmented" -> Oracle.getDocs(GetKeys, withText = false),
     "q_bm25_mm_segmented" -> Oracle.bm25TopKClausesKeys(MmQueries, 10,
       mm = MmCount),
     "q_media_features" -> OracleOps.mediaFeatures,

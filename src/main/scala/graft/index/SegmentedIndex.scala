@@ -465,6 +465,30 @@ object SegmentedIndex {
     } finally all.unpersist()
   }
 
+  /** Solr RealTimeGet over the SEGMENTED (streaming-serving) index — the
+    * "realtime" in the name is exactly this path: a just-appended,
+    * not-yet-compacted doc is visible, an upserted key answers from its
+    * LATEST segment, and a tombstoned key is absent ([[liveDocAttrs]]'s
+    * live-filter semantics). Text is not carried in segment doc attrs, so
+    * the stored projection is (conv_id, turn_idx, role, tool, dl).
+    * Missing keys are omitted; output ordered by key. */
+  def getDocs(spark: SparkSession, root: String, keys: Seq[(String, Int)],
+              cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    require(keys.nonEmpty, "realtime get needs at least one key")
+    def empty = Seq.empty[(String, Int, String, String, Long)]
+      .toDF("conv_id", "turn_idx", "role", "tool", "dl")
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val pred = keys.map { case (c, t) =>
+      col("conv_id") === c && col("turn_idx") === t }.reduce(_ || _)
+    liveDocAttrs(spark, root, m, cfg)
+      .where(pred)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("dl").cast("long").as("dl"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** Solr `fq` over the segmented index: the predicate (over live stored
     * doc attributes) restricts RESULTS only — scores, query-time df, and
     * manifest N/avgdl remain those of the full live corpus, exactly like

@@ -88,9 +88,12 @@ object Facets {
     * sort IS Solr's default; [[fields]] pins the `facet.sort=index`
     * variant, this pins the other. The rank column makes the truncation
     * order part of the verified output. NULLs uncounted, string-valued,
-    * same as [[fields]]. */
+    * same as [[fields]]. `prefix` is Solr `facet.prefix`: only values
+    * starting with it are counted/ranked (applied BEFORE the aggregation,
+    * so it prunes the shuffle, not just the output). */
   def topValues(matched: DataFrame, attrs: DataFrame, field: String,
-                topN: Int, key: Seq[String] = Seq("doc_id")): DataFrame = {
+                topN: Int, key: Seq[String] = Seq("doc_id"),
+                prefix: Option[String] = None): DataFrame = {
     require(topN > 0, s"facet.limit must be positive (got $topN)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
@@ -99,6 +102,7 @@ object Facets {
       .join(attrs.select(key.map(col) :+
         col(field).cast("string").as("value"): _*), key)
       .where(col("value").isNotNull)
+      .where(prefix.map(p => col("value").startsWith(p)).getOrElse(lit(true)))
       .groupBy("query_id", "value")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("rank", row_number().over(w).cast("int"))

@@ -155,6 +155,38 @@ object IndexSearch {
     Search.rank(scored, k)
   }
 
+  /** Solr RealTimeGet (`/get?ids=…`) over the persisted index: stored-
+    * document lookup by (conv_id, turn_idx) key — no scoring, no posting
+    * traversal, ONE column-pruned pass over `docs/` with the key
+    * disjunction pushed into the parquet scan (an Or-of-And filter tree;
+    * PlanSpec asserts PushedFilters), so at fleet scale only row groups
+    * whose column stats admit a requested key are read. Missing keys are
+    * omitted (Solr returns found docs only); output ordered by key. */
+  def getDocs(idx: OpenIndex, keys: Seq[(String, Int)]): DataFrame = {
+    require(keys.nonEmpty, "realtime get needs at least one key")
+    val pred = keys.map { case (c, t) =>
+      col("conv_id") === c && col("turn_idx") === t }.reduce(_ || _)
+    idx.io.read(idx.spark, idx.paths.docs)
+      .where(pred)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("dl").cast("long").as("dl"), col("text"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
+  /** Solr edismax `pf` (phrase fields) on the single text field: each
+    * query's whole analyzed token sequence is re-added as an implicit
+    * SHOULD phrase clause — edismax's documented rewrite of
+    * `q=a b c&pf=text` into `(a b c) "a b c"` — so a doc containing the
+    * full query as an exact adjacent phrase is boosted by the PhraseQuery
+    * score on top of its term-disjunction BM25, while the match SET is
+    * unchanged (a phrase hit implies every term hit). Queries that
+    * analyze to < 2 tokens gain nothing (Lucene skips single-term pf).
+    * Query text must be plain terms — explicit clause syntax belongs to
+    * [[searchClauses]]; pf is the rewrite, not the grammar. */
+  def searchPhraseBoosted(idx: OpenIndex, queries: Seq[(Int, String)],
+                          k: Int = 10): DataFrame =
+    searchClauses(idx, Search.pfRewrite(queries), k)
+
   /** The engine half of Solr's cursorMark: the cursor AFTER the first
     * `upto` results of each query — per query the (RankScale-rounded
     * score, doc_id) sort key of its `upto`-th (or last, if fewer) hit.
@@ -642,9 +674,9 @@ object IndexSearch {
   /** Solr `facet.sort=count` + `facet.limit` over the persisted index
     * ([[Facets.topValues]] semantics). */
   def facetTop(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
-               topN: Int): DataFrame =
+               topN: Int, prefix: Option[String] = None): DataFrame =
     Facets.topValues(matchedDocSet(idx, queries), facetAttrs(idx),
-      field, topN)
+      field, topN, prefix = prefix)
 
   /** Solr StatsComponent over the persisted index ([[Facets.stats]]
     * semantics). */

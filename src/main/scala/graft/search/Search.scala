@@ -137,6 +137,21 @@ object Search {
       mustG, groups(S).filterNot(mustG.contains), groups(N))
   }
 
+  /** The edismax `pf` rewrite: append each query's whole analyzed token
+    * sequence as a quoted SHOULD phrase clause (`a b c` → `a b c "a b c"`).
+    * Shared by the engine and the oracle wiring so the rewrite cannot
+    * drift. Queries analyzing to < 2 tokens pass through unchanged; the
+    * input must be plain terms (no explicit clause syntax — pf rewrites
+    * user keywords, it does not compose with a hand-written grammar). */
+  def pfRewrite(queries: Seq[(Int, String)]): Seq[(Int, String)] =
+    queries.map { case (id, t) =>
+      require(!t.contains("\"") && !t.trim.split("\\s+").exists(c =>
+        c.startsWith("+") || c.startsWith("-")),
+        s"pf applies to plain keyword queries, got clause syntax: '$t'")
+      val toks = Analyzer.tokenize(t)
+      (id, if (toks.size < 2) t else s"""$t "${toks.mkString(" ")}"""")
+    }
+
   /** Boolean query set → ((query_id, term, is_must) frame over must ∪
     * should, (query_id, term) negative frame, driver Map query_id →
     * |must| including out-of-vocabulary must terms). */

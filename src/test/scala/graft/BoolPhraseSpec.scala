@@ -168,6 +168,29 @@ class BoolPhraseSpec extends SparkSpec {
       Seq(1 -> "? c"), mm = 2), 1).toSet == Set(0L, 3L))
   }
 
+  test("pf: phrase-boosted search ≡ the explicit clause rewrite") {
+    val idx = buildIdx(Seq(
+      Seq("a", "b", "c"), Seq("a", "b", "x"), Seq("b", "a", "c")), "pf")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    val got = rows(IndexSearch.searchPhraseBoosted(idx, Seq(1 -> "a b")))
+    val want = rows(IndexSearch.searchClauses(idx, Seq(1 -> "a b \"a b\"")))
+    assert(got == want && got.nonEmpty)
+    // the boost reorders: docs 0,1 carry the adjacent phrase and must
+    // outrank doc 2 (same bag of terms, no adjacency)
+    assert(docsOf(IndexSearch.searchPhraseBoosted(idx, Seq(1 -> "a b")), 1)
+      .last == 2L)
+    // single-token pf is a no-op (≡ plain search)
+    val one = rows(IndexSearch.searchPhraseBoosted(idx, Seq(1 -> "c")))
+    val plain = rows(IndexSearch.search(idx, Seq(1 -> "c")))
+    assert(one == plain)
+    // clause syntax is rejected — pf rewrites keywords, not the grammar
+    intercept[IllegalArgumentException](
+      IndexSearch.searchPhraseBoosted(idx, Seq(1 -> "+a b")))
+    intercept[IllegalArgumentException](
+      IndexSearch.searchPhraseBoosted(idx, Seq(1 -> "\"a b\"")))
+  }
+
   test("property: searchClauses with phrases ≡ brute force on random corpora") {
     val rnd = new scala.util.Random(37)
     val vocab = Vector("a", "b", "c", "d", "e")

@@ -104,6 +104,50 @@ class GroupStatsSpec extends SparkSpec {
     assert(rows == Seq((1, 1, "assistant", 2L)))
   }
 
+  test("facet.prefix counts only values under the prefix, pre-aggregation") {
+    // "bee cat" matches docs 0,1,2,3 → tools toolA (doc 1), toolB (doc 3)
+    val rows = IndexSearch.facetTop(idx, Seq(1 -> "bee cat"), "tool", 5,
+        prefix = Some("toolA"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(rows == Seq((1, 1, "toolA", 1L)))
+  }
+
+  test("FilterQuery: Solr fq string syntax → Column predicate") {
+    import graft.search.FilterQuery.parse
+    val docs = idx.io.read(spark, idx.paths.docs)
+    def ids(c: org.apache.spark.sql.Column): Set[Long] =
+      docs.where(c).select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact term; numeric equality
+    assert(ids(parse("role:user")) == Set(0L, 2L, 4L))
+    assert(ids(parse("turn_idx:1")) == Set(1L, 3L))
+    // inclusive/exclusive/open ranges (dl = 3,3,3,7,9)
+    assert(ids(parse("dl:[7 TO 9]")) == Set(3L, 4L))
+    assert(ids(parse("dl:{7 TO 9]")) == Set(4L))
+    assert(ids(parse("dl:[8 TO *]")) == Set(4L))
+    // existence test; negation keeps NULL-valued docs (Solr exclusion)
+    assert(ids(parse("tool:[* TO *]")) == Set(1L, 3L))
+    assert(ids(parse("-tool:toolA")) == Set(0L, 2L, 3L, 4L))
+    // string range (lexicographic on conv_id)
+    assert(ids(parse("conv_id:[c1 TO c2]")) == Set(2L, 3L, 4L))
+    intercept[IllegalArgumentException](parse("no-colon-here"))
+    // engine composition ≡ the hand-written Column
+    val a = IndexSearch.searchFiltered(idx, Seq(1 -> "cat dog"),
+      parse("role:assistant")).collect().toSeq
+    val b = IndexSearch.searchFiltered(idx, Seq(1 -> "cat dog"),
+      org.apache.spark.sql.functions.col("role") === "assistant").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("realtime get: stored docs by key, missing keys omitted") {
+    val got = IndexSearch.getDocs(idx, Seq(("c0", 1), ("c2", 0), ("nope", 9)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        Option(r.getString(3)), r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      ("c0", 1, "assistant", Some("toolA"), 3L, "ant bee cat"),
+      ("c2", 0, "user", None, 9L, "dog emu fox gnu hen ibis jay kit lark")))
+    intercept[IllegalArgumentException](IndexSearch.getDocs(idx, Nil))
+  }
+
   test("suggest: df-weighted prefix completion, case-folded, rank-capped") {
     // dictionary df: ant 2, apple 1, bee 3, cat 3, dog 3, emu 2, …
     val got = Suggest.suggest(idx, Seq(1 -> "a", 2 -> "C", 3 -> "zz"), n = 1)

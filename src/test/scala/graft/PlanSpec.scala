@@ -105,6 +105,20 @@ class PlanSpec extends SparkSpec {
     assert(docsScanPushed, s"doc_id IN not pushed to the docs scan:\n$plan")
   }
 
+  test("realtime get pushes the key disjunction to the docs scan") {
+    val idx = IndexSearch.open(spark, root)
+    val df = IndexSearch.getDocs(idx,
+      Seq(("conv00000000", 0), ("conv00000001", 1)))
+    assert(df.count() > 0, "vacuous: no keys found")
+    val plan = df.queryExecution.executedPlan.toString
+    // the Or-of-And key tree must reach the parquet scan — /get reads row
+    // groups whose stats admit a requested key, never the corpus
+    val pushed = plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("Or(") &&
+        l.contains("EqualTo(conv_id"))
+    assert(pushed, s"key disjunction not pushed to the docs scan:\n$plan")
+  }
+
   test("MLT seed text read is a doc_id point lookup (pushed IN filter)") {
     val idx = IndexSearch.open(spark, root)
     val df = graft.search.MoreLikeThis.interestingTerms(idx,
