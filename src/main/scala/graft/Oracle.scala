@@ -774,10 +774,12 @@ object Oracle {
 
   /** Twin of [[graft.search.Facets.fields]] via IndexSearch.facetFields:
     * repeated facet.field params, NULL values uncounted, string-valued. */
-  def facetFields(queries: Seq[(Int, String)], cols: Seq[String]): String = {
+  def facetFields(queries: Seq[(Int, String)], cols: Seq[String],
+                  missing: Boolean = false): String = {
     val branches = cols.map { c =>
+      val pred = if (missing) "TRUE" else s"$c IS NOT NULL"
       s"""SELECT query_id, '$c' AS field, CAST($c AS VARCHAR) AS value, count(*)::BIGINT AS n_docs
-         |  FROM matched JOIN corpus USING (doc_id) WHERE $c IS NOT NULL
+         |  FROM matched JOIN corpus USING (doc_id) WHERE $pred
          |  GROUP BY query_id, $c""".stripMargin
     }
     s"""WITH ${indexCtes(transcriptsCorpusFacets)},
@@ -1063,14 +1065,16 @@ object Oracle {
     * recip-over-dl bf: score' = BM25 + a/(dl + b); the boosted score
     * drives both rank (round 7) and the reported value (round 4). */
   def bm25BoostRecipDl(queries: Seq[(Int, String)], k: Int,
-                       a: Double, b: Double): String =
+                       a: Double, b: Double,
+                       multiplicative: Boolean = false): String = {
+    val combine = if (multiplicative) "*" else "+"
     s"""WITH ${indexCtes(transcriptsCorpus)},
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
        |${scoredFromQtCte},
        |boosted AS (SELECT sc.query_id, sc.doc_id,
-       |                   sc.score + $a/(dl.dl + $b) AS score
+       |                   sc.score $combine ($a/(dl.dl + $b)) AS score
        |            FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id),
        |ranked AS (
        |  SELECT query_id, doc_id, score,
@@ -1080,6 +1084,7 @@ object Oracle {
        |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Twin of [[graft.search.Suggest.terms]]: TermsComponent prefix
     * enumeration in `terms.sort=index` (term ASC) order with exact df. */

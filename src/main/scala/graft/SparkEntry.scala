@@ -613,6 +613,16 @@ object SparkEntry {
     "q_bm25_boost" -> ((s, dir) =>
       IndexSearch.searchBoosted(indexFor(s, dir), DisjQueries,
         lit(100.0) / (col("dl") + lit(10.0)))),
+    // edismax boost= (multiplicative): BM25 x recip(dl,1,100,10) — same
+    // plan as bf, only the combiner differs
+    "q_bm25_boost_mult" -> ((s, dir) =>
+      IndexSearch.searchBoosted(indexFor(s, dir), DisjQueries,
+        lit(100.0) / (col("dl") + lit(10.0)), multiplicative = true)),
+    // Solr facet.missing: matched docs without a value count into a
+    // NULL-valued bucket per (query, field), same single pass
+    "q_facet_missing" -> ((s, dir) =>
+      IndexSearch.facetFields(indexFor(s, dir), DisjQueries, Seq("tool"),
+        missing = true)),
     // Solr TermsComponent: prefix enumeration, terms.sort=index
     "q_terms" -> ((s, dir) =>
       graft.search.Suggest.terms(indexFor(s, dir), SuggestPrefixes, 5)),
@@ -897,6 +907,10 @@ object SparkEntry {
     "q_elevate" -> Oracle.elevate(DisjQueries, ElevationTable, 10),
     "q_bm25_cursor" -> Oracle.bm25CursorPage(DisjQueries, 3, 3),
     "q_bm25_boost" -> Oracle.bm25BoostRecipDl(DisjQueries, 10, 100.0, 10.0),
+    "q_bm25_boost_mult" -> Oracle.bm25BoostRecipDl(DisjQueries, 10, 100.0, 10.0,
+      multiplicative = true),
+    "q_facet_missing" -> Oracle.facetFields(DisjQueries, Seq("tool"),
+      missing = true),
     "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),
     "q_bm25_bool_multiterm" -> Oracle.bm25TopKClausesMulti(
       Oracle.transcriptsCorpus, MultiTermBoolQueries, 10),

@@ -37,10 +37,18 @@ import org.apache.spark.sql.functions._
   */
 object Facets {
 
-  /** Multi-field `facet.field`: (query_id, field, value, n_docs). */
+  /** Multi-field `facet.field`: (query_id, field, value, n_docs).
+    * `missing = true` is Solr's `facet.missing`: matched docs WITHOUT a
+    * value for the field count into one extra NULL-valued bucket per
+    * (query, field) — the same aggregation pass, the NULL rows simply
+    * stay in instead of being filtered. Pinned divergence: a group with
+    * zero missing docs has NO null bucket row (Solr would report
+    * missing=0) — absence-of-row ≡ zero, consistent with how the value
+    * buckets themselves behave. */
   def fields(matched: DataFrame, attrs: DataFrame,
              fieldNames: Seq[String],
-             key: Seq[String] = Seq("doc_id")): DataFrame = {
+             key: Seq[String] = Seq("doc_id"),
+             missing: Boolean = false): DataFrame = {
     require(fieldNames.nonEmpty, "facet.field list must be non-empty")
     val fv = explode(array(fieldNames.map(f =>
       struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
@@ -49,7 +57,7 @@ object Facets {
       .select(col("query_id"), fv.as("_fv"))
       .select(col("query_id"), col("_fv.field").as("field"),
         col("_fv.value").as("value"))
-      .where(col("value").isNotNull)
+      .where(if (missing) lit(true) else col("value").isNotNull)
       .groupBy("query_id", "field", "value")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("query_id", "field", "value")

@@ -142,16 +142,18 @@ object IndexSearch {
     * shape `recip(x,m,a,b) = a/(m·x+b)`). The boosted score drives BOTH
     * the ranking (at the pinned RankScale rounding) and the reported
     * score — exactly Solr's behavior, where bf folds into the document
-    * score. Multiplicative `boost=` is the same composition with `*`;
-    * additive bf is the pinned gate shape. The attribute scan prunes to
-    * doc_id + whatever `boost` references. */
+    * score. `multiplicative = true` is edismax `boost=` (final score =
+    * BM25 × `boost`) — the SAME plan, only the combiner changes. The
+    * attribute scan prunes to doc_id + whatever `boost` references. */
   def searchBoosted(idx: OpenIndex, queries: Seq[(Int, String)],
-                    boost: Column, k: Int = 10): DataFrame = {
+                    boost: Column, k: Int = 10,
+                    multiplicative: Boolean = false): DataFrame = {
     val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
     val attrs = idx.io.read(idx.spark, idx.paths.docs).drop("text")
     val scored = scoredDocs(idx, qt, conjunctive = false)
       .join(attrs, "doc_id")
-      .withColumn("_score", col("_score") + boost)
+      .withColumn("_score",
+        if (multiplicative) col("_score") * boost else col("_score") + boost)
     Search.rank(scored, k)
   }
 
@@ -646,8 +648,9 @@ object IndexSearch {
     * facet.field params of one request, all counted from ONE match-set
     * join ([[Facets.fields]] semantics). */
   def facetFields(idx: OpenIndex, queries: Seq[(Int, String)],
-                  fieldNames: Seq[String]): DataFrame =
-    Facets.fields(matchedDocSet(idx, queries), facetAttrs(idx), fieldNames)
+                  fieldNames: Seq[String], missing: Boolean = false): DataFrame =
+    Facets.fields(matchedDocSet(idx, queries), facetAttrs(idx), fieldNames,
+      missing = missing)
 
   /** Solr `facet.query` over the persisted index: named predicates over
     * the stored attributes, zero-filled on the request spine

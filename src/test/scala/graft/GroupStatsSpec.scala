@@ -112,6 +112,18 @@ class GroupStatsSpec extends SparkSpec {
     assert(rows == Seq((1, 1, "toolA", 1L)))
   }
 
+  test("facet.missing adds the NULL bucket, leaves value buckets intact") {
+    // "bee cat" matches docs 0,1,2,3; tool NULL on 0,2, toolA on 1, toolB on 3
+    val rows = IndexSearch.facetFields(idx, Seq(1 -> "bee cat"), Seq("tool"),
+        missing = true)
+      .collect().map(r => (Option(r.getString(2)), r.getLong(3))).toSet
+    assert(rows == Set((None, 2L), (Some("toolA"), 1L), (Some("toolB"), 1L)))
+    // missing=false (default) keeps the historical no-NULL-bucket shape
+    val noMiss = IndexSearch.facetFields(idx, Seq(1 -> "bee cat"), Seq("tool"))
+      .collect().map(r => Option(r.getString(2))).toSet
+    assert(noMiss == Set(Some("toolA"), Some("toolB")))
+  }
+
   test("FilterQuery: Solr fq string syntax → Column predicate") {
     import graft.search.FilterQuery.parse
     val docs = idx.io.read(spark, idx.paths.docs)
