@@ -195,15 +195,17 @@ object Oracle {
       (id, graft.search.Search.parseClauses(t))
     }
     val qtValues0 = parsed.flatMap { case (id, c) =>
-      c.must.map(t => s"($id, '${esc(t)}', TRUE)") ++
-        c.should.map(t => s"($id, '${esc(t)}', FALSE)")
+      c.must.map(t =>
+        s"($id, '${esc(t)}', TRUE, CAST(${c.boost(t)} AS DOUBLE))") ++
+        c.should.map(t =>
+          s"($id, '${esc(t)}', FALSE, CAST(${c.boost(t)} AS DOUBLE))")
     }
     // guard the VALUES list: an all-pure-negative query set has no
     // must/should terms anywhere, and `VALUES ()` is a parse error — a
     // never-matching row keeps the CTE well-formed and the result empty
     val qtValues =
       if (qtValues0.nonEmpty) qtValues0
-      else Seq("(0, '', FALSE)")
+      else Seq("(0, '', FALSE, CAST(1 AS DOUBLE))")
     val nMustValues = parsed.map { case (id, c) => s"($id, ${c.must.size})" }
     val negValues = parsed.flatMap { case (id, c) =>
       c.not.map(t => s"($id, '${esc(t)}')")
@@ -211,7 +213,7 @@ object Oracle {
     val negCte =
       if (negValues.isEmpty) "negs(query_id, term) AS (SELECT 0, '' WHERE 1 = 0)"
       else s"negs(query_id, term) AS (VALUES ${negValues.mkString(", ")})"
-    s"""qt(query_id, term, is_must) AS (VALUES ${qtValues.mkString(", ")}),
+    s"""qt(query_id, term, is_must, boost) AS (VALUES ${qtValues.mkString(", ")}),
        |nmust(query_id, n_must) AS (VALUES ${nMustValues.mkString(", ")}),
        |$negCte""".stripMargin
   }
@@ -237,9 +239,10 @@ object Oracle {
        |cterms AS (SELECT DISTINCT query_id, kind, term FROM
        |  (SELECT query_id, kind, unnest(${Analyzer.sqlTokenList("body")}) AS term FROM cbodies)),
        |musts AS (SELECT query_id, term FROM cterms WHERE kind = 'must'),
-       |qt AS (SELECT query_id, term, TRUE AS is_must FROM musts
+       |qt AS (SELECT query_id, term, TRUE AS is_must, CAST(1 AS DOUBLE) AS boost
+       |       FROM musts
        |       UNION ALL
-       |       SELECT t.query_id, t.term, FALSE FROM cterms t
+       |       SELECT t.query_id, t.term, FALSE, CAST(1 AS DOUBLE) FROM cterms t
        |       WHERE t.kind = 'should' AND NOT EXISTS (
        |         SELECT 1 FROM musts m
        |         WHERE m.query_id = t.query_id AND m.term = t.term)),
@@ -258,7 +261,8 @@ object Oracle {
     s"""scored AS (
        |  SELECT qt.query_id, tf.doc_id,
        |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score,
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))
+       |              * qt.boost ) AS score,
        |         count(CASE WHEN is_must THEN 1 END)::BIGINT AS must_matched,
        |         count(CASE WHEN NOT is_must THEN 1 END)::BIGINT AS should_matched
        |  FROM qt JOIN tf USING (term) JOIN df USING (term)
@@ -338,17 +342,20 @@ object Oracle {
       (id, graft.search.Search.parseClauses(t))
     }
     val phraseClauses = parsed.flatMap { case (id, c) =>
-      c.mustPhrases.map(p => (id, "m", p)) ++
-        c.shouldPhrases.map(p => (id, "s", p)) ++
-        c.notPhrases.map(p => (id, "n", p))
-    }.zipWithIndex.map { case ((id, kind, p), pid) => (pid, id, kind, p) }
+      c.mustPhrases.map(p => (id, "m", p, c.phraseBoost(p))) ++
+        c.shouldPhrases.map(p => (id, "s", p, c.phraseBoost(p))) ++
+        c.notPhrases.map(p => (id, "n", p, 1.0))
+    }.zipWithIndex.map { case ((id, kind, p, b), pid) => (pid, id, kind, p, b) }
     require(phraseClauses.nonEmpty,
       "no phrase clauses — use bm25TopKClauses for plain boolean queries")
     val qtValues0 = parsed.flatMap { case (id, c) =>
-      c.must.map(t => s"($id, '${esc(t)}', TRUE)") ++
-        c.should.map(t => s"($id, '${esc(t)}', FALSE)")
+      c.must.map(t =>
+        s"($id, '${esc(t)}', TRUE, CAST(${c.boost(t)} AS DOUBLE))") ++
+        c.should.map(t =>
+          s"($id, '${esc(t)}', FALSE, CAST(${c.boost(t)} AS DOUBLE))")
     }
-    val qtValues = if (qtValues0.nonEmpty) qtValues0 else Seq("(0, '', FALSE)")
+    val qtValues = if (qtValues0.nonEmpty) qtValues0
+      else Seq("(0, '', FALSE, CAST(1 AS DOUBLE))")
     val nMustValues = parsed.map { case (id, c) =>
       s"($id, ${c.must.size + c.mustPhrases.size})" }
     val negValues = parsed.flatMap { case (id, c) =>
@@ -356,12 +363,12 @@ object Oracle {
     val negCte =
       if (negValues.isEmpty) "negs(query_id, term) AS (SELECT 0, '' WHERE 1 = 0)"
       else s"negs(query_id, term) AS (VALUES ${negValues.mkString(", ")})"
-    val ptermValues = phraseClauses.flatMap { case (pid, _, _, ts) =>
+    val ptermValues = phraseClauses.flatMap { case (pid, _, _, ts, _) =>
       ts.zipWithIndex.map { case (t, i) => s"($pid, $i, '${esc(t)}')" }
     }
     // per phrase clause: exact-adjacency pf (slop 0) via the positional
     // self-join chain, same shape as bm25PhraseCore
-    val pfSelects = phraseClauses.map { case (pid, id, kind, terms) =>
+    val pfSelects = phraseClauses.map { case (pid, id, kind, terms, _) =>
       val joins = (1 until terms.size).map { i =>
         s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id " +
           s"AND p$i.pos > p${i - 1}.pos AND p$i.pos <= p0.pos + $i " +
@@ -373,10 +380,13 @@ object Oracle {
          |  WHERE p0.term = '${esc(terms.head)}'
          |  GROUP BY p0.doc_id""".stripMargin
     }
+    val pboostValues = phraseClauses.map { case (pid, _, _, _, b) =>
+      s"($pid, CAST($b AS DOUBLE))" }
     s"""WITH ${indexCtes(corpusSql)},
-       |qt(query_id, term, is_must) AS (VALUES ${qtValues.mkString(", ")}),
+       |qt(query_id, term, is_must, boost) AS (VALUES ${qtValues.mkString(", ")}),
        |nmust(query_id, n_must) AS (VALUES ${nMustValues.mkString(", ")}),
        |$negCte,
+       |pboosts(pid, boost) AS (VALUES ${pboostValues.mkString(", ")}),
        |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
        |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
        |pterms(pid, slot, term) AS (VALUES ${ptermValues.mkString(", ")}),
@@ -385,9 +395,11 @@ object Oracle {
        |pf AS (${pfSelects.mkString("\nUNION ALL\n")}),
        |ps AS (
        |  SELECT pf.query_id, pf.kind, pf.doc_id,
-       |         idfs.idf_sum * pf.pf / (pf.pf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS pscore
+       |         idfs.idf_sum * pf.pf / (pf.pf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))
+       |           * pb.boost AS pscore
        |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
-       |       JOIN idfs USING (pid) CROSS JOIN stats s),
+       |       JOIN idfs USING (pid) JOIN pboosts pb USING (pid)
+       |       CROSS JOIN stats s),
        |posph AS (SELECT query_id, doc_id, sum(pscore) AS phsum,
        |                 count(CASE WHEN kind = 'm' THEN 1 END)::BIGINT AS must_ph
        |          FROM ps WHERE kind <> 'n' GROUP BY query_id, doc_id),
@@ -395,7 +407,8 @@ object Oracle {
        |tscored AS (
        |  SELECT qt.query_id, tf.doc_id,
        |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
-       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS tscore,
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl))
+       |              * qt.boost ) AS tscore,
        |         count(CASE WHEN is_must THEN 1 END)::BIGINT AS must_t
        |  FROM qt JOIN tf USING (term) JOIN df USING (term)
        |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
@@ -1075,6 +1088,37 @@ object Oracle {
        |${scoredFromQtCte},
        |boosted AS (SELECT sc.query_id, sc.doc_id,
        |                   sc.score $combine ($a/(dl.dl + $b)) AS score
+       |            FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM boosted)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.IndexSearch.searchBoosted]] with the boost
+    * given as a Solr function-query STRING: the SQL fragment renders
+    * from the SAME [[graft.search.FunctionQuery]] AST the engine's
+    * Column renders from, so both sides evaluate an identical FP
+    * expression tree. Field references resolve against the dl CTE (the
+    * only numeric stored attribute the boost twins use). */
+  def bm25BoostFn(queries: Seq[(Int, String)], k: Int, fn: String,
+                  multiplicative: Boolean = false): String = {
+    val combine = if (multiplicative) "*" else "+"
+    val fnSql = graft.search.FunctionQuery.toSql(
+      graft.search.FunctionQuery.parse(fn),
+      f => { require(f == "dl", s"boost twin resolves 'dl' only, got '$f'")
+             "dl.dl" })
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |boosted AS (SELECT sc.query_id, sc.doc_id,
+       |                   sc.score $combine $fnSql AS score
        |            FROM scored sc JOIN dl ON sc.doc_id = dl.doc_id),
        |ranked AS (
        |  SELECT query_id, doc_id, score,

@@ -205,6 +205,31 @@ object SparkEntry {
     4 -> "batch",
     5 -> "the zzzmissing")
 
+  /** Lucene `^boost` clause-boost query set (terms only — the inline
+    * engine twin): should boost reordering, must boost (match set
+    * unchanged, scores scaled), fractional down-boost with an exclusion,
+    * boost on a must with analyzer-in-clause, and the same term listed
+    * twice with different boosts (dedupes to MAX, the pinned rule). */
+  val ClauseBoostQueries: Seq[(Int, String)] = Seq(
+    1 -> "spark^2 merge window",
+    2 -> "+dup^3 batch",
+    3 -> "spark^0.5 merge -window",
+    4 -> "+Key-Value!^2 sort",
+    5 -> "batch^2 batch")
+
+  /** Boosted quoted phrases in the boolean grammar (`+"a b"^2 c^0.5`):
+    * must-phrase boost + plain should, fractional should-phrase boost
+    * with an exclusion, and term boost × phrase boost in one query. */
+  val BoolPhraseBoostQueries: Seq[(Int, String)] = Seq(
+    1 -> "+\"order fast\"^2 spark",
+    2 -> "\"big order scan\"^0.5 -dup",
+    3 -> "+merge^2 \"order order\"^3")
+
+  /** The `bf=` function-query STRING a Solr user types — parsed by
+    * [[graft.search.FunctionQuery]] into one AST that renders both the
+    * engine Column and the oracle SQL. */
+  val BoostFnString = "sum(recip(dl,1,100,10),product(0.05,sqrt(dl)))"
+
   /** RealTimeGet key set: found keys across roles/turns (doc_ids 5, 11,
     * 40 — all < 500, present at every sf) plus a key that does not exist
     * (omitted from the response, Solr parity). */
@@ -618,6 +643,21 @@ object SparkEntry {
     "q_bm25_boost_mult" -> ((s, dir) =>
       IndexSearch.searchBoosted(indexFor(s, dir), DisjQueries,
         lit(100.0) / (col("dl") + lit(10.0)), multiplicative = true)),
+    // Lucene ^boost clause boosts (term^2 / term^0.5): the inline
+    // clause engine — parser-shared boosts scale each clause's BM25
+    // contribution before the per-doc sum
+    "q_bm25_clause_boost" -> ((s, dir) =>
+      Search.searchCorpusClauses(transcriptCorpus(s, dir), ClauseBoostQueries)),
+    // boosted quoted phrases + boosted terms composed in the positional
+    // persisted-index clause engine ("a b"^2 with term^0.5 in one query)
+    "q_bm25_bool_phrase_boost" -> ((s, dir) =>
+      IndexSearch.searchClauses(indexFor(s, dir), BoolPhraseBoostQueries)),
+    // bf= given as the Solr function-query STRING, FunctionQuery-parsed;
+    // the oracle renders SQL from the SAME AST
+    "q_bm25_boost_fn" -> ((s, dir) =>
+      IndexSearch.searchBoosted(indexFor(s, dir), DisjQueries,
+        graft.search.FunctionQuery.toColumn(
+          graft.search.FunctionQuery.parse(BoostFnString)))),
     // Solr facet.missing: matched docs without a value count into a
     // NULL-valued bucket per (query, field), same single pass
     "q_facet_missing" -> ((s, dir) =>
@@ -962,6 +1002,11 @@ object SparkEntry {
     "q_bm25_bool_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, BoolQueries, 10),
     "q_bm25_bool_phrase" -> Oracle.bm25TopKBoolPhrase(Oracle.transcriptsCorpus,
       BoolPhraseQueries, 10),
+    "q_bm25_clause_boost" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus,
+      ClauseBoostQueries, 10),
+    "q_bm25_bool_phrase_boost" -> Oracle.bm25TopKBoolPhrase(
+      Oracle.transcriptsCorpus, BoolPhraseBoostQueries, 10),
+    "q_bm25_boost_fn" -> Oracle.bm25BoostFn(DisjQueries, 10, BoostFnString),
     "q_bm25_bool_segmented" -> Oracle.bm25TopKClausesKeys(BoolQueries, 10),
     "q_bm25_conj_segmented" -> Oracle.bm25TopKClausesKeys(ConjQueriesAsMust, 10),
     "q_bm25_phrase_segmented" -> Oracle.bm25PhraseKeys(PhraseQueries, 10),

@@ -445,9 +445,9 @@ object SegmentedIndex {
       val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = all
         .join(broadcast(dfg), "term")
-        .join(broadcast(qt), "term") // (query_id, term, _is_must)
+        .join(broadcast(qt), "term") // (query_id, term, _is_must, _boost)
         .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
-          lit(m.nDocs), lit(m.avgdl)))
+          lit(m.nDocs), lit(m.avgdl)) * col("_boost"))
         .groupBy("query_id", "conv_id", "turn_idx")
         .agg(sum(col("_s")).as("_score"),
           count(when(col("_is_must"), lit(1))).as("_must_matched"),

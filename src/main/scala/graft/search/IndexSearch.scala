@@ -475,14 +475,20 @@ object IndexSearch {
       gs.flatMap(expansions.getOrElse(_, Nil)).distinct
 
     val qt = parsed.flatMap { case (id, c) =>
-      val plain = c.must.map(t => (id, t, true, false)) ++
-        c.should.map(t => (id, t, false, true))
+      val plain = c.must.map(t => (id, t, true, false, c.boost(t))) ++
+        c.should.map(t => (id, t, false, true, c.boost(t)))
       val plainTerms = (c.must ++ c.should).toSet
-      val members =
-        memberTerms(id, c.mustGroups ++ c.shouldGroups)
-          .filterNot(plainTerms).map(t => (id, t, false, false))
+      // member boost = its group's `^boost`; a member reached through
+      // several groups dedupes to the MAX (same pinning as the parser's
+      // clause-level dedupe); a plain clause wins over group membership
+      // and keeps ITS boost
+      val members = (c.mustGroups ++ c.shouldGroups)
+        .flatMap(b => expansions.getOrElse(b, Nil).map(t => (t, c.groupBoost(b))))
+        .groupBy(_._1).map { case (t, occ) => (t, occ.map(_._2).max) }
+        .toSeq.sortBy(_._1)
+        .collect { case (t, bo) if !plainTerms(t) => (id, t, false, false, bo) }
       plain ++ members
-    }.toDF("query_id", "term", "_is_must", "_is_should")
+    }.toDF("query_id", "term", "_is_must", "_is_should", "_boost")
     val neg = parsed.flatMap { case (id, c) =>
       (c.not ++ memberTerms(id, c.notGroups)).distinct.map(t => (id, t))
     }.toDF("query_id", "term")
@@ -497,7 +503,7 @@ object IndexSearch {
     val tscored0 = matched
       .join(broadcast(qt), Seq("query_id", "term"))
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
-        lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+        lit(idx.stats.nDocs), lit(idx.stats.avgdl)) * col("_boost"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_tscore"),
         count(when(col("_is_must"), lit(1))).as("_must_t"),
@@ -546,20 +552,21 @@ object IndexSearch {
     // synthetic clause ids key the batched phrase machinery; n_must counts
     // TERM musts + ALL parsed must phrases (a dead/OOV phrase still counts,
     // so its query can never satisfy the filter — Lucene MUST semantics)
-    val phraseClauses: Seq[(Int, Int, String, Seq[String])] =
+    val phraseClauses: Seq[(Int, Int, String, Seq[String], Double)] =
       parsed.flatMap { case (id, c) =>
-        c.mustPhrases.map(p => (id, "m", p)) ++
-          c.shouldPhrases.map(p => (id, "s", p)) ++
-          c.notPhrases.map(p => (id, "n", p))
-      }.zipWithIndex.map { case ((id, kind, p), pid) => (pid, id, kind, p) }
+        c.mustPhrases.map(p => (id, "m", p, c.phraseBoost(p))) ++
+          c.shouldPhrases.map(p => (id, "s", p, c.phraseBoost(p))) ++
+          c.notPhrases.map(p => (id, "n", p, 1.0))
+      }.zipWithIndex.map { case ((id, kind, p, b), pid) => (pid, id, kind, p, b) }
     val nMustDf = parsed
       .map { case (id, c) =>
         (id, c.must.size + c.mustPhrases.size + nMustGroups(id)) }
       .toDF("query_id", "_n_must")
-    val pidMeta = phraseClauses.map { case (pid, id, kind, _) => (pid, id, kind) }
-      .toDF("_pid", "query_id", "_kind")
+    val pidMeta = phraseClauses
+      .map { case (pid, id, kind, _, b) => (pid, id, kind, b) }
+      .toDF("_pid", "query_id", "_kind", "_pboost")
     val planned = phrasePlanned(idx,
-      phraseClauses.map { case (pid, _, _, toks) => (pid, toks.mkString(" ")) })
+      phraseClauses.map { case (pid, _, _, toks, _) => (pid, toks.mkString(" ")) })
     try {
       val psRaw = planned match {
         case None => Seq.empty[(Int, Long, Double)].toDF("_pid", "doc_id", "_pscore")
@@ -570,7 +577,7 @@ object IndexSearch {
       val ps = psRaw.join(broadcast(pidMeta), "_pid")
       val posph = ps.where(col("_kind") =!= "n")
         .groupBy("query_id", "doc_id")
-        .agg(sum(col("_pscore")).as("_phsum"),
+        .agg(sum(col("_pscore") * col("_pboost")).as("_phsum"),
           count(when(col("_kind") === "m", lit(1))).as("_must_ph"),
           count(when(col("_kind") === "s", lit(1))).as("_should_ph"))
       val negph = ps.where(col("_kind") === "n")

@@ -49,7 +49,9 @@ object Search {
     * dedupe by token sequence with the same must-over-should rule. A
     * phrase that analyzes to ONE token is a term clause (Lucene parity:
     * single-term PhraseQuery ≡ TermQuery); one that analyzes to zero
-    * tokens is a no-op. */
+    * tokens is a no-op. Lucene `^boost` suffixes (`error^2`, `"a b"^0.5`,
+    * `te*^3`, `roam~1^2`) multiply the clause's score contribution;
+    * see [[stripBoost]] and the dedupe pinning at the boost maps. */
   /** A MultiTermQuery clause body inside the boolean grammar: expanded
     * against the dictionary at query time, then treated as a GROUP —
     * Lucene rewrites `+te*t` to `+(t1 t2 …)`: the must is satisfied by
@@ -70,13 +72,21 @@ object Search {
                                notPhrases: Seq[Seq[String]] = Seq.empty,
                                mustGroups: Seq[MultiTermBody] = Seq.empty,
                                shouldGroups: Seq[MultiTermBody] = Seq.empty,
-                               notGroups: Seq[MultiTermBody] = Seq.empty) {
+                               notGroups: Seq[MultiTermBody] = Seq.empty,
+                               termBoosts: Map[String, Double] = Map.empty,
+                               phraseBoosts: Map[Seq[String], Double] = Map.empty,
+                               groupBoosts: Map[MultiTermBody, Double] = Map.empty) {
     def hasGroups: Boolean =
       mustGroups.nonEmpty || shouldGroups.nonEmpty || notGroups.nonEmpty
+    /** Query-syntax boost of a term/phrase/group clause (1.0 when none). */
+    def boost(t: String): Double = termBoosts.getOrElse(t, 1.0)
+    def phraseBoost(p: Seq[String]): Double = phraseBoosts.getOrElse(p, 1.0)
+    def groupBoost(b: MultiTermBody): Double = groupBoosts.getOrElse(b, 1.0)
   }
 
-  /** One clause: optional +/- prefix, then a quoted or bare body. */
-  private val ClauseRe = """([+-]?"[^"]*"|\S+)""".r
+  /** One clause: optional +/- prefix, then a quoted body (with an
+    * optional trailing `^boost`) or a bare body. */
+  private val ClauseRe = """([+-]?"[^"]*"(?:\^[^\s"]+)?|\S+)""".r
 
   /** Parse one bare (unquoted) multiterm clause body, or None for a
     * plain-term body. Fuzzy wins over wildcard detection (a body cannot
@@ -103,38 +113,80 @@ object Search {
       Some(WildcardBody(p))
     } else None
 
+  /** Strip a Lucene `^boost` suffix off a clause body ("a b"^2 comes in
+    * WITHOUT the quotes already removed by the caller for the bare case).
+    * Returns (body, boost). A '^' with a non-positive / unparseable
+    * suffix fails loudly — it cannot be a legal token ('^' is outside
+    * every body alphabet), so silence would mis-parse the query. */
+  private def stripBoost(body: String): (String, Double) = {
+    val i = body.lastIndexOf('^')
+    if (i < 0) (body, 1.0)
+    else {
+      val (stem, suf) = (body.substring(0, i), body.substring(i + 1))
+      val b = suf.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"clause '$body': boost suffix '^$suf' is not a number"))
+      require(b > 0, s"clause '$body': boost must be positive, got $b")
+      require(stem.nonEmpty, s"clause '$body': empty body before '^'")
+      (stem, b)
+    }
+  }
+
   def parseClauses(text: String): BoolClauses = {
     val clauses = ClauseRe.findAllIn(text).toSeq
     sealed trait Kind; case object M extends Kind; case object S extends Kind
     case object N extends Kind
-    val split: Seq[(Kind, String, Boolean)] = clauses.map { c =>
-      val (kind, body) =
+    val split: Seq[(Kind, String, Boolean, Double)] = clauses.map { c =>
+      val (kind, rest) =
         if (c.startsWith("+") && c.length > 1) (M, c.substring(1))
         else if (c.startsWith("-") && c.length > 1) (N, c.substring(1))
         else (S, c)
-      val quoted = body.length >= 2 && body.startsWith("\"") && body.endsWith("\"")
-      (kind, if (quoted) body.substring(1, body.length - 1) else body, quoted)
+      val quoted = rest.startsWith("\"")
+      if (quoted) {
+        val close = rest.lastIndexOf('"')
+        require(close >= 1, s"clause '$c': unterminated quote")
+        val boost = stripBoost("x" + rest.substring(close + 1))._2
+        (kind, rest.substring(1, close), true, boost)
+      } else {
+        val (body, boost) = stripBoost(rest)
+        (kind, body, false, boost)
+      }
     }
     // unquoted bodies with multiterm syntax become group clauses
-    val (mtCl, restCl) = split.partition { case (_, body, q) =>
+    val (mtCl, restCl) = split.partition { case (_, body, q, _) =>
       !q && parseMultiTermBody(body).isDefined }
     def groups(k: Kind) =
       mtCl.filter(_._1 == k).map(c => parseMultiTermBody(c._2).get).distinct
     // a quoted body analyzing to 1 token degrades to a term clause; to 0
     // tokens it is a no-op
-    val (phraseCl, termCl) = restCl.map { case (k, body, q) =>
-      (k, Analyzer.tokenize(body), q)
-    }.partition { case (_, toks, q) => q && toks.size >= 2 }
+    val (phraseCl, termCl) = restCl.map { case (k, body, q, b) =>
+      (k, Analyzer.tokenize(body), q, b)
+    }.partition { case (_, toks, q, _) => q && toks.size >= 2 }
     def terms(k: Kind) =
       termCl.filter(_._1 == k).flatMap(_._2).distinct
     def phrases(k: Kind) =
       phraseCl.filter(_._1 == k).map(_._2).distinct
+    // explicit `^boost` clause boosts: every token the (term) body
+    // analyzes to carries the body's boost; a clause listed twice with
+    // different boosts dedupes to the MAX boost (pinned — Lucene scores
+    // each occurrence separately, our engines dedupe clauses); boosts on
+    // MUST_NOT clauses parse but are ignored (exclusion is boolean)
+    def maxBoosts[K](kvs: Seq[(K, Double)]): Map[K, Double] =
+      kvs.filter(_._2 != 1.0).groupBy(_._1)
+        .map { case (t, occ) => t -> occ.map(_._2).max }
+    val tBoosts = maxBoosts(termCl.collect {
+      case (k, toks, _, b) if k != N => toks.map(_ -> b) }.flatten)
+    val pBoosts = maxBoosts(phraseCl.collect {
+      case (k, toks, _, b) if k != N => toks -> b })
+    val gBoosts = maxBoosts(mtCl.collect {
+      case (k, body, _, b) if k != N => parseMultiTermBody(body).get -> b })
     val must = terms(M)
     val mustPh = phrases(M)
     val mustG = groups(M)
     BoolClauses(must, terms(S).filterNot(must.contains), terms(N),
       mustPh, phrases(S).filterNot(mustPh.contains), phrases(N),
-      mustG, groups(S).filterNot(mustG.contains), groups(N))
+      mustG, groups(S).filterNot(mustG.contains), groups(N),
+      tBoosts, pBoosts, gBoosts)
   }
 
   /** The edismax `pf` rewrite: append each query's whole analyzed token
@@ -169,8 +221,9 @@ object Search {
       "wildcard/fuzzy clauses are served by IndexSearch.searchClauses over " +
         "a persisted index dictionary; this engine path is terms-only")
     val qt = parsed.flatMap { case (id, c) =>
-      c.must.map(t => (id, t, true)) ++ c.should.map(t => (id, t, false))
-    }.toDF("query_id", "term", "_is_must")
+      c.must.map(t => (id, t, true, c.boost(t))) ++
+        c.should.map(t => (id, t, false, c.boost(t)))
+    }.toDF("query_id", "term", "_is_must", "_boost")
     val neg = parsed.flatMap { case (id, c) => c.not.map(t => (id, t)) }
       .toDF("query_id", "term")
     (qt, neg, parsed.map { case (id, c) => id -> c.must.size }.toMap)
@@ -202,7 +255,7 @@ object Search {
     val scored = IndexBuild.tfWithDl(tf, dl)
       .join(broadcast(qd), "term")
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
-        lit(st.nDocs), lit(st.avgdl)))
+        lit(st.nDocs), lit(st.avgdl)) * col("_boost"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("_s")).as("_score"),
         count(when(col("_is_must"), lit(1))).as("_must_matched"),

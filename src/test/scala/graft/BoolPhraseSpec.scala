@@ -121,12 +121,13 @@ class BoolPhraseSpec extends SparkSpec {
       else {
         val tScore = posTerms.filter(toks.contains).map { t =>
           val tf = toks.count(_ == t)
-          idf(t) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+          idf(t) * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) * c.boost(t)
         }.sum
         val pScore = posPhrases.map { p =>
           val f = pf(toks, p).toDouble
           if (f == 0) 0.0
-          else p.map(idf).sum * f / (f + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+          else p.map(idf).sum * f / (f + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) *
+            c.phraseBoost(p)
         }.sum
         Some((d.toLong, tScore + pScore))
       }
@@ -191,6 +192,58 @@ class BoolPhraseSpec extends SparkSpec {
       IndexSearch.searchPhraseBoosted(idx, Seq(1 -> "\"a b\"")))
   }
 
+  test("parser: ^boost suffixes on terms, phrases, groups; pinned dedupe") {
+    val c = Search.parseClauses("""spark^2 +dup^3 -x^9 "a b"^1.5 te*^4 roam~1^2""")
+    assert(c.boost("spark") == 2.0 && c.boost("dup") == 3.0)
+    assert(c.termBoosts.get("x").isEmpty) // not-clause boosts are ignored
+    assert(c.phraseBoost(Seq("a", "b")) == 1.5)
+    assert(c.groupBoost(Search.WildcardBody("te*")) == 4.0)
+    assert(c.groupBoost(Search.FuzzyBody("roam", 1)) == 2.0)
+    // same term listed twice: dedupe keeps the MAX boost
+    assert(Search.parseClauses("batch^2 batch^3").boost("batch") == 3.0)
+    assert(Search.parseClauses("+spark^2 spark^5").boost("spark") == 5.0)
+    // boost-free clauses keep boost 1.0 and an empty map
+    assert(Search.parseClauses("a b").termBoosts.isEmpty)
+    // malformed boosts fail loudly
+    intercept[IllegalArgumentException](Search.parseClauses("a^x"))
+    intercept[IllegalArgumentException](Search.parseClauses("a^0"))
+    intercept[IllegalArgumentException](Search.parseClauses("a^-1"))
+    intercept[IllegalArgumentException](Search.parseClauses("^2 b"))
+  }
+
+  test("boosts: hand-audited reordering + group-of-one ≡ boosted term") {
+    val idx = buildIdx(Seq(
+      Seq("a", "b", "b"),  // 0: b-heavy
+      Seq("a", "a", "b"),  // 1: a-heavy
+      Seq("a", "x", "x")), // 2: a only
+      "boost")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect().toSeq
+    // boosting b^3 ranks the b-heavy doc 0 first; boosting a^5 overcomes
+    // a's lower idf (df 3 vs 2) and ranks the a-heavy doc 1 first — the
+    // match set never changes (hand math: idf(a)=.1335, idf(b)=.4700)
+    assert(docsOf(IndexSearch.searchClauses(idx, Seq(1 -> "a b^3")), 1)
+      .head == 0L)
+    assert(docsOf(IndexSearch.searchClauses(idx, Seq(1 -> "a^5 b")), 1)
+      .head == 1L)
+    assert(docsOf(IndexSearch.searchClauses(idx, Seq(1 -> "a b^3")), 1).toSet ==
+      docsOf(IndexSearch.searchClauses(idx, Seq(1 -> "a b")), 1).toSet)
+    // a boosted single-member group scores exactly like the boosted term
+    // (members score with their own idf × the group's boost)
+    val got = rows(IndexSearch.searchClauses(idx, Seq(1 -> "a b*^3")))
+    val want = rows(IndexSearch.searchClauses(idx, Seq(1 -> "a b^3")))
+    assert(got == want && got.nonEmpty)
+    // the inline corpus engine agrees with the index engine on term boosts
+    // (same docs in the same key order → same dense doc ids)
+    val corpus = Seq((0L, "a b b"), (1L, "a a b"), (2L, "a x x"))
+      .toDF("doc_id", "text")
+    val inline = Search.searchCorpusClauses(corpus, Seq(1 -> "a b^3"))
+      .select("rank", "doc_id", "score").orderBy("rank").collect().toSeq
+    val viaIdx = IndexSearch.searchClauses(idx, Seq(1 -> "a b^3"))
+      .select("rank", "doc_id", "score").orderBy("rank").collect().toSeq
+    assert(inline == viaIdx && inline.nonEmpty)
+  }
+
   test("property: searchClauses with phrases ≡ brute force on random corpora") {
     val rnd = new scala.util.Random(37)
     val vocab = Vector("a", "b", "c", "d", "e")
@@ -205,7 +258,9 @@ class BoolPhraseSpec extends SparkSpec {
         2 -> s""""${t()} ${t()} ${t()}" -${t()}""",
         3 -> s"""+${t()} -"${t()} ${t()}"""",
         4 -> s"""+"${t()} ${t()}" -"${t()} ${t()}"""",
-        5 -> { val x = t(); s"""+"$x $x" ${t()}""" }) // duplicate-term phrase
+        5 -> { val x = t(); s"""+"$x $x" ${t()}""" }, // duplicate-term phrase
+        6 -> s"""+"${t()} ${t()}"^2 ${t()}^0.5""",    // ^boost on both kinds
+        7 -> s"""${t()}^3 "${t()} ${t()}"^0.25 -${t()}""")
       val res = IndexSearch.searchClauses(idx, queries, k = 10)
       for ((qid, q) <- queries) {
         val want = brute(docs, q, 10)

@@ -33,6 +33,33 @@ class SegmentSpec extends SparkSpec {
     SegmentedIndex.search(spark, root, queries, cfg = cfg)
       .orderBy("query_id", "rank").collect().toSeq
 
+  test("clause ^boost flows through the segmented engine ≡ unified rebuild") {
+    val all = Transcripts.synthetic(spark, 60).cache()
+    val root = tmp()
+    SegmentedIndex.append(spark, root, all, noDeletes, "seg-a", cfg)
+    val bq = Seq(1 -> "w1 w3^3", 2 -> "+w2^0.5 w5")
+    val seg = SegmentedIndex.searchClauses(spark, root, bq, cfg = cfg)
+      .orderBy("query_id", "rank").collect().toSeq
+    val uroot = tmp()
+    BuildIndexJob.run(spark, all, uroot, "full", cfg)
+    val res = IndexSearch.searchClauses(IndexSearch.open(spark, uroot), bq)
+    val keys = spark.read.parquet(s"$uroot/docs")
+      .select("doc_id", "conv_id", "turn_idx")
+    val want = res.join(keys, "doc_id")
+      .select("query_id", "rank", "conv_id", "turn_idx", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(seg == want && seg.nonEmpty)
+    // the boost actually bites: w3^3 must change the scored output
+    val plain = SegmentedIndex.searchClauses(spark, root, Seq(1 -> "w1 w3"),
+      cfg = cfg).orderBy("rank")
+      .select("conv_id", "turn_idx", "score").collect().toSeq
+    val boosted = SegmentedIndex.searchClauses(spark, root, Seq(1 -> "w1 w3^3"),
+      cfg = cfg).orderBy("rank")
+      .select("conv_id", "turn_idx", "score").collect().toSeq
+    assert(plain != boosted)
+    all.unpersist()
+  }
+
   test("3 appends with upserts and deletes ≡ full rebuild over the live corpus") {
     val all = Transcripts.synthetic(spark, 120).cache()
     val b1 = all.where($"conv_id" < "conv00000050")

@@ -194,6 +194,36 @@ class SolrComponentsSpec extends SparkSpec {
       assert(math.abs(gs - bs) < 1e-3) }
   }
 
+  test("FunctionQuery: parse/render twins, arity guards, engine parity") {
+    import graft.search.FunctionQuery
+    import org.apache.spark.sql.functions.{col, lit}
+    // the canonical bf shape parses and both renders evaluate it
+    val ast = FunctionQuery.parse("recip(dl,1,100,10)")
+    assert(ast == FunctionQuery.Call("recip", Seq(
+      FunctionQuery.Field("dl"), FunctionQuery.Num(1), FunctionQuery.Num(100),
+      FunctionQuery.Num(10))))
+    assert(FunctionQuery.toSql(ast, f => s"dl.$f") ==
+      "(CAST(100.0 AS DOUBLE)/((CAST(1.0 AS DOUBLE)*dl.dl)+CAST(10.0 AS DOUBLE)))")
+    // nested composition with whitespace tolerance
+    val nested = FunctionQuery.parse("sum( recip(dl,1,100,10), product(0.5, sqrt(dl)) )")
+    assert(FunctionQuery.toColumn(nested) != null)
+    // parser guards fail loudly
+    intercept[IllegalArgumentException](FunctionQuery.parse("nope(dl)"))
+    intercept[IllegalArgumentException](FunctionQuery.parse("recip(dl,1,100)"))
+    intercept[IllegalArgumentException](FunctionQuery.parse("sum(dl)"))
+    intercept[IllegalArgumentException](FunctionQuery.parse("recip(dl,1,100,10) x"))
+    intercept[IllegalArgumentException](FunctionQuery.parse("recip(dl,1,100,"))
+    // searchBoosted with the parsed Column ≡ the hand-built Column
+    val q = Seq(1 -> "cat dog")
+    val viaFn = IndexSearch.searchBoosted(idx, q,
+      FunctionQuery.toColumn(FunctionQuery.parse("recip(dl,1,100,10)")), k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val viaCol = IndexSearch.searchBoosted(idx, q,
+      lit(100.0) / (lit(1.0) * col("dl") + lit(10.0)), k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(viaFn == viaCol && viaFn.nonEmpty)
+  }
+
   test("TermsComponent: prefix enumeration in index (term ASC) order") {
     val got = graft.search.Suggest.terms(idx, Seq(1 -> "a", 2 -> "e"), n = 10)
       .orderBy("query_id", "rank").collect()
