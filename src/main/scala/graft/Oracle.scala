@@ -652,6 +652,31 @@ object Oracle {
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Twin of [[graft.search.IndexSearch.searchSorted]] with the sort key
+    * given as a Solr function-query STRING (`sort=recip(dl,1,100,10) desc`):
+    * the SQL renders from the SAME [[graft.search.FunctionQuery]] AST as
+    * the engine's Column, so sort values are bit-identical; pinned
+    * doc_id ASC tie-break; BM25 score still computed and reported. */
+  def bm25SortFn(queries: Seq[(Int, String)], k: Int, fn: String): String = {
+    val fnSql = graft.search.FunctionQuery.toSql(
+      graft.search.FunctionQuery.parse(fn),
+      f => { require(f == "dl", s"sort twin resolves 'dl' only, got '$f'")
+             "dl.dl" })
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |ranked AS (
+       |  SELECT query_id, scored.doc_id AS doc_id, score, $fnSql AS fv,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY $fnSql DESC, scored.doc_id ASC) AS rnk
+       |  FROM scored JOIN dl ON scored.doc_id = dl.doc_id)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, fv, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchPrefix]]: prefixes expand
     * against the df relation (`term LIKE 'p%'` — the dictionary), each
     * expanded term scoring with its own idf (the pinned scoring-boolean
@@ -788,12 +813,13 @@ object Oracle {
   /** Twin of [[graft.search.Facets.fields]] via IndexSearch.facetFields:
     * repeated facet.field params, NULL values uncounted, string-valued. */
   def facetFields(queries: Seq[(Int, String)], cols: Seq[String],
-                  missing: Boolean = false): String = {
+                  missing: Boolean = false, mincount: Long = 0L): String = {
     val branches = cols.map { c =>
       val pred = if (missing) "TRUE" else s"$c IS NOT NULL"
+      val having = if (mincount == 0L) "" else s"\n  HAVING count(*) >= $mincount"
       s"""SELECT query_id, '$c' AS field, CAST($c AS VARCHAR) AS value, count(*)::BIGINT AS n_docs
          |  FROM matched JOIN corpus USING (doc_id) WHERE $pred
-         |  GROUP BY query_id, $c""".stripMargin
+         |  GROUP BY query_id, $c$having""".stripMargin
     }
     s"""WITH ${indexCtes(transcriptsCorpusFacets)},
        |${matchedCtes(queries)}

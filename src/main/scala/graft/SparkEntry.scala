@@ -230,6 +230,10 @@ object SparkEntry {
     * engine Column and the oracle SQL. */
   val BoostFnString = "sum(recip(dl,1,100,10),product(0.05,sqrt(dl)))"
 
+  /** The `sort=` function-query string (brevity sort: shortest docs
+    * first via the recip, doc_id tie-break). */
+  val SortFnString = "recip(dl,1,100,10)"
+
   /** RealTimeGet key set: found keys across roles/turns (doc_ids 5, 11,
     * 40 — all < 500, present at every sf) plus a key that does not exist
     * (omitted from the response, Solr parity). */
@@ -560,6 +564,15 @@ object SparkEntry {
       IndexSearch.searchSorted(indexFor(s, dir), DisjQueries,
         Seq(col("ts_sec").desc), 10,
         extra = Seq("ts_sec" -> unix_timestamp(col("ts"))))),
+    // Solr sort by FUNCTION QUERY (sort=recip(dl,1,100,10) desc): the
+    // FunctionQuery-parsed sort key, doc_id tie-break; fv output pins
+    // the bit-identical function value on both engines
+    "q_bm25_sort_fn" -> ((s, dir) => {
+      val fv = graft.search.FunctionQuery.toColumn(
+        graft.search.FunctionQuery.parse(SortFnString))
+      IndexSearch.searchSorted(indexFor(s, dir), DisjQueries,
+        Seq(col("fv").desc), 10, extra = Seq("fv" -> fv))
+    }),
     // Lucene/Solr prefix queries (te*): dictionary range-scan expansion,
     // scoring-boolean rewrite, maxExpansions guard
     "q_bm25_prefix" -> ((s, dir) =>
@@ -663,6 +676,10 @@ object SparkEntry {
     "q_facet_missing" -> ((s, dir) =>
       IndexSearch.facetFields(indexFor(s, dir), DisjQueries, Seq("tool"),
         missing = true)),
+    // Solr facet.mincount: buckets under the threshold drop post-agg
+    "q_facet_mincount" -> ((s, dir) =>
+      IndexSearch.facetFields(indexFor(s, dir), DisjQueries,
+        Seq("role", "tool"), mincount = 5L)),
     // Solr TermsComponent: prefix enumeration, terms.sort=index
     "q_terms" -> ((s, dir) =>
       graft.search.Suggest.terms(indexFor(s, dir), SuggestPrefixes, 5)),
@@ -949,6 +966,9 @@ object SparkEntry {
     "q_bm25_boost" -> Oracle.bm25BoostRecipDl(DisjQueries, 10, 100.0, 10.0),
     "q_bm25_boost_mult" -> Oracle.bm25BoostRecipDl(DisjQueries, 10, 100.0, 10.0,
       multiplicative = true),
+    "q_facet_mincount" -> Oracle.facetFields(DisjQueries, Seq("role", "tool"),
+      mincount = 5L),
+    "q_bm25_sort_fn" -> Oracle.bm25SortFn(DisjQueries, 10, SortFnString),
     "q_facet_missing" -> Oracle.facetFields(DisjQueries, Seq("tool"),
       missing = true),
     "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),

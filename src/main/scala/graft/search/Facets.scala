@@ -44,12 +44,17 @@ object Facets {
     * stay in instead of being filtered. Pinned divergence: a group with
     * zero missing docs has NO null bucket row (Solr would report
     * missing=0) — absence-of-row ≡ zero, consistent with how the value
-    * buckets themselves behave. */
+    * buckets themselves behave. `mincount` is Solr's `facet.mincount`:
+    * buckets below the threshold drop AFTER the one aggregation pass (a
+    * post-agg filter — the count itself is unchanged); 0 keeps every
+    * bucket, matching the historical default. */
   def fields(matched: DataFrame, attrs: DataFrame,
              fieldNames: Seq[String],
              key: Seq[String] = Seq("doc_id"),
-             missing: Boolean = false): DataFrame = {
+             missing: Boolean = false,
+             mincount: Long = 0L): DataFrame = {
     require(fieldNames.nonEmpty, "facet.field list must be non-empty")
+    require(mincount >= 0, s"facet.mincount must be >= 0, got $mincount")
     val fv = explode(array(fieldNames.map(f =>
       struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
     matched
@@ -60,6 +65,7 @@ object Facets {
       .where(if (missing) lit(true) else col("value").isNotNull)
       .groupBy("query_id", "field", "value")
       .agg(count(lit(1)).as("n_docs"))
+      .where(if (mincount == 0L) lit(true) else col("n_docs") >= mincount)
       .orderBy("query_id", "field", "value")
   }
 

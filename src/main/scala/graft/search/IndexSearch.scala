@@ -655,9 +655,10 @@ object IndexSearch {
     * facet.field params of one request, all counted from ONE match-set
     * join ([[Facets.fields]] semantics). */
   def facetFields(idx: OpenIndex, queries: Seq[(Int, String)],
-                  fieldNames: Seq[String], missing: Boolean = false): DataFrame =
+                  fieldNames: Seq[String], missing: Boolean = false,
+                  mincount: Long = 0L): DataFrame =
     Facets.fields(matchedDocSet(idx, queries), facetAttrs(idx), fieldNames,
-      missing = missing)
+      missing = missing, mincount = mincount)
 
   /** Solr `facet.query` over the persisted index: named predicates over
     * the stored attributes, zero-filled on the request spine

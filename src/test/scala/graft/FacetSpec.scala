@@ -47,6 +47,23 @@ class FacetSpec extends SparkSpec {
       (1, "tool", "toolA", 1L)))
   }
 
+  test("facet.mincount drops buckets below the threshold post-agg") {
+    // bee matches docs 0,1,2 → role buckets user×2, assistant×1
+    val qs = Seq(1 -> "bee")
+    val all = IndexSearch.facetFields(idx, qs, Seq("role"))
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(all == Set(("user", 2L), ("assistant", 1L)))
+    val pruned = IndexSearch.facetFields(idx, qs, Seq("role"), mincount = 2L)
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(pruned == Set(("user", 2L)))
+    // mincount=0 keeps everything (the historical default, bit-identical)
+    val zero = IndexSearch.facetFields(idx, qs, Seq("role"), mincount = 0L)
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSet
+    assert(zero == all)
+    intercept[IllegalArgumentException](
+      IndexSearch.facetFields(idx, qs, Seq("role"), mincount = -1L))
+  }
+
   test("facet.query zero-fills the (query × predicate) spine") {
     val named = Seq(
       "assist" -> (col("role") === "assistant"),
