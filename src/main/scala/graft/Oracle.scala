@@ -136,6 +136,40 @@ object Oracle {
        |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Twin of [[graft.index.SegmentedIndex.deleteByQuery]] + search: BM25
+    * top-k (keys-shaped) over the transcripts corpus with every doc
+    * containing `excludeTerm` DELETED — deleteByQuery semantics are
+    * rebuild-on-survivors (df/N/avgdl all shrink), so the whole CTE chain
+    * (and the keymap) derives from the filtered corpus, unlike fq (which
+    * keeps full-corpus stats). */
+  def bm25TopKKeysExcluding(queries: Seq[(Int, String)], k: Int,
+                            excludeTerm: String): String = {
+    val survivors =
+      s"""SELECT * FROM ($transcriptsSql)
+         |WHERE NOT list_contains(${Analyzer.sqlTokenList("text")}, '${esc(excludeTerm)}')""".stripMargin
+    val corpus =
+      s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text
+         |FROM ($survivors)""".stripMargin
+    val keymap =
+      s"""keymap AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+         |                  conv_id, turn_idx
+         |           FROM ($survivors))""".stripMargin
+    s"""WITH ${indexCtes(corpus)},
+       |$keymap,
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score
+       |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of Search.searchCorpusFiltered — Solr fq semantics: scores/df/
     * avgdl from the FULL corpus; the predicate filters before ranking. */
   def bm25TopKFiltered(queries: Seq[(Int, String)], k: Int,
@@ -893,6 +927,54 @@ object Oracle {
        |ORDER BY conv_id, turn_idx""".stripMargin
   }
 
+  /** Twin of RealTimeGet AFTER [[graft.index.IndexMerge.atomicSet]]: the
+    * stored-doc lookup with the atomic `set` modifiers applied as CASE
+    * overrides on role/tool (text sets would change dl — the fixture pins
+    * attribute sets, the common Solr shape). */
+  def getDocsUpdated(keys: Seq[(String, Int)],
+                     sets: Seq[((String, Int), Map[String, String])]): String = {
+    require(keys.nonEmpty, "realtime get oracle needs at least one key")
+    def overridden(field: String, base: String): String = {
+      val cases = sets.collect { case ((c, t), m) if m.contains(field) =>
+        s"WHEN corpus.conv_id = '${esc(c)}' AND corpus.turn_idx = $t THEN '${esc(m(field))}'"
+      }
+      if (cases.isEmpty) base
+      else s"CASE ${cases.mkString(" ")} ELSE $base END AS $field"
+    }
+    val keyRows = keys.map { case (c, t) => s"('${esc(c)}', $t)" }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |keys(conv_id, turn_idx) AS (VALUES ${keyRows.mkString(", ")})
+       |SELECT corpus.conv_id, corpus.turn_idx, ${overridden("role", "role")},
+       |       ${overridden("tool", "tool")},
+       |       CAST(dl.dl AS BIGINT) AS dl, text
+       |FROM corpus JOIN keys USING (conv_id, turn_idx)
+       |     JOIN dl ON corpus.doc_id = dl.doc_id
+       |ORDER BY conv_id, turn_idx""".stripMargin
+  }
+
+  /** Twin of [[graft.search.IndexSearch.termVectors]]: per requested doc
+    * the (term, tf, first 0-based position, collection df) rows. Token
+    * positions via DuckDB's positional parallel-unnest zip (verified on
+    * 1.0 — see the repo memory notes), 0-based to match posexplode. */
+  def termVectors(keys: Seq[(String, Int)]): String = {
+    require(keys.nonEmpty, "term vectors oracle needs at least one key")
+    val keyRows = keys.map { case (c, t) => s"('${esc(c)}', $t)" }
+    val toklist = Analyzer.sqlTokenList("text")
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |keys(conv_id, turn_idx) AS (VALUES ${keyRows.mkString(", ")}),
+       |kd AS (SELECT corpus.conv_id, corpus.turn_idx, corpus.doc_id, text
+       |       FROM corpus JOIN keys USING (conv_id, turn_idx)),
+       |ptoks AS (SELECT conv_id, turn_idx, unnest($toklist) AS term,
+       |                 unnest(range(0, len($toklist))) AS pos
+       |          FROM kd),
+       |tv AS (SELECT conv_id, turn_idx, term, count(*)::INT AS tf,
+       |              CAST(min(pos) AS INT) AS first_pos
+       |       FROM ptoks GROUP BY 1, 2, 3)
+       |SELECT conv_id, turn_idx, tv.term, tf, first_pos, df.df AS df
+       |FROM tv JOIN df USING (term)
+       |ORDER BY conv_id, turn_idx, tv.term""".stripMargin
+  }
+
   def facetTop(queries: Seq[(Int, String)], field: String,
                topN: Int, prefix: Option[String] = None): String = {
     val prefixPred = prefix
@@ -908,6 +990,143 @@ object Oracle {
        |SELECT query_id, CAST(rnk AS INT) AS "rank", value, n_docs
        |FROM ranked WHERE rnk <= $topN
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.IndexSearch.exportSorted]] (`/export`): the
+    * full conjunctive match set with stored fields, positioned by
+    * (dl ASC, doc_id ASC) — the whole result set is the output, so the
+    * gate verifies completeness, field fetch, and sort order at once. */
+  def exportSortedDl(queries: Seq[(Int, String)]): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |nq AS (SELECT query_id, count(*)::BIGINT AS n_q FROM qt GROUP BY query_id),
+       |m AS (SELECT qt.query_id, tf.doc_id, count(*)::BIGINT AS nm
+       |      FROM qt JOIN tf USING (term) GROUP BY 1, 2),
+       |matched AS (SELECT query_id, doc_id FROM m JOIN nq USING (query_id)
+       |            WHERE nm = n_q),
+       |j AS (SELECT query_id, doc_id, conv_id, turn_idx, role,
+       |             CAST(dl.dl AS INT) AS dl
+       |      FROM matched JOIN corpus USING (doc_id) JOIN dl USING (doc_id)),
+       |pos AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY dl ASC, doc_id ASC) AS export_pos FROM j)
+       |SELECT query_id, CAST(export_pos AS INT) AS export_pos, doc_id,
+       |       conv_id, turn_idx, role, dl
+       |FROM pos ORDER BY query_id, export_pos""".stripMargin
+
+  /** Twin of [[graft.search.IndexSearch.searchBoostQuery]] (`bq=`): the
+    * bq STRING is parsed by the SAME [[graft.search.Search.parseClauses]]
+    * the engine uses (driver-side shared parse), its per-doc
+    * Σ boost·BM25 computed once, LEFT-joined onto the main scored set —
+    * bq never extends the match set. */
+  def bm25BoostQuery(corpusSql: String, queries: Seq[(Int, String)],
+                     k: Int, bq: String): String = {
+    val c = graft.search.Search.parseClauses(bq)
+    val bqtRows = c.should.map(t => s"('${esc(t)}', ${c.boost(t)})")
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |bqt(term, b) AS (VALUES ${bqtRows.mkString(", ")}),
+       |bqs AS (
+       |  SELECT tf.doc_id,
+       |         sum( b * ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS bq
+       |  FROM bqt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY tf.doc_id),
+       |boosted AS (SELECT query_id, scored.doc_id,
+       |                   score + coalesce(bq, 0) AS score
+       |            FROM scored LEFT JOIN bqs ON scored.doc_id = bqs.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM boosted)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.BlockJoin.parents]] via
+    * IndexSearch.searchParents: top-k parent conversations by the
+    * ScoreMode aggregate (`total` = sum, `max`, `avg` = sum/count) of
+    * their matching turns' BM25 scores, (round(score,7) DESC, parent ASC)
+    * rank order. */
+  def bm25Parents(queries: Seq[(Int, String)], k: Int,
+                  mode: String, parentField: String = "conv_id"): String = {
+    val aggSql = mode match {
+      case "total" => "sum(score)"
+      case "max" => "max(score)"
+      case "avg" => "sum(score) / count(*)"
+      case other => throw new IllegalArgumentException(
+        s"block join score mode must be total|max|avg, got '$other'")
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |par AS (SELECT query_id, CAST($parentField AS VARCHAR) AS parent,
+       |               $aggSql AS score, count(*)::BIGINT AS n_children
+       |        FROM scored JOIN corpus USING (doc_id)
+       |        WHERE $parentField IS NOT NULL
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY round(score, 7) DESC, parent ASC) AS rnk FROM par)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", parent, n_children,
+       |       round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Facets.json]] (the JSON Facet API gate):
+    * parent terms buckets with metrics + nested child buckets, both
+    * ranked (count DESC, value ASC) and limited; metric SQL is rendered
+    * by the SAME [[graft.search.Facets.JsonMetric]] ADT the engine
+    * aggregates with, so metric semantics cannot drift. */
+  def facetJson(queries: Seq[(Int, String)], parentField: String,
+                childField: String, parentLimit: Int, childLimit: Int,
+                metrics: Seq[graft.search.Facets.JsonMetric]): String = {
+    val mSql = metrics.map(m => ",\n               " + m.sql).mkString
+    val mNames = metrics.map(m => ", " + m.name).mkString
+    val mNulls = metrics.map { m =>
+      val t = m.outType match {
+        case "bigint" => "BIGINT"
+        case "double" => "DOUBLE"
+        case other => other.toUpperCase
+      }
+      s", CAST(NULL AS $t) AS ${m.name}"
+    }.mkString
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |j AS (SELECT query_id, CAST($parentField AS VARCHAR) AS parent,
+       |             CAST($childField AS VARCHAR) AS child, corpus.*, dl.dl AS dl
+       |      FROM matched JOIN corpus USING (doc_id) JOIN dl USING (doc_id)
+       |      WHERE $parentField IS NOT NULL),
+       |p AS (SELECT query_id, parent, count(*)::BIGINT AS n_docs$mSql
+       |      FROM j GROUP BY 1, 2),
+       |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY n_docs DESC, parent ASC) AS rnk FROM p),
+       |kept AS (SELECT query_id, parent, rnk, n_docs$mNames FROM pr
+       |         WHERE rnk <= $parentLimit),
+       |c AS (SELECT query_id, parent, child, count(*)::BIGINT AS n_docs
+       |      FROM j WHERE child IS NOT NULL GROUP BY 1, 2, 3),
+       |cr AS (SELECT c.query_id, c.parent, c.child, c.n_docs,
+       |              row_number() OVER (PARTITION BY c.query_id, c.parent
+       |                ORDER BY c.n_docs DESC, c.child ASC) AS rnk
+       |       FROM c JOIN (SELECT query_id, parent FROM kept) k
+       |            ON c.query_id = k.query_id AND c.parent = k.parent)
+       |SELECT * FROM (
+       |  SELECT query_id, parent AS value, CAST(NULL AS VARCHAR) AS child_value,
+       |         CAST(rnk AS INT) AS "rank", n_docs$mNames FROM kept
+       |  UNION ALL
+       |  SELECT query_id, parent AS value, child AS child_value,
+       |         CAST(rnk AS INT) AS "rank", n_docs$mNulls
+       |  FROM cr WHERE rnk <= $childLimit)
+       |ORDER BY query_id, value, child_value NULLS FIRST""".stripMargin
   }
 
   /** Twin of [[graft.search.Facets.stats]] via IndexSearch.statsField over

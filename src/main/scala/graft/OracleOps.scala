@@ -154,6 +154,37 @@ object OracleOps {
        |${jaccardTail(threshold)}""".stripMargin
   }
 
+  /** Twin of [[graft.ops.TextOps.stratifiedSample]]: the md5-threshold
+    * per-stratum keep predicate, bit-exact across engines (the shared
+    * md5→int64 idiom). */
+  def stratifiedSample(strataCol: String, rates: Map[String, Int],
+                       defaultRate: Int): String = {
+    val rateSql = rates.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN $strataCol = '$k' THEN $v" }.mkString(" ")
+    s"""SELECT doc_id, $strataCol FROM documents
+       |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 <
+       |      CASE $rateSql ELSE $defaultRate END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Twin of [[graft.ops.Dedup.components]] over any pair SQL (e.g.
+    * [[minhashPairs]]): connected components as a RECURSIVE reachability
+    * closure — rep = min doc_id reachable over the symmetrized edge set.
+    * The UNION (not UNION ALL) dedupes visited (doc, r) states, so the
+    * recursion terminates on any graph. */
+  def dedupComponents(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |verts AS (SELECT DISTINCT src AS doc_id FROM edges),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id AS r FROM verts
+       |  UNION
+       |  SELECT e.dst AS doc_id, reach.r FROM reach
+       |  JOIN edges e ON e.src = reach.doc_id)
+       |SELECT doc_id, CAST(min(r) AS BIGINT) AS rep FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val simhashCte: String = {
     val bits = Dedup.SimhashBits
     s"""tfq AS (SELECT doc_id, term, count(*)::BIGINT AS tf

@@ -234,6 +234,14 @@ object SparkEntry {
     * first via the recip, doc_id tie-break). */
   val SortFnString = "recip(dl,1,100,10)"
 
+  /** The `bq=` boost-query string: a boosted term + a rare term — docs in
+    * the main match set that also contain them gain their BM25. */
+  val BqString = "batch^2 dup"
+
+  /** Stratified-sampling per-mille rates by language (English-heavy
+    * corpus rebalance: en downsampled hard, zh kept whole, default 60%). */
+  val SampleRates: Map[String, Int] = Map("en" -> 300, "zh" -> 1000)
+
   /** RealTimeGet key set: found keys across roles/turns (doc_ids 5, 11,
     * 40 — all < 500, present at every sf) plus a key that does not exist
     * (omitted from the response, Solr parity). */
@@ -273,6 +281,16 @@ object SparkEntry {
     1 -> Seq(5L, 3L),
     2 -> Seq(0L),
     5 -> Seq(7L))
+
+  /** JSON Facet API request fixture (`json.facet`): roles terms facet
+    * (limit 2 — the limit must bite) carrying sum/avg/unique metrics,
+    * with a nested tools subfacet (limit 2 per kept role). ONE metric
+    * ADT instance renders both the engine aggregation and the oracle
+    * SQL ([[graft.search.Facets.JsonMetric]]). */
+  val JsonFacetMetrics: Seq[graft.search.Facets.JsonMetric] = Seq(
+    graft.search.Facets.MetricSum("sum_dl", "dl"),
+    graft.search.Facets.MetricAvg("avg_dl", "dl"),
+    graft.search.Facets.MetricUnique("uniq_tool", "tool"))
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
@@ -339,7 +357,7 @@ object SparkEntry {
   def resetMemos(): Unit = {
     corpusRoots.clear(); builtIndexes.clear(); mergeOldRoots.clear()
     mergedRoots.clear(); streamRoots.clear(); compactRoots.clear()
-    fieldIndexRoots.clear()
+    fieldIndexRoots.clear(); dbqRoots.clear(); updatedRoots.clear()
   }
 
   /** Merge-gate inputs (U1/U2/J4): old index over docs < 4n/5; new batch =
@@ -405,6 +423,47 @@ object SparkEntry {
         BuildIndexJob.Config(numShards = 8, storePositions = true))
       q.awaitTermination()
       root
+    })
+
+  /** Memoized deleteByQuery fixture: a two-segment appended index over
+    * the sfDir transcripts (halves by doc_id), then
+    * `deleteByQuery("dup")` tombstones every live doc containing the
+    * rare term. The oracle is BM25 over the SURVIVING corpus (rebuild
+    * semantics: df/N/avgdl all shrink — unlike fq). */
+  private val dbqRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dbqIndex(s: SparkSession, dir: String): String =
+    dbqRoots.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val cfg = BuildIndexJob.Config(numShards = 8)
+      val root = TempDirs.create("graft_dbq")
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count()
+      val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+      graft.index.SegmentedIndex.append(s, root,
+        Transcripts.fromDocumentsDf(d.where(col("doc_id") < n / 2)),
+        noDeletes, "seg0", cfg)
+      graft.index.SegmentedIndex.append(s, root,
+        Transcripts.fromDocumentsDf(d.where(col("doc_id") >= n / 2)),
+        noDeletes, "seg1", cfg)
+      graft.index.SegmentedIndex.deleteByQuery(s, root, "dup", "dbq0", cfg)
+      root
+    })
+
+  /** Atomic-update fixture: Solr `{"set":…}` modifiers on two stored
+    * attributes of keys the RealTimeGet gate also reads — applied via
+    * read-modify-upsert merge ([[graft.index.IndexMerge.atomicSet]]). */
+  val AtomicSets: Seq[((String, Int), Map[String, String])] = Seq(
+    ("conv000001", 1) -> Map("tool" -> "patched"),
+    ("conv000010", 0) -> Map("role" -> "auditor"))
+  private val updatedRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def updatedIndex(s: SparkSession, dir: String): String =
+    updatedRoots.computeIfAbsent(dir, _ => {
+      val out = TempDirs.create("graft_upd")
+      // storePositions matches the shared verify index it merges from
+      graft.index.IndexMerge.atomicSet(s, indexFor(s, dir).paths.root,
+        AtomicSets, out, s"atomic-$dir",
+        BuildIndexJob.Config(numShards = 8, storePositions = true))
+      out
     })
 
   /** Memoized per-field persisted indexes over the sfDir transcripts
@@ -520,10 +579,19 @@ object SparkEntry {
     "q_fingerprints_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(documents(s, dir))),
     "q_dedup_exact" -> ((s, dir) => TextOps.dupGroups(documents(s, dir))),
+    // training-data stratified sampling: per-lang md5-threshold rates
+    // (en downsampled to 30%, zh kept, rest at 60%) — deterministic,
+    // consistent under corpus growth, shuffle-free
+    "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(
+      s.read.parquet(s"$dir/documents.parquet"), "lang", SampleRates, 600)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(documents(s, dir), 0.7)),
     "q_simhash" -> ((s, dir) => Dedup.simhash(documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(documents(s, dir), 3)),
     "q_dedup_ngram" -> ((s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), 3, 0.3)),
+    // dedup pipeline tail: pairs → connected components → canonical rep
+    // per cluster (the keep/drop decision a training-data dedup ends with)
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.components(Dedup.minhashPairs(documents(s, dir), 0.7))),
     "q_ann_cosine" -> ((s, dir) => Similarity.bruteForceTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(
@@ -631,6 +699,16 @@ object SparkEntry {
     "q_join_conv" -> ((s, dir) =>
       graft.search.JoinQuery.join(indexFor(s, dir), DisjQueries,
         "conv_id", "conv_id", k = 10)),
+    // Solr {!parent} block join, score=total: top conversations by the
+    // SUM of their matching turns' BM25 scores
+    "q_bm25_parent" -> ((s, dir) =>
+      IndexSearch.searchParents(indexFor(s, dir), DisjQueries,
+        graft.search.BlockJoin.Total, k = 10)),
+    // {!parent} score=avg: mean over matching children — a different
+    // ranking than total (long conversations stop dominating)
+    "q_bm25_parent_avg" -> ((s, dir) =>
+      IndexSearch.searchParents(indexFor(s, dir), DisjQueries,
+        graft.search.BlockJoin.Avg, k = 10)),
     // Solr SpellCheckComponent: per-token correction candidates from the
     // dictionary (lev ≤ 2, distance/df/term ranking)
     "q_spellcheck" -> ((s, dir) =>
@@ -656,6 +734,11 @@ object SparkEntry {
     "q_bm25_boost_mult" -> ((s, dir) =>
       IndexSearch.searchBoosted(indexFor(s, dir), DisjQueries,
         lit(100.0) / (col("dl") + lit(10.0)), multiplicative = true)),
+    // Solr bq= (additive BOOST QUERY): docs also matching 'batch'^2 or
+    // 'dup' gain those clauses' BM25 — match set unchanged
+    "q_bm25_bq" -> ((s, dir) =>
+      IndexSearch.searchBoostQuery(indexFor(s, dir), DisjQueries,
+        BqString)),
     // Lucene ^boost clause boosts (term^2 / term^0.5): the inline
     // clause engine — parser-shared boosts scale each clause's BM25
     // contribution before the per-doc sum
@@ -680,6 +763,17 @@ object SparkEntry {
     "q_facet_mincount" -> ((s, dir) =>
       IndexSearch.facetFields(indexFor(s, dir), DisjQueries,
         Seq("role", "tool"), mincount = 5L)),
+    // Solr JSON Facet API: terms facet + bucket metrics + nested terms
+    // subfacet from one rollup pass over the match-set join
+    "q_facet_json" -> ((s, dir) =>
+      IndexSearch.facetJson(indexFor(s, dir), DisjQueries, "role", "tool",
+        2, 2, JsonFacetMetrics)),
+    // JSON Facet API over the SEGMENTED index (keys identity) — the
+    // modern facet module served live between compactions
+    "q_facet_json_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.facetJson(s, streamedIndex(s, dir),
+        DisjQueries, "role", "tool", 2, 2, JsonFacetMetrics,
+        BuildIndexJob.Config(numShards = 8))),
     // Solr TermsComponent: prefix enumeration, terms.sort=index
     "q_terms" -> ((s, dir) =>
       graft.search.Suggest.terms(indexFor(s, dir), SuggestPrefixes, 5)),
@@ -695,6 +789,12 @@ object SparkEntry {
     // phrase docs boosted by the PhraseQuery score, match set unchanged
     "q_bm25_pf" -> ((s, dir) =>
       IndexSearch.searchPhraseBoosted(indexFor(s, dir), PfQueries)),
+    // edismax pf2 + pf3 (bigram/trigram shingle boosts): every
+    // consecutive token 2- and 3-gram re-added as a should phrase —
+    // partial phrase matches boost even when the full pf phrase misses
+    "q_bm25_pf23" -> ((s, dir) =>
+      IndexSearch.searchClauses(indexFor(s, dir),
+        Search.pfnRewrite(PfQueries, Seq(2, 3)))),
     // Solr fq STRING syntax: range + negated term over stored attributes
     // (repeated fq params AND-compose); NULL tool rows MATCH -tool:tool3
     "q_bm25_fq_range" -> ((s, dir) => IndexSearch.searchFiltered(
@@ -705,6 +805,21 @@ object SparkEntry {
     // docs/ scan; the missing key is omitted
     "q_doc_get" -> ((s, dir) =>
       IndexSearch.getDocs(indexFor(s, dir), GetKeys)),
+    // Solr TermVectorsComponent: per-doc (term, tf, first_pos, df) for
+    // the RTG key set — point lookup + re-analysis, df from the dictionary
+    "q_termvectors" -> ((s, dir) =>
+      IndexSearch.termVectors(indexFor(s, dir), GetKeys)),
+    // Solr atomic update ({"set":…}): read-modify-upsert through the
+    // merge path; RTG over the updated index shows the new attribute
+    // values, every other stored field (incl. dl) unchanged
+    "q_doc_update" -> ((s, dir) =>
+      IndexSearch.getDocs(IndexSearch.open(s, updatedIndex(s, dir)), GetKeys)),
+    // Solr /export handler: the FULL conjunctive match set (no top-k)
+    // with fl stored fields, streamed in (dl ASC, doc_id ASC) sort order
+    "q_export" -> ((s, dir) =>
+      IndexSearch.exportSorted(indexFor(s, dir), ConjQueries,
+        Seq(col("dl").asc), Seq("conv_id", "turn_idx", "role", "dl"),
+        conjunctive = true)),
     // RealTimeGet over the SEGMENTED index — the live (upsert/tombstone-
     // aware) doc attrs between compactions; text not stored per-segment
     "q_doc_get_segmented" -> ((s, dir) =>
@@ -768,6 +883,12 @@ object SparkEntry {
     "q_bm25_wand_segmented" -> ((s, dir) =>
       graft.index.SegmentedIndex.searchWand(s, streamedIndex(s, dir),
         DisjQueries, cfg = BuildIndexJob.Config(numShards = 8))),
+    // Solr deleteByQuery over the segmented index: every live doc
+    // containing 'dup' tombstoned via an empty-batch append; subsequent
+    // queries score as a rebuild on the survivors
+    "q_delete_by_query" -> ((s, dir) =>
+      graft.index.SegmentedIndex.search(s, dbqIndex(s, dir), DisjQueries,
+        cfg = BuildIndexJob.Config(numShards = 8))),
     // U1 at scale: compaction of the streamed segments back to a unified
     // global-id index — same oracle as any full-corpus BM25 query
     // (memoized: the compacted index is deterministic per sfDir)
@@ -935,6 +1056,8 @@ object SparkEntry {
     "q_simhash" -> OracleOps.simhash,
     "q_dedup_simhash" -> OracleOps.simhashPairs(3),
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
+    "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
+    "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),
     "q_ann_kmeans" -> OracleOps.kmeans(4, 2),
@@ -948,6 +1071,12 @@ object SparkEntry {
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
     "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
     "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
+    "q_facet_json" -> Oracle.facetJson(DisjQueries, "role", "tool", 2, 2,
+      JsonFacetMetrics),
+    "q_bm25_parent" -> Oracle.bm25Parents(DisjQueries, 10, "total"),
+    "q_bm25_parent_avg" -> Oracle.bm25Parents(DisjQueries, 10, "avg"),
+    "q_facet_json_segmented" -> Oracle.facetJson(DisjQueries, "role", "tool",
+      2, 2, JsonFacetMetrics),
     "q_facet_query" -> Oracle.facetQueries(DisjQueries,
       FacetQueryDefs.map(d => (d._1, d._3))),
     "q_facet_range" -> Oracle.facetRangeDl(DisjQueries, 0L, 120L, 20L),
@@ -980,9 +1109,16 @@ object SparkEntry {
     // SQL twin (positional self-join phrase CTEs x clause CTEs)
     "q_bm25_pf" -> Oracle.bm25TopKBoolPhrase(Oracle.transcriptsCorpus,
       Search.pfRewrite(PfQueries), 10),
+    // pf2/pf3 twin: the SHARED pfnRewrite feeds the independent
+    // boolean+phrase SQL twin, same as pf
+    "q_bm25_pf23" -> Oracle.bm25TopKBoolPhrase(Oracle.transcriptsCorpus,
+      Search.pfnRewrite(PfQueries, Seq(2, 3)), 10),
     "q_bm25_fq_range" -> Oracle.bm25TopKFiltered(DisjQueries, 10,
       "turn_idx BETWEEN 1 AND 3 AND (tool IS NULL OR tool <> 'tool3')"),
     "q_doc_get" -> Oracle.getDocs(GetKeys, withText = true),
+    "q_export" -> Oracle.exportSortedDl(ConjQueries),
+    "q_doc_update" -> Oracle.getDocsUpdated(GetKeys, AtomicSets),
+    "q_termvectors" -> Oracle.termVectors(GetKeys),
     "q_doc_get_segmented" -> Oracle.getDocs(GetKeys, withText = false),
     "q_bm25_mm_segmented" -> Oracle.bm25TopKClausesKeys(MmQueries, 10,
       mm = MmCount),
@@ -997,6 +1133,7 @@ object SparkEntry {
     "q_posting_agg" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
+    "q_delete_by_query" -> Oracle.bm25TopKKeysExcluding(DisjQueries, 10, "dup"),
     "q_bm25_wand_segmented" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     "q_segments_compact" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries,
       10, conjunctive = false),
@@ -1027,6 +1164,8 @@ object SparkEntry {
     "q_bm25_bool_phrase_boost" -> Oracle.bm25TopKBoolPhrase(
       Oracle.transcriptsCorpus, BoolPhraseBoostQueries, 10),
     "q_bm25_boost_fn" -> Oracle.bm25BoostFn(DisjQueries, 10, BoostFnString),
+    "q_bm25_bq" -> Oracle.bm25BoostQuery(Oracle.transcriptsCorpus,
+      DisjQueries, 10, BqString),
     "q_bm25_bool_segmented" -> Oracle.bm25TopKClausesKeys(BoolQueries, 10),
     "q_bm25_conj_segmented" -> Oracle.bm25TopKClausesKeys(ConjQueriesAsMust, 10),
     "q_bm25_phrase_segmented" -> Oracle.bm25PhraseKeys(PhraseQueries, 10),

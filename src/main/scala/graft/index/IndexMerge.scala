@@ -26,6 +26,46 @@ import org.apache.spark.sql.functions._
   */
 object IndexMerge {
 
+  /** Solr ATOMIC UPDATE (the `{"set": …}` modifier): read the STORED
+    * document for each key (Solr requires stored/docValues fields for
+    * exactly this reason — atomic update is read-modify-reindex, not an
+    * in-place patch), apply the field sets, and upsert the modified docs
+    * through [[run]] — a merge whose batch is the updated docs only, so
+    * the cost is O(index) for the id remap but O(updates) for re-analysis
+    * (the expensive part at scale). Pinned subset: `set` on the stored
+    * `role`/`tool`/`text` attributes to a non-NULL value; a key absent
+    * from the index is ignored (Solr would create a fresh doc — a plain
+    * upsert, already covered by [[run]] directly). One update map per key.
+    */
+  def atomicSet(spark: SparkSession, oldRoot: String,
+                updates: Seq[((String, Int), Map[String, String])],
+                newRoot: String, buildId: String,
+                cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths = {
+    require(updates.nonEmpty, "atomic update needs at least one key")
+    require(updates.map(_._1).distinct.size == updates.size,
+      "one update map per key (merge duplicate sets before calling)")
+    val settable = Set("role", "tool", "text")
+    require(updates.forall(_._2.keySet.subsetOf(settable)),
+      s"atomic set is pinned to the stored fields $settable")
+    import spark.implicits._
+    val stored = cfg.io.read(spark, s"$oldRoot/docs")
+    val pred = updates.map { case ((c, t), _) =>
+      col("conv_id") === c && col("turn_idx") === t }.reduce(_ || _)
+    val wide = updates.map { case ((c, t), m) =>
+      (c, t, m.get("role").orNull, m.get("tool").orNull, m.get("text").orNull)
+    }.toDF("conv_id", "turn_idx", "_nr", "_nt", "_nx")
+    val batch = stored.where(pred)
+      .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .join(broadcast(wide), Seq("conv_id", "turn_idx"))
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("_nr"), col("role")).as("role"),
+        coalesce(col("_nx"), col("text")).as("text"),
+        coalesce(col("_nt"), col("tool")).as("tool"),
+        col("ts"))
+    val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+    run(spark, oldRoot, batch, noDeletes, newRoot, buildId, cfg)
+  }
+
   def run(spark: SparkSession, oldRoot: String, newBatch: DataFrame,
           tombstones: DataFrame, newRoot: String, buildId: String,
           cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths = {

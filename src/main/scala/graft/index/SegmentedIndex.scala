@@ -258,6 +258,36 @@ object SegmentedIndex {
     m
   }
 
+  /** Solr deleteByQuery over the segmented index: every LIVE doc matching
+    * the (disjunctive, analyzed) query is tombstoned via an empty-batch
+    * [[append]] — O(matched keys) written bytes, no segment rewrite, and
+    * the same manifest-commit crash safety as any append. The match-key
+    * plan is evaluated lazily inside append against the PRE-append
+    * manifest snapshot (segments are immutable and the new tombstone dir
+    * is not yet visible), so there is no self-read hazard. Scoring after
+    * the delete equals a rebuild on the surviving corpus: live df comes
+    * from tombstone-filtered postings (+ df-deltas on the WAND path) and
+    * N/avgdl from the manifest's updated totals — the invariant
+    * SegmentSpec pins for tombstones generally. Returns the new manifest
+    * (unchanged when nothing matches — append still commits a manifest,
+    * but with zero tombstone rows). */
+  def deleteByQuery(spark: SparkSession, root: String, query: String,
+                    segName: String,
+                    cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
+    import spark.implicits._
+    val emptyBatch = Seq.empty[(String, Int, String, String, String, java.sql.Timestamp)]
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val keys = readManifest(spark, root) match {
+      case None => emptyTombstones(spark)
+      case Some(m) if m.segments.isEmpty || m.nDocs == 0 => emptyTombstones(spark)
+      case Some(m) =>
+        matchedKeys(spark, root, m, Seq((0, query)), cfg)
+          .map(_.select("conv_id", "turn_idx").distinct())
+          .getOrElse(emptyTombstones(spark))
+    }
+    append(spark, root, emptyBatch, keys, segName, cfg)
+  }
+
   /** Exact BM25 top-k over the segmented index — query-time fan-out.
     * Output: (query_id, rank, conv_id, turn_idx, score) — docs identified
     * by their stable key (segment-local ids never escape). Global df comes
@@ -577,6 +607,31 @@ object SegmentedIndex {
     materialize(spark, graft.search.Facets.fields(
       matched, liveDocAttrs(spark, root, m, cfg), fieldNames, KeyCols))
       .orderBy("query_id", "field", "value")
+  }
+
+  /** Solr JSON Facet API over the SEGMENTED index
+    * ([[graft.search.Facets.json]] on the keys identity): terms facet +
+    * bucket metrics + nested subfacet served from the live match set
+    * between compactions. Facets.json materializes its facet-shaped
+    * rollup internally, so no extra lifecycle wrapper is needed here. */
+  def facetJson(spark: SparkSession, root: String,
+                queries: Seq[(Int, String)], parentField: String,
+                childField: String, parentLimit: Int, childLimit: Int,
+                metrics: Seq[graft.search.Facets.JsonMetric],
+                cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = {
+      val base = Seq.empty[(Int, String, String, Int, Long)]
+        .toDF("query_id", "value", "child_value", "rank", "n_docs")
+      metrics.foldLeft(base)((d, m) =>
+        d.withColumn(m.name, lit(null).cast(m.outType)))
+    }
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val matched = matchedKeys(spark, root, m, queries, cfg)
+      .getOrElse(return empty)
+    graft.search.Facets.json(matched, liveDocAttrs(spark, root, m, cfg),
+      parentField, childField, parentLimit, childLimit, metrics, KeyCols)
   }
 
   /** StatsComponent over the SEGMENTED index

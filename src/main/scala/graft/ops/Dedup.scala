@@ -319,4 +319,59 @@ object Dedup {
         .orderBy("doc_a", "doc_b")
     } finally sh.unpersist()
   }
+
+  /** Near-duplicate CLUSTERS from a pair relation — the step a real
+    * training-data dedup pipeline runs AFTER [[minhashPairs]] (pairs
+    * alone don't dedupe anything: keep/drop decisions need the transitive
+    * closure): connected components by iterative min-label propagation,
+    * output (doc_id, rep) where `rep` is the component's minimum doc_id —
+    * the canonical "keep" representative; docs in no pair are absent
+    * (singleton components are implicit).
+    *
+    * Scale shape: each round is ONE edge join + ONE min-aggregation,
+    * materialized to temp parquet between rounds (truncated lineage —
+    * iterative plans otherwise stack), with O(1) driver state (the
+    * changed-count). Plain propagation converges in ≤ component-diameter
+    * rounds; near-dup components are dense (similarity is near-
+    * transitive), so diameters are small in practice. For adversarial
+    * long-chain graphs the published fix is alternating large-star/
+    * small-star (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — same per-round primitives, O(log² n) rounds;
+    * `maxIters` FAILS LOUDLY rather than silently truncating, per the
+    * no-silent-caps rule. */
+  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    val edgesPath = graft.TempDirs.create("graft_cc_edges")
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .write.mode("overwrite").parquet(edgesPath)
+    val edges = spark.read.parquet(edgesPath)
+    var labelsPath = graft.TempDirs.create("graft_cc_l0")
+    edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
+      .write.mode("overwrite").parquet(labelsPath)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      require(iter < maxIters,
+        s"components did not converge in $maxIters rounds — a pathological " +
+          "long-chain graph; raise maxIters or switch to large-star/small-star")
+      val labels = spark.read.parquet(labelsPath)
+      val next = labels
+        .join(edges, labels("doc_id") === edges("src"))
+        .select(edges("dst").as("doc_id"), labels("rep"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min(col("rep")).as("rep"))
+      val nextPath = graft.TempDirs.create(s"graft_cc_l${iter + 1}")
+      next.write.mode("overwrite").parquet(nextPath)
+      val nextDf = spark.read.parquet(nextPath)
+      // O(1) driver state: the count of labels that moved this round
+      changed = nextDf.join(labels.withColumnRenamed("rep", "_old"), "doc_id")
+        .where(col("rep") =!= col("_old")).count()
+      labelsPath = nextPath
+      iter += 1
+    }
+    spark.read.parquet(labelsPath).orderBy("doc_id")
+  }
 }

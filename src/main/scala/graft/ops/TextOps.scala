@@ -150,4 +150,29 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical"))
       .where(col("n_docs") >= 2)
       .orderBy("fp_bag")
+
+  /** Deterministic STRATIFIED SAMPLING — the language-rebalancing /
+    * split-assignment step of a training-data pipeline: keep a doc iff
+    * md5(doc_id) mod 1000 < its stratum's per-mille rate. Hash-based (not
+    * `TABLESAMPLE`/`rand()`) so the sample is (a) reproducible across
+    * runs, engines, and partitionings, (b) CONSISTENT — re-running over a
+    * grown corpus keeps every previously-sampled doc whose rate did not
+    * drop, the property incremental pipelines need, and (c) embarrassingly
+    * parallel: a pure per-row predicate pushed into the scan, no shuffle
+    * at any scale. md5 (not xxhash64) so the DuckDB twin is bit-exact —
+    * the same engine-pairing rule as every dedup hash here. Rates are
+    * per-mille; strata keyed by `strataCol` with `defaultRate` for
+    * unlisted values. */
+  def stratifiedSample(corpus: DataFrame, strataCol: String,
+                       rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),
+      "sampling rates are per-mille (0..1000)")
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc) }
+    corpus.where(h < rate)
+      .select(col("doc_id"), col(strataCol))
+      .orderBy("doc_id")
+  }
 }

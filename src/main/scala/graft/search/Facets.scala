@@ -197,6 +197,123 @@ object Facets {
       .orderBy(col("query_id"), col("parent"), col("child").asc_nulls_first)
   }
 
+  /** A JSON Facet API bucket metric (Solr `json.facet`'s `sum(f)` /
+    * `avg(f)` / `unique(f)` aggregation functions): ONE definition renders
+    * BOTH the Spark aggregation and the DuckDB oracle SQL — the same
+    * one-AST-two-engines pattern as [[FunctionQuery]], so metric semantics
+    * cannot drift between the engine and its gate.
+    *
+    * Pinned NULL semantics (Solr's): `sum`/`avg` ignore docs missing the
+    * field (avg = sum / count-with-value), `unique` counts distinct
+    * non-NULL values. avg is the one double — computed from the exact
+    * integer sum/count pair and rounded ONCE at the end (the FP-safe
+    * shape, see BASELINE.md rounding notes). */
+  sealed trait JsonMetric {
+    def name: String
+    def field: String
+    /** internal aggregate columns this metric needs (name → agg expr). */
+    def aggs: Seq[(String, Column)]
+    /** output expression over the internal aggregates. */
+    def out: Column
+    /** Spark type of the output (for typed NULLs on child rows). */
+    def outType: String
+    /** the DuckDB twin of [[out]] as one SELECT expression. */
+    def sql: String
+  }
+  final case class MetricSum(name: String, field: String) extends JsonMetric {
+    def aggs = Seq(s"_${name}_s" -> sum(col(field).cast("long")))
+    def out = col(s"_${name}_s")
+    def outType = "bigint"
+    def sql = s"CAST(sum($field) AS BIGINT) AS $name"
+  }
+  final case class MetricAvg(name: String, field: String) extends JsonMetric {
+    def aggs = Seq(s"_${name}_s" -> sum(col(field).cast("long")),
+      s"_${name}_c" -> count(col(field)))
+    def out = round(col(s"_${name}_s").cast("double") / col(s"_${name}_c"), 4)
+    def outType = "double"
+    def sql = s"round(CAST(sum($field) AS DOUBLE) / count($field), 4) AS $name"
+  }
+  final case class MetricUnique(name: String, field: String) extends JsonMetric {
+    def aggs = Seq(s"_${name}_u" -> count_distinct(col(field)))
+    def out = col(s"_${name}_u")
+    def outType = "bigint"
+    def sql = s"count(DISTINCT $field)::BIGINT AS $name"
+  }
+
+  /** Solr JSON Facet API (`json.facet`): a `terms` facet over
+    * `parentField` carrying bucket METRICS, with one nested `terms`
+    * subfacet over `childField` — the modern Solr facet module's
+    * request shape (`{roles:{type:terms,field:role,limit:N,facet:{
+    * sum_dl:"sum(dl)",…,tools:{type:terms,field:tool,limit:M}}}}`),
+    * flattened to rows:
+    *
+    *   (query_id, value, child_value, rank, n_docs, metric…)
+    *
+    * Parent buckets carry child_value = NULL and their metrics; child
+    * buckets carry the parent in `value`, typed-NULL metrics, and their
+    * own count. Pinned semantics:
+    *  - bucket sort = count DESC, value ASC (json.facet's default
+    *    `sort:"count desc"` with the index tie-break), `limit` per level,
+    *    child limit applied WITHIN each kept parent;
+    *  - docs with a NULL parent value are uncounted entirely; a NULL
+    *    child counts at the parent level but contributes no child bucket
+    *    (same rule as [[pivot]]);
+    *  - bucket values string-typed (JSON keys in a Solr response).
+    *
+    * Scale shape: ONE match-set join feeds ONE rollup aggregation
+    * (grouping sets — both bucket levels and every metric in a single
+    * pass over the joined rows); the facet-shaped rollup output is
+    * materialized to temp parquet (the [[graft.ops.Similarity]]
+    * materialize idiom) so ranking the two levels does not re-execute
+    * the corpus-scale join, and nothing corpus-shaped ever reaches the
+    * driver. */
+  def json(matched: DataFrame, attrs: DataFrame, parentField: String,
+           childField: String, parentLimit: Int, childLimit: Int,
+           metrics: Seq[JsonMetric],
+           key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(parentLimit > 0 && childLimit > 0,
+      s"json.facet limits must be positive (got $parentLimit/$childLimit)")
+    require(metrics.map(_.name).distinct.size == metrics.size,
+      "json.facet metric names must be unique")
+    import org.apache.spark.sql.expressions.Window
+    val spark = matched.sparkSession
+    val needed = (Seq(parentField, childField) ++ metrics.map(_.field)).distinct
+    val joined = matched
+      .join(attrs.select((key ++ needed).distinct.map(col): _*), key)
+      .withColumn("_p", col(parentField).cast("string"))
+      .withColumn("_c", col(childField).cast("string"))
+      .where(col("_p").isNotNull)
+    val aggCols = (Seq("_n" -> count(lit(1))) ++ metrics.flatMap(_.aggs) ++
+      Seq("_gid" -> grouping_id())).map { case (n, c) => c.as(n) }
+    val rolledPlan = joined.rollup(col("query_id"), col("_p"), col("_c"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      // keep only the two bucket levels: gid 0 = (q, parent, child) leaf,
+      // gid 1 = (q, parent); (q)/() rollup levels are dead weight
+      .where(col("_gid") <= 1)
+    val path = graft.TempDirs.create("graft_jsonfacet")
+    rolledPlan.write.mode("overwrite").parquet(path)
+    val rolled = spark.read.parquet(path)
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("_n").desc, col("_p").asc)
+    val parents = rolled.where(col("_gid") === 1)
+      .withColumn("rank", row_number().over(wp).cast("int"))
+      .where(col("rank") <= parentLimit)
+    val wc = Window.partitionBy("query_id", "_p")
+      .orderBy(col("_n").desc, col("_c").asc)
+    val children = rolled.where(col("_gid") === 0 && col("_c").isNotNull)
+      .join(parents.select("query_id", "_p"), Seq("query_id", "_p"), "left_semi")
+      .withColumn("rank", row_number().over(wc).cast("int"))
+      .where(col("rank") <= childLimit)
+    val pOut = parents.select(Seq(col("query_id"), col("_p").as("value"),
+      lit(null).cast("string").as("child_value"), col("rank"),
+      col("_n").as("n_docs")) ++ metrics.map(m => m.out.as(m.name)): _*)
+    val cOut = children.select(Seq(col("query_id"), col("_p").as("value"),
+      col("_c").as("child_value"), col("rank"), col("_n").as("n_docs")) ++
+      metrics.map(m => lit(null).cast(m.outType).as(m.name)): _*)
+    pOut.unionByName(cOut)
+      .orderBy(col("query_id"), col("value"), col("child_value").asc_nulls_first)
+  }
+
   /** `facet.range` over a numeric attribute: (query_id, bucket, n_docs)
     * with bucket = the LONG start of its half-open [b, b+gap) window. The
     * (queryIds × buckets) spine is driver-built — O(|queries| ·

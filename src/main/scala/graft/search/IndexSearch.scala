@@ -175,6 +175,33 @@ object IndexSearch {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Solr TermVectorsComponent (`tv=true&tv.df=true&tv.positions=true`):
+    * the term vector of each requested stored doc — (term, tf, first_pos)
+    * with collection df per term. Lucene reads per-doc term vectors
+    * stored at index time; the Spark twin RE-ANALYZES the stored field,
+    * which is bit-identical by construction (one shared [[Analyzer]] on
+    * both index and query sides — the same invariant every phrase/
+    * highlight gate already leans on) and costs O(requested docs), a
+    * point lookup + per-row tokenize, never a posting traversal. df joins
+    * from the broadcast dictionary (terms of an indexed doc are in it by
+    * construction). Missing keys are omitted, Solr parity with
+    * [[getDocs]]. */
+  def termVectors(idx: OpenIndex, keys: Seq[(String, Int)]): DataFrame = {
+    require(keys.nonEmpty, "term vectors need at least one key")
+    val pred = keys.map { case (c, t) =>
+      col("conv_id") === c && col("turn_idx") === t }.reduce(_ || _)
+    idx.io.read(idx.spark, idx.paths.docs)
+      .where(pred)
+      .select(col("conv_id"), col("turn_idx"),
+        posexplode(graft.analysis.Analyzer.tokens(col("text"))).as(Seq("pos", "term")))
+      .groupBy("conv_id", "turn_idx", "term")
+      .agg(count(lit(1)).cast("int").as("tf"),
+        min(col("pos")).cast("int").as("first_pos"))
+      .join(broadcast(idx.dictionary.select("term", "df")), "term")
+      .select("conv_id", "turn_idx", "term", "tf", "first_pos", "df")
+      .orderBy("conv_id", "turn_idx", "term")
+  }
+
   /** Solr edismax `pf` (phrase fields) on the single text field: each
     * query's whole analyzed token sequence is re-added as an implicit
     * SHOULD phrase clause — edismax's documented rewrite of
@@ -188,6 +215,40 @@ object IndexSearch {
   def searchPhraseBoosted(idx: OpenIndex, queries: Seq[(Int, String)],
                           k: Int = 10): DataFrame =
     searchClauses(idx, Search.pfRewrite(queries), k)
+
+  /** Solr/edismax `bq=` (boost query): an ADDITIVE query whose score is
+    * added to every main-query match it also matches — unlike `bf=`
+    * (a function over stored attributes) the boost here is itself
+    * BM25-scored text relevance, and unlike a should clause it can NEVER
+    * extend the match set (Solr wraps bq so only main-query matches
+    * surface). Pinned subset: bq is a SHOULD term disjunction with
+    * optional `^boost`s (`bq=batch^2 dup`) — the overwhelmingly common
+    * shape; clause syntax beyond that fails loudly. The bq score
+    * Σ boost_t · BM25_t is computed ONCE for the whole query batch
+    * (it is query-independent) and joined back on doc_id. */
+  def searchBoostQuery(idx: OpenIndex, queries: Seq[(Int, String)],
+                       bq: String, k: Int = 10): DataFrame = {
+    val c = Search.parseClauses(bq)
+    require(c.must.isEmpty && c.not.isEmpty && c.mustPhrases.isEmpty &&
+      c.shouldPhrases.isEmpty && c.notPhrases.isEmpty && !c.hasGroups &&
+      c.should.nonEmpty,
+      s"bq is pinned to a non-empty SHOULD term disjunction, got: '$bq'")
+    val spark = idx.spark
+    import spark.implicits._
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val main = scoredDocs(idx, qt, conjunctive = false)
+    val bqTerms = c.should.map(t => (0, t)).toDF("query_id", "term")
+    val boosts = c.should.map(t => (t, c.boost(t))).toDF("term", "_bqb")
+    val bqScore = matchedPostings(idx, bqTerms)
+      .join(broadcast(boosts), "term")
+      .withColumn("_s", col("_bqb") * Bm25.termScore(col("tf"), col("dl"),
+        col("df"), lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .groupBy("doc_id").agg(sum(col("_s")).as("_bq"))
+    Search.rank(
+      main.join(bqScore, Seq("doc_id"), "left")
+        .withColumn("_score", col("_score") + coalesce(col("_bq"), lit(0.0))),
+      k)
+  }
 
   /** The engine half of Solr's cursorMark: the cursor AFTER the first
     * `upto` results of each query — per query the (RankScale-rounded
@@ -623,6 +684,36 @@ object IndexSearch {
       scoredDocs(idx, qt, conjunctive).join(keep, Seq("doc_id"), "left_semi"), k)
   }
 
+  /** Solr `/export` (the export handler): the ENTIRE match set of each
+    * query — no top-k — streamed in `sort` order with the requested `fl`
+    * stored fields. Solr pins export to docValues sort + fl for exactly
+    * the reason this twin is cheap in Spark: it is a match-set ⋈ attrs
+    * join plus a sort, never a scored heap. `export_pos` makes the sort
+    * order part of the verified output (the driver's hash compare is
+    * order-insensitive). `sortCols` must totally order the match set —
+    * the pinned doc_id ASC tail tie-break is appended here, Solr's own
+    * uniqueKey discipline. Scale note: per-query positions come from a
+    * query-partitioned window (one task per query's match set — the same
+    * shape as every ranked output); a fleet-scale export drops the
+    * position column and writes range-partitioned sorted runs instead. */
+  def exportSorted(idx: OpenIndex, queries: Seq[(Int, String)],
+                   sortCols: Seq[org.apache.spark.sql.Column],
+                   fl: Seq[String],
+                   conjunctive: Boolean = false): DataFrame = {
+    require(fl.nonEmpty, "/export requires an fl field list")
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val matched = scoredDocs(idx, qt, conjunctive)
+      .select("query_id", "doc_id")
+    val attrs = idx.io.read(idx.spark, idx.paths.docs)
+      .select(("doc_id" +: fl).distinct.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(sortCols :+ col("doc_id").asc: _*)
+    matched.join(attrs, "doc_id")
+      .withColumn("export_pos", row_number().over(w).cast("int"))
+      .select((Seq("query_id", "export_pos", "doc_id") ++ fl).distinct.map(col): _*)
+      .orderBy("query_id", "export_pos")
+  }
+
   /** Solr `facet.field` over the persisted index's match set: per
     * (query, facet value) doc counts — every doc matching ≥1 query term
     * counts once. Facet values come from the persisted `docs/` attributes
@@ -682,6 +773,16 @@ object IndexSearch {
     Facets.pivot(matchedDocSet(idx, queries), facetAttrs(idx),
       parentField, childField)
 
+  /** Solr JSON Facet API over the persisted index ([[Facets.json]]
+    * semantics): a terms facet with bucket metrics and one nested terms
+    * subfacet, from one match-set join + one rollup pass. */
+  def facetJson(idx: OpenIndex, queries: Seq[(Int, String)],
+                parentField: String, childField: String,
+                parentLimit: Int, childLimit: Int,
+                metrics: Seq[Facets.JsonMetric]): DataFrame =
+    Facets.json(matchedDocSet(idx, queries), facetAttrs(idx),
+      parentField, childField, parentLimit, childLimit, metrics)
+
   /** Solr `facet.sort=count` + `facet.limit` over the persisted index
     * ([[Facets.topValues]] semantics). */
   def facetTop(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
@@ -695,6 +796,18 @@ object IndexSearch {
                  field: String): DataFrame =
     Facets.stats(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), field)
+
+  /** Solr `{!parent which=…}` block join over the persisted index
+    * ([[BlockJoin.parents]] semantics): turns are the child documents,
+    * conversations the parents; top-k parents by the ScoreMode aggregate
+    * of their matching children's BM25 scores. */
+  def searchParents(idx: OpenIndex, queries: Seq[(Int, String)],
+                    mode: BlockJoin.ScoreMode, k: Int = 10,
+                    parentField: String = "conv_id"): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    BlockJoin.parents(scoredDocs(idx, qt, conjunctive = false),
+      facetAttrs(idx), parentField, mode, k)
+  }
 
   /** Solr result grouping / field collapsing over the persisted index
     * ([[Grouping.topGroups]] semantics): top-`kGroups` groups of each

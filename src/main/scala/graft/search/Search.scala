@@ -204,6 +204,31 @@ object Search {
       (id, if (toks.size < 2) t else s"""$t "${toks.mkString(" ")}"""")
     }
 
+  /** The edismax `pf2`/`pf3` rewrite: append every consecutive token
+    * n-gram of the analyzed query as a quoted SHOULD phrase clause for
+    * each requested n (Solr's documented bigram/trigram phrase-field
+    * shingles — `q=a b c&pf2=text&pf3=text` rewrites to
+    * `a b c "a b" "b c" "a b c"`). Duplicate n-grams (and an n-gram equal
+    * to a whole-query pf phrase) dedupe in [[parseClauses]]'s phrase
+    * dedupe — each distinct shingle boosts once, the pinned rule. Same
+    * plain-keyword precondition and engine/oracle sharing as
+    * [[pfRewrite]]. */
+  def pfnRewrite(queries: Seq[(Int, String)], ns: Seq[Int]): Seq[(Int, String)] = {
+    require(ns.nonEmpty && ns.forall(_ >= 2),
+      s"pf2/pf3 shingle sizes must be >= 2, got $ns")
+    queries.map { case (id, t) =>
+      require(!t.contains("\"") && !t.trim.split("\\s+").exists(c =>
+        c.startsWith("+") || c.startsWith("-")),
+        s"pf2/pf3 applies to plain keyword queries, got clause syntax: '$t'")
+      val toks = Analyzer.tokenize(t)
+      val shingles = ns.flatMap(n =>
+        if (toks.size < n) Nil
+        else toks.sliding(n).map(_.mkString(" ")).toSeq).distinct
+      (id, if (shingles.isEmpty) t
+           else t + shingles.map(p => s""" "$p"""").mkString)
+    }
+  }
+
   /** Boolean query set → ((query_id, term, is_must) frame over must ∪
     * should, (query_id, term) negative frame, driver Map query_id →
     * |must| including out-of-vocabulary must terms). */
