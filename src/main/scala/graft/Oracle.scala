@@ -908,6 +908,36 @@ object Oracle {
        |FROM spine LEFT JOIN cnt USING (query_id, bucket)
        |ORDER BY query_id, bucket""".stripMargin
 
+  /** Twin of [[graft.search.Facets.rangeOther]] over dl: the numeric
+    * buckets (string-labeled) plus before/after/between, zero-filled on
+    * the full label spine. */
+  def facetRangeOtherDl(queries: Seq[(Int, String)], start: Long, end: Long,
+                        gap: Long): String = {
+    val numericLabels = (start until end by gap)
+      .map(b => s"('$b')").mkString(", ")
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |labels(bucket) AS (VALUES $numericLabels, ('before'), ('after'), ('between')),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |spine AS (SELECT query_id, bucket FROM qids CROSS JOIN labels),
+       |j AS (SELECT query_id, dl FROM matched JOIN dl USING (doc_id)),
+       |num AS (SELECT query_id,
+       |               CAST(CAST($start + ((dl - $start) // $gap) * $gap AS BIGINT) AS VARCHAR) AS bucket,
+       |               count(*)::BIGINT AS n
+       |        FROM j WHERE dl >= $start AND dl < $end GROUP BY 1, 2),
+       |oth AS (SELECT query_id, 'before' AS bucket,
+       |               count(*) FILTER (WHERE dl < $start)::BIGINT AS n FROM j GROUP BY 1
+       |        UNION ALL
+       |        SELECT query_id, 'after', count(*) FILTER (WHERE dl >= $end)::BIGINT FROM j GROUP BY 1
+       |        UNION ALL
+       |        SELECT query_id, 'between',
+       |               count(*) FILTER (WHERE dl >= $start AND dl < $end)::BIGINT FROM j GROUP BY 1),
+       |cnt AS (SELECT * FROM num UNION ALL SELECT * FROM oth)
+       |SELECT query_id, bucket, CAST(coalesce(n, 0) AS BIGINT) AS n_docs
+       |FROM spine LEFT JOIN cnt USING (query_id, bucket)
+       |ORDER BY query_id, bucket""".stripMargin
+  }
+
   /** Twin of [[graft.search.Facets.topValues]] via IndexSearch.facetTop:
     * facet.sort=count + facet.limit — top-N values by (n_docs DESC,
     * value ASC), rank in the output. */

@@ -167,6 +167,27 @@ object OracleOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Twin of the q_pipeline_trainset composition gate: quality gate →
+    * canonical-dedup gate (drop non-representative near-dup members) →
+    * stratified sample, each stage the SAME SQL its standalone gate runs
+    * (nested as CTE bodies), so the composition cannot drift from the
+    * parts. */
+  def pipelineTrainset(minQuality: Double, rates: Map[String, Int],
+                       defaultRate: Int, pairThreshold: Double): String = {
+    val rateSql = rates.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN lang = '$k' THEN $v" }.mkString(" ")
+    s"""WITH RECURSIVE q AS ($quality),
+       |comps AS (${dedupComponents(minhashPairs(pairThreshold))})
+       |SELECT documents.doc_id, lang FROM documents
+       |JOIN q ON documents.doc_id = q.doc_id
+       |WHERE quality_score >= $minQuality
+       |  AND documents.doc_id NOT IN
+       |      (SELECT doc_id FROM comps WHERE rep <> doc_id)
+       |  AND ('0x' || substr(md5(CAST(documents.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 <
+       |      CASE $rateSql ELSE $defaultRate END
+       |ORDER BY documents.doc_id""".stripMargin
+  }
+
   /** Twin of [[graft.ops.Dedup.components]] over any pair SQL (e.g.
     * [[minhashPairs]]): connected components as a RECURSIVE reachability
     * closure — rep = min doc_id reachable over the symmetrized edge set.

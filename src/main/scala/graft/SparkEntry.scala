@@ -584,6 +584,22 @@ object SparkEntry {
     // consistent under corpus growth, shuffle-free
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(
       s.read.parquet(s"$dir/documents.parquet"), "lang", SampleRates, 600)),
+    // the END-TO-END training-set pipeline: quality gate → near-dup
+    // canonical filter (components rep survives, other members drop) →
+    // stratified sample — each stage the same operator its standalone
+    // gate verifies, composed
+    "q_pipeline_trainset" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val q = TextOps.quality(documents(s, dir))
+        .select("doc_id", "quality_score")
+      val nonCanonical = Dedup
+        .components(Dedup.minhashPairs(documents(s, dir), 0.7))
+        .where(col("rep") =!= col("doc_id")).select("doc_id")
+      val keep = d.select("doc_id", "lang")
+        .join(q, "doc_id").where(col("quality_score") >= 0.55)
+        .join(nonCanonical, Seq("doc_id"), "left_anti")
+      TextOps.stratifiedSample(keep, "lang", SampleRates, 600)
+    }),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(documents(s, dir), 0.7)),
     "q_simhash" -> ((s, dir) => Dedup.simhash(documents(s, dir))),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(documents(s, dir), 3)),
@@ -709,6 +725,16 @@ object SparkEntry {
     "q_bm25_parent_avg" -> ((s, dir) =>
       IndexSearch.searchParents(indexFor(s, dir), DisjQueries,
         graft.search.BlockJoin.Avg, k = 10)),
+    // {!parent} block join over the SEGMENTED index: conv_id is the key
+    // prefix, so the live scored keys aggregate with no attribute join
+    "q_bm25_parent_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchParents(s, streamedIndex(s, dir),
+        DisjQueries, graft.search.BlockJoin.Total, k = 10,
+        cfg = BuildIndexJob.Config(numShards = 8))),
+    // facet.range.other=all: numeric buckets + before/after/between
+    "q_facet_range_other" -> ((s, dir) =>
+      IndexSearch.facetRangeOther(indexFor(s, dir), DisjQueries,
+        "dl", 20L, 100L, 40L)),
     // Solr SpellCheckComponent: per-token correction candidates from the
     // dictionary (lev ≤ 2, distance/df/term ranking)
     "q_spellcheck" -> ((s, dir) =>
@@ -1075,6 +1101,9 @@ object SparkEntry {
       JsonFacetMetrics),
     "q_bm25_parent" -> Oracle.bm25Parents(DisjQueries, 10, "total"),
     "q_bm25_parent_avg" -> Oracle.bm25Parents(DisjQueries, 10, "avg"),
+    "q_bm25_parent_segmented" -> Oracle.bm25Parents(DisjQueries, 10, "total"),
+    "q_facet_range_other" -> Oracle.facetRangeOtherDl(DisjQueries, 20L, 100L, 40L),
+    "q_pipeline_trainset" -> OracleOps.pipelineTrainset(0.55, SampleRates, 600, 0.7),
     "q_facet_json_segmented" -> Oracle.facetJson(DisjQueries, "role", "tool",
       2, 2, JsonFacetMetrics),
     "q_facet_query" -> Oracle.facetQueries(DisjQueries,

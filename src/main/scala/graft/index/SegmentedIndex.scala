@@ -449,6 +449,40 @@ object SegmentedIndex {
     Right((rankKeys(disjunctiveScores(all, qt, m), k), all))
   }
 
+  /** Solr `{!parent}` block join over the SEGMENTED index
+    * ([[graft.search.BlockJoin]] semantics, served live between
+    * compactions): conv_id is the leading key column, so the parent
+    * aggregation needs NO attribute join at all — one extra hash
+    * aggregation over the live scored keys. Same output shape and oracle
+    * as the unified [[graft.search.IndexSearch.searchParents]]. */
+  def searchParents(spark: SparkSession, root: String,
+                    queries: Seq[(Int, String)],
+                    mode: graft.search.BlockJoin.ScoreMode, k: Int = 10,
+                    cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = Seq.empty[(Int, Int, String, Long, Double)]
+      .toDF("query_id", "rank", "parent", "n_children", "score")
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val all = liveMatched(spark, root, m, qt.select("term").distinct(), cfg)
+      .getOrElse(return empty).cache()
+    try {
+      val agged = disjunctiveScores(all, qt, m)
+        .groupBy("query_id", "conv_id")
+        .agg(mode.agg(col("_score")).as("_score"),
+          count(lit(1)).as("n_children"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(round(col("_score"), Bm25.RankScale).desc, col("conv_id").asc)
+      localize(spark, agged
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("conv_id").as("parent"),
+          col("n_children"), round(col("_score"), Bm25.OutScale).as("score"))
+        .orderBy("query_id", "rank"))
+    } finally all.unpersist()
+  }
+
   /** Full boolean clause grammar (`q=+a b -c`, incl. the NOT-only subset)
     * over the SEGMENTED index — the same pinned semantics as
     * [[graft.search.Search.searchCorpusClauses]]: every must term required

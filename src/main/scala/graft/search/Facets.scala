@@ -318,6 +318,50 @@ object Facets {
     * with bucket = the LONG start of its half-open [b, b+gap) window. The
     * (queryIds × buckets) spine is driver-built — O(|queries| ·
     * (end-start)/gap), a request-shaped size, never corpus-shaped. */
+  /** `facet.range` with `facet.range.other=all`: the numeric buckets PLUS
+    * Solr's three overflow counts — `before` (< start), `after` (≥ end),
+    * `between` (the [start, end) total). Buckets are string-labeled (the
+    * numeric ones by their LONG start value) because the three extras
+    * share the column; the full (queryIds × labels) spine zero-fills, as
+    * in [[range]]. One match-set join, one aggregation pass (the numeric
+    * bucketing and the three conditional sums share the scan via a
+    * two-branch union over the same joined frame — each branch is
+    * facet-shaped after its aggregation). */
+  def rangeOther(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                 field: String, start: Long, end: Long, gap: Long,
+                 key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(gap > 0 && end > start,
+      s"facet.range needs gap > 0 and end > start (got [$start, $end) by $gap)")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val labels = (start until end by gap).map(_.toString) ++
+      Seq("before", "after", "between")
+    val spine = (for { q <- queryIds.distinct; b <- labels }
+      yield (q, b)).toDF("query_id", "bucket")
+    val v = col(field).cast("long")
+    val joined = matched.join(attrs.select(key.map(col) :+ col(field): _*), key)
+    val numeric = joined.where(v >= start && v < end)
+      .withColumn("bucket",
+        (lit(start) + floor((v - lit(start)) / lit(gap)) * lit(gap))
+          .cast("long").cast("string"))
+      .groupBy("query_id", "bucket").agg(count(lit(1)).as("n_docs"))
+    val others = joined.groupBy("query_id").agg(
+        sum(when(v < start, 1L).otherwise(0L)).as("before"),
+        sum(when(v >= end, 1L).otherwise(0L)).as("after"),
+        sum(when(v >= start && v < end, 1L).otherwise(0L)).as("between"))
+      .select(col("query_id"), explode(array(
+        struct(lit("before").as("bucket"), col("before").as("n_docs")),
+        struct(lit("after").as("bucket"), col("after").as("n_docs")),
+        struct(lit("between").as("bucket"), col("between").as("n_docs")))).as("_o"))
+      .select(col("query_id"), col("_o.bucket").as("bucket"),
+        col("_o.n_docs").as("n_docs"))
+    val cnt = numeric.unionByName(others)
+    spine.join(broadcast(cnt), Seq("query_id", "bucket"), "left")
+      .select(col("query_id"), col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("query_id", "bucket")
+  }
+
   def range(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
             field: String, start: Long, end: Long, gap: Long,
             key: Seq[String] = Seq("doc_id")): DataFrame = {

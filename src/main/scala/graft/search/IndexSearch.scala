@@ -766,6 +766,14 @@ object IndexSearch {
     Facets.range(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), field, start, end, gap)
 
+  /** `facet.range` + `facet.range.other=all` over the persisted index
+    * ([[Facets.rangeOther]] semantics). */
+  def facetRangeOther(idx: OpenIndex, queries: Seq[(Int, String)],
+                      field: String, start: Long, end: Long,
+                      gap: Long): DataFrame =
+    Facets.rangeOther(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field, start, end, gap)
+
   /** Solr `facet.pivot=parent,child` over the persisted index
     * ([[Facets.pivot]] semantics). */
   def facetPivot(idx: OpenIndex, queries: Seq[(Int, String)],

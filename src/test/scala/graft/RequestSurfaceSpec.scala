@@ -213,6 +213,40 @@ class RequestSurfaceSpec extends SparkSpec {
     assert(gotChain.forall(_.getLong(1) == 0L) && gotChain.length == 6)
   }
 
+  test("facetRangeOther: numeric buckets plus before/after/between, zero-filled") {
+    // match set of "bee cat emu": docs 0..5 (every doc), all dl = 3
+    val out = IndexSearch.facetRangeOther(idx, Seq(1 -> "bee cat emu"),
+      "dl", 2L, 6L, 2L).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out == Map("2" -> 6L, "4" -> 0L,
+      "before" -> 0L, "after" -> 0L, "between" -> 6L))
+    // values straddling the window: start=4 puts every dl=3 doc in 'before'
+    val below = IndexSearch.facetRangeOther(idx, Seq(1 -> "bee"),
+      "dl", 4L, 8L, 2L).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(below == Map("4" -> 0L, "6" -> 0L,
+      "before" -> 3L, "after" -> 0L, "between" -> 0L))
+  }
+
+  test("segmented block join ≡ unified on the same corpus") {
+    val root = tmp()
+    val cfg = BuildIndexJob.Config(numShards = 4)
+    val noDel = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+    SegmentedIndex.append(spark, root, turns.where(col("conv_id") =!= "c2"),
+      noDel, "s0", cfg)
+    SegmentedIndex.append(spark, root, turns.where(col("conv_id") === "c2"),
+      noDel, "s1", cfg)
+    val q = Seq(1 -> "bee cat emu", 2 -> "apple")
+    val got = SegmentedIndex.searchParents(spark, root, q,
+      BlockJoin.Total, k = 10, cfg = cfg).collect().toSeq
+    val want = IndexSearch.searchParents(idx, q, BlockJoin.Total, k = 10)
+      .collect().toSeq
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+      r.getLong(3), r.getDouble(4))) ==
+      want.map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))))
+  }
+
   test("stratifiedSample: deterministic, rate-monotone, boundary rates") {
     val docs = (0L until 500L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
