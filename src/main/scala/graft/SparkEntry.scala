@@ -290,7 +290,8 @@ object SparkEntry {
   val JsonFacetMetrics: Seq[graft.search.Facets.JsonMetric] = Seq(
     graft.search.Facets.MetricSum("sum_dl", "dl"),
     graft.search.Facets.MetricAvg("avg_dl", "dl"),
-    graft.search.Facets.MetricUnique("uniq_tool", "tool"))
+    graft.search.Facets.MetricUnique("uniq_tool", "tool"),
+    graft.search.Facets.MetricMax("max_turn", "turn_idx"))
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")

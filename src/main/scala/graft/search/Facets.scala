@@ -239,6 +239,18 @@ object Facets {
     def outType = "bigint"
     def sql = s"count(DISTINCT $field)::BIGINT AS $name"
   }
+  final case class MetricMin(name: String, field: String) extends JsonMetric {
+    def aggs = Seq(s"_${name}_m" -> min(col(field).cast("long")))
+    def out = col(s"_${name}_m")
+    def outType = "bigint"
+    def sql = s"CAST(min($field) AS BIGINT) AS $name"
+  }
+  final case class MetricMax(name: String, field: String) extends JsonMetric {
+    def aggs = Seq(s"_${name}_m" -> max(col(field).cast("long")))
+    def out = col(s"_${name}_m")
+    def outType = "bigint"
+    def sql = s"CAST(max($field) AS BIGINT) AS $name"
+  }
 
   /** Solr JSON Facet API (`json.facet`): a `terms` facet over
     * `parentField` carrying bucket METRICS, with one nested `terms`

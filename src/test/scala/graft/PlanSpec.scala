@@ -140,4 +140,27 @@ class PlanSpec extends SparkSpec {
       .exists(l => l.contains("ReadSchema") && l.contains("text"))
     assert(!textRead, s"join read the text column it never uses:\n$plan")
   }
+
+  test("termVectors' docs read is a pushed key point lookup") {
+    val idx = IndexSearch.open(spark, root)
+    val df = IndexSearch.termVectors(idx,
+      Seq(("conv00000000", 0), ("conv00000001", 1)))
+    assert(df.count() > 0, "vacuous: no term vectors")
+    val plan = df.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("Or(") &&
+        l.contains("EqualTo(conv_id"))
+    assert(pushed, s"key disjunction not pushed to the docs scan:\n$plan")
+  }
+
+  test("/export prunes the attribute scan to fl + key columns (no text)") {
+    val idx = IndexSearch.open(spark, root)
+    val df = IndexSearch.exportSorted(idx, Seq(1 -> "w1"),
+      Seq(col("dl").asc), Seq("role", "dl"))
+    assert(df.count() > 0, "vacuous: empty export")
+    val plan = df.queryExecution.executedPlan.toString
+    val textRead = plan.linesIterator
+      .exists(l => l.contains("ReadSchema") && l.contains("text"))
+    assert(!textRead, s"/export read text outside its fl list:\n$plan")
+  }
 }
