@@ -247,6 +247,36 @@ class RequestSurfaceSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4))))
   }
 
+  test("segmented facetJson + block join under tombstones ≡ unified rebuild") {
+    val root = tmp()
+    val cfg = BuildIndexJob.Config(numShards = 4)
+    val noDel = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+    SegmentedIndex.append(spark, root, turns.where(col("conv_id") =!= "c2"),
+      noDel, "s0", cfg)
+    SegmentedIndex.append(spark, root, turns.where(col("conv_id") === "c2"),
+      noDel, "s1", cfg)
+    // kill c0/1 ("ant bee cat", the only assistant+t1 doc of c0)
+    SegmentedIndex.append(spark, root,
+      Seq.empty[(String, Int, String, String, String, java.sql.Timestamp)]
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      Seq(("c0", 1)).toDF("conv_id", "turn_idx"), "t0", cfg)
+    val live = turns.where(!(col("conv_id") === "c0" && col("turn_idx") === 1))
+    val rebuiltRoot = tmp()
+    BuildIndexJob.run(spark, live, rebuiltRoot, "rb2", cfg)
+    val rb = IndexSearch.open(spark, rebuiltRoot)
+    val q = Seq(1 -> "bee cat", 2 -> "emu")
+    val segJson = SegmentedIndex.facetJson(spark, root, q, "role", "tool",
+      10, 10, metrics, cfg).collect().map(_.toSeq).toSeq
+    val uniJson = IndexSearch.facetJson(rb, q, "role", "tool",
+      10, 10, metrics).collect().map(_.toSeq).toSeq
+    assert(segJson == uniJson)
+    val segPar = SegmentedIndex.searchParents(spark, root, q,
+      BlockJoin.Total, 10, cfg).collect().map(_.toSeq).toSeq
+    val uniPar = IndexSearch.searchParents(rb, q, BlockJoin.Total, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(segPar == uniPar)
+  }
+
   test("stratifiedSample: deterministic, rate-monotone, boundary rates") {
     val docs = (0L until 500L).map(i =>
       (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
