@@ -887,6 +887,55 @@ object Oracle {
        |) ORDER BY query_id, facet""".stripMargin
   }
 
+  /** Twin of [[graft.search.Facets.intervals]] over the dl attribute:
+    * per (query × facet.interval.set) counts, zero-filled spine. The
+    * interval predicates render from the SAME parsed
+    * [[graft.search.Facets.Interval]] values the engine evaluates
+    * (`Interval.sql` / `Interval.pred` — one AST, two engines). */
+  def facetIntervalsDl(queries: Seq[(Int, String)],
+                       sets: Seq[graft.search.Facets.Interval]): String = {
+    val aggCols = sets.zipWithIndex.map { case (iv, i) =>
+      s"count(*) FILTER (WHERE ${iv.sql("dl")}) AS c$i"
+    }
+    val branches = sets.zipWithIndex.map { case (iv, i) =>
+      s"""SELECT query_id, '${esc(iv.label)}' AS "interval", CAST(coalesce(c$i, 0) AS BIGINT) AS n_docs FROM filled"""
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |agg AS (SELECT query_id, ${aggCols.mkString(", ")}
+       |        FROM matched JOIN dl USING (doc_id)
+       |        GROUP BY query_id),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |filled AS (SELECT qids.query_id, ${sets.indices.map(i => s"c$i").mkString(", ")}
+       |           FROM qids LEFT JOIN agg ON qids.query_id = agg.query_id)
+       |SELECT * FROM (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY query_id, "interval"""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Facets.multiSelect]]: each facet field counts
+    * the match set under every tagged fq predicate except its excluded
+    * tags. `filters` are (tag, SQL predicate) — SparkEntry keeps the
+    * Column and SQL forms side by side, the FacetQueryDefs pattern. */
+  def facetMultiSelect(queries: Seq[(Int, String)],
+                       filters: Seq[(String, String)],
+                       facets: Seq[(String, Set[String])]): String = {
+    val branches = facets.map { case (f, ex) =>
+      val preds = filters.collect { case (tag, p) if !ex.contains(tag) => s"($p)" }
+      val where = (preds :+ s"$f IS NOT NULL").mkString(" AND ")
+      s"""SELECT query_id, '${esc(f)}' AS field, CAST($f AS VARCHAR) AS value,
+         |       count(*)::BIGINT AS n_docs
+         |  FROM base WHERE $where GROUP BY 1, 2, 3""".stripMargin
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |base AS (SELECT matched.query_id, corpus.*, dl.dl AS dl
+       |         FROM matched JOIN corpus USING (doc_id) JOIN dl USING (doc_id))
+       |SELECT * FROM (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY query_id, field, value""".stripMargin
+  }
+
   /** Twin of [[graft.search.Facets.range]] over the dl attribute:
     * half-open [b, b+gap) buckets keyed by LONG bucket start, full
     * (query × bucket) spine zero-filled, values outside [start, end)
@@ -1080,6 +1129,54 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchReranked]] (Solr
+    * ReRankQParser): first-pass ranks from the standard scored CTE; the
+    * top-`reRankDocs` rows per query re-score as main + W·rerank and
+    * re-rank among themselves, rows below the boundary keep their
+    * first-pass rank and score. The rerank disjunction parses through
+    * the engine's own clause parser — the shared-seam pattern. */
+  def bm25Reranked(corpusSql: String, queries: Seq[(Int, String)],
+                   rerankQuery: String, reRankDocs: Int,
+                   reRankWeight: Double, k: Int): String = {
+    val c = graft.search.Search.parseClauses(rerankQuery)
+    val rqtRows = c.should.map(t => s"('${esc(t)}', ${c.boost(t)})")
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |ranked0 AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk0
+       |  FROM scored),
+       |rqt(term, b) AS (VALUES ${rqtRows.mkString(", ")}),
+       |rqs AS (
+       |  SELECT tf.doc_id,
+       |         sum( b * ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS rr
+       |  FROM rqt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY tf.doc_id),
+       |head AS (SELECT query_id, ranked0.doc_id,
+       |                score + $reRankWeight * coalesce(rr, 0) AS score
+       |         FROM ranked0 LEFT JOIN rqs ON ranked0.doc_id = rqs.doc_id
+       |         WHERE rnk0 <= $reRankDocs),
+       |headRanked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM head),
+       |unioned AS (
+       |  SELECT query_id, doc_id, score, rnk FROM headRanked
+       |  UNION ALL
+       |  SELECT query_id, doc_id, score, rnk0 AS rnk FROM ranked0
+       |  WHERE rnk0 > $reRankDocs)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM unioned WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.BlockJoin.parents]] via
     * IndexSearch.searchParents: top-k parent conversations by the
     * ScoreMode aggregate (`total` = sum, `max`, `avg` = sum/count) of
@@ -1207,6 +1304,93 @@ object Oracle {
        |FROM dranked JOIN granked USING (query_id, group_value)
        |WHERE group_rank <= $kGroups AND doc_rank <= $groupLimit
        |ORDER BY query_id, group_rank, doc_rank""".stripMargin
+
+  /** Twin of [[graft.search.Facets.percentiles]] via
+    * IndexSearch.statsPercentiles over dl: exact type-7 (linear
+    * interpolation) percentiles — DuckDB `quantile_cont` ≡ Spark
+    * `percentile` — zero-filled on the query spine (empty match set →
+    * NULL values). */
+  def percentilesDl(queries: Seq[(Int, String)], ps: Seq[Double]): String = {
+    val aggCols = ps.zipWithIndex.map { case (p, i) =>
+      s"quantile_cont(dl, ${p / 100.0}) AS p$i"
+    }
+    val branches = ps.zipWithIndex.map { case (p, i) =>
+      s"SELECT query_id, CAST($p AS DOUBLE) AS pct, round(CAST(p$i AS DOUBLE), 4) AS value FROM filled"
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |agg AS (SELECT query_id, ${aggCols.mkString(", ")}
+       |        FROM matched JOIN dl USING (doc_id)
+       |        GROUP BY query_id),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |filled AS (SELECT qids.query_id, ${ps.indices.map(i => s"p$i").mkString(", ")}
+       |           FROM qids LEFT JOIN agg ON qids.query_id = agg.query_id)
+       |SELECT * FROM (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}
+       |) ORDER BY query_id, pct""".stripMargin
+  }
+
+  /** Twin of [[graft.search.SignificantTerms.significantTerms]]: per
+    * query the top-n foreground-lift terms of the match set,
+    * lift = (fg_df·N)/(fg_n·df) with casts before multiplies — the same
+    * single FP expression the engine evaluates. fg_df comes from the tf
+    * relation (distinct (term, doc) by construction — the oracle twin of
+    * the engine's stored-text re-analysis). */
+  def significantTerms(queries: Seq[(Int, String)], n: Int,
+                       minDf: Long, minFgDf: Long): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |fg AS (SELECT m.query_id, tf.term, count(*)::BIGINT AS fg_df
+       |       FROM matched m JOIN tf ON m.doc_id = tf.doc_id
+       |       GROUP BY 1, 2),
+       |fgn AS (SELECT query_id, count(*)::BIGINT AS fgn FROM matched GROUP BY 1),
+       |lifted AS (SELECT fg.query_id, fg.term, fg.fg_df, df.df AS bg_df,
+       |                  (CAST(fg.fg_df AS DOUBLE) * CAST(s.n_docs AS DOUBLE)) /
+       |                  (CAST(fgn.fgn AS DOUBLE) * CAST(df.df AS DOUBLE)) AS lift
+       |           FROM fg JOIN df USING (term) JOIN fgn USING (query_id)
+       |                CROSS JOIN stats s
+       |           WHERE df.df >= $minDf AND fg.fg_df >= $minFgDf),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY round(lift, 7) DESC, term ASC) AS rnk FROM lifted)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", term, fg_df, bg_df,
+       |       round(lift, 4) AS lift
+       |FROM ranked WHERE rnk <= $n
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[graft.search.Collapse.collapseExpand]] via
+    * IndexSearch.searchCollapsed: one best doc per group ranked flat
+    * (exp_pos = 0), plus per kept head the next `expandRows` group
+    * members (exp_pos = 1..m) keyed by the head's rank. NULL collapse
+    * fields excluded (nullPolicy=ignore). */
+  def collapseExpand(queries: Seq[(Int, String)], field: String,
+                     k: Int, expandRows: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |gdocs AS (SELECT query_id, doc_id, score, CAST($field AS VARCHAR) AS group_value
+       |          FROM scored JOIN corpus USING (doc_id)
+       |          WHERE $field IS NOT NULL),
+       |dranked AS (SELECT *, row_number() OVER (PARTITION BY query_id, group_value
+       |                       ORDER BY round(score, 7) DESC, doc_id ASC) AS gpos
+       |            FROM gdocs),
+       |heads AS (SELECT query_id, group_value, doc_id, score,
+       |                 row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |          FROM dranked WHERE gpos = 1)
+       |SELECT * FROM (
+       |  SELECT query_id, CAST(rnk AS INT) AS "rank", group_value,
+       |         0 AS exp_pos, doc_id, round(score, 4) AS score
+       |  FROM heads WHERE rnk <= $k
+       |  UNION ALL
+       |  SELECT d.query_id, CAST(h.rnk AS INT) AS "rank", d.group_value,
+       |         CAST(d.gpos - 1 AS INT) AS exp_pos, d.doc_id,
+       |         round(d.score, 4) AS score
+       |  FROM dranked d JOIN heads h
+       |       ON d.query_id = h.query_id AND d.group_value = h.group_value
+       |  WHERE h.rnk <= $k AND d.gpos > 1 AND d.gpos <= ${expandRows + 1})
+       |ORDER BY query_id, "rank", exp_pos""".stripMargin
 
   /** Twin of [[graft.search.Suggest.suggest]]: per-request prefix probes
     * of the df relation ranked by (df DESC, term ASC), top-n each. The

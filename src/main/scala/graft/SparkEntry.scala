@@ -153,6 +153,23 @@ object SparkEntry {
     ("long_docs", col("dl") >= 60, "dl >= 60"),
     ("tool_turns", col("tool").isNotNull, "tool IS NOT NULL"))
 
+  /** facet.interval sets over dl: closed, half-open, OVERLAPPING (a doc
+    * counts in both), open-ended, and an always-empty band (dl >= 1) —
+    * the bracket-semantics corners plus the zero-filled spine pin. */
+  val IntervalSets: Seq[graft.search.Facets.Interval] =
+    Seq("[0,29]", "(29,59]", "[50,90)", "(90,*]", "[*,0)")
+      .map(graft.search.Facets.Interval.parse)
+
+  /** Multi-select faceting request: two tagged fqs; the role facet
+    * excludes the role filter (Solr `facet.field={!ex=rolef}role`), the
+    * tool facet applies both. Column + SQL predicate forms side by side,
+    * the [[FacetQueryDefs]] pattern. */
+  val MultiSelectFilters: Seq[(String, org.apache.spark.sql.Column, String)] =
+    Seq(("rolef", col("role") === "user", "role = 'user'"),
+      ("dlf", col("dl") >= 30, "dl >= 30"))
+  val MultiSelectFacets: Seq[(String, Set[String])] =
+    Seq(("role", Set("rolef")), ("tool", Set.empty[String]))
+
   /** Suggester request set: common stem, a fat single-letter prefix, a
     * longer stem, a prefix matching nothing, case normalization, and a
     * digit-bearing prefix. */
@@ -237,6 +254,10 @@ object SparkEntry {
   /** The `bq=` boost-query string: a boosted term + a rare term — docs in
     * the main match set that also contain them gain their BM25. */
   val BqString = "batch^2 dup"
+
+  /** ReRank query (`rq={!rerank reRankQuery=…}`): a boosted disjunction
+    * over common fixture terms so the top-5 head actually reshuffles. */
+  val RerankString = "window^2 stream"
 
   /** Stratified-sampling per-mille rates by language (English-heavy
     * corpus rebalance: en downsampled hard, zh kept whole, default 60%). */
@@ -695,11 +716,21 @@ object SparkEntry {
     // zero-filled spine (query 5 matches nothing)
     "q_stats_dl" -> ((s, dir) =>
       IndexSearch.statsField(indexFor(s, dir), DisjQueries, "dl")),
+    // StatsComponent percentiles: exact type-7 p50/p90/p99 of dl per
+    // query (pinned exact over Solr's t-digest), NULL on the empty query
+    "q_stats_percentiles" -> ((s, dir) =>
+      IndexSearch.statsPercentiles(indexFor(s, dir), DisjQueries, "dl",
+        Seq(50.0, 90.0, 99.0))),
     // Solr result grouping / field collapsing: top-5 conversations per
     // query by best-turn score, 3 turns each
     "q_group_conv" -> ((s, dir) =>
       IndexSearch.searchGrouped(indexFor(s, dir), DisjQueries, "conv_id",
         kGroups = 5, groupLimit = 3)),
+    // Solr {!collapse field=conv_id} + expand=true: flat best-turn-per-
+    // conversation list, each head carrying its next-2 expand section
+    "q_bm25_collapse" -> ((s, dir) =>
+      IndexSearch.searchCollapsed(indexFor(s, dir), DisjQueries, "conv_id",
+        k = 5, expandRows = 2)),
     // Lucene term suggester: df-weighted prefix completion, top-5
     "q_suggest" -> ((s, dir) =>
       graft.search.Suggest.suggest(indexFor(s, dir), SuggestPrefixes, 5)),
@@ -708,6 +739,11 @@ object SparkEntry {
     "q_bm25_mlt" -> ((s, dir) =>
       graft.search.MoreLikeThis.moreLikeThis(indexFor(s, dir), MltSeeds,
         k = 10, maxQueryTerms = 10, minTf = 1, minDf = 2L)),
+    // significantTerms: per query the foreground-lift-ranked vocabulary
+    // of its match set (re-analysis of matched stored text vs corpus df)
+    "q_significant_terms" -> ((s, dir) =>
+      graft.search.SignificantTerms.significantTerms(indexFor(s, dir),
+        DisjQueries, n = 5, minDf = 3L, minFgDf = 2L)),
     // Solr facet.pivot=role,tool: two-level pivot counts in one rollup
     "q_facet_pivot" -> ((s, dir) =>
       IndexSearch.facetPivot(indexFor(s, dir), DisjQueries, "role", "tool")),
@@ -732,6 +768,16 @@ object SparkEntry {
       graft.index.SegmentedIndex.searchParents(s, streamedIndex(s, dir),
         DisjQueries, graft.search.BlockJoin.Total, k = 10,
         cfg = BuildIndexJob.Config(numShards = 8))),
+    // Solr interval faceting: endpoint-inclusive/exclusive dl bands,
+    // overlapping sets both count, zero-filled request spine
+    "q_facet_interval" -> ((s, dir) =>
+      IndexSearch.facetIntervals(indexFor(s, dir), DisjQueries, "dl",
+        IntervalSets)),
+    // Multi-select (tag/ex) faceting: the role facet ignores the tagged
+    // role fq but honors the dl fq; the tool facet honors both
+    "q_facet_multiselect" -> ((s, dir) =>
+      IndexSearch.facetMultiSelect(indexFor(s, dir), DisjQueries,
+        MultiSelectFilters.map(f => (f._1, f._2)), MultiSelectFacets)),
     // facet.range.other=all: numeric buckets + before/after/between
     "q_facet_range_other" -> ((s, dir) =>
       IndexSearch.facetRangeOther(indexFor(s, dir), DisjQueries,
@@ -766,6 +812,12 @@ object SparkEntry {
     "q_bm25_bq" -> ((s, dir) =>
       IndexSearch.searchBoostQuery(indexFor(s, dir), DisjQueries,
         BqString)),
+    // Solr rq={!rerank}: the top-5 first-pass hits re-score as
+    // main + 2·rerank and reshuffle among themselves; ranks 6-10 keep
+    // their first-pass order — the N boundary is part of the contract
+    "q_bm25_rerank" -> ((s, dir) =>
+      IndexSearch.searchReranked(indexFor(s, dir), DisjQueries,
+        RerankString, reRankDocs = 5, reRankWeight = 2.0, k = 10)),
     // Lucene ^boost clause boosts (term^2 / term^0.5): the inline
     // clause engine — parser-shared boosts scale each clause's BM25
     // contribution before the per-doc sum
@@ -1104,6 +1156,9 @@ object SparkEntry {
     "q_bm25_parent_avg" -> Oracle.bm25Parents(DisjQueries, 10, "avg"),
     "q_bm25_parent_segmented" -> Oracle.bm25Parents(DisjQueries, 10, "total"),
     "q_facet_range_other" -> Oracle.facetRangeOtherDl(DisjQueries, 20L, 100L, 40L),
+    "q_facet_interval" -> Oracle.facetIntervalsDl(DisjQueries, IntervalSets),
+    "q_facet_multiselect" -> Oracle.facetMultiSelect(DisjQueries,
+      MultiSelectFilters.map(f => (f._1, f._3)), MultiSelectFacets),
     "q_pipeline_trainset" -> OracleOps.pipelineTrainset(0.55, SampleRates, 600, 0.7),
     "q_facet_json_segmented" -> Oracle.facetJson(DisjQueries, "role", "tool",
       2, 2, JsonFacetMetrics),
@@ -1115,6 +1170,10 @@ object SparkEntry {
       prefix = Some("conv00001")),
     "q_stats_dl" -> Oracle.statsDl(DisjQueries),
     "q_group_conv" -> Oracle.groupTopK(DisjQueries, "conv_id", 5, 3),
+    "q_bm25_collapse" -> Oracle.collapseExpand(DisjQueries, "conv_id", 5, 2),
+    "q_significant_terms" -> Oracle.significantTerms(DisjQueries, 5, 3L, 2L),
+    "q_stats_percentiles" -> Oracle.percentilesDl(DisjQueries,
+      Seq(50.0, 90.0, 99.0)),
     "q_suggest" -> Oracle.suggest(SuggestPrefixes, 5),
     "q_bm25_mlt" -> Oracle.moreLikeThis(MltSeeds, 10, 10, 1, 2L),
     "q_facet_pivot" -> Oracle.facetPivot(DisjQueries, "role", "tool"),
@@ -1196,6 +1255,8 @@ object SparkEntry {
     "q_bm25_boost_fn" -> Oracle.bm25BoostFn(DisjQueries, 10, BoostFnString),
     "q_bm25_bq" -> Oracle.bm25BoostQuery(Oracle.transcriptsCorpus,
       DisjQueries, 10, BqString),
+    "q_bm25_rerank" -> Oracle.bm25Reranked(Oracle.transcriptsCorpus,
+      DisjQueries, RerankString, 5, 2.0, 10),
     "q_bm25_bool_segmented" -> Oracle.bm25TopKClausesKeys(BoolQueries, 10),
     "q_bm25_conj_segmented" -> Oracle.bm25TopKClausesKeys(ConjQueriesAsMust, 10),
     "q_bm25_phrase_segmented" -> Oracle.bm25PhraseKeys(PhraseQueries, 10),

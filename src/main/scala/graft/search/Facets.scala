@@ -159,6 +159,42 @@ object Facets {
       .orderBy("query_id")
   }
 
+  /** Solr StatsComponent `percentiles` (`stats.field={!percentiles=
+    * '50,90,99'}dl`): per query the requested percentiles of a numeric
+    * stored attribute over the match set. Solr computes these with an
+    * approximate t-digest; this engine pins EXACT type-7 (linear
+    * interpolation) percentiles — Spark's `percentile` and DuckDB's
+    * `quantile_cont` both implement it natively, so the twin is
+    * bit-identical and the answer is deterministic at any scale
+    * (documented divergence: exact beats t-digest on correctness; at
+    * fleet scale the per-query match sets this engine ranks are already
+    * request-bounded, so exactness is affordable). Zero-filled on the
+    * query spine: an empty match set reports NULL values (Solr: NaN).
+    * Output one row per (query, percentile), value rounded at 4. */
+  def percentiles(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                  field: String, ps: Seq[Double],
+                  key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 100),
+      s"percentiles must be in (0, 100), got ${ps.mkString(",")}")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val v = col(field).cast("long")
+    val aggs = ps.zipWithIndex.map { case (p, i) =>
+      percentile(v, lit(p / 100.0)).as(s"_p$i")
+    }
+    val agged = matched.join(attrs.select((key :+ field).distinct.map(col): _*), key)
+      .groupBy("query_id").agg(aggs.head, aggs.tail: _*)
+    val spine = queryIds.distinct.sorted.toDF("query_id")
+    val pr = explode(array(ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("pct"), col(s"_p$i").cast("double").as("value"))
+    }: _*))
+    spine.join(broadcast(agged), Seq("query_id"), "left")
+      .select(col("query_id"), pr.as("_p"))
+      .select(col("query_id"), col("_p.pct").as("pct"),
+        round(col("_p.value"), 4).as("value"))
+      .orderBy("query_id", "pct")
+  }
+
   /** Solr `facet.pivot=parent,child` — hierarchical (two-level) pivot
     * faceting: for each query, the count of every parent value AND of
     * every (parent, child) pair nested under it, from ONE aggregation
@@ -372,6 +408,112 @@ object Facets {
       .select(col("query_id"), col("bucket"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy("query_id", "bucket")
+  }
+
+  /** One Solr `facet.interval.set` entry (`[0,59]`, `(59,100]`,
+    * `[*,10)`, `(90,*]`): an endpoint-inclusive/exclusive interval over a
+    * numeric attribute. Like [[JsonMetric]] and
+    * [[FunctionQuery]], ONE parsed value renders BOTH the Spark predicate
+    * and the DuckDB oracle SQL, so bracket semantics cannot drift between
+    * the engine and its gate. `*` endpoints are unbounded (Solr's
+    * syntax); the label is the set string itself (Solr's default `key`).
+    */
+  final case class Interval(label: String, lo: Option[Long], loIncl: Boolean,
+                            hi: Option[Long], hiIncl: Boolean) {
+    def pred(v: Column): Column = {
+      val lp = lo.map(b => if (loIncl) v >= b else v > b).getOrElse(lit(true))
+      val hp = hi.map(b => if (hiIncl) v <= b else v < b).getOrElse(lit(true))
+      lp && hp && v.isNotNull
+    }
+    def sql(field: String): String = {
+      val parts = lo.map(b => s"$field ${if (loIncl) ">=" else ">"} $b").toSeq ++
+        hi.map(b => s"$field ${if (hiIncl) "<=" else "<"} $b").toSeq
+      (parts :+ s"$field IS NOT NULL").mkString(" AND ")
+    }
+  }
+  object Interval {
+    private val Syntax = """^([\[(])\s*(\*|-?\d+)\s*,\s*(\*|-?\d+)\s*([\])])$""".r
+    /** Parse Solr's `facet.interval.set` syntax; fails loudly on anything
+      * else (Solr 400s malformed sets). */
+    def parse(s: String): Interval = s.trim match {
+      case Syntax(lb, loS, hiS, rb) =>
+        val lo = if (loS == "*") None else Some(loS.toLong)
+        val hi = if (hiS == "*") None else Some(hiS.toLong)
+        Interval(s.trim, lo, lb == "[", hi, rb == "]")
+      case other => throw new IllegalArgumentException(
+        s"malformed facet.interval.set '$other' (expected e.g. [0,59], (59,*])")
+    }
+  }
+
+  /** Solr interval faceting (`facet.interval=f&facet.interval.set=…`):
+    * per query, the count of matched docs whose `field` value falls in
+    * each requested interval. Intervals may overlap (Solr allows it — a
+    * doc then counts in each), and every requested set is reported even
+    * at count 0 (the spine is the driver-known queryIds × sets list).
+    * One match-set join + one aggregation pass — every interval is a
+    * conditional sum over the same joined frame, the [[queryCounts]]
+    * shape. */
+  def intervals(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                field: String, sets: Seq[Interval],
+                key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(sets.nonEmpty, "facet.interval needs at least one set")
+    require(sets.map(_.label).distinct.size == sets.size,
+      "facet.interval set labels must be unique")
+    val v = col(field).cast("long")
+    queryCounts(queryIds, matched, attrs.select((key :+ field).distinct.map(col): _*),
+      sets.map(iv => iv.label -> iv.pred(v)), key)
+      .withColumnRenamed("facet", "interval")
+  }
+
+  /** Solr multi-select faceting (`fq={!tag=t}…` + `facet.field={!ex=t}f`):
+    * each facet field's counts come from the match set filtered by every
+    * tagged fq EXCEPT the ones the field excludes — the standard
+    * e-commerce "checking a brand must not collapse the brand facet"
+    * request. The RESULT list (all filters applied) stays
+    * [[IndexSearch.searchFiltered]]; this computes the facet side.
+    *
+    * `filters` are (tag, predicate) over the stored attributes;
+    * `facets` are (field, excluded tag set). Unknown excluded tags fail
+    * loudly (Solr ignores them silently — pinned divergence, a typo'd
+    * `ex=` silently turning multi-select OFF is the bug this catches).
+    *
+    * One match-set join + ONE aggregation pass for all facets: every
+    * filter evaluates once per joined row, each facet's keep-flag is the
+    * conjunction of its non-excluded tags, and the (field, value, keep)
+    * triples unpivot through the same struct-array explode as [[fields]].
+    * NULL values uncounted, string-valued, (query_id, field, value)
+    * ordering — the [[fields]] contract. */
+  def multiSelect(matched: DataFrame, attrs: DataFrame,
+                  filters: Seq[(String, Column)],
+                  facets: Seq[(String, Set[String])],
+                  key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(filters.nonEmpty && facets.nonEmpty,
+      "multi-select faceting needs >= 1 tagged filter and >= 1 facet field")
+    val tags = filters.map(_._1)
+    require(tags.distinct.size == tags.size, "filter tags must be unique")
+    val unknown = facets.flatMap(_._2).filterNot(tags.contains).distinct
+    require(unknown.isEmpty, s"facet excludes unknown tags: ${unknown.mkString(",")}")
+    // attrs passes through unpruned here — the filter predicates may
+    // reference arbitrary stored columns; Catalyst prunes the scan to
+    // (key ∪ facet fields ∪ filter columns) from the final plan.
+    val flagged = filters.zipWithIndex.foldLeft(matched.join(attrs, key)) {
+      case (d, ((_, p), i)) => d.withColumn(s"_t_$i", coalesce(p, lit(false)))
+    }
+    val fv = explode(array(facets.map { case (f, ex) =>
+      val applicable = filters.zipWithIndex.collect {
+        case ((tag, _), i) if !ex.contains(tag) => col(s"_t_$i")
+      }
+      val keep = applicable.foldLeft(lit(true))(_ && _)
+      struct(lit(f).as("field"), col(f).cast("string").as("value"),
+        keep.as("keep"))
+    }: _*))
+    flagged.select(col("query_id"), fv.as("_fv"))
+      .where(col("_fv.keep") && col("_fv.value").isNotNull)
+      .select(col("query_id"), col("_fv.field").as("field"),
+        col("_fv.value").as("value"))
+      .groupBy("query_id", "field", "value")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("query_id", "field", "value")
   }
 
   def range(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,

@@ -250,6 +250,59 @@ object IndexSearch {
       k)
   }
 
+  /** Solr ReRankQParser (`rq={!rerank reRankQuery=… reRankDocs=N
+    * reRankWeight=W}`): each query's top-N FIRST-PASS hits are re-scored
+    * as main + W·rerank and re-ordered AMONG THEMSELVES; hits below rank
+    * N keep their first-pass order and score — reranking can reshuffle
+    * the head but never moves a doc across the N boundary, exactly
+    * Solr's contract. The rerank query is pinned to the [[searchBoostQuery]]
+    * bq shape (a SHOULD term disjunction with optional `^boost`s) and is
+    * likewise query-independent: scored ONCE per batch, joined back on
+    * doc_id. Reported score: the combined score for reranked head docs
+    * (Solr returns the reranked score), the first-pass score below the
+    * boundary. Scale shape: the boundary split is a rank-window filter
+    * on the already-request-bounded scored frame; the head re-rank
+    * windows over ≤ N rows per query. */
+  def searchReranked(idx: OpenIndex, queries: Seq[(Int, String)],
+                     rerankQuery: String, reRankDocs: Int,
+                     reRankWeight: Double, k: Int = 10): DataFrame = {
+    require(reRankDocs > 0, s"reRankDocs must be positive (got $reRankDocs)")
+    val c = Search.parseClauses(rerankQuery)
+    require(c.must.isEmpty && c.not.isEmpty && c.mustPhrases.isEmpty &&
+      c.shouldPhrases.isEmpty && c.notPhrases.isEmpty && !c.hasGroups &&
+      c.should.nonEmpty,
+      s"reRankQuery is pinned to a SHOULD term disjunction, got: '$rerankQuery'")
+    val spark = idx.spark
+    import spark.implicits._
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val w0 = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(round(col("_score"), Bm25.RankScale).desc, col("doc_id").asc)
+    val ranked0 = scoredDocs(idx, qt, conjunctive = false)
+      .withColumn("_rnk0", row_number().over(w0))
+    val rqTerms = c.should.map(t => (0, t)).toDF("query_id", "term")
+    val boosts = c.should.map(t => (t, c.boost(t))).toDF("term", "_rqb")
+    val rr = matchedPostings(idx, rqTerms)
+      .join(broadcast(boosts), "term")
+      .withColumn("_s", col("_rqb") * Bm25.termScore(col("tf"), col("dl"),
+        col("df"), lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .groupBy("doc_id").agg(sum(col("_s")).as("_rr"))
+    val head = ranked0.where(col("_rnk0") <= reRankDocs)
+      .join(rr, Seq("doc_id"), "left")
+      .withColumn("_score",
+        col("_score") + lit(reRankWeight) * coalesce(col("_rr"), lit(0.0)))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(round(col("_score"), Bm25.RankScale).desc, col("doc_id").asc)
+    val headRanked = head.withColumn("rank", row_number().over(wH))
+    val tail = ranked0.where(col("_rnk0") > reRankDocs)
+      .withColumn("rank", col("_rnk0"))
+    headRanked.select("query_id", "rank", "doc_id", "_score")
+      .unionByName(tail.select("query_id", "rank", "doc_id", "_score"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("doc_id"), round(col("_score"), Bm25.OutScale).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** The engine half of Solr's cursorMark: the cursor AFTER the first
     * `upto` results of each query — per query the (RankScale-rounded
     * score, doc_id) sort key of its `upto`-th (or last, if fewer) hit.
@@ -759,6 +812,23 @@ object IndexSearch {
     Facets.queryCounts(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), named)
 
+  /** Solr interval faceting over the persisted index ([[Facets.intervals]]
+    * semantics: overlapping sets allowed, every set reported, zero-filled
+    * request spine). */
+  def facetIntervals(idx: OpenIndex, queries: Seq[(Int, String)],
+                     field: String, sets: Seq[Facets.Interval]): DataFrame =
+    Facets.intervals(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field, sets)
+
+  /** Solr multi-select (tag/ex) faceting over the persisted index
+    * ([[Facets.multiSelect]] semantics: each facet field counts the match
+    * set under every tagged fq EXCEPT its excluded tags). */
+  def facetMultiSelect(idx: OpenIndex, queries: Seq[(Int, String)],
+                       filters: Seq[(String, org.apache.spark.sql.Column)],
+                       facets: Seq[(String, Set[String])]): DataFrame =
+    Facets.multiSelect(matchedDocSet(idx, queries), facetAttrs(idx),
+      filters, facets)
+
   /** Solr `facet.range` over a numeric stored attribute of the persisted
     * index ([[Facets.range]] semantics). */
   def facetRange(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
@@ -805,6 +875,14 @@ object IndexSearch {
     Facets.stats(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), field)
 
+  /** Solr StatsComponent percentiles over the persisted index
+    * ([[Facets.percentiles]] semantics: exact type-7, zero-filled
+    * spine). */
+  def statsPercentiles(idx: OpenIndex, queries: Seq[(Int, String)],
+                       field: String, ps: Seq[Double]): DataFrame =
+    Facets.percentiles(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field, ps)
+
   /** Solr `{!parent which=…}` block join over the persisted index
     * ([[BlockJoin.parents]] semantics): turns are the child documents,
     * conversations the parents; top-k parents by the ScoreMode aggregate
@@ -827,6 +905,19 @@ object IndexSearch {
     val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
     Grouping.topGroups(scoredDocs(idx, qt, conjunctive = false),
       facetAttrs(idx), groupField, kGroups, groupLimit)
+  }
+
+  /** Solr `{!collapse field=…}` + ExpandComponent over the persisted
+    * index ([[Collapse.collapseExpand]] semantics): flat one-doc-per-group
+    * ranked list plus the per-head expand section. */
+  def searchCollapsed(idx: OpenIndex, queries: Seq[(Int, String)],
+                      field: String, k: Int = 10,
+                      expandRows: Int = 0): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val attrs = idx.io.read(idx.spark, idx.paths.docs)
+      .select(col("doc_id"), col(field))
+    Collapse.collapseExpand(scoredDocs(idx, qt, conjunctive = false),
+      attrs, field, k, expandRows)
   }
 
   /** Sampled-probe verdicts for LEGACY marker-less roots only — cached so
