@@ -1055,9 +1055,16 @@ object Oracle {
   }
 
   def facetTop(queries: Seq[(Int, String)], field: String,
-               topN: Int, prefix: Option[String] = None): String = {
+               topN: Int, prefix: Option[String] = None,
+               contains: Option[String] = None): String = {
+    // facet.contains values are plain substrings; reject LIKE metachars
+    // rather than escaping them (the engine side matches literally)
+    contains.foreach(c => require(!c.exists("%_".contains(_)),
+      s"facet.contains '$c' must not contain LIKE wildcards"))
     val prefixPred = prefix
       .map(p => s" AND CAST($field AS VARCHAR) LIKE '${esc(p)}%'")
+      .getOrElse("") + contains
+      .map(c => s" AND CAST($field AS VARCHAR) LIKE '%${esc(c)}%'")
       .getOrElse("")
     s"""WITH ${indexCtes(transcriptsCorpusFacets)},
        |${matchedCtes(queries)},
@@ -1276,6 +1283,37 @@ object Oracle {
        |       round(CAST(vsum AS DOUBLE) / n, 4) AS vmean
        |FROM qids LEFT JOIN agg ON qids.query_id = agg.query_id
        |ORDER BY qids.query_id""".stripMargin
+
+  /** Twin of [[graft.search.Facets.statsFacet]] over dl faceted by a
+    * stored attribute: per (query × observed facet value) stats, no
+    * spine (Solr only reports observed buckets). */
+  def statsFacetDl(queries: Seq[(Int, String)], facetField: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)}
+       |SELECT query_id, CAST($facetField AS VARCHAR) AS value,
+       |       count(dl)::BIGINT AS n_docs,
+       |       count(*) FILTER (WHERE dl IS NULL)::BIGINT AS vmissing,
+       |       CAST(min(dl) AS BIGINT) AS vmin, CAST(max(dl) AS BIGINT) AS vmax,
+       |       CAST(sum(dl) AS BIGINT) AS vsum,
+       |       round(CAST(sum(dl) AS DOUBLE) / count(dl), 4) AS vmean
+       |FROM matched JOIN dl USING (doc_id) JOIN corpus USING (doc_id)
+       |WHERE $facetField IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY query_id, value""".stripMargin
+
+  /** Twin of [[graft.search.Facets.groupedCounts]]: per (query × facet
+    * value) the number of DISTINCT groups containing a matched doc with
+    * that value; NULL facet values and NULL groups excluded. */
+  def groupFacet(queries: Seq[(Int, String)], field: String,
+                 groupField: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)}
+       |SELECT query_id, CAST($field AS VARCHAR) AS value,
+       |       count(DISTINCT $groupField)::BIGINT AS n_groups
+       |FROM matched JOIN corpus USING (doc_id)
+       |WHERE $field IS NOT NULL AND $groupField IS NOT NULL
+       |GROUP BY 1, 2
+       |ORDER BY query_id, value""".stripMargin
 
   /** Twin of [[graft.search.Grouping.topGroups]] via
     * IndexSearch.searchGrouped: top-kGroups groups by head-doc
@@ -1608,6 +1646,26 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.Suggest.termsRegex]]: per request the
+    * dictionary terms matching its regex (partial-match, the shared
+    * portable subset), ranked (df DESC, term ASC), top-n. */
+  def termsRegexCount(patterns: Seq[(Int, String)], n: Int): String = {
+    require(patterns.nonEmpty, "terms.regex oracle needs >= 1 pattern")
+    val branches = patterns.map { case (qid, re) =>
+      require(re.matches("""[a-z0-9\[\]\-^$.*+?|()]+"""),
+        s"terms.regex '$re' outside the portable subset")
+      s"SELECT $qid AS query_id, term, df FROM df WHERE regexp_matches(term, '${esc(re)}')"
+    }
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |cand AS (
+       |  ${branches.mkString("\n  UNION ALL\n  ")}),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY df DESC, term ASC) AS rnk FROM cand)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", term, df
+       |FROM ranked WHERE rnk <= $n
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.MoreLikeThis.moreLikeThis]]: seed-doc term
     * stats from the SAME tf/df CTEs the index build pins (the engine
     * re-analyzes the stored seed text — identical by the shared-analyzer
@@ -1713,6 +1771,45 @@ object Oracle {
        |SELECT query_id, token, CAST(rnk AS INT) AS "rank", suggestion, distance, df
        |FROM ranked WHERE rnk <= $n
        |ORDER BY query_id, token, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.SpellCheck.collate]]: per request the
+    * position-ordered token sequence with each misspelled token replaced
+    * by its rank-1 suggestion (kept verbatim when in-dictionary or
+    * candidate-less), plus the collation's disjunctive hit count. The
+    * token list renders from the same driver-side [[Analyzer.tokenize]]
+    * the engine uses. */
+  def spellcheckCollate(requests: Seq[(Int, String)],
+                        maxEdits: Int): String = {
+    val toks = requests.flatMap { case (qid, text) =>
+      Analyzer.tokenize(text).zipWithIndex.map { case (t, i) => (qid, i, t) }
+    }
+    require(toks.nonEmpty, "collate oracle needs at least one token")
+    val tokRows = toks
+      .map { case (q, p, t) => s"($q, $p, '${esc(t)}')" }.mkString(", ")
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |qtoks(query_id, pos, token) AS (VALUES $tokRows),
+       |cand AS (SELECT t.query_id, t.token, d.term AS suggestion, d.df,
+       |                CAST(levenshtein(d.term, t.token) AS INT) AS distance
+       |         FROM (SELECT DISTINCT query_id, token FROM qtoks) t
+       |         JOIN df d ON levenshtein(d.term, t.token) <= $maxEdits
+       |         WHERE NOT EXISTS (SELECT 1 FROM df d2 WHERE d2.term = t.token)),
+       |top1 AS (SELECT query_id, token, suggestion FROM
+       |          (SELECT *, row_number() OVER (PARTITION BY query_id, token
+       |                      ORDER BY distance ASC, df DESC, suggestion ASC) AS rnk
+       |           FROM cand) WHERE rnk = 1),
+       |coll AS (SELECT t.query_id,
+       |                string_agg(coalesce(s.suggestion, t.token), ' ' ORDER BY t.pos) AS collation
+       |         FROM qtoks t LEFT JOIN top1 s USING (query_id, token)
+       |         GROUP BY t.query_id),
+       |cterm AS (SELECT DISTINCT t.query_id, coalesce(s.suggestion, t.token) AS term
+       |          FROM qtoks t LEFT JOIN top1 s USING (query_id, token)),
+       |hits AS (SELECT c.query_id, count(DISTINCT tf.doc_id)::BIGINT AS hits
+       |         FROM cterm c JOIN tf USING (term) GROUP BY c.query_id)
+       |SELECT coll.query_id, coll.collation,
+       |       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+       |FROM coll LEFT JOIN hits h ON coll.query_id = h.query_id
+       |ORDER BY coll.query_id""".stripMargin
   }
 
   /** Twin of [[graft.search.Elevation.search]]: curated docs at ranks

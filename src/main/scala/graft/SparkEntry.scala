@@ -294,6 +294,16 @@ object SparkEntry {
     5 -> "SPARQ",
     6 -> "erorr qeury")
 
+  /** terms.regex request set: anchored prefix, suffix, character class,
+    * a matches-nothing pattern, and an alternation — all inside the
+    * Java≡RE2 portable subset the engine pins. */
+  val RegexRequests: Seq[(Int, String)] = Seq(
+    1 -> "^merg",
+    2 -> "tion$",
+    3 -> "^ba[tr]",
+    4 -> "^zzz9",
+    5 -> "dup|win")
+
   /** Query elevation table: query 1 pins two docs in curated order,
     * query 2 pins one, query 5 (the zero-match query) force-elevates a
     * doc the query never matched (NULL score path); other queries run
@@ -712,10 +722,24 @@ object SparkEntry {
     "q_facet_prefix" -> ((s, dir) =>
       IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "conv_id", 5,
         prefix = Some("conv00001"))),
+    // Solr facet.contains: only values carrying the substring count —
+    // unlike the prefix, a substring cannot prune the scan (documented)
+    "q_facet_contains" -> ((s, dir) =>
+      IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "conv_id", 5,
+        contains = Some("01"))),
+    // Solr group.facet=true: each conversation counts once per role
+    // value — "how many conversations have a matching <role> turn"
+    "q_facet_group" -> ((s, dir) =>
+      IndexSearch.facetGrouped(indexFor(s, dir), DisjQueries, "role",
+        "conv_id")),
     // Solr StatsComponent over dl: count/min/max/sum/mean per query,
     // zero-filled spine (query 5 matches nothing)
     "q_stats_dl" -> ((s, dir) =>
       IndexSearch.statsField(indexFor(s, dir), DisjQueries, "dl")),
+    // Solr stats.facet: the stats family per observed role value —
+    // per-slice length diagnostics in one aggregation pass
+    "q_stats_facet" -> ((s, dir) =>
+      IndexSearch.statsFacet(indexFor(s, dir), DisjQueries, "dl", "role")),
     // StatsComponent percentiles: exact type-7 p50/p90/p99 of dl per
     // query (pinned exact over Solr's t-digest), NULL on the empty query
     "q_stats_percentiles" -> ((s, dir) =>
@@ -786,6 +810,10 @@ object SparkEntry {
     // dictionary (lev ≤ 2, distance/df/term ranking)
     "q_spellcheck" -> ((s, dir) =>
       graft.search.SpellCheck.suggest(indexFor(s, dir), SpellRequests, 5)),
+    // spellcheck.collate: the corrected query string per request (rank-1
+    // substitutions) plus its re-run disjunctive hit count
+    "q_spellcheck_collate" -> ((s, dir) =>
+      graft.search.SpellCheck.collate(indexFor(s, dir), SpellRequests, 2)),
     // Solr QueryElevationComponent: curated docs pinned to the top in
     // order (incl. force-elevated unmatched), organic tail follows
     "q_elevate" -> ((s, dir) =>
@@ -856,6 +884,10 @@ object SparkEntry {
     // Solr TermsComponent: prefix enumeration, terms.sort=index
     "q_terms" -> ((s, dir) =>
       graft.search.Suggest.terms(indexFor(s, dir), SuggestPrefixes, 5)),
+    // TermsComponent terms.regex (terms.sort=count): full dictionary
+    // walk per pattern, the Lucene RegexpQuery introspection shape
+    "q_terms_regex" -> ((s, dir) =>
+      graft.search.Suggest.termsRegex(indexFor(s, dir), RegexRequests, 5)),
     // Boolean grammar × multiterm: wildcard/fuzzy GROUP clauses under
     // +/-/should, Lucene's +(t1 t2 ...) rewrite
     "q_bm25_bool_multiterm" -> ((s, dir) =>
@@ -1168,7 +1200,11 @@ object SparkEntry {
     "q_facet_top" -> Oracle.facetTop(DisjQueries, "tool", 3),
     "q_facet_prefix" -> Oracle.facetTop(DisjQueries, "conv_id", 5,
       prefix = Some("conv00001")),
+    "q_facet_contains" -> Oracle.facetTop(DisjQueries, "conv_id", 5,
+      contains = Some("01")),
+    "q_facet_group" -> Oracle.groupFacet(DisjQueries, "role", "conv_id"),
     "q_stats_dl" -> Oracle.statsDl(DisjQueries),
+    "q_stats_facet" -> Oracle.statsFacetDl(DisjQueries, "role"),
     "q_group_conv" -> Oracle.groupTopK(DisjQueries, "conv_id", 5, 3),
     "q_bm25_collapse" -> Oracle.collapseExpand(DisjQueries, "conv_id", 5, 2),
     "q_significant_terms" -> Oracle.significantTerms(DisjQueries, 5, 3L, 2L),
@@ -1179,6 +1215,7 @@ object SparkEntry {
     "q_facet_pivot" -> Oracle.facetPivot(DisjQueries, "role", "tool"),
     "q_join_conv" -> Oracle.joinField(DisjQueries, "conv_id", 10),
     "q_spellcheck" -> Oracle.spellcheck(SpellRequests, 5, 2),
+    "q_spellcheck_collate" -> Oracle.spellcheckCollate(SpellRequests, 2),
     "q_elevate" -> Oracle.elevate(DisjQueries, ElevationTable, 10),
     "q_bm25_cursor" -> Oracle.bm25CursorPage(DisjQueries, 3, 3),
     "q_bm25_boost" -> Oracle.bm25BoostRecipDl(DisjQueries, 10, 100.0, 10.0),
@@ -1190,6 +1227,7 @@ object SparkEntry {
     "q_facet_missing" -> Oracle.facetFields(DisjQueries, Seq("tool"),
       missing = true),
     "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),
+    "q_terms_regex" -> Oracle.termsRegexCount(RegexRequests, 5),
     "q_bm25_bool_multiterm" -> Oracle.bm25TopKClausesMulti(
       Oracle.transcriptsCorpus, MultiTermBoolQueries, 10),
     "q_bm25_mm" -> Oracle.bm25TopKClausesMm(Oracle.transcriptsCorpus,

@@ -104,10 +104,14 @@ object Facets {
     * order part of the verified output. NULLs uncounted, string-valued,
     * same as [[fields]]. `prefix` is Solr `facet.prefix`: only values
     * starting with it are counted/ranked (applied BEFORE the aggregation,
-    * so it prunes the shuffle, not just the output). */
+    * so it prunes the shuffle, not just the output). `contains` is Solr
+    * `facet.contains` (case-sensitive, the default): only values with the
+    * substring are counted — same pre-aggregation placement, though a
+    * substring cannot push to the scan the way the prefix range does. */
   def topValues(matched: DataFrame, attrs: DataFrame, field: String,
                 topN: Int, key: Seq[String] = Seq("doc_id"),
-                prefix: Option[String] = None): DataFrame = {
+                prefix: Option[String] = None,
+                contains: Option[String] = None): DataFrame = {
     require(topN > 0, s"facet.limit must be positive (got $topN)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id")
@@ -117,6 +121,7 @@ object Facets {
         col(field).cast("string").as("value"): _*), key)
       .where(col("value").isNotNull)
       .where(prefix.map(p => col("value").startsWith(p)).getOrElse(lit(true)))
+      .where(contains.map(c => col("value").contains(c)).getOrElse(lit(true)))
       .groupBy("query_id", "value")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("rank", row_number().over(w).cast("int"))
@@ -194,6 +199,64 @@ object Facets {
         round(col("_p.value"), 4).as("value"))
       .orderBy("query_id", "pct")
   }
+
+  /** Solr StatsComponent `stats.facet` (`stats.field=dl&stats.facet=
+    * role`): the [[stats]] aggregate family computed PER FACET VALUE of
+    * the match set — count/missing/min/max/sum/mean of `field` for every
+    * observed value of `facetField`. Buckets are data-derived (Solr only
+    * reports facet values that occur in the match set), so there is no
+    * zero-filled spine; docs with a NULL facet value are uncounted
+    * entirely (the [[fields]] NULL rule), while `field` NULLs inside a
+    * bucket land in `vmissing` exactly as in [[stats]]. mean =
+    * sum/count-with-value on exact integer aggregates, rounded once —
+    * the one double, same FP-safe shape as [[stats]].
+    *
+    * Scale shape: the same single match-set join as every facet, one
+    * hash aggregation keyed by (query, value) — facet-shaped output,
+    * never corpus-shaped. */
+  def statsFacet(matched: DataFrame, attrs: DataFrame, field: String,
+                 facetField: String,
+                 key: Seq[String] = Seq("doc_id")): DataFrame = {
+    val v = col(field).cast("long")
+    matched
+      .join(attrs.select((key ++ Seq(field, facetField)).distinct.map(col): _*), key)
+      .withColumn("value", col(facetField).cast("string"))
+      .where(col("value").isNotNull)
+      .groupBy("query_id", "value")
+      .agg(count(v).as("n_docs"),
+        count(when(v.isNull, lit(1))).as("vmissing"),
+        min(v).as("vmin"), max(v).as("vmax"), sum(v).as("vsum"))
+      .withColumn("vmean",
+        round(col("vsum").cast("double") / col("n_docs"), 4))
+      .select("query_id", "value", "n_docs", "vmissing", "vmin", "vmax",
+        "vsum", "vmean")
+      .orderBy("query_id", "value")
+  }
+
+  /** Solr grouped faceting (`group=true&group.field=g&group.facet=true`):
+    * facet counts where each GROUP counts once per facet value — the
+    * number of distinct groups (conversations) that contain at least one
+    * matched doc carrying that value, instead of the number of matched
+    * docs. The canonical "how many conversations have a user turn
+    * matching this query" request. Pinned: NULL facet values uncounted
+    * ([[fields]] rule) and NULL group values excluded (the
+    * [[graft.search.Grouping]] nullPolicy divergence applies here too);
+    * values string-typed; output (query_id, value, n_groups) in
+    * (query_id, value) order.
+    *
+    * Scale shape: one match-set join, one count_distinct aggregation
+    * keyed by (query, value) — Spark plans it as two hash aggregates
+    * (partial distinct then merge), both facet×group-shaped. */
+  def groupedCounts(matched: DataFrame, attrs: DataFrame, field: String,
+                    groupField: String,
+                    key: Seq[String] = Seq("doc_id")): DataFrame =
+    matched
+      .join(attrs.select((key ++ Seq(field, groupField)).distinct.map(col): _*), key)
+      .withColumn("value", col(field).cast("string"))
+      .where(col("value").isNotNull && col(groupField).isNotNull)
+      .groupBy("query_id", "value")
+      .agg(count_distinct(col(groupField)).as("n_groups"))
+      .orderBy("query_id", "value")
 
   /** Solr `facet.pivot=parent,child` — hierarchical (two-level) pivot
     * faceting: for each query, the count of every parent value AND of

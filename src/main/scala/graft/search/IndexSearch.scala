@@ -864,9 +864,10 @@ object IndexSearch {
   /** Solr `facet.sort=count` + `facet.limit` over the persisted index
     * ([[Facets.topValues]] semantics). */
   def facetTop(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
-               topN: Int, prefix: Option[String] = None): DataFrame =
+               topN: Int, prefix: Option[String] = None,
+               contains: Option[String] = None): DataFrame =
     Facets.topValues(matchedDocSet(idx, queries), facetAttrs(idx),
-      field, topN, prefix = prefix)
+      field, topN, prefix = prefix, contains = contains)
 
   /** Solr StatsComponent over the persisted index ([[Facets.stats]]
     * semantics). */
@@ -882,6 +883,21 @@ object IndexSearch {
                        field: String, ps: Seq[Double]): DataFrame =
     Facets.percentiles(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), field, ps)
+
+  /** Solr `stats.facet` over the persisted index ([[Facets.statsFacet]]
+    * semantics: per-facet-value stats, observed buckets only). */
+  def statsFacet(idx: OpenIndex, queries: Seq[(Int, String)],
+                 field: String, facetField: String): DataFrame =
+    Facets.statsFacet(matchedDocSet(idx, queries), facetAttrs(idx),
+      field, facetField)
+
+  /** Solr `group.facet=true` over the persisted index
+    * ([[Facets.groupedCounts]] semantics: each group counts once per
+    * facet value). */
+  def facetGrouped(idx: OpenIndex, queries: Seq[(Int, String)],
+                   field: String, groupField: String): DataFrame =
+    Facets.groupedCounts(matchedDocSet(idx, queries), facetAttrs(idx),
+      field, groupField)
 
   /** Solr `{!parent which=…}` block join over the persisted index
     * ([[BlockJoin.parents]] semantics): turns are the child documents,

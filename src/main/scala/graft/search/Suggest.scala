@@ -80,4 +80,44 @@ object Suggest {
       .select("query_id", "rank", "term", "df")
       .orderBy("query_id", "rank")
   }
+
+  /** Solr TermsComponent `terms.regex` (with `terms.sort=count`): the
+    * dictionary terms matching each request's regex, ranked (df DESC,
+    * term ASC), top-n. Patterns are PARTIAL-match on both engines
+    * (Spark `rlike` ≡ DuckDB `regexp_matches` — anchor with `^`/`$` for
+    * whole-term semantics) and restricted to a portable subset
+    * (literals, classes, anchors, `.`/`*`/`+`/`?`/`|`) so the Java and
+    * RE2 dialects agree; the alphabet check rejects constructs that
+    * diverge (backrefs, lookaround, inline flags).
+    *
+    * Scale shape: unlike [[terms]]' pushed prefix range, a regex cannot
+    * prune the dictionary scan — each branch is one full dictionary pass
+    * with the match evaluated in the scan's filter (exactly Lucene's
+    * RegexpQuery terms-dictionary walk); branches share the one cached
+    * dictionary read, and ranking stays distributed per request. */
+  def termsRegex(idx: IndexSearch.OpenIndex, patterns: Seq[(Int, String)],
+                 n: Int = 10): DataFrame = {
+    require(n > 0, s"terms.limit must be positive (got $n)")
+    val spark = idx.spark
+    import spark.implicits._
+    patterns.foreach { case (_, re) =>
+      require(re.nonEmpty && re.matches("""[a-z0-9\[\]\-^$.*+?|()]+"""),
+        s"terms.regex '$re' outside the portable subset [a-z0-9[]-^$$.*+?|()]")
+      java.util.regex.Pattern.compile(re) // fail loudly, Solr 400s
+    }
+    if (patterns.isEmpty)
+      return Seq.empty[(Int, Int, String, Long)]
+        .toDF("query_id", "rank", "term", "df")
+    val branches = patterns.map { case (qid, re) =>
+      idx.dictionary.where(col("term").rlike(re))
+        .select(lit(qid).as("query_id"), col("term"), col("df"))
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("df").desc, col("term").asc)
+    branches.reduce(_ unionAll _)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= n)
+      .select("query_id", "rank", "term", "df")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -134,4 +134,71 @@ class SurfaceR5Spec extends SparkSpec {
       (1, 50.0, Some(7.0)), (1, 90.0, Some(8.6)),
       (2, 50.0, None), (2, 90.0, None)))
   }
+
+  test("statsFacet: per-facet-value stats, observed buckets only") {
+    // "dog" matches docs 2,3,4 — roles user(dl 3), assistant(dl 7),
+    // user(dl 9); query 2 matches nothing → no buckets at all
+    val rows = IndexSearch.statsFacet(idx,
+      Seq(1 -> "dog", 2 -> "zzz"), "dl", "role")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toSet
+    assert(rows == Set(
+      (1, "user", 2L, 3L, 9L, 12L, 6.0),
+      (1, "assistant", 1L, 7L, 7L, 7L, 7.0)))
+  }
+
+  test("groupedCounts: a group with two matched docs counts once") {
+    val matched = Seq((1, 0L), (1, 1L), (1, 2L)).toDF("query_id", "doc_id")
+    val attrs = Seq((0L, "x", "g1"), (1L, "x", "g1"), (2L, "x", "g2"),
+      (3L, "x", "g3")).toDF("doc_id", "f", "g")
+    val rows = Facets.groupedCounts(matched, attrs, "f", "g")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    // 3 matched docs carry f=x but only 2 distinct groups
+    assert(rows == Set((1, "x", 2L)))
+  }
+
+  test("facet.contains counts only values carrying the substring") {
+    // "cat" matches docs 1,2,3 — tools toolA, NULL, toolB
+    val both = IndexSearch.facetTop(idx, Seq(1 -> "cat"), "tool", 5,
+      contains = Some("oo"))
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(both == Set((1, "toolA", 1L), (2, "toolB", 1L)))
+    val one = IndexSearch.facetTop(idx, Seq(1 -> "cat"), "tool", 5,
+      contains = Some("lA"))
+      .collect().map(r => (r.getString(2))).toSet
+    assert(one == Set("toolA"))
+  }
+
+  test("collate: rank-1 substitution per occurrence, kept tokens, hits") {
+    import graft.search.SpellCheck
+    // "bea" → bee (lev 1 beats hen's 2); in-dictionary and
+    // candidate-less tokens keep themselves; duplicate occurrences both
+    // substitute; hits = the corrected query's disjunctive match count
+    val rows = SpellCheck.collate(idx, Seq(
+        1 -> "bea dog", 2 -> "apple", 3 -> "zzzz", 4 -> "bea bea cat"),
+      maxEdits = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows == Set(
+      (1, "bee dog", 5L),
+      (2, "apple", 1L),
+      (3, "zzzz", 0L),
+      (4, "bee bee cat", 4L)))
+  }
+
+  test("termsRegex: partial match, (df DESC, term ASC) rank, no-match empty") {
+    import graft.search.Suggest
+    val rows = Suggest.termsRegex(idx,
+      Seq(1 -> "^[ab]", 2 -> "u$", 3 -> "^zz"), n = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    assert(rows.filter(_._1 == 1).toSeq ==
+      Seq((1, 1, "bee", 3L), (1, 2, "ant", 2L), (1, 3, "apple", 1L)))
+    // emu/gnu tie on df=2 → term ASC
+    assert(rows.filter(_._1 == 2).map(r => (r._2, r._3)).toSeq ==
+      Seq((1, "emu"), (2, "gnu")))
+    assert(!rows.exists(_._1 == 3))
+    // outside the portable subset fails loudly
+    intercept[IllegalArgumentException](
+      Suggest.termsRegex(idx, Seq(1 -> "a(?=b)"), 5))
+  }
 }
