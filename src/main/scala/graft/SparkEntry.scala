@@ -1101,6 +1101,11 @@ object SparkEntry {
     "q_stats_dl_segmented" -> ((s, dir) =>
       graft.index.SegmentedIndex.statsField(s, streamedIndex(s, dir),
         DisjQueries, "dl", BuildIndexJob.Config(numShards = 8))),
+    // Interval faceting composed onto the live segmented fan-out —
+    // bracket counts stay exact between compactions
+    "q_facet_interval_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.facetIntervals(s, streamedIndex(s, dir),
+        DisjQueries, "dl", IntervalSets, BuildIndexJob.Config(numShards = 8))),
     // Conjunctive AND over the segmented index — the clause engine's
     // all-must subset (J3's semantics, fanned out per segment)
     "q_bm25_conj_segmented" -> ((s, dir) =>
@@ -1304,6 +1309,8 @@ object SparkEntry {
     "q_facet_role_segmented" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_facet_multi_segmented" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
     "q_stats_dl_segmented" -> Oracle.statsDl(DisjQueries),
+    "q_facet_interval_segmented" -> Oracle.facetIntervalsDl(DisjQueries,
+      IntervalSets),
     "q_bm25_page" -> Oracle.bm25TopK(Oracle.documentsCorpus, DisjQueries, 5,
       conjunctive = false, start = 5),
     "q_bm25_highlight" -> Oracle.bm25Highlight(Oracle.transcriptsCorpus,

@@ -689,6 +689,29 @@ object SegmentedIndex {
       liveDocAttrs(spark, root, m, cfg), field, KeyCols)
   }
 
+  /** Solr interval faceting over the LIVE segmented index
+    * ([[graft.search.Facets.intervals]] semantics on the tombstone-aware
+    * key-identity match set — the [[facetFields]] composition; an
+    * interval count between compactions sees upserts and deletes). */
+  def facetIntervals(spark: SparkSession, root: String,
+                     queries: Seq[(Int, String)], field: String,
+                     sets: Seq[graft.search.Facets.Interval],
+                     cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    val queryIds = queries.map(_._1)
+    def empty = graft.search.Facets.intervals(queryIds,
+      Seq.empty[(Int, String, Int)].toDF("query_id", "conv_id", "turn_idx"),
+      Seq.empty[(Int, String, Int)].toDF(field, "conv_id", "turn_idx"),
+      field, sets, KeyCols)
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val matched = matchedKeys(spark, root, m, queries, cfg)
+      .getOrElse(return empty)
+    materialize(spark, graft.search.Facets.intervals(queryIds, matched,
+      liveDocAttrs(spark, root, m, cfg), field, sets, KeyCols))
+      .orderBy("query_id", "interval")
+  }
+
   /** PHRASE search (exact, ordered-window slop, or Lucene-style sloppy)
     * over the SEGMENTED index — requires segments built with
     * `Config.storePositions`. Semantics match
