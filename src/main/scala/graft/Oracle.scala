@@ -987,6 +987,32 @@ object Oracle {
        |ORDER BY query_id, bucket""".stripMargin
   }
 
+  /** Twin of [[graft.search.Facets.jsonRange]] over the dl attribute:
+    * JSON-facet range buckets zero-filled on the (query × bucket) spine,
+    * each carrying the metric ADT's rendered SQL; empty buckets keep
+    * typed-NULL metrics via the spine left join. */
+  def facetJsonRangeDl(queries: Seq[(Int, String)], start: Long, end: Long,
+                       gap: Long,
+                       metrics: Seq[graft.search.Facets.JsonMetric]): String = {
+    val mSql = metrics.map(m => ",\n               " + m.sql).mkString
+    val mNames = metrics.map(m => ", " + m.name).mkString
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |buckets AS (SELECT unnest(range($start, $end, $gap)) AS bucket),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |spine AS (SELECT query_id, bucket FROM qids CROSS JOIN buckets),
+       |j AS (SELECT query_id, corpus.*, dl.dl AS dl
+       |      FROM matched JOIN corpus USING (doc_id) JOIN dl USING (doc_id)
+       |      WHERE dl >= $start AND dl < $end),
+       |agg AS (SELECT query_id,
+       |               CAST($start + ((dl - $start) // $gap) * $gap AS BIGINT) AS bucket,
+       |               count(*)::BIGINT AS n_docs$mSql
+       |        FROM j GROUP BY 1, 2)
+       |SELECT query_id, bucket, CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs$mNames
+       |FROM spine LEFT JOIN agg USING (query_id, bucket)
+       |ORDER BY query_id, bucket""".stripMargin
+  }
+
   /** Twin of [[graft.search.Facets.topValues]] via IndexSearch.facetTop:
     * facet.sort=count + facet.limit — top-N values by (n_docs DESC,
     * value ASC), rank in the output. */

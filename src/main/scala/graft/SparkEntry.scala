@@ -881,6 +881,17 @@ object SparkEntry {
       graft.index.SegmentedIndex.facetJson(s, streamedIndex(s, dir),
         DisjQueries, "role", "tool", 2, 2, JsonFacetMetrics,
         BuildIndexJob.Config(numShards = 8))),
+    // JSON Facet API range facet: [b, b+gap) buckets each carrying the
+    // metric set — count + metrics from one aggregation pass
+    "q_facet_json_range" -> ((s, dir) =>
+      IndexSearch.facetJsonRange(indexFor(s, dir), DisjQueries, "dl",
+        0L, 120L, 20L, JsonFacetMetrics)),
+    // JSON Facet range buckets served LIVE from the segmented index —
+    // metrics see upserts and tombstones between compactions
+    "q_facet_json_range_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.facetJsonRange(s, streamedIndex(s, dir),
+        DisjQueries, "dl", 0L, 120L, 20L, JsonFacetMetrics,
+        BuildIndexJob.Config(numShards = 8))),
     // Solr TermsComponent: prefix enumeration, terms.sort=index
     "q_terms" -> ((s, dir) =>
       graft.search.Suggest.terms(indexFor(s, dir), SuggestPrefixes, 5)),
@@ -1202,6 +1213,10 @@ object SparkEntry {
     "q_facet_query" -> Oracle.facetQueries(DisjQueries,
       FacetQueryDefs.map(d => (d._1, d._3))),
     "q_facet_range" -> Oracle.facetRangeDl(DisjQueries, 0L, 120L, 20L),
+    "q_facet_json_range" -> Oracle.facetJsonRangeDl(DisjQueries, 0L, 120L,
+      20L, JsonFacetMetrics),
+    "q_facet_json_range_segmented" -> Oracle.facetJsonRangeDl(DisjQueries,
+      0L, 120L, 20L, JsonFacetMetrics),
     "q_facet_top" -> Oracle.facetTop(DisjQueries, "tool", 3),
     "q_facet_prefix" -> Oracle.facetTop(DisjQueries, "conv_id", 5,
       prefix = Some("conv00001")),

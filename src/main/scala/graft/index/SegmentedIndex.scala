@@ -712,6 +712,35 @@ object SegmentedIndex {
       .orderBy("query_id", "interval")
   }
 
+  /** JSON Facet API `range` facet with bucket metrics over the LIVE
+    * segmented index ([[graft.search.Facets.jsonRange]] semantics on the
+    * tombstone-aware key-identity match set — counts AND metrics see
+    * upserts and deletes between compactions). An absent/empty index
+    * reports the full zero-filled spine (the request shape is
+    * driver-known). */
+  def facetJsonRange(spark: SparkSession, root: String,
+                     queries: Seq[(Int, String)], field: String,
+                     start: Long, end: Long, gap: Long,
+                     metrics: Seq[graft.search.Facets.JsonMetric],
+                     cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    val queryIds = queries.map(_._1)
+    def empty = {
+      val spine = (for { q <- queryIds.distinct; b <- start until end by gap }
+        yield (q, b)).toDF("query_id", "bucket")
+      metrics.foldLeft(spine.withColumn("n_docs", lit(0L)))((d, m) =>
+        d.withColumn(m.name, lit(null).cast(m.outType)))
+        .orderBy("query_id", "bucket")
+    }
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val matched = matchedKeys(spark, root, m, queries, cfg)
+      .getOrElse(return empty)
+    graft.search.Facets.jsonRange(queryIds, matched,
+      liveDocAttrs(spark, root, m, cfg), field, start, end, gap, metrics,
+      KeyCols)
+  }
+
   /** PHRASE search (exact, ordered-window slop, or Lucene-style sloppy)
     * over the SEGMENTED index — requires segments built with
     * `Config.storePositions`. Semantics match

@@ -601,4 +601,45 @@ object Facets {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"))
       .orderBy("query_id", "bucket")
   }
+
+  /** Solr JSON Facet API `range` facet carrying bucket METRICS
+    * (`{type:range, field, start, end, gap, facet:{m:"sum(f)",…}}`):
+    * [[range]]'s half-open [b, b+gap) buckets on the zero-filled
+    * (query × bucket) spine, each bucket additionally reporting every
+    * [[JsonMetric]]. Empty buckets report n_docs = 0 with typed-NULL
+    * metrics (a Solr response omits the metric keys there; NULL is the
+    * tabular rendering). Values outside [start, end) are uncounted.
+    *
+    * Scale shape: ONE match-set join feeds ONE aggregation computing the
+    * count and every metric together; the spine join sees only
+    * facet-shaped rows (≤ |queries|·|buckets|), broadcast. */
+  def jsonRange(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                field: String, start: Long, end: Long, gap: Long,
+                metrics: Seq[JsonMetric],
+                key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(gap > 0 && end > start,
+      s"json range facet needs gap > 0 and end > start (got [$start, $end) by $gap)")
+    require(metrics.map(_.name).distinct.size == metrics.size,
+      "json.facet metric names must be unique")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val spine = (for { q <- queryIds.distinct; b <- start until end by gap }
+      yield (q, b)).toDF("query_id", "bucket")
+    val needed = (field +: metrics.map(_.field)).distinct
+    val v = col(field).cast("long")
+    val aggCols = (Seq("n_docs" -> count(lit(1))) ++ metrics.flatMap(_.aggs))
+      .map { case (n, c) => c.as(n) }
+    val agg = matched
+      .join(attrs.select((key ++ needed).distinct.map(col): _*), key)
+      .where(v >= start && v < end)
+      .withColumn("bucket",
+        (lit(start) + floor((v - lit(start)) / lit(gap)) * lit(gap)).cast("long"))
+      .groupBy("query_id", "bucket")
+      .agg(aggCols.head, aggCols.tail: _*)
+    spine.join(broadcast(agg), Seq("query_id", "bucket"), "left")
+      .select(Seq(col("query_id"), col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs")) ++
+        metrics.map(m => m.out.cast(m.outType).as(m.name)): _*)
+      .orderBy("query_id", "bucket")
+  }
 }

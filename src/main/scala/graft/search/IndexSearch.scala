@@ -861,6 +861,14 @@ object IndexSearch {
     Facets.json(matchedDocSet(idx, queries), facetAttrs(idx),
       parentField, childField, parentLimit, childLimit, metrics)
 
+  /** JSON Facet API `range` facet with bucket metrics over the persisted
+    * index ([[Facets.jsonRange]] semantics). */
+  def facetJsonRange(idx: OpenIndex, queries: Seq[(Int, String)],
+                     field: String, start: Long, end: Long, gap: Long,
+                     metrics: Seq[Facets.JsonMetric]): DataFrame =
+    Facets.jsonRange(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field, start, end, gap, metrics)
+
   /** Solr `facet.sort=count` + `facet.limit` over the persisted index
     * ([[Facets.topValues]] semantics). */
   def facetTop(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
