@@ -87,4 +87,26 @@ class FacetSpec extends SparkSpec {
       (1, 0L, 0L), (1, 2L, 1L), (1, 4L, 0L), (1, 6L, 1L),
       (2, 0L, 0L), (2, 2L, 0L), (2, 4L, 0L), (2, 6L, 0L)))
   }
+
+  test("jsonRange: metrics ride the buckets; empty buckets typed-NULL") {
+    import graft.search.Facets
+    val metrics = Seq(Facets.MetricSum("sum_turn", "turn_idx"),
+      Facets.MetricAvg("avg_dl", "dl"))
+    // dog matches docs 2 (dl 3, turn 0), 3 (dl 7, turn 1), 4 (dl 9, turn 0);
+    // buckets [0,8) by 4 → dl 3 → bucket 0, dl 7 → bucket 4, dl 9 excluded
+    val rows = IndexSearch.facetJsonRange(idx, Seq(1 -> "dog", 2 -> "zzz"),
+        "dl", 0L, 8L, 4L, metrics)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)))).toSeq
+    assert(rows == Seq(
+      (1, 0L, 1L, 0L, 3.0), (1, 4L, 1L, 1L, 7.0),
+      (2, 0L, 0L, null, null), (2, 4L, 0L, null, null)))
+    // duplicate metric names and degenerate ranges fail loudly
+    intercept[IllegalArgumentException](IndexSearch.facetJsonRange(idx,
+      Seq(1 -> "dog"), "dl", 0L, 8L, 4L,
+      Seq(Facets.MetricSum("m", "dl"), Facets.MetricMax("m", "dl"))))
+    intercept[IllegalArgumentException](IndexSearch.facetJsonRange(idx,
+      Seq(1 -> "dog"), "dl", 8L, 0L, 4L, metrics))
+  }
 }
