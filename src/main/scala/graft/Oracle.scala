@@ -987,6 +987,34 @@ object Oracle {
        |ORDER BY query_id, bucket""".stripMargin
   }
 
+  /** Twin of [[graft.search.Facets.jsonQuery]]: named SQL predicates over
+    * the stored attributes, each bucket carrying the metric ADT's rendered
+    * SQL; zero-filled (query × facet) spine with typed-NULL metrics on
+    * empty buckets. */
+  def facetJsonQuery(queries: Seq[(Int, String)],
+                     named: Seq[(String, String)],
+                     metrics: Seq[graft.search.Facets.JsonMetric]): String = {
+    val mSql = metrics.map(m => ",\n         " + m.sql).mkString
+    val mNames = metrics.map(m => ", " + m.name).mkString
+    val nameRows = named.map { case (n, _) => s"('${esc(n)}')" }.mkString(", ")
+    val branches = named.map { case (n, pred) =>
+      s"""SELECT query_id, '${esc(n)}' AS facet, count(*)::BIGINT AS n_docs$mSql
+         |  FROM j WHERE $pred GROUP BY 1""".stripMargin
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |j AS (SELECT query_id, corpus.*, dl.dl AS dl
+       |      FROM matched JOIN corpus USING (doc_id) JOIN dl USING (doc_id)),
+       |names(facet) AS (VALUES $nameRows),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |spine AS (SELECT query_id, facet FROM qids CROSS JOIN names),
+       |agg AS (
+       |  ${branches.mkString("\n  UNION ALL\n  ")})
+       |SELECT query_id, facet, CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs$mNames
+       |FROM spine LEFT JOIN agg USING (query_id, facet)
+       |ORDER BY query_id, facet""".stripMargin
+  }
+
   /** Twin of [[graft.search.Facets.jsonRange]] over the dl attribute:
     * JSON-facet range buckets zero-filled on the (query × bucket) spine,
     * each carrying the metric ADT's rendered SQL; empty buckets keep

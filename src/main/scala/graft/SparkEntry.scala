@@ -881,6 +881,16 @@ object SparkEntry {
       graft.index.SegmentedIndex.facetJson(s, streamedIndex(s, dir),
         DisjQueries, "role", "tool", 2, 2, JsonFacetMetrics,
         BuildIndexJob.Config(numShards = 8))),
+    // JSON Facet API query facets: named predicate buckets each carrying
+    // the metric set (query 5 matches nothing — the spine pins its zeros)
+    "q_facet_json_query" -> ((s, dir) =>
+      IndexSearch.facetJsonQuery(indexFor(s, dir), DisjQueries,
+        FacetQueryDefs.map(d => (d._1, d._2)), JsonFacetMetrics)),
+    // JSON Facet query buckets served LIVE from the segmented index
+    "q_facet_json_query_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.facetJsonQuery(s, streamedIndex(s, dir),
+        DisjQueries, FacetQueryDefs.map(d => (d._1, d._2)), JsonFacetMetrics,
+        BuildIndexJob.Config(numShards = 8))),
     // JSON Facet API range facet: [b, b+gap) buckets each carrying the
     // metric set — count + metrics from one aggregation pass
     "q_facet_json_range" -> ((s, dir) =>
@@ -1215,6 +1225,10 @@ object SparkEntry {
     "q_facet_range" -> Oracle.facetRangeDl(DisjQueries, 0L, 120L, 20L),
     "q_facet_json_range" -> Oracle.facetJsonRangeDl(DisjQueries, 0L, 120L,
       20L, JsonFacetMetrics),
+    "q_facet_json_query" -> Oracle.facetJsonQuery(DisjQueries,
+      FacetQueryDefs.map(d => (d._1, d._3)), JsonFacetMetrics),
+    "q_facet_json_query_segmented" -> Oracle.facetJsonQuery(DisjQueries,
+      FacetQueryDefs.map(d => (d._1, d._3)), JsonFacetMetrics),
     "q_facet_json_range_segmented" -> Oracle.facetJsonRangeDl(DisjQueries,
       0L, 120L, 20L, JsonFacetMetrics),
     "q_facet_top" -> Oracle.facetTop(DisjQueries, "tool", 3),

@@ -712,6 +712,32 @@ object SegmentedIndex {
       .orderBy("query_id", "interval")
   }
 
+  /** JSON Facet API `query` facets with bucket metrics over the LIVE
+    * segmented index ([[graft.search.Facets.jsonQuery]] semantics on the
+    * tombstone-aware key-identity match set). An absent/empty index
+    * reports the full zero-filled spine. */
+  def facetJsonQuery(spark: SparkSession, root: String,
+                     queries: Seq[(Int, String)],
+                     named: Seq[(String, org.apache.spark.sql.Column)],
+                     metrics: Seq[graft.search.Facets.JsonMetric],
+                     cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    val queryIds = queries.map(_._1)
+    def empty = {
+      val spine = (for { q <- queryIds.distinct; (n, _) <- named }
+        yield (q, n)).toDF("query_id", "facet")
+      metrics.foldLeft(spine.withColumn("n_docs", lit(0L)))((d, m) =>
+        d.withColumn(m.name, lit(null).cast(m.outType)))
+        .orderBy("query_id", "facet")
+    }
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val matched = matchedKeys(spark, root, m, queries, cfg)
+      .getOrElse(return empty)
+    graft.search.Facets.jsonQuery(queryIds, matched,
+      liveDocAttrs(spark, root, m, cfg), named, metrics, KeyCols)
+  }
+
   /** JSON Facet API `range` facet with bucket metrics over the LIVE
     * segmented index ([[graft.search.Facets.jsonRange]] semantics on the
     * tombstone-aware key-identity match set — counts AND metrics see

@@ -97,6 +97,50 @@ object Facets {
       .orderBy("query_id", "facet")
   }
 
+  /** Solr JSON Facet API `query` facets carrying bucket METRICS
+    * (`{name:{type:query, q:"pred", facet:{m:"sum(f)",…}}}`):
+    * [[queryCounts]]'s named predicates on the zero-filled
+    * (query × facet) spine, each bucket additionally reporting every
+    * [[JsonMetric]] over the docs satisfying its predicate. Empty buckets
+    * report n_docs = 0 with typed-NULL metrics (the [[jsonRange]]
+    * convention). NULL predicate results count as false (Solr: a doc
+    * missing the field simply doesn't match the q).
+    *
+    * Scale shape: ONE match-set join; the request-shaped facet explode
+    * (×|named|) feeds ONE (query, facet) aggregation computing count and
+    * all metrics together; the spine join sees only facet-shaped rows. */
+  def jsonQuery(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                named: Seq[(String, Column)], metrics: Seq[JsonMetric],
+                key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(named.nonEmpty, "json.facet query list must be non-empty")
+    require(named.map(_._1).distinct.size == named.size,
+      "json.facet query bucket names must be unique")
+    require(metrics.map(_.name).distinct.size == metrics.size,
+      "json.facet metric names must be unique")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    // attrs passes through unpruned — the predicates may reference
+    // arbitrary stored columns; Catalyst prunes the scan from the plan.
+    val fv = explode(array(named.map { case (n, p) =>
+      struct(lit(n).as("facet"), coalesce(p, lit(false)).as("keep"))
+    }: _*))
+    val aggCols = (Seq("n_docs" -> count(lit(1))) ++ metrics.flatMap(_.aggs))
+      .map { case (n, c) => c.as(n) }
+    val agg = matched.join(attrs, key)
+      .withColumn("_f", fv)
+      .where(col("_f.keep"))
+      .withColumn("facet", col("_f.facet"))
+      .groupBy("query_id", "facet")
+      .agg(aggCols.head, aggCols.tail: _*)
+    val spine = (for { q <- queryIds.distinct; (n, _) <- named }
+      yield (q, n)).toDF("query_id", "facet")
+    spine.join(broadcast(agg), Seq("query_id", "facet"), "left")
+      .select(Seq(col("query_id"), col("facet"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs")) ++
+        metrics.map(m => m.out.cast(m.outType).as(m.name)): _*)
+      .orderBy("query_id", "facet")
+  }
+
   /** Solr `facet.sort=count` + `facet.limit`: the top-N values of ONE
     * facet field per query, ranked by (n_docs DESC, value ASC) — count
     * sort IS Solr's default; [[fields]] pins the `facet.sort=index`

@@ -861,6 +861,14 @@ object IndexSearch {
     Facets.json(matchedDocSet(idx, queries), facetAttrs(idx),
       parentField, childField, parentLimit, childLimit, metrics)
 
+  /** JSON Facet API `query` facets with bucket metrics over the persisted
+    * index ([[Facets.jsonQuery]] semantics). */
+  def facetJsonQuery(idx: OpenIndex, queries: Seq[(Int, String)],
+                     named: Seq[(String, org.apache.spark.sql.Column)],
+                     metrics: Seq[Facets.JsonMetric]): DataFrame =
+    Facets.jsonQuery(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), named, metrics)
+
   /** JSON Facet API `range` facet with bucket metrics over the persisted
     * index ([[Facets.jsonRange]] semantics). */
   def facetJsonRange(idx: OpenIndex, queries: Seq[(Int, String)],
