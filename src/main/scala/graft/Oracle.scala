@@ -1277,7 +1277,11 @@ object Oracle {
     * aggregates with, so metric semantics cannot drift. */
   def facetJson(queries: Seq[(Int, String)], parentField: String,
                 childField: String, parentLimit: Int, childLimit: Int,
-                metrics: Seq[graft.search.Facets.JsonMetric]): String = {
+                metrics: Seq[graft.search.Facets.JsonMetric],
+                sortBy: Option[String] = None): String = {
+    sortBy.foreach(n => require(metrics.exists(_.name == n),
+      s"json.facet sort references unknown metric '$n'"))
+    val pSort = sortBy.map(n => s"$n DESC NULLS LAST").getOrElse("n_docs DESC")
     val mSql = metrics.map(m => ",\n               " + m.sql).mkString
     val mNames = metrics.map(m => ", " + m.name).mkString
     val mNulls = metrics.map { m =>
@@ -1297,7 +1301,7 @@ object Oracle {
        |p AS (SELECT query_id, parent, count(*)::BIGINT AS n_docs$mSql
        |      FROM j GROUP BY 1, 2),
        |pr AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |                 ORDER BY n_docs DESC, parent ASC) AS rnk FROM p),
+       |                 ORDER BY $pSort, parent ASC) AS rnk FROM p),
        |kept AS (SELECT query_id, parent, rnk, n_docs$mNames FROM pr
        |         WHERE rnk <= $parentLimit),
        |c AS (SELECT query_id, parent, child, count(*)::BIGINT AS n_docs

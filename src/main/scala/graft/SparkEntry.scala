@@ -881,6 +881,12 @@ object SparkEntry {
       graft.index.SegmentedIndex.facetJson(s, streamedIndex(s, dir),
         DisjQueries, "role", "tool", 2, 2, JsonFacetMetrics,
         BuildIndexJob.Config(numShards = 8))),
+    // JSON Facet API metric-sorted terms buckets (sort:"avg_dl desc") —
+    // parent ranking by a bucket metric instead of the count; the limit
+    // must bite for the sort to be observable
+    "q_facet_json_sort" -> ((s, dir) =>
+      IndexSearch.facetJson(indexFor(s, dir), DisjQueries, "role", "tool",
+        2, 2, JsonFacetMetrics, sortBy = Some("avg_dl"))),
     // JSON Facet API query facets: named predicate buckets each carrying
     // the metric set (query 5 matches nothing — the spine pins its zeros)
     "q_facet_json_query" -> ((s, dir) =>
@@ -1227,6 +1233,8 @@ object SparkEntry {
       20L, JsonFacetMetrics),
     "q_facet_json_query" -> Oracle.facetJsonQuery(DisjQueries,
       FacetQueryDefs.map(d => (d._1, d._3)), JsonFacetMetrics),
+    "q_facet_json_sort" -> Oracle.facetJson(DisjQueries, "role", "tool",
+      2, 2, JsonFacetMetrics, sortBy = Some("avg_dl")),
     "q_facet_json_query_segmented" -> Oracle.facetJsonQuery(DisjQueries,
       FacetQueryDefs.map(d => (d._1, d._3)), JsonFacetMetrics),
     "q_facet_json_range_segmented" -> Oracle.facetJsonRangeDl(DisjQueries,

@@ -652,7 +652,8 @@ object SegmentedIndex {
                 queries: Seq[(Int, String)], parentField: String,
                 childField: String, parentLimit: Int, childLimit: Int,
                 metrics: Seq[graft.search.Facets.JsonMetric],
-                cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+                cfg: BuildIndexJob.Config = BuildIndexJob.Config(),
+                sortBy: Option[String] = None): DataFrame = {
     import spark.implicits._
     def empty = {
       val base = Seq.empty[(Int, String, String, Int, Long)]
@@ -665,7 +666,8 @@ object SegmentedIndex {
     val matched = matchedKeys(spark, root, m, queries, cfg)
       .getOrElse(return empty)
     graft.search.Facets.json(matched, liveDocAttrs(spark, root, m, cfg),
-      parentField, childField, parentLimit, childLimit, metrics, KeyCols)
+      parentField, childField, parentLimit, childLimit, metrics, KeyCols,
+      sortBy = sortBy)
   }
 
   /** StatsComponent over the SEGMENTED index

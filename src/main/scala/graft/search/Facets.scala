@@ -409,7 +409,10 @@ object Facets {
     * own count. Pinned semantics:
     *  - bucket sort = count DESC, value ASC (json.facet's default
     *    `sort:"count desc"` with the index tie-break), `limit` per level,
-    *    child limit applied WITHIN each kept parent;
+    *    child limit applied WITHIN each kept parent; `sortBy = Some(m)`
+    *    is json.facet's `sort:"m desc"` — PARENT buckets rank by the
+    *    named metric instead of the count (children keep count sort, as
+    *    a per-facet `sort` would say); unknown metric names fail loudly;
     *  - docs with a NULL parent value are uncounted entirely; a NULL
     *    child counts at the parent level but contributes no child bucket
     *    (same rule as [[pivot]]);
@@ -425,11 +428,17 @@ object Facets {
   def json(matched: DataFrame, attrs: DataFrame, parentField: String,
            childField: String, parentLimit: Int, childLimit: Int,
            metrics: Seq[JsonMetric],
-           key: Seq[String] = Seq("doc_id")): DataFrame = {
+           key: Seq[String] = Seq("doc_id"),
+           sortBy: Option[String] = None): DataFrame = {
     require(parentLimit > 0 && childLimit > 0,
       s"json.facet limits must be positive (got $parentLimit/$childLimit)")
     require(metrics.map(_.name).distinct.size == metrics.size,
       "json.facet metric names must be unique")
+    val sortMetric = sortBy.map { n =>
+      metrics.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"json.facet sort references unknown metric '$n' " +
+          s"(have: ${metrics.map(_.name).mkString(",")})"))
+    }
     import org.apache.spark.sql.expressions.Window
     val spark = matched.sparkSession
     val needed = (Seq(parentField, childField) ++ metrics.map(_.field)).distinct
@@ -448,8 +457,13 @@ object Facets {
     val path = graft.TempDirs.create("graft_jsonfacet")
     rolledPlan.write.mode("overwrite").parquet(path)
     val rolled = spark.read.parquet(path)
+    // parent bucket sort: json.facet's default `sort:"count desc"`, or
+    // `sort:"<metric> desc"` (NULLS LAST — a bucket whose metric is NULL,
+    // e.g. sum over an all-NULL field, ranks below every valued bucket);
+    // the index (value ASC) tie-break in both cases
     val wp = Window.partitionBy("query_id")
-      .orderBy(col("_n").desc, col("_p").asc)
+      .orderBy(sortMetric.map(_.out.desc_nulls_last).getOrElse(col("_n").desc),
+        col("_p").asc)
     val parents = rolled.where(col("_gid") === 1)
       .withColumn("rank", row_number().over(wp).cast("int"))
       .where(col("rank") <= parentLimit)

@@ -857,9 +857,11 @@ object IndexSearch {
   def facetJson(idx: OpenIndex, queries: Seq[(Int, String)],
                 parentField: String, childField: String,
                 parentLimit: Int, childLimit: Int,
-                metrics: Seq[Facets.JsonMetric]): DataFrame =
+                metrics: Seq[Facets.JsonMetric],
+                sortBy: Option[String] = None): DataFrame =
     Facets.json(matchedDocSet(idx, queries), facetAttrs(idx),
-      parentField, childField, parentLimit, childLimit, metrics)
+      parentField, childField, parentLimit, childLimit, metrics,
+      sortBy = sortBy)
 
   /** JSON Facet API `query` facets with bucket metrics over the persisted
     * index ([[Facets.jsonQuery]] semantics). */
