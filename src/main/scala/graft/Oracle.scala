@@ -1110,7 +1110,10 @@ object Oracle {
 
   def facetTop(queries: Seq[(Int, String)], field: String,
                topN: Int, prefix: Option[String] = None,
-               contains: Option[String] = None): String = {
+               contains: Option[String] = None,
+               sort: String = "count", offset: Int = 0): String = {
+    require(sort == "count" || sort == "index",
+      s"facet.sort must be 'count' or 'index' (got '$sort')")
     // facet.contains values are plain substrings; reject LIKE metachars
     // rather than escaping them (the engine side matches literally)
     contains.foreach(c => require(!c.exists("%_".contains(_)),
@@ -1126,9 +1129,10 @@ object Oracle {
        |        FROM matched JOIN corpus USING (doc_id)
        |        WHERE $field IS NOT NULL$prefixPred GROUP BY 1, 2),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-       |                      ORDER BY n_docs DESC, value ASC) AS rnk FROM cnt)
+       |                      ORDER BY ${if (sort == "count") "n_docs DESC, value ASC"
+                                         else "value ASC"}) AS rnk FROM cnt)
        |SELECT query_id, CAST(rnk AS INT) AS "rank", value, n_docs
-       |FROM ranked WHERE rnk <= $topN
+       |FROM ranked WHERE rnk > $offset AND rnk <= ${offset + topN}
        |ORDER BY query_id, rnk""".stripMargin
   }
 

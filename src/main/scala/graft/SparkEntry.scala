@@ -727,6 +727,16 @@ object SparkEntry {
     "q_facet_contains" -> ((s, dir) =>
       IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "conv_id", 5,
         contains = Some("01"))),
+    // Solr facet.sort=index: lexicographic buckets with a biting limit
+    // over the high-cardinality conv_id field
+    "q_facet_sort_index" -> ((s, dir) =>
+      IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "conv_id", 4,
+        sort = "index")),
+    // Solr facet.offset: page 2 of the count-ranked buckets — absolute
+    // ranks (3,7] pin the page position
+    "q_facet_offset" -> ((s, dir) =>
+      IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "conv_id", 4,
+        offset = 3)),
     // Solr group.facet=true: each conversation counts once per role
     // value — "how many conversations have a matching <role> turn"
     "q_facet_group" -> ((s, dir) =>
@@ -1240,6 +1250,10 @@ object SparkEntry {
     "q_facet_json_range_segmented" -> Oracle.facetJsonRangeDl(DisjQueries,
       0L, 120L, 20L, JsonFacetMetrics),
     "q_facet_top" -> Oracle.facetTop(DisjQueries, "tool", 3),
+    "q_facet_sort_index" -> Oracle.facetTop(DisjQueries, "conv_id", 4,
+      sort = "index"),
+    "q_facet_offset" -> Oracle.facetTop(DisjQueries, "conv_id", 4,
+      offset = 3),
     "q_facet_prefix" -> Oracle.facetTop(DisjQueries, "conv_id", 5,
       prefix = Some("conv00001")),
     "q_facet_contains" -> Oracle.facetTop(DisjQueries, "conv_id", 5,

@@ -155,11 +155,20 @@ object Facets {
   def topValues(matched: DataFrame, attrs: DataFrame, field: String,
                 topN: Int, key: Seq[String] = Seq("doc_id"),
                 prefix: Option[String] = None,
-                contains: Option[String] = None): DataFrame = {
+                contains: Option[String] = None,
+                sort: String = "count", offset: Int = 0): DataFrame = {
     require(topN > 0, s"facet.limit must be positive (got $topN)")
+    // Solr facet.sort: "count" (the default pinned above) or "index" —
+    // lexicographic by value, counts still reported. facet.offset pages
+    // past the first `offset` buckets; `rank` stays ABSOLUTE so the page
+    // position is part of the verified output (the bm25 `start=` rule).
+    require(sort == "count" || sort == "index",
+      s"facet.sort must be 'count' or 'index' (got '$sort')")
+    require(offset >= 0, s"facet.offset must be >= 0 (got $offset)")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("n_docs").desc, col("value").asc)
+    val w = Window.partitionBy("query_id").orderBy(
+      (if (sort == "count") Seq(col("n_docs").desc, col("value").asc)
+       else Seq(col("value").asc)): _*)
     matched
       .join(attrs.select(key.map(col) :+
         col(field).cast("string").as("value"): _*), key)
@@ -169,7 +178,7 @@ object Facets {
       .groupBy("query_id", "value")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("rank", row_number().over(w).cast("int"))
-      .where(col("rank") <= topN)
+      .where(col("rank") > offset && col("rank") <= offset + topN)
       .select("query_id", "rank", "value", "n_docs")
       .orderBy("query_id", "rank")
   }

@@ -883,9 +883,11 @@ object IndexSearch {
     * ([[Facets.topValues]] semantics). */
   def facetTop(idx: OpenIndex, queries: Seq[(Int, String)], field: String,
                topN: Int, prefix: Option[String] = None,
-               contains: Option[String] = None): DataFrame =
+               contains: Option[String] = None,
+               sort: String = "count", offset: Int = 0): DataFrame =
     Facets.topValues(matchedDocSet(idx, queries), facetAttrs(idx),
-      field, topN, prefix = prefix, contains = contains)
+      field, topN, prefix = prefix, contains = contains,
+      sort = sort, offset = offset)
 
   /** Solr StatsComponent over the persisted index ([[Facets.stats]]
     * semantics). */
