@@ -667,6 +667,72 @@ object Oracle {
        |      FROM documents
        |      WHERE text IS NOT NULL AND length(text) > 0)""".stripMargin
 
+  /** Twin of [[graft.search.Synonyms.searchIndex]]: the (query, class,
+    * member) expansion triples come from the SAME driver-side
+    * [[graft.search.Synonyms.resolve]] call the engine uses (VALUES
+    * literals — the expansion has no cross-engine seam); SynonymQuery
+    * scoring = max member df per class, Σ member tf per (class, doc),
+    * one BM25 term score per class, summed per (query, doc). */
+  def bm25TopKSynonyms(queries: Seq[(Int, String)],
+                       groups: Seq[Seq[String]], k: Int): String = {
+    val triples = graft.search.Synonyms.resolve(queries, groups)
+    require(triples.nonEmpty, "synonym oracle needs ≥1 expansion triple")
+    val triVals = triples
+      .map { case (q, g, m) => s"($q, $g, '${esc(m)}')" }.mkString(", ")
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |syn(query_id, gid, term) AS (VALUES $triVals),
+       |gdf AS (SELECT query_id, gid, max(df.df) AS df
+       |        FROM syn JOIN df USING (term) GROUP BY 1, 2),
+       |gtf AS (SELECT syn.query_id, syn.gid, tf.doc_id,
+       |               CAST(sum(tf.tf) AS BIGINT) AS tf
+       |        FROM syn JOIN tf USING (term) GROUP BY 1, 2, 3),
+       |scored AS (
+       |  SELECT gtf.query_id, gtf.doc_id,
+       |         sum( ln(1 + (s.n_docs - gdf.df + 0.5)/(gdf.df + 0.5))
+       |              * gtf.tf / (gtf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM gtf JOIN gdf USING (query_id, gid)
+       |       JOIN dl ON gtf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY gtf.query_id, gtf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Facets.rangeDate]] over the transcripts ts:
+    * the spine's (bucket, bucket_ts) pairs are DRIVER literals computed
+    * by the same `Instant` parse/format the engine spine uses (one code
+    * path, two engines), ts_sec re-derived arithmetically per
+    * [[transcriptsCorpusTs]] — no engine ever formats a timestamp. */
+  def facetRangeDateTs(queries: Seq[(Int, String)], startIso: String,
+                       endIso: String, gapStr: String): String = {
+    val start = java.time.Instant.parse(startIso).getEpochSecond
+    val end = java.time.Instant.parse(endIso).getEpochSecond
+    val gap = graft.search.Facets.parseDateGap(gapStr)
+    require(end > start, s"need end > start (got [$startIso, $endIso))")
+    val rows = (start until end by gap)
+      .map(b => s"($b, '${java.time.Instant.ofEpochSecond(b)}')")
+      .mkString(", ")
+    s"""WITH ${indexCtes(transcriptsCorpusTs)},
+       |${matchedCtes(queries)},
+       |labels(bucket, bucket_ts) AS (VALUES $rows),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |spine AS (SELECT query_id, bucket, bucket_ts FROM qids CROSS JOIN labels),
+       |cnt AS (SELECT query_id,
+       |               CAST($start + ((ts_sec - $start) // $gap) * $gap AS BIGINT) AS bucket,
+       |               count(*)::BIGINT AS n
+       |        FROM matched JOIN corpus USING (doc_id)
+       |        WHERE ts_sec >= $start AND ts_sec < $end
+       |        GROUP BY 1, 2)
+       |SELECT query_id, bucket, bucket_ts, CAST(coalesce(n, 0) AS BIGINT) AS n_docs
+       |FROM spine LEFT JOIN cnt USING (query_id, bucket)
+       |ORDER BY query_id, bucket""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchSorted]] with
     * `sort=ts desc`: the disjunctive match set ranked by the stored
     * timestamp DESC with the pinned doc_id ASC tie-break; BM25 scores

@@ -69,6 +69,22 @@ object OracleOps {
        |  CAST(len(regexp_extract_all(lower(text), '${TextOps.BpeRegex}')) AS INT) AS bpe_units
        |FROM corpus ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.chunks]]: starts at every multiple of
+    * `stride` below the token count (range is end-exclusive ≡ the
+    * engine's 0..nStarts−1 sequence), 1-based inclusive list_slice ≡
+    * Spark's 1-based slice(start, length), trailing short windows kept. */
+  def chunks(chunkSize: Int, stride: Int): String =
+    s"""WITH $corpusCte, $tkCte,
+       |st AS (SELECT doc_id, toks,
+       |         unnest(range(0, ((len(toks) - 1) // $stride) + 1)) AS i
+       |       FROM tk WHERE len(toks) > 0)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |  CAST(len(toks[i * $stride + 1 : i * $stride + $chunkSize]) AS INT)
+       |    AS n_chunk_tokens,
+       |  array_to_string(toks[i * $stride + 1 : i * $stride + $chunkSize], ' ')
+       |    AS chunk_text
+       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
   val fpCte: String =
     s"""fps AS (SELECT doc_id,
        |  md5(array_to_string(toks, ' ')) AS fp,

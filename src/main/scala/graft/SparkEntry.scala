@@ -27,6 +27,15 @@ object SparkEntry {
     7 -> "a a the",
     8 -> "vector stream")
 
+  /** Synonym equivalence classes for the q_bm25_synonyms gate: classes
+    * the DisjQueries vocabulary actually hits — query 1's "merge"
+    * expands, query 6 maps BOTH "order" and "sort" to one class (the
+    * duplicate-class dedupe), query 8's "stream" expands. */
+  val SynonymGroups: Seq[Seq[String]] = Seq(
+    Seq("merge", "join", "upsert"),
+    Seq("sort", "order", "rank"),
+    Seq("stream", "streaming"))
+
   /** Conjunctive (AND) query set. */
   val ConjQueries: Seq[(Int, String)] = Seq(
     1 -> "spark merge window",
@@ -607,6 +616,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextOps.langId(documents(s, dir))),
     "q_quality" -> ((s, dir) => TextOps.quality(documents(s, dir))),
     "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(documents(s, dir))),
+    // LLM-pretraining context-window chunking: 32-token windows, stride
+    // 16 (50% overlap) — map-only, shuffle-free at any corpus size
+    "q_chunks" -> ((s, dir) => TextOps.chunks(documents(s, dir), 32, 16)),
     "q_fingerprints" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_fingerprints_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(documents(s, dir))),
@@ -693,6 +705,12 @@ object SparkEntry {
     // scoring-boolean rewrite, maxExpansions guard
     "q_bm25_prefix" -> ((s, dir) =>
       IndexSearch.searchPrefix(indexFor(s, dir), PrefixQueries)),
+    // Query-time synonym expansion (SynonymGraphFilter → Lucene
+    // SynonymQuery: max member df, Σ member tf per doc); query 6 maps
+    // two tokens to ONE class — the duplicate-class dedupe pinning
+    "q_bm25_synonyms" -> ((s, dir) =>
+      graft.search.Synonyms.searchIndex(indexFor(s, dir), DisjQueries,
+        SynonymGroups)),
     // Lucene WildcardQuery (te*t / t?st): LIKE expansion against the
     // dictionary, literal prefix pushed to the scan where one exists
     "q_bm25_wildcard" -> ((s, dir) =>
@@ -714,6 +732,12 @@ object SparkEntry {
     // full bucket spine per query with zero-filled gaps
     "q_facet_range" -> ((s, dir) =>
       IndexSearch.facetRange(indexFor(s, dir), DisjQueries, "dl", 0L, 120L, 20L)),
+    // Solr facet.range over the stored ts DATE field with a date-math
+    // gap (+2HOUR): ISO start/end parsed and bucket labels formatted on
+    // the driver — neither engine formats a timestamp
+    "q_facet_range_date" -> ((s, dir) =>
+      IndexSearch.facetRangeDate(indexFor(s, dir), DisjQueries, "ts",
+        "2024-01-01T00:00:00Z", "2024-01-03T00:00:00Z", "+2HOURS")),
     // Solr facet.sort=count + facet.limit: top-3 tool values per query
     "q_facet_top" -> ((s, dir) =>
       IndexSearch.facetTop(indexFor(s, dir), DisjQueries, "tool", 3)),
@@ -1202,6 +1226,7 @@ object SparkEntry {
     "q_lang_id" -> OracleOps.langId,
     "q_quality" -> OracleOps.quality,
     "q_token_counts" -> OracleOps.tokenCounts,
+    "q_chunks" -> OracleOps.chunks(32, 16),
     "q_fingerprints" -> OracleOps.fingerprints,
     "q_fingerprints_rolling" -> OracleOps.rollingFingerprints(3),
     "q_dedup_exact" -> OracleOps.dupGroups,
@@ -1221,6 +1246,7 @@ object SparkEntry {
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5, tie = 0.0),
     "q_bm25_sort_ts" -> Oracle.bm25SortTs(DisjQueries, 10),
     "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
+    "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
     "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
     "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
@@ -1239,6 +1265,8 @@ object SparkEntry {
     "q_facet_query" -> Oracle.facetQueries(DisjQueries,
       FacetQueryDefs.map(d => (d._1, d._3))),
     "q_facet_range" -> Oracle.facetRangeDl(DisjQueries, 0L, 120L, 20L),
+    "q_facet_range_date" -> Oracle.facetRangeDateTs(DisjQueries,
+      "2024-01-01T00:00:00Z", "2024-01-03T00:00:00Z", "+2HOURS"),
     "q_facet_json_range" -> Oracle.facetJsonRangeDl(DisjQueries, 0L, 120L,
       20L, JsonFacetMetrics),
     "q_facet_json_query" -> Oracle.facetJsonQuery(DisjQueries,

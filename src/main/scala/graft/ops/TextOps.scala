@@ -91,6 +91,37 @@ object TextOps {
         .cast("int").as("bpe_units"))
       .orderBy("doc_id")
 
+  /** Sliding-window document CHUNKING — the context-window cutter of an
+    * LLM-pretraining data pipeline: each document's analyzed token stream
+    * is cut into windows of `chunkSize` tokens advancing by `stride`
+    * (stride < chunkSize ⇒ overlapping windows). Pinned semantics: a
+    * window starts at every multiple of `stride` strictly below the
+    * doc's token count, trailing windows may be SHORTER than `chunkSize`
+    * (kept — deterministic and twin-expressible; filter on
+    * n_chunk_tokens for full-window-only consumers), and an empty doc
+    * yields no chunks. Output (doc_id, chunk_idx, n_chunk_tokens,
+    * chunk_text) with chunk_text the space-joined analyzed window.
+    *
+    * Scale shape: pure Column expressions + one generator — a map-only
+    * pass, no shuffle at any corpus size; output volume is bounded by
+    * ~(chunkSize/stride)× the input tokens, a constant the caller picks. */
+  def chunks(corpus: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive (got $chunkSize)")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize] (got $stride, chunkSize=$chunkSize)")
+    val nStarts = // = ceil(n / stride) over n ≥ 1: starts 0, s, 2s, … < n
+      floor((size(col("_toks")) - 1) / lit(stride)).cast("int") + 1
+    corpus.select(col("doc_id"), Analyzer.tokens(col("text")).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nStarts - 1),
+        i => slice(col("_toks"), i * stride + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        size(col("col")).cast("int").as("n_chunk_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** (doc_id, fp, fp_bag): fp = md5 of the normalized token stream
     * (order-sensitive exact-dup key); fp_bag = md5 of the sorted distinct
     * token set (order- and multiplicity-insensitive near-dup key). */

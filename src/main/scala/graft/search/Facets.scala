@@ -505,6 +505,75 @@ object Facets {
     * bucketing and the three conditional sums share the scan via a
     * two-branch union over the same joined frame — each branch is
     * facet-shaped after its aggregation). */
+  /** Solr date-math GAP for `facet.range` on a date field — the
+    * FIXED-LENGTH subset: `+<n><SECOND|MINUTE|HOUR|DAY>` (plural
+    * accepted), returned as seconds. MONTH/YEAR gaps are
+    * calendar-length — not a constant number of seconds — and are
+    * REJECTED loudly rather than approximated (the pinned divergence:
+    * Solr's DateMathParser does calendar arithmetic per bucket; a
+    * fixed-gap bucketing engine cannot express that without
+    * per-timezone calendar tables, and a silent 30-day "month" would
+    * drift a day per month). */
+  def parseDateGap(gap: String): Long = {
+    val Fixed = "^\\+([0-9]+)(SECOND|MINUTE|HOUR|DAY)S?$".r
+    val Calendar = "^\\+[0-9]+(MONTH|YEAR)S?$".r
+    gap.trim match {
+      case Fixed(n, u) =>
+        val unit = u match {
+          case "SECOND" => 1L
+          case "MINUTE" => 60L
+          case "HOUR"   => 3600L
+          case "DAY"    => 86400L
+        }
+        val v = n.toLong * unit
+        require(v > 0, s"facet.range.gap must be positive (got '$gap')")
+        v
+      case Calendar(_) => throw new IllegalArgumentException(
+        s"facet.range.gap '$gap': MONTH/YEAR gaps are calendar-length; " +
+          "this engine supports the fixed-length date-math subset " +
+          "(SECOND/MINUTE/HOUR/DAY)")
+      case other => throw new IllegalArgumentException(
+        s"cannot parse facet.range.gap '$other' " +
+          "(expected +<n><SECOND|MINUTE|HOUR|DAY>)")
+    }
+  }
+
+  /** `facet.range` over a TIMESTAMP field with a Solr date-math gap
+    * (`facet.range=ts&…gap=+1DAY`): half-open [b, b+gap) epoch-second
+    * buckets on the full zero-filled (query × bucket) spine, exactly
+    * like the numeric [[range]]. start/end are ISO-8601 instants parsed
+    * on the DRIVER (one `Instant.parse`, no cross-engine date parsing),
+    * and each bucket's ISO label (`bucket_ts`) is ALSO driver-formatted
+    * onto the spine — neither engine ever formats or hashes a raw
+    * timestamp, the invariant that keeps ts out of every oracle (the
+    * engine only CASTS the stored timestamp to epoch seconds, which the
+    * oracle pins arithmetically). */
+  def rangeDate(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                field: String, startIso: String, endIso: String,
+                gapStr: String,
+                key: Seq[String] = Seq("doc_id")): DataFrame = {
+    val start = java.time.Instant.parse(startIso).getEpochSecond
+    val end = java.time.Instant.parse(endIso).getEpochSecond
+    val gap = parseDateGap(gapStr)
+    require(end > start,
+      s"facet.range needs end > start (got [$startIso, $endIso))")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val spine = (for { q <- queryIds.distinct; b <- start until end by gap }
+      yield (q, b, java.time.Instant.ofEpochSecond(b).toString))
+      .toDF("query_id", "bucket", "bucket_ts")
+    val v = col(field).cast("long") // timestamp → epoch seconds (floor)
+    val cnt = matched.join(attrs.select(key.map(col) :+ col(field): _*), key)
+      .where(v >= start && v < end)
+      .withColumn("bucket",
+        (lit(start) + floor((v - lit(start)) / lit(gap)) * lit(gap)).cast("long"))
+      .groupBy("query_id", "bucket").agg(count(lit(1)).as("n_docs"))
+    spine.join(broadcast(cnt), Seq("query_id", "bucket"), "left")
+      .select(col("query_id"), col("bucket"), col("bucket_ts"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("query_id", "bucket")
+  }
+
   def rangeOther(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
                  field: String, start: Long, end: Long, gap: Long,
                  key: Seq[String] = Seq("doc_id")): DataFrame = {

@@ -836,6 +836,15 @@ object IndexSearch {
     Facets.range(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), field, start, end, gap)
 
+  /** `facet.range` over a DATE field with a Solr date-math gap
+    * ([[Facets.rangeDate]] semantics — fixed-length gap subset, ISO
+    * bucket labels driver-formatted). */
+  def facetRangeDate(idx: OpenIndex, queries: Seq[(Int, String)],
+                     field: String, startIso: String, endIso: String,
+                     gap: String): DataFrame =
+    Facets.rangeDate(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field, startIso, endIso, gap)
+
   /** `facet.range` + `facet.range.other=all` over the persisted index
     * ([[Facets.rangeOther]] semantics). */
   def facetRangeOther(idx: OpenIndex, queries: Seq[(Int, String)],
