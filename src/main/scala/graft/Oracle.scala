@@ -673,14 +673,13 @@ object Oracle {
     * literals — the expansion has no cross-engine seam); SynonymQuery
     * scoring = max member df per class, Σ member tf per (class, doc),
     * one BM25 term score per class, summed per (query, doc). */
-  def bm25TopKSynonyms(queries: Seq[(Int, String)],
-                       groups: Seq[Seq[String]], k: Int): String = {
+  private def synonymScoredCtes(queries: Seq[(Int, String)],
+                                groups: Seq[Seq[String]]): String = {
     val triples = graft.search.Synonyms.resolve(queries, groups)
     require(triples.nonEmpty, "synonym oracle needs ≥1 expansion triple")
     val triVals = triples
       .map { case (q, g, m) => s"($q, $g, '${esc(m)}')" }.mkString(", ")
-    s"""WITH ${indexCtes(transcriptsCorpus)},
-       |syn(query_id, gid, term) AS (VALUES $triVals),
+    s"""syn(query_id, gid, term) AS (VALUES $triVals),
        |gdf AS (SELECT query_id, gid, max(df.df) AS df
        |        FROM syn JOIN df USING (term) GROUP BY 1, 2),
        |gtf AS (SELECT syn.query_id, syn.gid, tf.doc_id,
@@ -697,11 +696,29 @@ object Oracle {
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  def bm25TopKSynonyms(queries: Seq[(Int, String)],
+                       groups: Seq[Seq[String]], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |${synonymScoredCtes(queries, groups)}
        |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
        |FROM ranked WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
-  }
+
+  /** Keys-shaped twin of [[graft.index.SegmentedIndex.searchSynonyms]] —
+    * the same synonym scoring chain joined back through the keymap (the
+    * [[bm25TopKKeys]] rule: dense ids are assigned in key order, so the
+    * rank tie-break carries over). */
+  def bm25TopKKeysSynonyms(queries: Seq[(Int, String)],
+                           groups: Seq[Seq[String]], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |$keymapCte,
+       |${synonymScoredCtes(queries, groups)}
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score
+       |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** Twin of [[graft.search.Facets.rangeDate]] over the transcripts ts:
     * the spine's (bucket, bucket_ts) pairs are DRIVER literals computed

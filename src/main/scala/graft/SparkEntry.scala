@@ -1055,6 +1055,12 @@ object SparkEntry {
     "q_bm25_wand_segmented" -> ((s, dir) =>
       graft.index.SegmentedIndex.searchWand(s, streamedIndex(s, dir),
         DisjQueries, cfg = BuildIndexJob.Config(numShards = 8))),
+    // SynonymQuery expansion served LIVE from the segmented index (live
+    // member df from the tombstone-filtered fan-out)
+    "q_bm25_synonyms_segmented" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchSynonyms(s, streamedIndex(s, dir),
+        DisjQueries, SynonymGroups,
+        cfg = BuildIndexJob.Config(numShards = 8))),
     // Solr deleteByQuery over the segmented index: every live doc
     // containing 'dup' tombstoned via an empty-batch append; subsequent
     // queries score as a rebuild on the survivors
@@ -1346,6 +1352,8 @@ object SparkEntry {
     "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     "q_delete_by_query" -> Oracle.bm25TopKKeysExcluding(DisjQueries, 10, "dup"),
     "q_bm25_wand_segmented" -> Oracle.bm25TopKKeys(DisjQueries, 10),
+    "q_bm25_synonyms_segmented" ->
+      Oracle.bm25TopKKeysSynonyms(DisjQueries, SynonymGroups, 10),
     "q_segments_compact" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries,
       10, conjunctive = false),
     "q_queryset_bm25" -> Oracle.bm25TopK(Oracle.documentsCorpus,

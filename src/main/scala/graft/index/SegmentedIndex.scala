@@ -529,6 +529,43 @@ object SegmentedIndex {
     } finally all.unpersist()
   }
 
+  /** Query-time SYNONYM expansion over the SEGMENTED index —
+    * [[graft.search.Synonyms]] semantics (max member df, Σ member tf)
+    * served live between compactions: member df comes from the same
+    * tombstone-filtered fan-out every segmented scoring path pays (so a
+    * killed doc's tf stops counting toward its members' df), N/avgdl
+    * from the manifest. Output keys-shaped like [[search]]. */
+  def searchSynonyms(spark: SparkSession, root: String,
+                     queries: Seq[(Int, String)], groups: Seq[Seq[String]],
+                     k: Int = 10,
+                     cfg: BuildIndexJob.Config = BuildIndexJob.Config()): DataFrame = {
+    import spark.implicits._
+    def empty = keysEmpty(spark)
+    val m = readManifest(spark, root).getOrElse(return empty)
+    if (m.segments.isEmpty || m.nDocs == 0) return empty
+    val triples = graft.search.Synonyms.resolve(queries, groups)
+    if (triples.isEmpty) return empty
+    val tri = triples.toDF("query_id", "gid", "term")
+    val all = liveMatched(spark, root, m, tri.select("term").distinct(), cfg)
+      .getOrElse(return empty).cache()
+    try {
+      // live df per member; class df = max member df (SynonymQuery)
+      val dfg = all.groupBy("term").agg(count(lit(1)).as("df"))
+      val gdf = tri.join(dfg, "term")
+        .groupBy("query_id", "gid").agg(max(col("df")).as("_df"))
+      val scored = all.join(broadcast(tri), Seq("term"))
+        // merged-postings view per class: Σ member tfs per live doc
+        .groupBy("query_id", "gid", "conv_id", "turn_idx")
+        .agg(sum(col("tf")).as("_tf"), min(col("dl")).as("dl"))
+        .join(broadcast(gdf), Seq("query_id", "gid"))
+        .withColumn("_s", Bm25.termScore(col("_tf"), col("dl"), col("_df"),
+          lit(m.nDocs), lit(m.avgdl)))
+        .groupBy("query_id", "conv_id", "turn_idx")
+        .agg(sum(col("_s")).as("_score"))
+      localize(spark, rankKeys(scored, k))
+    } finally all.unpersist()
+  }
+
   /** Solr RealTimeGet over the SEGMENTED (streaming-serving) index — the
     * "realtime" in the name is exactly this path: a just-appended,
     * not-yet-compacted doc is visible, an upserted key answers from its

@@ -79,6 +79,42 @@ class SurfaceSynChunkSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("segmented searchSynonyms ≡ unified rebuild under upserts+tombstones") {
+    import graft.index.SegmentedIndex
+    import graft.sources.Transcripts
+    val cfg = BuildIndexJob.Config(numShards = 4, blockSize = 8, saltTarget = 64)
+    val all = Transcripts.synthetic(spark, 60).cache()
+    val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+    val b1 = all.where($"conv_id" < "conv00000040")
+    // b2 re-delivers 5 conversations with REPLACED text (upsert)
+    val b2 = all.where($"conv_id" >= "conv00000040").unionByName(
+      all.where($"conv_id" >= "conv00000030" && $"conv_id" < "conv00000035")
+        .withColumn("text", org.apache.spark.sql.functions.concat(
+          $"text", org.apache.spark.sql.functions.lit(" w1 w1 zzznew"))))
+    val dead = Seq(("conv00000002", 1), ("conv00000050", 0))
+      .toDF("conv_id", "turn_idx")
+    val root = tmp()
+    SegmentedIndex.append(spark, root, b1, noDeletes, "seg-a", cfg)
+    SegmentedIndex.append(spark, root, b2, dead, "seg-b", cfg)
+    val queries = Seq(1 -> "w1 w40", 2 -> "w2 zzznew")
+    val groups = Seq(Seq("w1", "w2"), Seq("w40", "w41"))
+    val seg = SegmentedIndex.searchSynonyms(spark, root, queries, groups,
+      cfg = cfg).orderBy("query_id", "rank").collect().toSeq
+    // unified rebuild over the engine's own live view (liveTurns is
+    // pinned ≡ rebuild by SegmentSpec), mapped back to keys
+    val uroot = tmp()
+    BuildIndexJob.run(spark, SegmentedIndex.liveTurns(spark, root, cfg),
+      uroot, "full", cfg)
+    val res = Synonyms.searchIndex(IndexSearch.open(spark, uroot), queries, groups)
+    val keys = spark.read.parquet(s"$uroot/docs")
+      .select("doc_id", "conv_id", "turn_idx")
+    val want = res.join(keys, "doc_id")
+      .select("query_id", "rank", "conv_id", "turn_idx", "score")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(seg == want && seg.nonEmpty)
+    all.unpersist()
+  }
+
   test("chunks: window starts, trailing short windows, guards") {
     val docs = Seq((0L, "a b c d e"), (1L, ""), (2L, "x y"))
       .toDF("doc_id", "text")
