@@ -85,6 +85,65 @@ object OracleOps {
        |    AS chunk_text
        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** DuckDB n-gram list over `toks` — twin of TextOps.ngramList (1-based
+    * inclusive slices, < n tokens ⇒ empty list). */
+  private def gramsExpr(n: Int): String =
+    s"""CASE WHEN len(toks) >= $n
+       |  THEN list_transform(range(1, len(toks) - ${n - 1} + 1),
+       |                      i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.decontaminate]] with the gate's
+    * benchmark set = docs with doc_id ≡ 0 (mod `benchMod`). */
+  def decontaminate(n: Int, benchMod: Int): String =
+    s"""WITH $corpusCte, $tkCte,
+       |g AS (SELECT doc_id, ${gramsExpr(n)} AS grams FROM tk),
+       |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % $benchMod = 0),
+       |dg AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g),
+       |hits AS (SELECT doc_id, count(*)::BIGINT AS n_gram_hits
+       |         FROM dg JOIN bg USING (gram) GROUP BY 1)
+       |SELECT c.doc_id,
+       |       CAST(coalesce(h.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+       |       coalesce(h.n_gram_hits, 0) > 0 AS contaminated
+       |FROM corpus c LEFT JOIN hits h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.repetition]] (Gopher duplicate-n-gram
+    * fraction; dup_frac rounded from the RAW ratio in both engines). */
+  def repetition(n: Int, maxDupFrac: Double): String =
+    s"""WITH $corpusCte, $tkCte,
+       |g AS (SELECT doc_id, ${gramsExpr(n)} AS grams FROM tk),
+       |base AS (SELECT doc_id, CAST(len(grams) AS INT) AS n_ngrams,
+       |                CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+       |                CASE WHEN len(grams) > 0
+       |                  THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       |                  ELSE 0.0 END AS raw
+       |         FROM g)
+       |SELECT doc_id, n_ngrams, n_distinct, round(raw, 4) AS dup_frac,
+       |       round(raw, 4) > $maxDupFrac AS flagged
+       |FROM base ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.redactPii]] over the gate's
+    * deterministically PII-injected corpus (docs ≡ 0 mod 3 gain an email
+    * + E.164 phone suffix; the rest exercise the no-match path). The
+    * regex constants splice VERBATIM from TextOps. */
+  def redactPii: String = {
+    val em = TextOps.EmailRegex
+    val ph = TextOps.PhoneRegex
+    s"""WITH pii AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 3 = 0
+       |    THEN text || ' reach doc' || CAST(doc_id AS VARCHAR) ||
+       |         '@test.org or +1415555' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+       |    ELSE text END AS text
+       |FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$em')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(lower(text), '$ph')) AS INT) AS n_phones,
+       |  regexp_replace(regexp_replace(lower(text), '$em', '<EMAIL>', 'g'),
+       |                 '$ph', '<PHONE>', 'g') AS redacted
+       |FROM pii ORDER BY doc_id""".stripMargin
+  }
+
   val fpCte: String =
     s"""fps AS (SELECT doc_id,
        |  md5(array_to_string(toks, ' ')) AS fp,

@@ -619,6 +619,23 @@ object SparkEntry {
     // LLM-pretraining context-window chunking: 32-token windows, stride
     // 16 (50% overlap) — map-only, shuffle-free at any corpus size
     "q_chunks" -> ((s, dir) => TextOps.chunks(documents(s, dir), 32, 16)),
+    // benchmark decontamination (GPT-3 appendix-C shape): the "eval set"
+    // is docs ≡ 0 (mod 97); any shared analyzed 8-gram flags a doc
+    "q_decontaminate" -> ((s, dir) => {
+      val d = documents(s, dir)
+      TextOps.decontaminate(d, d.where(col("doc_id") % 97 === 0), 8)
+    }),
+    // Gopher duplicate-3-gram repetition statistics + filter flag
+    "q_repetition" -> ((s, dir) => TextOps.repetition(documents(s, dir), 3, 0.2)),
+    // PII redaction over a deterministically injected corpus (docs ≡ 0
+    // mod 3 gain an email + E.164 phone; the rest pin the no-match path)
+    "q_redact_pii" -> ((s, dir) => TextOps.redactPii(
+      documents(s, dir).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" reach doc"), col("doc_id").cast("string"),
+            lit("@test.org or +1415555"),
+            lpad((col("doc_id") % 1000).cast("string"), 4, "0")))
+          .otherwise(col("text"))))),
     "q_fingerprints" -> ((s, dir) => TextOps.fingerprints(documents(s, dir))),
     "q_fingerprints_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(documents(s, dir))),
@@ -1233,6 +1250,9 @@ object SparkEntry {
     "q_quality" -> OracleOps.quality,
     "q_token_counts" -> OracleOps.tokenCounts,
     "q_chunks" -> OracleOps.chunks(32, 16),
+    "q_decontaminate" -> OracleOps.decontaminate(8, 97),
+    "q_repetition" -> OracleOps.repetition(3, 0.2),
+    "q_redact_pii" -> OracleOps.redactPii,
     "q_fingerprints" -> OracleOps.fingerprints,
     "q_fingerprints_rolling" -> OracleOps.rollingFingerprints(3),
     "q_dedup_exact" -> OracleOps.dupGroups,

@@ -122,6 +122,96 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Space-joined n-gram list over the analyzed token stream (the
+    * decontamination / repetition-statistic unit); docs shorter than n
+    * tokens yield an empty list. */
+  private def ngramList(text: Column, n: Int): Column = {
+    val toks = Analyzer.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark DECONTAMINATION — the test-set-overlap filter every
+    * serious pretraining pipeline runs (the GPT-3 appendix-C shape:
+    * drop/flag training docs sharing any long n-gram with an evaluation
+    * set): a corpus doc is contaminated iff any of its analyzed
+    * `n`-grams appears in `bench`'s n-gram set. Output one row per
+    * corpus doc: (doc_id, n_gram_hits = how many DISTINCT of the doc's
+    * n-grams hit, contaminated). Docs shorter than n tokens cannot hit.
+    *
+    * Scale shape: the benchmark side is an EVAL SET — thousands of
+    * docs, not billions — so its distinct n-gram relation broadcasts;
+    * the corpus side is one generator + one broadcast semi-shaped join
+    * + one hash agg, no corpus-sized shuffle. (A benchmark too large to
+    * broadcast degrades to a shuffle join of corpus n-grams — still
+    * candidate-bounded, never all-pairs.) */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 0, s"n-gram order must be positive (got $n)")
+    val benchGrams = bench
+      .select(explode(ngramList(col("text"), n)).as("gram")).distinct()
+    val hits = corpus
+      .select(col("doc_id"), explode(ngramList(col("text"), n)).as("gram"))
+      .distinct() // a doc's repeated gram counts once
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
+    corpus.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+      .withColumn("contaminated", col("n_gram_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Within-document REPETITION statistics — the Gopher-rule family's
+    * duplicate-n-gram filter (Rae et al. 2021 [PUB], table A1: drop docs
+    * whose duplicate n-gram fraction exceeds a threshold): per doc the
+    * n-gram count, distinct count, dup_frac = (count − distinct)/count
+    * (0 for docs with < n tokens), and the filter flag at `maxDupFrac`.
+    * Pure per-row Column expressions — map-only, no shuffle, no UDF. */
+  def repetition(corpus: DataFrame, n: Int = 3,
+                 maxDupFrac: Double = 0.2): DataFrame = {
+    require(maxDupFrac >= 0 && maxDupFrac <= 1,
+      s"maxDupFrac must be in [0,1] (got $maxDupFrac)")
+    corpus.select(col("doc_id"), ngramList(col("text"), n).as("_g"))
+      .select(col("doc_id"),
+        size(col("_g")).cast("int").as("n_ngrams"),
+        size(array_distinct(col("_g"))).cast("int").as("n_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_ngrams") > 0,
+          round((col("n_ngrams") - col("n_distinct")).cast("double") /
+            col("n_ngrams"), 4)).otherwise(0.0))
+      .withColumn("flagged", col("dup_frac") > maxDupFrac)
+      .orderBy("doc_id")
+  }
+
+  /** PII patterns shared VERBATIM with the oracle — kept to the
+    * Java ≡ RE2-portable regex subset (character classes, +/{m,}, no
+    * backrefs/lookaround) so both engines match identically. */
+  final val EmailRegex = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  final val PhoneRegex = "\\+[0-9]{7,15}"
+
+  /** PII REDACTION — the scrubbing pass of a training-data pipeline:
+    * emails → `<EMAIL>`, E.164-style phone numbers → `<PHONE>`, with
+    * per-doc match counts (n_emails, n_phones) BEFORE redaction so the
+    * pass is auditable. Case-insensitive inputs are handled by matching
+    * on the lowercased text (this engine's corpus normalization); the
+    * redacted output is the lowercased text — pinned, documented.
+    * Map-only Column expressions; the patterns are the portable-subset
+    * constants above. */
+  def redactPii(corpus: DataFrame): DataFrame = {
+    val low = lower(col("text"))
+    corpus.select(col("doc_id"),
+      size(regexp_extract_all(low, lit(EmailRegex), lit(0)))
+        .cast("int").as("n_emails"),
+      size(regexp_extract_all(low, lit(PhoneRegex), lit(0)))
+        .cast("int").as("n_phones"),
+      regexp_replace(regexp_replace(low, EmailRegex, "<EMAIL>"),
+        PhoneRegex, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, fp, fp_bag): fp = md5 of the normalized token stream
     * (order-sensitive exact-dup key); fp_bag = md5 of the sorted distinct
     * token set (order- and multiplicity-insensitive near-dup key). */

@@ -131,6 +131,49 @@ class SurfaceSynChunkSpec extends SparkSpec {
     assert(tiled == Seq((0, "a b"), (1, "c d"), (2, "e")))
   }
 
+  test("decontaminate: distinct-gram hits, short docs immune, zero-filled") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),      // shares "alpha beta gamma" ×1
+      (1L, "beta gamma delta epsilon"),    // shares "beta gamma delta" ×1
+      (2L, "zeta eta theta iota"),         // no overlap
+      (3L, "al be"),                       // < n tokens → cannot hit
+      (4L, "alpha beta gamma alpha beta gamma x")) // repeated gram counts once
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = TextOps.decontaminate(corpus, bench, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq((0L, 2L, true), (1L, 2L, true), (2L, 0L, false),
+      (3L, 0L, false), (4L, 1L, true)))
+  }
+
+  test("repetition: duplicate n-gram fraction and flag") {
+    val corpus = Seq(
+      (0L, "a b a b a b"),  // 3-grams: aba,bab,aba,bab → 4 total, 2 distinct
+      (1L, "p q r s"),      // all distinct
+      (2L, "x y"))          // < n → zero
+      .toDF("doc_id", "text")
+    val got = TextOps.repetition(corpus, 3, 0.2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    assert(got == Seq((0L, 4, 2, 0.5, true), (1L, 2, 2, 0.0, false),
+      (2L, 0, 0, 0.0, false)))
+  }
+
+  test("redactPii: email/phone counts and replacement; no-match passthrough") {
+    val corpus = Seq(
+      (0L, "Mail A.User+x@Sub.Example.COM or +4915123456789 now"),
+      (1L, "no pii here"),
+      (2L, "two a@b.co c@d.io mails +1234567 one phone"))
+      .toDF("doc_id", "text")
+    val got = TextOps.redactPii(corpus).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (0L, 1, 1, "mail <EMAIL> or <PHONE> now"),
+      (1L, 0, 0, "no pii here"),
+      (2L, 2, 1, "two <EMAIL> <EMAIL> mails <PHONE> one phone")))
+  }
+
   test("parseDateGap: fixed-length units; calendar units fail loudly") {
     assert(Facets.parseDateGap("+1DAY") == 86400L)
     assert(Facets.parseDateGap("+2HOURS") == 7200L)
