@@ -720,6 +720,76 @@ object Oracle {
        |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
 
+  /** Twin of [[graft.search.IndexSearch.explain]] (Solr debug=true): the
+    * per-term decomposition CTE `per` carries tf, df, idf, and the BM25
+    * contribution; `scored` re-sums the SAME contrib expression (the
+    * [[scoredFromQtCte]] tree), so ranks match every other BM25 gate and
+    * every decomposition column re-derives independently. */
+  def bm25Explain(queries: Seq[(Int, String)], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |per AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf, df.df,
+       |               ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)) AS idf,
+       |               ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |                 * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS contrib
+       |        FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+       |scored AS (SELECT query_id, doc_id, sum(contrib) AS score
+       |           FROM per GROUP BY 1, 2),
+       |ranked AS (SELECT query_id, doc_id, score,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                                     ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |           FROM scored)
+       |SELECT r.query_id, CAST(rnk AS INT) AS "rank", r.doc_id, p.term, p.tf, p.df,
+       |       round(p.idf, 4) AS idf, round(p.contrib, 4) AS contribution,
+       |       round(r.score, 4) AS score
+       |FROM ranked r JOIN per p ON r.query_id = p.query_id AND r.doc_id = p.doc_id
+       |WHERE rnk <= $k
+       |ORDER BY r.query_id, rnk, p.term""".stripMargin
+
+  /** Luke top-terms twin ([[graft.search.IndexSearch.topTerms]]). */
+  def topTerms(n: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)}
+       |SELECT term, df, cf FROM df
+       |ORDER BY df DESC, term ASC LIMIT $n""".stripMargin
+
+  /** Transcripts corpus carrying ts_sec AND role — the multi-field sort
+    * twin ([[transcriptsCorpusTs]] plus the role derivation from
+    * [[Transcripts.sqlFromDocuments]]). */
+  def transcriptsCorpusTsRole: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |       text, ts_sec, role
+       |FROM (SELECT 'conv' || lpad(CAST(doc_id // 4 AS VARCHAR), 6, '0') AS conv_id,
+       |             CAST(doc_id % 4 AS INT) AS turn_idx, text,
+       |             CAST(${Transcripts.Epoch2024} + doc_id * 30 AS BIGINT) AS ts_sec,
+       |             CASE WHEN doc_id % 4 = 3 THEN 'tool'
+       |                  WHEN doc_id % 2 = 0 THEN 'user'
+       |                  ELSE 'assistant' END AS role
+       |      FROM documents
+       |      WHERE text IS NOT NULL AND length(text) > 0)""".stripMargin
+
+  /** Twin of [[graft.search.IndexSearch.searchSorted]] with a MULTI-field
+    * sort (`sort=role asc, ts desc`): secondary key bites inside each
+    * role band, pinned doc_id ASC tie-break, scores still reported. */
+  def bm25SortRoleTs(queries: Seq[(Int, String)], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpusTsRole)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |ranked AS (
+       |  SELECT query_id, scored.doc_id AS doc_id, score, corpus.role AS role,
+       |         corpus.ts_sec AS ts_sec,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY corpus.role ASC, corpus.ts_sec DESC,
+       |                                     scored.doc_id ASC) AS rnk
+       |  FROM scored JOIN corpus ON scored.doc_id = corpus.doc_id)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, role, ts_sec, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Twin of [[graft.search.Facets.rangeDate]] over the transcripts ts:
     * the spine's (bucket, bucket_ts) pairs are DRIVER literals computed
     * by the same `Instant` parse/format the engine spine uses (one code

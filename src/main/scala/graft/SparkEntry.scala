@@ -709,6 +709,20 @@ object SparkEntry {
       IndexSearch.searchSorted(indexFor(s, dir), DisjQueries,
         Seq(col("ts_sec").desc), 10,
         extra = Seq("ts_sec" -> unix_timestamp(col("ts"))))),
+    // MULTI-field sort (sort=role asc, ts desc): the secondary key bites
+    // inside each role band
+    "q_bm25_sort_multi" -> ((s, dir) =>
+      IndexSearch.searchSorted(indexFor(s, dir), DisjQueries,
+        Seq(col("role").asc, col("ts_sec").desc), 10,
+        extra = Seq("role" -> col("role"),
+          "ts_sec" -> unix_timestamp(col("ts"))))),
+    // Solr debug=true / Lucene Explanation: per-term score decomposition
+    // of every top-10 hit — every column re-derived by the oracle
+    "q_bm25_explain" -> ((s, dir) =>
+      IndexSearch.explain(indexFor(s, dir), DisjQueries)),
+    // Luke /admin/luke top terms: metadata-only dictionary introspection
+    "q_top_terms" -> ((s, dir) =>
+      IndexSearch.topTerms(indexFor(s, dir), 25)),
     // Solr sort by FUNCTION QUERY (sort=recip(dl,1,100,10) desc): the
     // FunctionQuery-parsed sort key, doc_id tie-break; fv output pins
     // the bit-identical function value on both engines
@@ -1271,6 +1285,9 @@ object SparkEntry {
     "q_bm25_dismax" -> Oracle.bm25MultiField(DisjQueries, 10,
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5, tie = 0.0),
     "q_bm25_sort_ts" -> Oracle.bm25SortTs(DisjQueries, 10),
+    "q_bm25_sort_multi" -> Oracle.bm25SortRoleTs(DisjQueries, 10),
+    "q_bm25_explain" -> Oracle.bm25Explain(DisjQueries, 10),
+    "q_top_terms" -> Oracle.topTerms(25),
     "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),

@@ -114,6 +114,48 @@ object IndexSearch {
     Search.rank(scoredDocs(idx, qt, conjunctive), k, start)
   }
 
+  /** Solr `debug=true` / Lucene Explanation over the persisted index:
+    * the standard disjunctive top-k, each hit DECOMPOSED into one row
+    * per matching query term carrying the scoring inputs (tf, df), the
+    * term idf, and the term's BM25 contribution — Σ contributions ≡ the
+    * hit's reported score, and the oracle re-derives EVERY column, so
+    * the whole explanation tree is verified cross-engine, not just the
+    * final score. Output (query_id, rank, doc_id, term, tf, df, idf,
+    * contribution, score) ordered by (query_id, rank, term);
+    * ≤ |queries|·k·|query terms| rows. One pruned posting scan feeds
+    * both the ranking and the decomposition (cached, dropped before
+    * return). */
+  def explain(idx: OpenIndex, queries: Seq[(Int, String)],
+              k: Int = 10): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val per = matchedPostings(idx, qt)
+      .withColumn("_idf", Bm25.idf(col("df"), lit(idx.stats.nDocs)))
+      .withColumn("_c", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .cache()
+    try {
+      val scored = per.groupBy("query_id", "doc_id")
+        .agg(sum(col("_c")).as("_score"))
+      val heads = Search.rank(scored, k)
+      localize(idx.spark, heads
+        .join(per.select("query_id", "doc_id", "term", "tf", "df", "_idf", "_c"),
+          Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("term"),
+          col("tf"), col("df"), round(col("_idf"), 4).as("idf"),
+          round(col("_c"), 4).as("contribution"), col("score"))
+        .orderBy("query_id", "rank", "term"))
+    } finally per.unpersist()
+  }
+
+  /** Luke-style index introspection (`/admin/luke` top terms): the n
+    * highest-df dictionary terms with exact df/cf, (df DESC, term ASC)
+    * order — a metadata-only dictionary scan, never a posting read. */
+  def topTerms(idx: OpenIndex, n: Int): DataFrame = {
+    require(n > 0, s"topTerms needs n > 0 (got $n)")
+    idx.dictionary.select("term", "df", "cf")
+      .orderBy(col("df").desc, col("term").asc).limit(n)
+  }
+
   /** Solr `sort=` over the persisted index (e.g. `sort=ts desc`): the
     * disjunctive MATCH set ordered by stored-field sort expressions (over
     * the `docs/` attributes) with the pinned doc_id ASC tie-break; BM25

@@ -131,6 +131,31 @@ class SurfaceSynChunkSpec extends SparkSpec {
     assert(tiled == Seq((0, "a b"), (1, "c d"), (2, "e")))
   }
 
+  test("explain: Σ term contributions ≡ the hit's search score; ranks ≡ search") {
+    val qs = Seq(1 -> "ant bee", 2 -> "cat dog emu")
+    val ex = IndexSearch.explain(idx, qs, k = 5).collect()
+    assert(ex.nonEmpty)
+    // per (query, doc): contributions sum to the reported score (at the
+    // output rounding — contributions are rounded independently, so
+    // allow the k·5e-5 rounding slack)
+    ex.groupBy(r => (r.getInt(0), r.getLong(2))).foreach { case (_, rows) =>
+      val sum = rows.map(_.getDouble(7)).sum
+      val score = rows.head.getDouble(8)
+      assert(math.abs(sum - score) < 5e-4 * rows.length,
+        s"decomposition drifted: $sum vs $score")
+    }
+    // (rank, doc_id) heads ≡ plain search
+    val heads = ex.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).distinct.sorted
+    val want = IndexSearch.search(idx, qs, 5).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(heads.toSeq == want)
+    // topTerms guard + order
+    intercept[IllegalArgumentException](IndexSearch.topTerms(idx, 0))
+    val tt = IndexSearch.topTerms(idx, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tt == tt.sortBy { case (t, df) => (-df, t) } && tt.size == 3)
+  }
+
   test("decontaminate: distinct-gram hits, short docs immune, zero-filled") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),      // shares "alpha beta gamma" ×1
