@@ -426,6 +426,59 @@ object OracleOps {
        |q AS (SELECT vec_id AS query_vec, e AS qe, nrm AS qn FROM n
        |  WHERE vec_id IN (${queryIds.mkString(", ")}))""".stripMargin
 
+  /** Twin of [[graft.ops.Similarity.pqTopK]] — the full PQ chain unrolled
+    * ([[kmeansChain]] pattern with the subvector dimension threaded
+    * through every key): per-subvector L2 Lloyd's (round(dist², 9) ASC /
+    * lowest-label ties, means rounded to 6, empty cells keep their
+    * centroid), corpus encoding, and the ADC table-lookup scoring. The
+    * squared-L2 fold spells the engine's zip_with+aggregate tree
+    * (0.0 + v₁ ≡ v₁), and ds derives from len(e) in-query so the SQL is
+    * data-independent. */
+  def pqTopK(queryIds: Seq[Long], k: Int, m: Int, codebookSize: Int,
+             iters: Int): String = {
+    def l2(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+    def assignCte(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, j, label, sub FROM (
+         |    SELECT s.vec_id, s.j, c.label, s.sub,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        round(${l2("s.sub", "c.c")}, 9) ASC, c.label ASC) AS r
+         |    FROM subs s JOIN $cent c USING (j)) WHERE r = 1)""".stripMargin
+    val head =
+      s"""kemb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |js AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS j),
+         |subs AS (SELECT vec_id, j,
+         |    list_slice(e, j * (len(e) // $m) + 1, j * (len(e) // $m) + (len(e) // $m)) AS sub
+         |  FROM kemb CROSS JOIN js),
+         |c0 AS (SELECT j, CAST(vec_id AS INT) AS label, sub AS c
+         |  FROM subs WHERE vec_id < $codebookSize)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |u$i AS (SELECT j, label, list(cv ORDER BY pos) AS c FROM (
+         |    SELECT j, label, pos, round(avg(v), 6) AS cv FROM (
+         |      SELECT j, label, unnest(sub) AS v, generate_subscripts(sub, 1) AS pos FROM a$i)
+         |    GROUP BY j, label, pos) GROUP BY j, label),
+         |c$i AS (SELECT p.j, p.label, COALESCE(u.c, p.c) AS c
+         |  FROM c${i - 1} p LEFT JOIN u$i u USING (j, label))""".stripMargin
+    }
+    val fin = assignCte("afin", s"c$iters")
+    s"""WITH ${(head +: steps :+ fin).mkString(",\n")},
+       |tbl AS (SELECT q.query_vec, c.j, c.label AS code, ${l2("q.qsub", "c.c")} AS part
+       |  FROM (SELECT vec_id AS query_vec, j, sub AS qsub FROM subs
+       |        WHERE vec_id IN (${queryIds.mkString(", ")})) q
+       |  JOIN c$iters c USING (j)),
+       |scored AS (SELECT t.query_vec, a.vec_id, sum(t.part) AS d
+       |  FROM afin a JOIN tbl t ON a.j = t.j AND a.label = t.code
+       |  WHERE a.vec_id <> t.query_vec GROUP BY 1, 2)
+       |SELECT query_vec, CAST(rnk AS INT) AS "rank", vec_id, round(d, 4) AS adist FROM (
+       |  SELECT query_vec, vec_id, d,
+       |    row_number() OVER (PARTITION BY query_vec
+       |                       ORDER BY round(d, 9) ASC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $k
+       |ORDER BY query_vec, rnk""".stripMargin
+  }
+
   private def rankedTail(k: Int): String =
     s"""ranked AS (SELECT query_vec, vec_id, sim,
        |    row_number() OVER (PARTITION BY query_vec

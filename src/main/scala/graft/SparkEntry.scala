@@ -676,6 +676,12 @@ object SparkEntry {
     // IVF training: deterministic Lloyd's k-means (4 clusters, 2 iters)
     "q_ann_kmeans" -> ((s, dir) => Similarity.kmeansLabels(
       s.read.parquet(s"$dir/embeddings.parquet"), 4, 2)),
+    // Product-quantization ANN (Jégou et al. 2011): 8 subvectors × 16
+    // codes trained with the pinned Lloyd's, ADC table-lookup serving —
+    // the memory-bound scale path (64 floats → 8 codes per vector)
+    "q_ann_pq" -> ((s, dir) => Similarity.pqTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10,
+      m = 8, codebookSize = 16, iters = 2)),
     // the serving path over its own trained labels — self-contained ANN
     "q_ann_ivf_kmeans" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1277,6 +1283,7 @@ object SparkEntry {
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
+    "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
     "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),
     "q_ann_kmeans" -> OracleOps.kmeans(4, 2),
     "q_ann_ivf_kmeans" -> OracleOps.ivfKmeans(Seq(0L, 1L, 2L), 10, 2, 4, 2),

@@ -63,6 +63,27 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == labels, "fixed seed + fixed iterations must be deterministic")
   }
 
+  test("PQ ADC: exact self-distance to codebook seeds, cluster recall, determinism") {
+    // 8-dim vectors, m=2 subvectors of 4 dims; two planted clusters far
+    // apart so even lossy codes must keep top-1 inside the cluster
+    val emb = (0 until 16).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 1f, 0f, 0f, 1f, 1f, 0f, 0f)
+                 else Array(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f)
+      (i.toLong, base.zipWithIndex.map { case (v, p) => v + 0.01f * i * (p % 3) })
+    }.toDF("vec_id", "embedding")
+    def run() = graft.ops.Similarity.pqTopK(emb, Seq(4L, 5L), k = 3,
+      m = 2, codebookSize = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = run()
+    assert(got == run(), "PQ must be deterministic")
+    // top-1 neighbor of each query stays in the query's planted cluster
+    got.filter(_._2 == 1).foreach { case (q, _, n, _) =>
+      assert(q % 2 == n % 2, s"query $q top-1 crossed clusters to $n") }
+    // guards
+    intercept[IllegalArgumentException](
+      graft.ops.Similarity.pqTopK(emb, Seq(0L), k = 3, m = 3)) // 8 % 3 != 0
+  }
+
   test("cosinePairs ≡ brute force at the near-dup threshold") {
     val got = Similarity.cosinePairs(df, tau).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
