@@ -1086,6 +1086,39 @@ object SparkEntry {
     "q_streaming_topk" -> ((s, dir) =>
       graft.index.SegmentedIndex.search(s, streamedIndex(s, dir), DisjQueries,
         cfg = BuildIndexJob.Config(numShards = 8))),
+    // flatMapGroupsWithState keyed dedup: three REDELIVERING micro-batches
+    // (each resends part of the previous) collapse to exactly one row per
+    // key — the custom-state streaming surface, verified against the
+    // distinct transcripts corpus
+    "q_streaming_dedup" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count()
+      val in = TempDirs.create("graft_sdin")
+      // overlapping slices: [0, n/2), [n/3, 5n/6), [2n/3, n) — every doc
+      // delivered once or twice across batches
+      Seq((0L, n / 2), (n / 3, 5 * n / 6), (2 * n / 3, n)).zipWithIndex
+        .foreach { case ((lo, hi), i) =>
+          graft.sources.Fs.writeFlatParquet(
+            Transcripts.fromDocumentsDf(
+              d.where(col("doc_id") >= lo && col("doc_id") < hi)),
+            s"$in/batch$i.parquet")
+        }
+      val stream = s.readStream
+        .schema(graft.streaming.StreamingIngest.transcriptSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .where(col("text").isNotNull && length(col("text")) > 0)
+      val qn = s"sdedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.StreamingIngest.dedupTurns(stream)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", TempDirs.create("graft_sdckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          graft.analysis.Analyzer.docLen(col("text")).as("dl"))
+        .orderBy("conv_id", "turn_idx")
+    }),
     // Block-max WAND over the SEGMENTED index: top-k-pruned traversal with
     // metadata-derived live df, corrected block maxes, and θ seeds — the
     // scale path for hot-term disjunctive queries between compactions
@@ -1394,6 +1427,13 @@ object SparkEntry {
     "q_posting_agg" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
+    // redelivered keys collapse to the corpus's one row per key; keys are
+    // unique in the transcripts view, so the twin is the plain corpus
+    "q_streaming_dedup" ->
+      s"""SELECT conv_id, turn_idx, role, tool,
+         |       ${graft.analysis.Analyzer.sqlDocLen("text")} AS dl
+         |FROM (${Oracle.transcriptsSql})
+         |ORDER BY conv_id, turn_idx""".stripMargin,
     "q_delete_by_query" -> Oracle.bm25TopKKeysExcluding(DisjQueries, 10, "dup"),
     "q_bm25_wand_segmented" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     "q_bm25_synonyms_segmented" ->

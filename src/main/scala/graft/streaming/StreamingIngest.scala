@@ -78,6 +78,45 @@ object StreamingIngest {
       .start()
   }
 
+  /** One transcript turn — the typed row for the keyed-state dedup
+    * (Spark needs a case-class Encoder for flatMapGroupsWithState). */
+  final case class Turn(conv_id: String, turn_idx: Int, role: String,
+                        text: String, tool: String, ts: java.sql.Timestamp)
+
+  /** CROSS-micro-batch exact DEDUP with custom keyed state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState` — the arbitrary-
+    * state streaming surface): an at-least-once upstream (Kafka
+    * redelivery, file-source replays, overlapping extracts) becomes
+    * exactly-one-row-per-(conv_id, turn_idx) downstream. The state per
+    * key is a single Boolean ("seen"); the FIRST occurrence passes,
+    * every later redelivery — in the same micro-batch or any later
+    * one — drops. Within one micro-batch a multiply-delivered key emits
+    * its (role, text, tool)-least row (iterator order is not
+    * deterministic across retries; the min is — pinned).
+    *
+    * Scale shape: keyed state lives in the executor-sharded state store
+    * (one Boolean per distinct key; at 10^12 keys configure the RocksDB
+    * state store provider — the HDFS-backed default keeps state on-heap).
+    * No timeout is set: dedup state is permanent by definition; a
+    * deployment that can bound redelivery lag should add a watermark +
+    * `GroupStateTimeout.EventTimeTimeout` to reclaim state for keys past
+    * the lag bound (the standard trade, noted not defaulted). Append
+    * output mode — emitted rows are final. */
+  def dedupTurns(stream: DataFrame): org.apache.spark.sql.Dataset[Turn] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    stream.as[Turn]
+      .groupByKey(t => (t.conv_id, t.turn_idx))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (String, Int), rows: Iterator[Turn], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(t => (t.role, t.text, t.tool)))
+          })
+  }
+
   /** Streaming diagnostics: per-minute turn counts by role with a
     * watermark (late rows beyond 2 minutes are dropped and accounted by
     * the lineage of the NEXT batch, not silently lost at merge — they

@@ -89,6 +89,47 @@ class StreamingSpec extends SparkSpec {
     assert(segResults(root) == rebuildExpected(Transcripts.synthetic(spark, 40)))
   }
 
+  test("flatMapGroupsWithState dedup: redeliveries across AND within batches drop") {
+    val in = tmp()
+    val all = Transcripts.synthetic(spark, 20).cache()
+    // batch 0: convs < 15; batch 1: convs >= 10 (5 convs redelivered)
+    // PLUS a within-batch duplicate of one known key with altered text —
+    // the (role, text, tool)-least row must win deterministically
+    writeFlat(all.where($"conv_id" < "conv00000015"), s"$in/b0.parquet")
+    // (conv00000016, 0) is NEW in batch 1 and delivered twice there
+    val dupKey = all.where($"conv_id" === "conv00000016" && $"turn_idx" === 0)
+    writeFlat(all.where($"conv_id" >= "conv00000010")
+      .unionByName(dupKey.withColumn("text", lit("aaa duplicate"))),
+      s"$in/b1.parquet")
+    val stream = spark.readStream.schema(StreamingIngest.transcriptSchema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamingIngest.dedupTurns(stream).writeStream
+      .format("memory").queryName("sdedup").outputMode("append")
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("sdedup").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(3))).toSeq
+    val keys = got.map(_._1)
+    assert(keys.distinct.size == keys.size, "every key must emit exactly once")
+    assert(keys.toSet == all.select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet,
+      "emitted key set ≡ the distinct corpus keys")
+    // cross-batch redelivery: a batch-0 key resent in batch 1 keeps its
+    // first-batch row (state already set)
+    val k12 = got.find(_._1 == ("conv00000012", 0)).get._2
+    val orig12 = all.where($"conv_id" === "conv00000012" && $"turn_idx" === 0)
+      .select("text").head().getString(0)
+    assert(k12 == orig12, "cross-batch redelivery must keep the first row")
+    // within-batch duplicate: (conv00000016, 0) arrives twice in batch 1;
+    // the (role, text, tool)-least row wins — "aaa duplicate" sorts first
+    val k16 = got.find(_._1 == ("conv00000016", 0)).get._2
+    assert(k16 == "aaa duplicate",
+      s"within-batch duplicate must resolve to the least row (got '$k16')")
+    all.unpersist()
+  }
+
   test("watermarked per-minute turn rates over a bounded stream") {
     val in = tmp()
     writeFlat(Transcripts.synthetic(spark, 30), s"$in/f.parquet")
