@@ -434,43 +434,110 @@ object OracleOps {
     * squared-L2 fold spells the engine's zip_with+aggregate tree
     * (0.0 + v₁ ≡ v₁), and ds derives from len(e) in-query so the SQL is
     * data-independent. */
-  def pqTopK(queryIds: Seq[Long], k: Int, m: Int, codebookSize: Int,
-             iters: Int): String = {
-    def l2(a: String, b: String) =
-      s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+  private def l2Sql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** Unrolled PQ train+encode chain over an existing `subs(vec_id, j,
+    * sub)` CTE — CTE names carry `pfx` so the chain composes with the
+    * coarse-quantizer chain ([[kmeansChain]]) without collisions.
+    * Returns (CTEs, final-assignment name, final-codebook name). */
+  private def pqSteps(codebookSize: Int, iters: Int,
+                      pfx: String): (String, String, String) = {
     def assignCte(name: String, cent: String) =
       s"""$name AS (SELECT vec_id, j, label, sub FROM (
          |    SELECT s.vec_id, s.j, c.label, s.sub,
          |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
-         |        round(${l2("s.sub", "c.c")}, 9) ASC, c.label ASC) AS r
+         |        round(${l2Sql("s.sub", "c.c")}, 9) ASC, c.label ASC) AS r
          |    FROM subs s JOIN $cent c USING (j)) WHERE r = 1)""".stripMargin
-    val head =
-      s"""kemb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |js AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS j),
-         |subs AS (SELECT vec_id, j,
-         |    list_slice(e, j * (len(e) // $m) + 1, j * (len(e) // $m) + (len(e) // $m)) AS sub
-         |  FROM kemb CROSS JOIN js),
-         |c0 AS (SELECT j, CAST(vec_id AS INT) AS label, sub AS c
+    val init =
+      s"""${pfx}c0 AS (SELECT j, CAST(vec_id AS INT) AS label, sub AS c
          |  FROM subs WHERE vec_id < $codebookSize)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""${assignCte(s"a$i", s"c${i - 1}")},
-         |u$i AS (SELECT j, label, list(cv ORDER BY pos) AS c FROM (
+      s"""${assignCte(s"${pfx}a$i", s"${pfx}c${i - 1}")},
+         |${pfx}u$i AS (SELECT j, label, list(cv ORDER BY pos) AS c FROM (
          |    SELECT j, label, pos, round(avg(v), 6) AS cv FROM (
-         |      SELECT j, label, unnest(sub) AS v, generate_subscripts(sub, 1) AS pos FROM a$i)
+         |      SELECT j, label, unnest(sub) AS v, generate_subscripts(sub, 1) AS pos FROM ${pfx}a$i)
          |    GROUP BY j, label, pos) GROUP BY j, label),
-         |c$i AS (SELECT p.j, p.label, COALESCE(u.c, p.c) AS c
-         |  FROM c${i - 1} p LEFT JOIN u$i u USING (j, label))""".stripMargin
+         |${pfx}c$i AS (SELECT p.j, p.label, COALESCE(u.c, p.c) AS c
+         |  FROM ${pfx}c${i - 1} p LEFT JOIN ${pfx}u$i u USING (j, label))""".stripMargin
     }
-    val fin = assignCte("afin", s"c$iters")
-    s"""WITH ${(head +: steps :+ fin).mkString(",\n")},
-       |tbl AS (SELECT q.query_vec, c.j, c.label AS code, ${l2("q.qsub", "c.c")} AS part
+    val fin = assignCte(s"${pfx}afin", s"${pfx}c$iters")
+    ((init +: steps :+ fin).mkString(",\n"), s"${pfx}afin", s"${pfx}c$iters")
+  }
+
+  def pqTopK(queryIds: Seq[Long], k: Int, m: Int, codebookSize: Int,
+             iters: Int): String = {
+    val (chain, afin, cbFin) = pqSteps(codebookSize, iters, "")
+    s"""WITH kemb AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |js AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS j),
+       |subs AS (SELECT vec_id, j,
+       |    list_slice(e, j * (len(e) // $m) + 1, j * (len(e) // $m) + (len(e) // $m)) AS sub
+       |  FROM kemb CROSS JOIN js),
+       |$chain,
+       |tbl AS (SELECT q.query_vec, c.j, c.label AS code, ${l2Sql("q.qsub", "c.c")} AS part
        |  FROM (SELECT vec_id AS query_vec, j, sub AS qsub FROM subs
        |        WHERE vec_id IN (${queryIds.mkString(", ")})) q
-       |  JOIN c$iters c USING (j)),
+       |  JOIN $cbFin c ON q.j = c.j),
        |scored AS (SELECT t.query_vec, a.vec_id, sum(t.part) AS d
-       |  FROM afin a JOIN tbl t ON a.j = t.j AND a.label = t.code
+       |  FROM $afin a JOIN tbl t ON a.j = t.j AND a.label = t.code
        |  WHERE a.vec_id <> t.query_vec GROUP BY 1, 2)
+       |SELECT query_vec, CAST(rnk AS INT) AS "rank", vec_id, round(d, 4) AS adist FROM (
+       |  SELECT query_vec, vec_id, d,
+       |    row_number() OVER (PARTITION BY query_vec
+       |                       ORDER BY round(d, 9) ASC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $k
+       |ORDER BY query_vec, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.ops.Similarity.ivfPqTopK]] — the coarse
+    * [[kmeansChain]] (same CTEs as the IVF twins), 6-decimal-rounded
+    * serving centroids, residual subvectors, the prefixed [[pqSteps]]
+    * chain on residuals, cosine probes (dot / (‖q‖·‖c‖) in the engine's
+    * association), per-(query, probed-cluster) residual ADC tables, and
+    * cluster-scoped code lookups. */
+  def ivfPqTopK(queryIds: Seq[Long], k: Int, clusters: Int, nProbe: Int,
+                m: Int, codebookSize: Int, iters: Int): String = {
+    val (kc, kfin) = kmeansChain(clusters, iters)
+    val (chain, pafin, cbFin) = pqSteps(codebookSize, iters, "p")
+    val ids = queryIds.mkString(", ")
+    def norm(x: String) =
+      s"sqrt(list_reduce(list_transform($x, v -> v * v), (a, b) -> a + b))"
+    val dotQC =
+      s"list_reduce(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * r.c[i]), (x, y) -> x + y)"
+    s"""WITH $kc,
+       |rcent AS (SELECT label, list(cv ORDER BY pos) AS c FROM (
+       |    SELECT label, pos, round(avg(v), 6) AS cv FROM (
+       |      SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM $kfin)
+       |    GROUP BY label, pos) GROUP BY label),
+       |res AS (SELECT a.vec_id, a.label AS clab,
+       |    list_transform(range(1, len(a.e) + 1), i -> a.e[i] - r.c[i]) AS rv
+       |  FROM $kfin a JOIN rcent r USING (label)),
+       |js AS (SELECT CAST(unnest(range(0, $m)) AS INT) AS j),
+       |subs AS (SELECT vec_id, clab, j,
+       |    list_slice(rv, j * (len(rv) // $m) + 1, j * (len(rv) // $m) + (len(rv) // $m)) AS sub
+       |  FROM res CROSS JOIN js),
+       |$chain,
+       |enc AS (SELECT a.vec_id, a.j, a.label AS code, s.clab
+       |  FROM $pafin a JOIN (SELECT DISTINCT vec_id, clab FROM subs) s USING (vec_id)),
+       |probes AS (SELECT query_vec, clab, qe, centroid FROM (
+       |    SELECT q.vec_id AS query_vec, q.e AS qe, r.label AS clab, r.c AS centroid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round($dotQC / (${norm("q.e")} * ${norm("r.c")}), 9) DESC,
+       |        r.label ASC) AS pr
+       |    FROM kemb q CROSS JOIN rcent r WHERE q.vec_id IN ($ids))
+       |  WHERE pr <= $nProbe),
+       |qsubs AS (SELECT query_vec, clab, j,
+       |    list_slice(rv, j * (len(rv) // $m) + 1, j * (len(rv) // $m) + (len(rv) // $m)) AS qsub
+       |  FROM (SELECT query_vec, clab,
+       |          list_transform(range(1, len(qe) + 1), i -> qe[i] - centroid[i]) AS rv
+       |        FROM probes) CROSS JOIN js),
+       |tbl AS (SELECT s.query_vec, s.clab, c.j, c.label AS code,
+       |               ${l2Sql("s.qsub", "c.c")} AS part
+       |  FROM qsubs s JOIN $cbFin c ON s.j = c.j),
+       |scored AS (SELECT t.query_vec, e2.vec_id, sum(t.part) AS d
+       |  FROM enc e2 JOIN tbl t ON e2.clab = t.clab AND e2.j = t.j AND e2.code = t.code
+       |  WHERE e2.vec_id <> t.query_vec GROUP BY 1, 2)
        |SELECT query_vec, CAST(rnk AS INT) AS "rank", vec_id, round(d, 4) AS adist FROM (
        |  SELECT query_vec, vec_id, d,
        |    row_number() OVER (PARTITION BY query_vec

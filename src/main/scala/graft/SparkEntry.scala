@@ -682,6 +682,12 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) => Similarity.pqTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10,
       m = 8, codebookSize = 16, iters = 2)),
+    // IVF-PQ (FAISS IndexIVFPQ shape): coarse quantizer routes vectors to
+    // clusters, PQ codebooks train on RESIDUALS, serving probes nProbe
+    // clusters and ADCs the query's own residual — prune × byte-diet
+    "q_ann_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10,
+      clusters = 4, nProbe = 2, m = 8, codebookSize = 16, iters = 2)),
     // the serving path over its own trained labels — self-contained ANN
     "q_ann_ivf_kmeans" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1317,6 +1323,7 @@ object SparkEntry {
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
+    "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),
     "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),
     "q_ann_kmeans" -> OracleOps.kmeans(4, 2),
     "q_ann_ivf_kmeans" -> OracleOps.ivfKmeans(Seq(0L, 1L, 2L), 10, 2, 4, 2),

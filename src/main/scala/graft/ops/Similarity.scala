@@ -311,6 +311,51 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Nearest-codebook-cell assignment over a (vec_id, j, sub) relation:
+    * L2² against the broadcast codebook, round(dist², 9) ASC /
+    * lowest-label ties — the shared PQ primitive ([[pqTopK]] flat
+    * vectors, [[ivfPqTopK]] residuals). */
+  private def pqAssign(subs: DataFrame,
+                       cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    val cdf = cb.toDF("j", "label", "c")
+    val w = Window.partitionBy("vec_id", "j")
+      .orderBy(round(col("_d"), 9).asc, col("label").asc)
+    subs.join(broadcast(cdf), Seq("j"))
+      .withColumn("_d", l2sq(col("sub"), col("c")))
+      .withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+      .select(col("vec_id"), col("j"), col("label"), col("sub"))
+  }
+
+  /** PQ codebook training (the pinned per-subvector Lloyd's): init from
+    * vec_id < codebookSize slices, fixed iterations, means rounded to 6
+    * decimals, empty cells keep their centroid. Driver state:
+    * m × codebookSize × ds doubles. */
+  private def pqTrain(subs: DataFrame, codebookSize: Int,
+                      iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val spark = subs.sparkSession
+    import spark.implicits._
+    var code: Seq[(Int, Int, Seq[Double])] = subs
+      .where(col("vec_id") < codebookSize)
+      .select(col("j"), col("vec_id").cast("int").as("label"), col("sub"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .toSeq.sortBy(t => (t._1, t._2))
+    require(code.nonEmpty, "PQ needs seed vectors with vec_id < codebookSize")
+    for (_ <- 1 to iters) {
+      val upd = pqAssign(subs, code)
+        .select(col("j"), col("label"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy("j", "label", "pos").agg(round(avg(col("v")), 6).as("cv"))
+        .groupBy("j", "label")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq)).toMap
+      code = code.map { case (j, l, old) => (j, l, upd.getOrElse((j, l), old)) }
+    }
+    code
+  }
+
   /** PRODUCT QUANTIZATION ANN (Jégou, Douze & Schmid, TPAMI 2011 [PUB]) —
     * the memory-bound scale path IVF alone doesn't cover: each vector is
     * split into `m` subvectors, each subvector quantized against its own
@@ -354,34 +399,8 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("int").as("j"), col("col").as("sub"))
       .cache()
     try {
-      // init: codebook cell (j, label) = vec_id `label`'s j-th slice
-      var code: Seq[(Int, Int, Seq[Double])] = subs
-        .where(col("vec_id") < codebookSize)
-        .select(col("j"), col("vec_id").cast("int").as("label"), col("sub"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
-        .toSeq.sortBy(t => (t._1, t._2))
-      require(code.nonEmpty, "PQ needs seed vectors with vec_id < codebookSize")
-      def assign(cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
-        val cdf = cb.toDF("j", "label", "c")
-        val w = Window.partitionBy("vec_id", "j")
-          .orderBy(round(col("_d"), 9).asc, col("label").asc)
-        subs.join(broadcast(cdf), Seq("j"))
-          .withColumn("_d", l2sq(col("sub"), col("c")))
-          .withColumn("_r", row_number().over(w)).where(col("_r") === 1)
-          .select(col("vec_id"), col("j"), col("label"), col("sub"))
-      }
-      for (_ <- 1 to iters) {
-        val upd = assign(code)
-          .select(col("j"), col("label"), posexplode(col("sub")).as(Seq("pos", "v")))
-          .groupBy("j", "label", "pos").agg(round(avg(col("v")), 6).as("cv"))
-          .groupBy("j", "label")
-          .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
-            x => x.getField("cv")).as("c"))
-          .collect()
-          .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq)).toMap
-        code = code.map { case (j, l, old) => (j, l, upd.getOrElse((j, l), old)) }
-      }
-      val enc = assign(code).select(col("vec_id"), col("j"),
+      val code = pqTrain(subs, codebookSize, iters)
+      val enc = pqAssign(subs, code).select(col("vec_id"), col("j"),
         col("label").as("code")) // the compressed corpus: m codes per vector
       val cdf = code.toDF("j", "label", "c")
       val table = subs.where(col("vec_id").isin(queryIds: _*))
@@ -400,6 +419,104 @@ object Similarity {
           col("vec_id"), round(col("_d"), 4).as("adist"))
         .orderBy("query_vec", "rank")
       // ≤ |queries|·k rows — localize so the subs cache can drop
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally subs.unpersist()
+  }
+
+  /** IVF-PQ — the full published ANN pipeline (Jégou et al. 2011 §IV;
+    * FAISS's IndexIVFPQ layout [PUB]): a coarse quantizer
+    * ([[kmeansLabels]], `clusters` cells) routes each vector to a
+    * cluster; PQ codebooks are trained on the RESIDUALS e − centroid
+    * (residuals are smaller and near-centered, so the same codebook
+    * budget quantizes them far better than raw vectors — the published
+    * reason for the composition); serving probes the `nProbe` clusters
+    * whose centroids are cosine-closest to the query and runs ADC with
+    * the QUERY'S OWN residual against each probed cluster's centroid.
+    *
+    * Pinned cross-engine choices: serving/residual centroids are the
+    * per-coordinate means of the final assignment ROUNDED to 6 decimals
+    * (both engines; unrounded means would differ in FP sum order and
+    * poison every residual), probe ranking on round(cos, 9) DESC /
+    * lowest-label, distances on round(dist², 9) ASC / vec_id ASC.
+    *
+    * Scale shape: centroids + codebook are driver/broadcast state
+    * (clusters×d + m×codebookSize×ds doubles); the corpus is touched as
+    * (vec_id, cluster, j, code) rows only; with cluster-partitioned
+    * storage the probe becomes partition pruning and the ADC scan reads
+    * nProbe/clusters of the corpus — the IVF prune and the PQ byte diet
+    * compose. Output (query_vec, rank, vec_id, adist) — approximate by
+    * design, exact vs the oracle's identical chain. */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+                clusters: Int = 4, nProbe: Int = 2, m: Int = 8,
+                codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(nProbe > 0 && nProbe <= clusters,
+      s"nProbe must be in [1, clusters] (got $nProbe, clusters=$clusters)")
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val dim = e.select(size(col("e"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val ds = dim / m
+    val labels = kmeansLabels(embeddings, clusters, iters)
+    val labeled = e.join(labels, "vec_id")
+    // serving centroids: 6-decimal-rounded means of the final assignment
+    // (driver state: clusters × dim doubles)
+    val cent: Seq[(Int, Seq[Double])] = labeled
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+      .sortBy(_._1)
+    val centDf = cent.toDF("label", "centroid")
+    def slices(v: Column): Column =
+      transform(sequence(lit(0), lit(m - 1)), j => slice(v, j * ds + 1, lit(ds)))
+    // residual subvectors, cluster carried: (vec_id, clab, j, sub)
+    val subs = labeled.join(broadcast(centDf), "label")
+      .select(col("vec_id"), col("label").as("clab"), posexplode(
+        slices(zip_with(col("e"), col("centroid"), (a, b) => a - b))))
+      .select(col("vec_id"), col("clab"),
+        col("pos").cast("int").as("j"), col("col").as("sub"))
+      .cache()
+    try {
+      val code = pqTrain(subs.select("vec_id", "j", "sub"), codebookSize, iters)
+      val enc = pqAssign(subs.select("vec_id", "j", "sub"), code)
+        .select(col("vec_id"), col("j"), col("label").as("code"))
+        .join(subs.select("vec_id", "clab").distinct(), "vec_id")
+      // probe: nProbe cosine-closest serving centroids per query
+      val q = e.where(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_vec"), col("e").as("qe"))
+      val pw = Window.partitionBy("query_vec")
+        .orderBy(round(col("_cs"), 9).desc, col("label").asc)
+      val probes = q.crossJoin(broadcast(centDf))
+        .withColumn("_cs", cosine(col("qe"), col("centroid")))
+        .withColumn("_r", row_number().over(pw)).where(col("_r") <= nProbe)
+        .select(col("query_vec"), col("qe"), col("label").as("clab"),
+          col("centroid"))
+      // per-(query, probed cluster) residual slices → ADC distance table
+      val cdf = code.toDF("j", "label", "c")
+      val table = probes
+        .select(col("query_vec"), col("clab"), posexplode(
+          slices(zip_with(col("qe"), col("centroid"), (a, b) => a - b))))
+        .select(col("query_vec"), col("clab"),
+          col("pos").cast("int").as("j"), col("col").as("qsub"))
+        .join(broadcast(cdf), Seq("j"))
+        .withColumn("_part", l2sq(col("qsub"), col("c")))
+        .select(col("query_vec"), col("clab"), col("j"),
+          col("label").as("code"), col("_part"))
+      val scored = enc.join(broadcast(table), Seq("clab", "j", "code"))
+        .where(col("vec_id") =!= col("query_vec"))
+        .groupBy("query_vec", "vec_id").agg(sum(col("_part")).as("_d"))
+      val w = Window.partitionBy("query_vec")
+        .orderBy(round(col("_d"), 9).asc, col("vec_id").asc)
+      val out = scored.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("query_vec"), col("rank").cast("int").as("rank"),
+          col("vec_id"), round(col("_d"), 4).as("adist"))
+        .orderBy("query_vec", "rank")
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally subs.unpersist()

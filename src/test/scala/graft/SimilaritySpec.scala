@@ -84,6 +84,28 @@ class SimilaritySpec extends SparkSpec {
       graft.ops.Similarity.pqTopK(emb, Seq(0L), k = 3, m = 3)) // 8 % 3 != 0
   }
 
+  test("IVF-PQ: nProbe=1 confines candidates to the query's cluster; deterministic") {
+    // two planted clusters; seeds 0,1 in opposite clusters so the coarse
+    // quantizer separates them (kmeans seed semantics)
+    val emb = (0 until 16).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 1f, 0f, 0f, 1f, 1f, 0f, 0f)
+                 else Array(0f, 0f, 1f, 1f, 0f, 0f, 1f, 1f)
+      (i.toLong, base.zipWithIndex.map { case (v, p) => v + 0.01f * i * (p % 3) })
+    }.toDF("vec_id", "embedding")
+    def run() = graft.ops.Similarity.ivfPqTopK(emb, Seq(2L, 3L), k = 5,
+      clusters = 2, nProbe = 1, m = 2, codebookSize = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = run()
+    assert(got == run(), "IVF-PQ must be deterministic")
+    assert(got.nonEmpty)
+    // with one probed cluster, every candidate shares the query's parity
+    // (the planted cluster identity) — the IVF prune is structural
+    got.foreach { case (q, _, n, _) =>
+      assert(q % 2 == n % 2, s"nProbe=1 leaked $n into query $q's results") }
+    intercept[IllegalArgumentException](graft.ops.Similarity.ivfPqTopK(
+      emb, Seq(0L), k = 3, clusters = 2, nProbe = 3)) // nProbe > clusters
+  }
+
   test("cosinePairs ≡ brute force at the near-dup threshold") {
     val got = Similarity.cosinePairs(df, tau).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
