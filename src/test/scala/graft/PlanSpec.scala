@@ -163,4 +163,41 @@ class PlanSpec extends SparkSpec {
       .exists(l => l.contains("ReadSchema") && l.contains("text"))
     assert(!textRead, s"/export read text outside its fl list:\n$plan")
   }
+
+  test("chunking plans generate-only (no aggregate/join); scan pruned") {
+    val docs = spark.read.parquet(s"$root/docs")
+      .select(col("doc_id"), col("text"))
+    // the only exchange allowed is the output-presentation sort; the
+    // generator pipeline itself must contain no aggregate or join
+    val df = graft.ops.TextOps.chunks(docs, 8, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"),
+      s"chunking should be generate-only:\n$plan")
+    val readLine = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readLine.contains("conv_id") && !readLine.contains("role"),
+      s"chunk scan reads more than doc_id+text: $readLine")
+  }
+
+  test("decontamination broadcasts the eval-set gram side") {
+    val docs = spark.read.parquet(s"$root/docs").select("doc_id", "text")
+    val df = graft.ops.TextOps.decontaminate(docs,
+      docs.where(col("doc_id") % 97 === 0), 3)
+    assert(df.where(col("contaminated")).count() > 0, "vacuous: no hits")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams not broadcast:\n$plan")
+  }
+
+  test("synonym expansion broadcasts the class tables; postings stay shard-pruned") {
+    val idx = IndexSearch.open(spark, root)
+    val df = graft.search.Synonyms.searchIndex(idx, Seq(1 -> "w1"),
+      Seq(Seq("w1", "w2")))
+    assert(df.count() > 0, "vacuous: no synonym hits")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"synonym class/df tables not broadcast:\n$plan")
+    val pruned = plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("shard"))
+    assert(pruned, s"posting scan not shard-pruned under synonyms:\n$plan")
+  }
 }
