@@ -1427,6 +1427,49 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchChildren]] ({!child}):
+    * the [[bm25Parents]] chain's top-k parents joined back to every
+    * child turn, children carrying the parent's score and rank. */
+  def bm25Children(queries: Seq[(Int, String)], k: Int,
+                   mode: String, parentField: String = "conv_id"): String = {
+    val aggSql = mode match {
+      case "total" => "sum(score)"
+      case "max" => "max(score)"
+      case "avg" => "sum(score) / count(*)"
+      case other => throw new IllegalArgumentException(
+        s"block join score mode must be total|max|avg, got '$other'")
+    }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |par AS (SELECT query_id, CAST($parentField AS VARCHAR) AS parent,
+       |               $aggSql AS score
+       |        FROM scored JOIN corpus USING (doc_id)
+       |        WHERE $parentField IS NOT NULL
+       |        GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY round(score, 7) DESC, parent ASC) AS rnk FROM par)
+       |SELECT r.query_id, CAST(r.rnk AS INT) AS parent_rank, r.parent,
+       |       c.turn_idx, c.role, round(r.score, 4) AS score
+       |FROM ranked r JOIN corpus c ON CAST(c.$parentField AS VARCHAR) = r.parent
+       |WHERE r.rnk <= $k
+       |ORDER BY r.query_id, r.rnk, c.turn_idx""".stripMargin
+  }
+
+  /** Twin of [[graft.search.IndexSearch.matchAll]] (q=*:* + fq + sort +
+    * rows): no scoring, filtered live docs in stored-field order with the
+    * doc_id tie-break, LIMIT k — the row set is deterministic, no rank. */
+  def matchAllSorted(filterSql: String, orderSql: String, k: Int,
+                     fl: Seq[String]): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |attrs AS (SELECT corpus.*, dl.dl AS dl
+       |          FROM corpus JOIN dl USING (doc_id))
+       |SELECT doc_id, ${fl.mkString(", ")} FROM attrs
+       |WHERE $filterSql
+       |ORDER BY $orderSql, doc_id ASC LIMIT $k""".stripMargin
+
   /** Twin of [[graft.search.Facets.json]] (the JSON Facet API gate):
     * parent terms buckets with metrics + nested child buckets, both
     * ranked (count DESC, value ASC) and limited; metric SQL is rendered

@@ -855,6 +855,18 @@ object SparkEntry {
         "conv_id", "conv_id", k = 10)),
     // Solr {!parent} block join, score=total: top conversations by the
     // SUM of their matching turns' BM25 scores
+    // {!child of=...}: every turn of each top-k matched conversation,
+    // children carrying the parent's block-join score and rank
+    "q_bm25_children" -> ((s, dir) =>
+      IndexSearch.searchChildren(indexFor(s, dir), DisjQueries,
+        graft.search.BlockJoin.Max, 5)),
+    // q=*:* + fq + sort + rows: the scoreless filter-browse request —
+    // TakeOrderedAndProject over the pruned attribute scan
+    "q_match_all" -> ((s, dir) =>
+      IndexSearch.matchAll(indexFor(s, dir),
+        graft.search.FilterQuery.parse("role:user") &&
+          graft.search.FilterQuery.parse("dl:[5 TO *]"),
+        Seq(col("dl").desc), 20, Seq("role", "dl"))),
     "q_bm25_parent" -> ((s, dir) =>
       IndexSearch.searchParents(indexFor(s, dir), DisjQueries,
         graft.search.BlockJoin.Total, k = 10)),
@@ -1342,6 +1354,9 @@ object SparkEntry {
     "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
     "q_facet_json" -> Oracle.facetJson(DisjQueries, "role", "tool", 2, 2,
       JsonFacetMetrics),
+    "q_bm25_children" -> Oracle.bm25Children(DisjQueries, 5, "max"),
+    "q_match_all" -> Oracle.matchAllSorted(
+      "role = 'user' AND dl >= 5", "dl DESC", 20, Seq("role", "dl")),
     "q_bm25_parent" -> Oracle.bm25Parents(DisjQueries, 10, "total"),
     "q_bm25_parent_avg" -> Oracle.bm25Parents(DisjQueries, 10, "avg"),
     "q_bm25_parent_segmented" -> Oracle.bm25Parents(DisjQueries, 10, "total"),

@@ -65,4 +65,29 @@ object BlockJoin {
         col("n_children"), round(col("_score"), Bm25.OutScale).as("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** `{!child of=…}` — ToChildBlockJoinQuery: the inner query selects
+    * PARENTS (via [[parents]]' aggregate semantics), and the result is
+    * every child document of each top-k matched parent, carrying the
+    * parent's block-join score and rank (Lucene scores each child with
+    * its parent's score — pinned here too). `childAttrs` is the
+    * column-pruned child attribute relation keyed by `parentField`;
+    * output (query_id, parent_rank, parent, child attrs…, score) ordered
+    * (query_id, parent_rank, childOrder). The ≤ |queries|·k parent frame
+    * broadcasts against the child side — children are never scanned per
+    * query, once per request. */
+  def children(scored: DataFrame, attrs: DataFrame, parentField: String,
+               mode: ScoreMode, k: Int, childCols: Seq[String],
+               childOrder: Seq[String]): DataFrame = {
+    val ps = parents(scored, attrs, parentField, mode, k)
+      .select(col("query_id"), col("rank").as("parent_rank"),
+        col("parent"), col("score"))
+    broadcast(ps)
+      .join(attrs.select(col(parentField).cast("string").as("parent") +:
+        childCols.map(col): _*), "parent")
+      .select(Seq(col("query_id"), col("parent_rank"), col("parent")) ++
+        childCols.map(col) :+ col("score"): _*)
+      .orderBy(Seq(col("query_id"), col("parent_rank")) ++
+        childOrder.map(col): _*)
+  }
 }

@@ -982,6 +982,33 @@ object IndexSearch {
       facetAttrs(idx), parentField, mode, k)
   }
 
+  /** Solr `{!child of=…}` block join over the persisted index
+    * ([[BlockJoin.children]] semantics): every turn of each top-k
+    * matched conversation, carrying the parent's score and rank. */
+  def searchChildren(idx: OpenIndex, queries: Seq[(Int, String)],
+                     mode: BlockJoin.ScoreMode, k: Int = 10,
+                     parentField: String = "conv_id"): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    BlockJoin.children(scoredDocs(idx, qt, conjunctive = false),
+      facetAttrs(idx), parentField, mode, k,
+      childCols = Seq("turn_idx", "role"), childOrder = Seq("turn_idx"))
+  }
+
+  /** Solr `q=*:*` (match-all) with fq + sort + rows — the filter-browse
+    * request every Solr UI issues constantly: no scoring, the LIVE doc
+    * set filtered by `filter`, ordered by the stored-field sort with the
+    * pinned doc_id ASC tie-break, truncated to `k`. Plans as
+    * TakeOrderedAndProject (the W3 no-full-sort shape) over the
+    * column-pruned attribute scan; the output row SET is deterministic
+    * (the sort key is total), so no rank column is needed. */
+  def matchAll(idx: OpenIndex, filter: Column, sortCols: Seq[Column],
+               k: Int, fl: Seq[String]): DataFrame = {
+    require(k > 0, s"rows must be positive (got $k)")
+    facetAttrs(idx).where(filter)
+      .orderBy(sortCols :+ col("doc_id").asc: _*).limit(k)
+      .select(col("doc_id") +: fl.map(col): _*)
+  }
+
   /** Solr result grouping / field collapsing over the persisted index
     * ([[Grouping.topGroups]] semantics): top-`kGroups` groups of each
     * query's disjunctive match set by best-doc score, `groupLimit` docs
