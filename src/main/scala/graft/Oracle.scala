@@ -46,6 +46,46 @@ object Oracle {
 
   val documentsCorpus = "SELECT doc_id, text FROM documents"
 
+  /** Documents corpus with deterministic accent injection (docs ≡ 0 mod 5
+    * carry á/é/í/ó) then [[graft.analysis.Analyzer.sqlFoldAscii]] — the
+    * ASCIIFoldingFilter gate's corpus: folding must round-trip the
+    * injected accents back to the base vocabulary. */
+  def foldedDocumentsCorpus: String =
+    s"""SELECT doc_id, ${Analyzer.sqlFoldAscii("text")} AS text FROM (
+       |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |           THEN translate(text, 'aeio', 'áéíó') ELSE text END AS text
+       |  FROM documents)""".stripMargin
+
+  /** Documents corpus with deterministic plural injection (docs ≡ 0 mod 2
+    * pluralize table/join/row/filter) then
+    * [[graft.analysis.Analyzer.sqlStemmedText]] — the
+    * EnglishMinimalStemFilter gate's corpus. */
+  def stemmedDocumentsCorpus: String =
+    s"""SELECT doc_id, ${Analyzer.sqlStemmedText("text")} AS text FROM (
+       |  SELECT doc_id, CASE WHEN doc_id % 2 = 0
+       |           THEN regexp_replace(text, '\\b(table|join|row|filter)\\b', '\\1s', 'g')
+       |           ELSE text END AS text
+       |  FROM documents)""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.packGreedy]]: the greedy in-order fold,
+    * walked turn-by-turn as a recursive CTE (rn links each turn to its
+    * predecessor's running bin/accumulator state). */
+  def packGreedy(budget: Int): String =
+    s"""WITH RECURSIVE t0 AS (
+       |  SELECT conv_id, turn_idx, ${Analyzer.sqlDocLen("text")} AS dl,
+       |         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+       |  FROM ($transcriptsSql)),
+       |packed AS (
+       |  SELECT conv_id, turn_idx, dl, rn, 0 AS bin, dl AS acc FROM t0 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.conv_id, t.turn_idx, t.dl, t.rn,
+       |         CASE WHEN p.acc > 0 AND p.acc + t.dl > $budget THEN p.bin + 1 ELSE p.bin END,
+       |         CASE WHEN p.acc > 0 AND p.acc + t.dl > $budget THEN t.dl ELSE p.acc + t.dl END
+       |  FROM packed p JOIN t0 t ON t.conv_id = p.conv_id AND t.rn = p.rn + 1)
+       |SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       |       CAST(dl AS INT) AS dl, CAST(bin AS INT) AS bin
+       |FROM packed ORDER BY conv_id, turn_idx""".stripMargin
+
   /** Transcripts derived from documents (twin of Transcripts.fromDocuments)
     * with the ingest filter applied, as a CTE body. */
   def transcriptsSql: String =

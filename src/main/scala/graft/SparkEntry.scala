@@ -27,6 +27,22 @@ object SparkEntry {
     7 -> "a a the",
     8 -> "vector stream")
 
+  /** Accented query set for the ASCIIFoldingFilter gate — folds onto real
+    * vocabulary terms, plus one ASCII control query. */
+  val FoldQueries: Seq[(Int, String)] = Seq(
+    1 -> "dáta slòw",
+    2 -> "fást scân mérge",
+    3 -> "véctor",
+    4 -> "window batch")
+
+  /** Plural query set for the EnglishMinimalStemFilter gate — stems onto
+    * real (and injected-plural) vocabulary, plus a no-stem control. */
+  val StemQueries: Seq[(Int, String)] = Seq(
+    1 -> "tables joins",
+    2 -> "rows filters",
+    3 -> "windows",
+    4 -> "spark merge")
+
   /** Synonym equivalence classes for the q_bm25_synonyms gate: classes
     * the DisjQueries vocabulary actually hits — query 1's "merge"
     * expands, query 6 maps BOTH "order" and "sort" to one class (the
@@ -592,6 +608,27 @@ object SparkEntry {
     // J3: conjunctive AND top-10
     "q_bm25_conj" -> ((s, dir) =>
       Search.searchCorpus(documents(s, dir), ConjQueries, conjunctive = true)),
+    // A-family: ASCIIFoldingFilter as a charFilter — deterministic accent
+    // injection (docs ≡ 0 mod 5), folded corpus + parse-time-folded
+    // accented queries land on the base vocabulary
+    "q_bm25_folded" -> ((s, dir) =>
+      Search.searchCorpus(
+        documents(s, dir).withColumn("text", Analyzer.foldAscii(
+          when(col("doc_id") % 5 === 0,
+            translate(col("text"), "aeio", "áéíó")).otherwise(col("text")))),
+        FoldQueries.map { case (id, q) => id -> Analyzer.foldAsciiString(q) })),
+    // A-family: EnglishMinimalStemFilter as a tokenFilter — injected
+    // plurals (docs ≡ 0 mod 2) and plural queries stem onto one term space
+    "q_bm25_stemmed" -> ((s, dir) =>
+      Search.searchCorpus(
+        documents(s, dir).withColumn("text", Analyzer.stemmedText(
+          when(col("doc_id") % 2 === 0, regexp_replace(col("text"),
+            "\\b(table|join|row|filter)\\b", "$1s")).otherwise(col("text")))),
+        StemQueries.map { case (id, q) => id -> Analyzer.stemString(q) })),
+    // LLM-pipeline: greedy context-window packing (inverse of q_chunks) —
+    // turns folded in order into ≤128-token training sequences per conv
+    "q_pack_context" -> ((s, dir) =>
+      TextOps.packGreedy(IndexBuild.ingest(Transcripts.fromDocuments(s, dir)), 128)),
     // W2: stable dense doc-id assignment over the transcripts table
     "q_docids_transcripts" -> ((s, dir) => {
       val t = IndexBuild.ingest(Transcripts.fromDocuments(s, dir))
@@ -1354,6 +1391,13 @@ object SparkEntry {
     "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
     "q_facet_json" -> Oracle.facetJson(DisjQueries, "role", "tool", 2, 2,
       JsonFacetMetrics),
+    "q_bm25_folded" -> Oracle.bm25TopK(Oracle.foldedDocumentsCorpus,
+      FoldQueries.map { case (id, q) => id -> Analyzer.foldAsciiString(q) },
+      10, conjunctive = false),
+    "q_bm25_stemmed" -> Oracle.bm25TopK(Oracle.stemmedDocumentsCorpus,
+      StemQueries.map { case (id, q) => id -> Analyzer.stemString(q) },
+      10, conjunctive = false),
+    "q_pack_context" -> Oracle.packGreedy(128),
     "q_bm25_children" -> Oracle.bm25Children(DisjQueries, 5, "max"),
     "q_match_all" -> Oracle.matchAllSorted(
       "role = 'user' AND dl >= 5", "dl DESC", 20, Seq("role", "dl")),

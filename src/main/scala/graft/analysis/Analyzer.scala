@@ -43,4 +43,53 @@ object Analyzer {
   /** DuckDB twin of [[docLen]]. */
   def sqlDocLen(textExpr: String): String =
     s"CAST(len(${sqlTokenList(textExpr)}) AS INT)"
+
+  // ---- optional chain extensions (Solr analyzer filters, OFF unless a
+  // caller composes them BEFORE the pinned tokenize chain) --------------
+
+  /** ASCIIFoldingFilter (public Lucene semantics, charFilter position):
+    * pinned Latin-1-supplement fold map. A fixed `translate` charset —
+    * not locale/ICU normalization — so all three twins are bit-identical
+    * by construction. Composes as a TEXT→TEXT transform before [[tokens]]
+    * (folding commutes with the [a-z0-9] tokenizer: every folded char is
+    * a token separator pre-fold and alphanumeric post-fold). */
+  final val FoldFrom = "áàâäéèêëíìîïóòôöúùûüýÿñç"
+  final val FoldTo   = "aaaaeeeeiiiioooouuuuyync"
+
+  /** Column twin (codegen'd, no UDF). */
+  def foldAscii(text: Column): Column = translate(text, FoldFrom, FoldTo)
+
+  /** Scala twin — query-side folding at parse time. */
+  def foldAsciiString(s: String): String = {
+    val m = FoldFrom.zip(FoldTo).toMap
+    s.map(c => m.getOrElse(c, c))
+  }
+
+  /** DuckDB twin. */
+  def sqlFoldAscii(textExpr: String): String =
+    s"translate($textExpr, '$FoldFrom', '$FoldTo')"
+
+  /** EnglishMinimalStemFilter (public Lucene semantics): strip a single
+    * trailing `s` from tokens of length ≥ 3 unless preceded by `u` or
+    * `s` — exactly Lucene's `len<3 || last!='s' ? keep : s[len-2] in
+    * {u,s} ? keep : drop` rule, expressed as ONE regex shared by all
+    * three twins: `^(..*[^us])s$` (the two-char group minimum encodes
+    * the length-3 floor; the class encodes the u/s guard). Applied per
+    * token AFTER tokenize (a tokenFilter); [[stemmedText]] re-joins with
+    * single spaces so the pinned tokenize chain re-derives the stemmed
+    * token stream — dl (token count) is preserved. */
+  final val StemPattern = "^(..*[^us])s$"
+
+  /** Column twin: text → space-joined stemmed token stream. */
+  def stemmedText(text: Column): Column =
+    array_join(transform(tokens(text),
+      t => regexp_replace(t, StemPattern, "$1")), " ")
+
+  /** Scala twin — query-side stemming at parse time. */
+  def stemString(s: String): String =
+    tokenize(s).map(_.replaceAll(StemPattern, "$1")).mkString(" ")
+
+  /** DuckDB twin (replacement backref is `\1` in DuckDB, `$1` in Spark). */
+  def sqlStemmedText(textExpr: String): String =
+    s"""array_to_string(list_transform(${sqlTokenList(textExpr)}, x -> regexp_replace(x, '^(..*[^us])s$$', '\\1')), ' ')"""
 }

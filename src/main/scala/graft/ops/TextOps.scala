@@ -284,6 +284,47 @@ object TextOps {
     * the same engine-pairing rule as every dedup hash here. Rates are
     * per-mille; strata keyed by `strataCol` with `defaultRate` for
     * unlisted values. */
+  /** Greedy context-window packing — the inverse of [[chunks]]: pack each
+    * conversation's turns, IN ORDER, into training sequences ("bins") of
+    * at most `budget` tokens without splitting a turn. Greedy first-fit-
+    * in-order (what sequence-packing pipelines actually run: concatenate
+    * until the next item would overflow, then start a new bin; an
+    * oversized single turn occupies its own bin). Deterministic — bin
+    * assignment is a pure fold over the (turn_idx-sorted) turn lengths.
+    *
+    * Scale shape: ONE shuffle (groupBy conv_id); each group is one
+    * conversation (≤ tens of turns — bounded by the source, never by the
+    * corpus), folded by a codegen'd higher-order `aggregate`, so no
+    * driver state, no window over the corpus, no UDF. At 10^12 turns the
+    * plan is a hash-agg whose per-group state is O(turns-per-conv).
+    *
+    * Output: (conv_id, turn_idx, dl, bin), ordered. The DuckDB twin
+    * ([[graft.Oracle.packGreedy]]) walks the same fold as a recursive CTE.
+    */
+  def packGreedy(transcripts: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0, s"token budget must be positive (got $budget)")
+    val turns = transcripts.select(col("conv_id"),
+      struct(col("turn_idx"), Analyzer.docLen(col("text")).as("dl")).as("t"))
+    val init = struct(lit(0).as("bin"), lit(0).as("acc"),
+      array().cast("array<struct<turn_idx:int,dl:int,bin:int>>").as("out"))
+    turns.groupBy("conv_id")
+      .agg(array_sort(collect_list(col("t"))).as("ts"))
+      .select(col("conv_id"), explode(aggregate(col("ts"), init,
+        (st, x) => {
+          // overflow only once the bin is non-empty: the first turn (and
+          // any oversized turn) always lands, opening its own bin
+          val over = st("acc") > 0 && st("acc") + x("dl") > lit(budget)
+          val bin = when(over, st("bin") + 1).otherwise(st("bin"))
+          struct(bin.as("bin"),
+            when(over, x("dl")).otherwise(st("acc") + x("dl")).as("acc"),
+            concat(st("out"), array(struct(x("turn_idx").as("turn_idx"),
+              x("dl").as("dl"), bin.as("bin")))).as("out"))
+        },
+        st => st("out"))).as("p"))
+      .select(col("conv_id"), col("p.turn_idx"), col("p.dl"), col("p.bin"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

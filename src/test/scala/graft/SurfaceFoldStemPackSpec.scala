@@ -1,0 +1,72 @@
+package graft
+
+import graft.analysis.Analyzer
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Analyzer-chain extensions (ASCII folding, minimal English stemming)
+  * and greedy context-window packing: Column/Scala twin equivalence,
+  * the pinned Lucene stem-rule cases, and the packing invariants. */
+class SurfaceFoldStemPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foldAscii: Column ≡ Scala twin over the pinned charset") {
+    val samples = Seq("dáta slòw", "fást scân mérge", "véctor", "ascii only",
+      "ÿñç ûüî", "mixed áscii ánd plain")
+    val got = samples.toDF("s")
+      .select(Analyzer.foldAscii(col("s"))).as[String].collect().toSeq
+    assert(got == samples.map(Analyzer.foldAsciiString))
+    assert(Analyzer.foldAsciiString("dáta slòw") == "data slow")
+    // idempotent: folded text refolds to itself
+    assert(got.map(Analyzer.foldAsciiString) == got)
+  }
+
+  test("minimal English stem: the pinned Lucene rule cases, both twins") {
+    // (input, EnglishMinimalStemFilter output): len<3 keep, final-s only,
+    // u/s-before-s keeps (virus, mass), plain plural drops
+    val cases = Seq("tables" -> "table", "joins" -> "join", "rows" -> "row",
+      "windows" -> "window", "mass" -> "mass", "virus" -> "virus",
+      "its" -> "it", "as" -> "as", "us" -> "us", "ss" -> "ss",
+      "table" -> "table", "s" -> "s")
+    for ((in, want) <- cases)
+      assert(Analyzer.stemString(in) == want, s"stem($in)")
+    // Column twin ≡ Scala twin on whole texts
+    val texts = Seq("tables joins mass", "its virus windows", "no plurals here")
+    val got = texts.toDF("s")
+      .select(Analyzer.stemmedText(col("s"))).as[String].collect().toSeq
+    assert(got == texts.map(Analyzer.stemString))
+  }
+
+  test("packGreedy: budget, ordering, and oversized-turn invariants") {
+    // conv a: 50+60 fit 128, 30 opens bin 1, 200 oversized → own bin 2,
+    // 10 opens bin 3 (greedy never looks back). conv b: single turn.
+    val t = Seq(
+      ("a", 0, "user", ("w " * 50).trim, null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp]),
+      ("a", 1, "assistant", ("w " * 60).trim, null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp]),
+      ("a", 2, "user", ("w " * 30).trim, null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp]),
+      ("a", 3, "assistant", ("w " * 200).trim, null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp]),
+      ("a", 4, "user", ("w " * 10).trim, null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp]),
+      ("b", 0, "user", ("w " * 5).trim, null.asInstanceOf[String], null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = TextOps.packGreedy(t, 128).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq(("a", 0, 50, 0), ("a", 1, 60, 0), ("a", 2, 30, 1),
+      ("a", 3, 200, 2), ("a", 4, 10, 3), ("b", 0, 5, 0)))
+    // invariants on a wider synthetic corpus: bins are consecutive from 0
+    // per conv; every multi-turn bin's dl sum ≤ budget; turn order is
+    // non-decreasing in bin
+    val syn = graft.sources.Transcripts.synthetic(spark, 60)
+    val p = TextOps.packGreedy(syn, 64).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    p.groupBy(_._1).foreach { case (conv, rows) =>
+      val byTurn = rows.sortBy(_._2)
+      val bins = byTurn.map(_._4)
+      assert(bins.head == 0 && bins.zip(bins.tail).forall { case (a, b) =>
+        b == a || b == a + 1 }, s"$conv bins not consecutive: ${bins.toSeq}")
+      byTurn.groupBy(_._4).values.foreach { bin =>
+        assert(bin.length == 1 || bin.map(_._3).sum <= 64,
+          s"$conv overfull multi-turn bin: ${bin.toSeq}")
+      }
+    }
+  }
+}
