@@ -1467,6 +1467,76 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchFielded]]: plain-term BM25
+    * clause rows UNION'd with fielded constant-score rows (boost · idf of
+    * the attr value's live df — the Lucene omitNorms StrField algebra),
+    * aggregated under the shared must/not/should match rules. Clause
+    * parsing shared with the engine ([[graft.search.Search.parseClauses]]).
+    */
+  def bm25Fielded(queries: Seq[(Int, String)], k: Int): String = {
+    val parsed = queries.map { case (id, t) =>
+      (id, graft.search.Search.parseClauses(t))
+    }
+    val qtValues0 = parsed.flatMap { case (id, c) =>
+      c.must.map(t => s"($id, '${esc(t)}', 1, CAST(${c.boost(t)} AS DOUBLE))") ++
+        c.should.map(t => s"($id, '${esc(t)}', 0, CAST(${c.boost(t)} AS DOUBLE))")
+    }
+    val qtValues = if (qtValues0.nonEmpty) qtValues0
+      else Seq("(0, '', 0, CAST(1 AS DOUBLE))")
+    val fSelects = parsed.flatMap { case (id, c) =>
+      (c.fieldedMust.map((_, 1)) ++ c.fieldedShould.map((_, 0))).map {
+        case ((f, v), m) =>
+          s"""SELECT $id AS query_id, doc_id,
+             |    CAST(${c.fieldedBoost((f, v))} AS DOUBLE)
+             |      * ln(1 + ((SELECT n_docs FROM stats) - fdf.df + 0.5)
+             |               / (fdf.df + 0.5)) AS s, $m AS m
+             |  FROM corpus CROSS JOIN (SELECT count(*) AS df FROM corpus
+             |                          WHERE CAST($f AS VARCHAR) = '${esc(v)}') fdf
+             |  WHERE CAST($f AS VARCHAR) = '${esc(v)}'""".stripMargin
+      }
+    }
+    val negTValues0 = parsed.flatMap { case (id, c) =>
+      c.not.map(t => s"($id, '${esc(t)}')") }
+    val negTValues = if (negTValues0.nonEmpty) negTValues0 else Seq("(0, '')")
+    val negFSelects = parsed.flatMap { case (id, c) =>
+      c.fieldedNot.map { case (f, v) =>
+        s"SELECT $id AS query_id, doc_id FROM corpus WHERE CAST($f AS VARCHAR) = '${esc(v)}'" } }
+    val nMustValues = parsed.map { case (id, c) =>
+      s"($id, ${c.must.size + c.fieldedMust.size})" }
+    val negUnion = (Seq(
+      "SELECT q.query_id, tf.doc_id FROM negterms q JOIN tf USING (term)") ++
+      negFSelects).mkString("\n  UNION\n  ")
+    val allRows = (Seq("SELECT * FROM tscore") ++ fSelects)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |qterms(query_id, term, m, boost) AS (VALUES ${qtValues.mkString(", ")}),
+       |negterms(query_id, term) AS (VALUES ${negTValues.mkString(", ")}),
+       |nmust(query_id, n_must) AS (VALUES ${nMustValues.mkString(", ")}),
+       |tscore AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |         q.boost * ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |           * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS s,
+       |         q.m
+       |  FROM qterms q JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+       |allrows AS (
+       |  $allRows),
+       |negdocs AS (
+       |  $negUnion),
+       |agg AS (SELECT query_id, doc_id, sum(s) AS score, sum(m) AS must_ok
+       |        FROM allrows GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT a.query_id, a.doc_id, a.score,
+       |         row_number() OVER (PARTITION BY a.query_id
+       |                            ORDER BY round(a.score, 7) DESC, a.doc_id ASC) AS rnk
+       |  FROM agg a JOIN nmust n USING (query_id)
+       |       LEFT JOIN negdocs x ON x.query_id = a.query_id AND x.doc_id = a.doc_id
+       |  WHERE a.must_ok = n.n_must AND x.doc_id IS NULL)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchChildren]] ({!child}):
     * the [[bm25Parents]] chain's top-k parents joined back to every
     * child turn, children carrying the parent's score and rank. */

@@ -27,6 +27,17 @@ object SparkEntry {
     7 -> "a a the",
     8 -> "vector stream")
 
+  /** Fielded-clause query set (Lucene `field:term` syntax composed into
+    * the boolean grammar): attr musts/nots/shoulds, a fielded boost, and
+    * one pure-fielded query (no text terms at all). */
+  val FieldedQueries: Seq[(Int, String)] = Seq(
+    1 -> "+role:user spark merge",
+    2 -> "batch -tool:tool3",
+    3 -> "+role:assistant +dup",
+    4 -> "role:tool vector",
+    5 -> "+conv_id:conv000007",
+    6 -> "+role:user^2 window")
+
   /** Accented query set for the ASCIIFoldingFilter gate — folds onto real
     * vocabulary terms, plus one ASCII control query. */
   val FoldQueries: Seq[(Int, String)] = Seq(
@@ -892,6 +903,10 @@ object SparkEntry {
         "conv_id", "conv_id", k = 10)),
     // Solr {!parent} block join, score=total: top conversations by the
     // SUM of their matching turns' BM25 scores
+    // Lucene fielded-term clauses in the boolean grammar: attr TermQuery
+    // = constant boost·idf(live df), StrField omitNorms algebra
+    "q_bm25_fielded" -> ((s, dir) =>
+      IndexSearch.searchFielded(indexFor(s, dir), FieldedQueries, k = 10)),
     // {!child of=...}: every turn of each top-k matched conversation,
     // children carrying the parent's block-join score and rank
     "q_bm25_children" -> ((s, dir) =>
@@ -1398,6 +1413,7 @@ object SparkEntry {
       StemQueries.map { case (id, q) => id -> Analyzer.stemString(q) },
       10, conjunctive = false),
     "q_pack_context" -> Oracle.packGreedy(128),
+    "q_bm25_fielded" -> Oracle.bm25Fielded(FieldedQueries, 10),
     "q_bm25_children" -> Oracle.bm25Children(DisjQueries, 5, "max"),
     "q_match_all" -> Oracle.matchAllSorted(
       "role = 'user' AND dl >= 5", "dl DESC", 20, Seq("role", "dl")),

@@ -602,6 +602,8 @@ object IndexSearch {
     import spark.implicits._
     require(mm >= 0, s"mm (minimum-should-match) must be >= 0, got $mm")
     val parsed = queries.map { case (id, t) => (id, Search.parseClauses(t)) }
+    require(parsed.forall(!_._2.hasFielded),
+      "fielded (attr:value) clauses are served by searchFielded")
     val hasPhrases = parsed.exists { case (_, c) =>
       c.mustPhrases.nonEmpty || c.shouldPhrases.nonEmpty || c.notPhrases.nonEmpty }
     val hasGroups = parsed.exists(_._2.hasGroups)
@@ -992,6 +994,93 @@ object IndexSearch {
     BlockJoin.children(scoredDocs(idx, qt, conjunctive = false),
       facetAttrs(idx), parentField, mode, k,
       childCols = Seq("turn_idx", "role"), childOrder = Seq("turn_idx"))
+  }
+
+  /** Lucene fielded-term clauses composed into the boolean grammar
+    * (`+role:user spark merge -tool:tool3`): a fielded clause is a
+    * TermQuery on a stored attribute — Solr StrField semantics, exact
+    * value, no analysis. Scoring pins the public Lucene BM25-with-
+    * omitNorms algebra (StrFields omit norms by default): tf = 1 and the
+    * length norm drops out, so `(tf·(k1+1))/(tf+k1) = 1` and the clause
+    * contributes exactly `boost · idf(df)` to every matching doc, where
+    * df counts LIVE docs holding that value. Match semantics are the
+    * grammar's usual: every must (text term present / attr equal), no
+    * not, ≥ 1 matching clause when there are no musts.
+    *
+    * Scale shape: attr df's come from ONE melt-pass aggregate over the
+    * pruned attrs scan (collect is O(|pairs|)); fielded match rows join
+    * the broadcast pair frame against the same melt — attrs are scanned
+    * once per request, never per clause. Term + phrase/group composition
+    * beyond plain terms stays with [[searchClauses]] (loud guard).
+    */
+  def searchFielded(idx: OpenIndex, queries: Seq[(Int, String)],
+                    k: Int = 10): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val parsed = queries.map { case (id, t) => (id, Search.parseClauses(t)) }
+    require(parsed.forall { case (_, c) =>
+      c.mustPhrases.isEmpty && c.shouldPhrases.isEmpty &&
+        c.notPhrases.isEmpty && !c.hasGroups },
+      "searchFielded composes plain-term and fielded clauses; phrases and " +
+        "multiterm groups are served by searchClauses")
+    val pairs = parsed.flatMap { case (_, c) =>
+      c.fieldedMust ++ c.fieldedShould ++ c.fieldedNot }.distinct
+    require(pairs.nonEmpty,
+      "no fielded clauses — use search/searchClauses for plain term queries")
+    val fields = pairs.map(_._1).distinct
+    val attrs = facetAttrs(idx)
+    require(fields.forall(attrs.columns.contains),
+      s"unknown fielded-clause field(s) ${fields.filterNot(attrs.columns.contains)}" +
+        s" (stored attrs: ${attrs.columns.toSeq.mkString(", ")})")
+    // one long-form pass over the attrs: (doc_id, field, value)
+    val melted = attrs.select(col("doc_id"), explode(map(
+      fields.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*))
+      .as(Seq("_f", "_v")))
+    // live df per queried (field, value) — O(|pairs|) driver state
+    val dfMap: Map[(String, String), Long] = melted
+      .join(broadcast(pairs.toDF("_f", "_v")), Seq("_f", "_v"))
+      .groupBy("_f", "_v").agg(count(lit(1)).as("df")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .withDefaultValue(0L)
+    val fRows = parsed.flatMap { case (id, c) =>
+      (c.fieldedMust.map((_, true)) ++ c.fieldedShould.map((_, false)))
+        .map { case (fv, isMust) =>
+          (id, fv._1, fv._2,
+            Bm25.idfValue(dfMap(fv), idx.stats.nDocs) * c.fieldedBoost(fv),
+            isMust) } }
+    val fScored = melted
+      .join(broadcast(fRows.toDF("query_id", "_f", "_v", "_s", "_m")),
+        Seq("_f", "_v"))
+      .select(col("query_id"), col("doc_id"), col("_s"), col("_m"))
+    val qt = parsed.flatMap { case (id, c) =>
+      c.must.map(t => (id, t, true, c.boost(t))) ++
+        c.should.map(t => (id, t, false, c.boost(t)))
+    }.toDF("query_id", "term", "_m", "_boost")
+    val tScored = matchedPostings(idx, qt.select("query_id", "term"))
+      .join(broadcast(qt), Seq("query_id", "term"))
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(idx.stats.nDocs), lit(idx.stats.avgdl)) * col("_boost"))
+      .select(col("query_id"), col("doc_id"), col("_s"), col("_m"))
+    val agg = tScored.unionByName(fScored)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"),
+        count(when(col("_m"), lit(1))).as("_must_ok"))
+    // n_must counts text musts (incl. out-of-vocabulary — Lucene MUST
+    // semantics) plus fielded musts
+    val nMust = parsed.map { case (id, c) =>
+      (id, c.must.size + c.fieldedMust.size) }.toDF("query_id", "_n_must")
+    val matched = agg.join(broadcast(nMust), "query_id")
+      .where(col("_must_ok") === col("_n_must"))
+    val negT = parsed.flatMap { case (id, c) => c.not.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    val negF = parsed.flatMap { case (id, c) =>
+      c.fieldedNot.map(fv => (id, fv._1, fv._2)) }
+      .toDF("query_id", "_f", "_v")
+    val negDocs = matchedPostings(idx, negT).select("query_id", "doc_id")
+      .union(melted.join(broadcast(negF), Seq("_f", "_v"))
+        .select("query_id", "doc_id"))
+    Search.rank(
+      matched.join(negDocs, Seq("query_id", "doc_id"), "left_anti"), k)
   }
 
   /** Solr `q=*:*` (match-all) with fq + sort + rows — the filter-browse

@@ -75,13 +75,21 @@ object Search {
                                notGroups: Seq[MultiTermBody] = Seq.empty,
                                termBoosts: Map[String, Double] = Map.empty,
                                phraseBoosts: Map[Seq[String], Double] = Map.empty,
-                               groupBoosts: Map[MultiTermBody, Double] = Map.empty) {
+                               groupBoosts: Map[MultiTermBody, Double] = Map.empty,
+                               fieldedMust: Seq[(String, String)] = Seq.empty,
+                               fieldedShould: Seq[(String, String)] = Seq.empty,
+                               fieldedNot: Seq[(String, String)] = Seq.empty,
+                               fieldedBoosts: Map[(String, String), Double] = Map.empty) {
     def hasGroups: Boolean =
       mustGroups.nonEmpty || shouldGroups.nonEmpty || notGroups.nonEmpty
+    def hasFielded: Boolean =
+      fieldedMust.nonEmpty || fieldedShould.nonEmpty || fieldedNot.nonEmpty
     /** Query-syntax boost of a term/phrase/group clause (1.0 when none). */
     def boost(t: String): Double = termBoosts.getOrElse(t, 1.0)
     def phraseBoost(p: Seq[String]): Double = phraseBoosts.getOrElse(p, 1.0)
     def groupBoost(b: MultiTermBody): Double = groupBoosts.getOrElse(b, 1.0)
+    def fieldedBoost(fv: (String, String)): Double =
+      fieldedBoosts.getOrElse(fv, 1.0)
   }
 
   /** One clause: optional +/- prefix, then a quoted body (with an
@@ -152,8 +160,33 @@ object Search {
         (kind, body, false, boost)
       }
     }
+    // fielded clauses (Lucene `field:term` syntax, unquoted bodies only):
+    // `text:` is the default field — its body continues through the
+    // normal clause path; any other `ident:` prefix is an ATTRIBUTE term
+    // clause (StrField semantics — the value matches exactly, no
+    // analysis), value restricted to the stored-value alphabet so a
+    // mistyped fielded wildcard/phrase fails loudly instead of silently
+    // becoming a text clause
+    val FieldedRe = """([a-z_][a-z0-9_]*):(.+)""".r
+    val split2: Seq[(Kind, String, Boolean, Double, Option[(String, String)])] =
+      split.map {
+        case (k, body, false, b) => body match {
+          case FieldedRe("text", v) => (k, v, false, b, None)
+          case FieldedRe(f, v) =>
+            require(v.matches("[A-Za-z0-9_-]+"),
+              s"fielded clause '$f:$v': value must be a bare stored value " +
+                "(no wildcards/quotes — analysis does not apply to StrFields)")
+            (k, body, false, b, Some((f, v)))
+          case _ => (k, body, false, b, None)
+        }
+        case (k, body, q, b) => (k, body, q, b, None)
+      }
+    val (fieldedCl0, plainCl) = split2.partition(_._5.isDefined)
+    val fieldedCl = fieldedCl0.map { case (k, _, _, b, fv) => (k, fv.get, b) }
+    def fielded(k: Kind) = fieldedCl.filter(_._1 == k).map(_._2).distinct
+    val split3 = plainCl.map { case (k, body, q, b, _) => (k, body, q, b) }
     // unquoted bodies with multiterm syntax become group clauses
-    val (mtCl, restCl) = split.partition { case (_, body, q, _) =>
+    val (mtCl, restCl) = split3.partition { case (_, body, q, _) =>
       !q && parseMultiTermBody(body).isDefined }
     def groups(k: Kind) =
       mtCl.filter(_._1 == k).map(c => parseMultiTermBody(c._2).get).distinct
@@ -180,13 +213,17 @@ object Search {
       case (k, toks, _, b) if k != N => toks -> b })
     val gBoosts = maxBoosts(mtCl.collect {
       case (k, body, _, b) if k != N => parseMultiTermBody(body).get -> b })
+    val fBoosts = maxBoosts(fieldedCl.collect {
+      case (k, fv, b) if k != N => fv -> b })
     val must = terms(M)
     val mustPh = phrases(M)
     val mustG = groups(M)
+    val mustF = fielded(M)
     BoolClauses(must, terms(S).filterNot(must.contains), terms(N),
       mustPh, phrases(S).filterNot(mustPh.contains), phrases(N),
       mustG, groups(S).filterNot(mustG.contains), groups(N),
-      tBoosts, pBoosts, gBoosts)
+      tBoosts, pBoosts, gBoosts,
+      mustF, fielded(S).filterNot(mustF.contains), fielded(N), fBoosts)
   }
 
   /** The edismax `pf` rewrite: append each query's whole analyzed token
@@ -245,6 +282,9 @@ object Search {
     require(parsed.forall(!_._2.hasGroups),
       "wildcard/fuzzy clauses are served by IndexSearch.searchClauses over " +
         "a persisted index dictionary; this engine path is terms-only")
+    require(parsed.forall(!_._2.hasFielded),
+      "fielded (attr:value) clauses are served by IndexSearch.searchFielded " +
+        "over a persisted index with stored attributes; this path is terms-only")
     val qt = parsed.flatMap { case (id, c) =>
       c.must.map(t => (id, t, true, c.boost(t))) ++
         c.should.map(t => (id, t, false, c.boost(t)))

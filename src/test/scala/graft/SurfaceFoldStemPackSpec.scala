@@ -37,6 +37,27 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     assert(got == texts.map(Analyzer.stemString))
   }
 
+  test("parser: fielded clauses — extraction, text: default field, guards") {
+    import graft.search.Search
+    val c = Search.parseClauses("+role:user spark -tool:tool3 conv_id:conv000007^2")
+    assert(c.fieldedMust == Seq(("role", "user")))
+    assert(c.fieldedNot == Seq(("tool", "tool3")))
+    assert(c.fieldedShould == Seq(("conv_id", "conv000007")))
+    assert(c.fieldedBoost(("conv_id", "conv000007")) == 2.0)
+    assert(c.should == Seq("spark"))
+    // text: is the default field — body continues through the normal path
+    val t = Search.parseClauses("text:spark +text:me*ge")
+    assert(!t.hasFielded && t.should == Seq("spark") && t.mustGroups.size == 1)
+    // quoted bodies never parse as fielded
+    assert(!Search.parseClauses("\"role:user\"").hasFielded)
+    // wildcard in a fielded value fails loudly (StrField — no analysis)
+    intercept[IllegalArgumentException](Search.parseClauses("role:us*r"))
+    // must-over-should dedupe + not side
+    val d = Search.parseClauses("+role:user role:user -role:user")
+    assert(d.fieldedMust == Seq(("role", "user")) && d.fieldedShould.isEmpty &&
+      d.fieldedNot == Seq(("role", "user")))
+  }
+
   test("packGreedy: budget, ordering, and oversized-turn invariants") {
     // conv a: 50+60 fit 128, 30 opens bin 1, 200 oversized → own bin 2,
     // 10 opens bin 3 (greedy never looks back). conv b: single turn.
