@@ -108,6 +108,35 @@ object OracleOps {
        |FROM corpus c LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.lineDedup]] over a corpus with the
+    * gate's deterministic duplicate-span injection (docs ≡ 0 mod
+    * `injectMod` share one pinned 10-token leading span). rnk=1 over
+    * (doc_id, span_idx) ≡ the engine's min-struct winner — (doc_id,
+    * span_idx) is unique so the orders agree. */
+  def lineDedup(n: Int, injectMod: Int, injectText: String): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, CASE WHEN doc_id % $injectMod = 0
+       |           THEN '$injectText ' || text ELSE text END AS text
+       |  FROM documents),
+       |$tkCte,
+       |sp AS (SELECT doc_id, CAST(i AS INT) AS span_idx,
+       |         array_to_string(toks[i*$n + 1 : i*$n + $n], ' ') AS span
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(range(0, ((len(toks) - 1) // $n) + 1)) AS i
+       |             FROM tk WHERE len(toks) > 0)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY span
+       |                                    ORDER BY doc_id, span_idx) AS rnk
+       |       FROM sp),
+       |a AS (SELECT doc_id, count(*)::INT AS n_spans FROM sp GROUP BY doc_id),
+       |b AS (SELECT doc_id, count(*)::INT AS n_kept,
+       |             string_agg(span, ' ' ORDER BY span_idx) AS text
+       |      FROM rk WHERE rnk = 1 GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_spans,
+       |       CAST(coalesce(b.n_kept, 0) AS INT) AS n_kept,
+       |       coalesce(b.text, '') AS text
+       |FROM a LEFT JOIN b USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.repetition]] (Gopher duplicate-n-gram
     * fraction; dup_frac rounded from the RAW ratio in both engines). */
   def repetition(n: Int, maxDupFrac: Double): String =

@@ -27,6 +27,10 @@ object SparkEntry {
     7 -> "a a the",
     8 -> "vector stream")
 
+  /** The line-dedup gate's injected duplicate span — exactly 10 analyzer
+    * tokens so span windows stay aligned after the prepend. */
+  val LineDedupSpan = "the quick brown fox jumps over the lazy dog again"
+
   /** Fielded-clause query set (Lucene `field:term` syntax composed into
     * the boolean grammar): attr musts/nots/shoulds, a fielded boost, and
     * one pure-fielded query (no text terms at all). */
@@ -675,6 +679,13 @@ object SparkEntry {
     }),
     // Gopher duplicate-3-gram repetition statistics + filter flag
     "q_repetition" -> ((s, dir) => TextOps.repetition(documents(s, dir), 3, 0.2)),
+    // C4-style global span dedup: docs ≡ 0 mod 11 share one injected
+    // 10-token leading span — only its globally-first occurrence survives
+    "q_line_dedup" -> ((s, dir) => TextOps.lineDedup(
+      documents(s, dir).withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(lit(LineDedupSpan + " "), col("text")))
+          .otherwise(col("text"))), 10)),
     // PII redaction over a deterministically injected corpus (docs ≡ 0
     // mod 3 gain an email + E.164 phone; the rest pin the no-match path)
     "q_redact_pii" -> ((s, dir) => TextOps.redactPii(
@@ -903,6 +914,11 @@ object SparkEntry {
         "conv_id", "conv_id", k = 10)),
     // Solr {!parent} block join, score=total: top conversations by the
     // SUM of their matching turns' BM25 scores
+    // Solr {!frange}: fq by a FUNCTION-QUERY value range — one AST
+    // (FunctionQuery) renders the engine filter and the oracle SQL
+    "q_bm25_frange" -> ((s, dir) =>
+      IndexSearch.searchFiltered(indexFor(s, dir), DisjQueries,
+        graft.search.FilterQuery.parse("{!frange l=0.05 u=0.12}recip(dl,1,10,10)"))),
     // Lucene fielded-term clauses in the boolean grammar: attr TermQuery
     // = constant boost·idf(live df), StrField omitNorms algebra
     "q_bm25_fielded" -> ((s, dir) =>
@@ -1413,6 +1429,14 @@ object SparkEntry {
       StemQueries.map { case (id, q) => id -> Analyzer.stemString(q) },
       10, conjunctive = false),
     "q_pack_context" -> Oracle.packGreedy(128),
+    "q_line_dedup" -> OracleOps.lineDedup(10, 11, LineDedupSpan),
+    "q_bm25_frange" -> {
+      val fnSql = graft.search.FunctionQuery.toSql(
+        graft.search.FunctionQuery.parse("recip(dl,1,10,10)"),
+        { case "dl" => Analyzer.sqlDocLen("corpus.text") })
+      Oracle.bm25TopKFiltered(DisjQueries, 10,
+        s"$fnSql >= 0.05 AND $fnSql <= 0.12")
+    },
     "q_bm25_fielded" -> Oracle.bm25Fielded(FieldedQueries, 10),
     "q_bm25_children" -> Oracle.bm25Children(DisjQueries, 5, "max"),
     "q_match_all" -> Oracle.matchAllSorted(

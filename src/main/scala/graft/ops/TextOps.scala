@@ -284,6 +284,53 @@ object TextOps {
     * the same engine-pairing rule as every dedup hash here. Rates are
     * per-mille; strata keyed by `strataCol` with `defaultRate` for
     * unlisted values. */
+  /** C4-style global span dedup (public C4 pipeline semantics: discard
+    * every occurrence but the first of any duplicated three-sentence
+    * span — here the span unit is a fixed `n`-token window, the
+    * punctuation-free corpus's sentence analog): split each doc into
+    * non-overlapping n-token spans, keep a span occurrence iff it is the
+    * GLOBALLY first (minimum (doc_id, span_idx)) occurrence of that span
+    * text, and rebuild the doc from its surviving spans in order.
+    *
+    * Scale shape: one shuffle keyed on the span text (the Zipf head of
+    * duplicated spans spreads across partitions — each span group
+    * reduces to a single min, so a million-fold duplicated span costs a
+    * partial-aggregated min, not a hot task), a semi join back, and a
+    * per-doc regroup. No driver state, no windows over the corpus.
+    *
+    * Output: (doc_id, n_spans, n_kept, text) — docs whose every span
+    * lost elsewhere survive with n_kept = 0 and empty text (the caller
+    * filters, as C4 does with its length floor).
+    */
+  def lineDedup(corpus: DataFrame, n: Int = 10): DataFrame = {
+    require(n > 0, s"span length must be positive (got $n)")
+    val spans = corpus
+      .select(col("doc_id"), Analyzer.tokens(col("text")).as("_toks"))
+      .where(size(col("_toks")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((size(col("_toks")) - 1) / lit(n)).cast("int")),
+        i => array_join(slice(col("_toks"), i * n + 1, lit(n)), " "))))
+      .select(col("doc_id"), col("pos").cast("int").as("span_idx"),
+        col("col").as("span"))
+    val winners = spans.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("w"))
+      .select(col("span"), col("w.doc_id").as("doc_id"),
+        col("w.span_idx").as("span_idx"))
+    val kept = spans.join(winners, Seq("span", "doc_id", "span_idx"), "left_semi")
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"))
+      .join(kept.groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("span_idx"), col("span")))),
+            x => x("span")), " ").as("text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy context-window packing — the inverse of [[chunks]]: pack each
     * conversation's turns, IN ORDER, into training sequences ("bins") of
     * at most `budget` tokens without splitting a turn. Greedy first-fit-

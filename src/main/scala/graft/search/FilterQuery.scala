@@ -35,7 +35,34 @@ object FilterQuery {
       .orElse(v.toDoubleOption.map(lit(_)))
       .getOrElse(lit(v))
 
+  private val FrangeRe = """^\{!frange([^}]*)\}(.+)$""".r
+
   def parse(fq: String): Column = fq.trim match {
+    // Solr {!frange l=.. u=.. incl=.. incu=..}fnquery — filter docs whose
+    // FUNCTION-QUERY value lies in the range (bounds inclusive by
+    // default, Solr's FunctionRangeQuery pinning). The function string
+    // shares [[FunctionQuery]]'s AST with bf=/boost=/sort — one parse
+    // tree renders the engine Column and the oracle SQL.
+    case FrangeRe(params, fn) =>
+      val kv = params.trim.split("\\s+").filter(_.nonEmpty).map { p =>
+        val i = p.indexOf('=')
+        require(i > 0, s"frange: bad local param '$p' (want key=value)")
+        (p.substring(0, i), p.substring(i + 1))
+      }.toMap
+      val known = Set("l", "u", "incl", "incu")
+      require(kv.keySet.subsetOf(known),
+        s"frange: unknown local param(s) ${kv.keySet -- known}")
+      def flag(k: String) = kv.get(k).forall { v =>
+        require(v == "true" || v == "false", s"frange: $k must be true|false")
+        v.toBoolean
+      }
+      def bound(k: String) = kv.get(k).map(v => v.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(s"frange: $k='$v' is not a number")))
+      val c = FunctionQuery.toColumn(FunctionQuery.parse(fn))
+      val lo = bound("l").map(v => if (flag("incl")) c >= lit(v) else c > lit(v))
+      val hi = bound("u").map(v => if (flag("incu")) c <= lit(v) else c < lit(v))
+      require(lo.nonEmpty || hi.nonEmpty, "frange: need l= and/or u=")
+      (lo.toSeq ++ hi.toSeq).reduce(_ && _)
     case FqRe(negFlag, field, body) =>
       val base = body match {
         case RangeRe(lo, a, b, hi) =>

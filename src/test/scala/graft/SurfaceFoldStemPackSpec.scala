@@ -58,6 +58,35 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
       d.fieldedNot == Seq(("role", "user")))
   }
 
+  test("frange: bounds, inclusivity flags, and loud failures") {
+    import graft.search.FilterQuery
+    val df = Seq((1L, 10), (2L, 50), (3L, 90)).toDF("doc_id", "dl")
+    def ids(fq: String): Seq[Long] =
+      df.where(FilterQuery.parse(fq)).select("doc_id").as[Long].collect().toSeq.sorted
+    // recip(dl,1,10,10) = 10/(dl+10): dl=10→0.5, 50→0.1667, 90→0.1
+    assert(ids("{!frange l=0.1 u=0.2}recip(dl,1,10,10)") == Seq(2L, 3L))
+    assert(ids("{!frange l=0.1 u=0.2 incl=false}recip(dl,1,10,10)") == Seq(2L))
+    assert(ids("{!frange u=0.3}recip(dl,1,10,10)") == Seq(2L, 3L))
+    assert(ids("{!frange l=0.15}recip(dl,1,10,10)") == Seq(1L, 2L))
+    intercept[IllegalArgumentException](FilterQuery.parse("{!frange}dl"))
+    intercept[IllegalArgumentException](FilterQuery.parse("{!frange lo=1}dl"))
+    intercept[IllegalArgumentException](FilterQuery.parse("{!frange l=x}dl"))
+  }
+
+  test("lineDedup: global first-occurrence wins, counts, rebuild order") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j k l"),          // spans: [a..j], [k l]
+      (1L, "a b c d e f g h i j z z z z z z z z z z"), // first span dups doc 0
+      (2L, "unique tokens only here p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lineDedup(docs, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (0L, 2, 2, "a b c d e f g h i j k l"),
+      (1L, 2, 1, "z z z z z z z z z z"),
+      (2L, 1, 1, "unique tokens only here p q r s t u")))
+  }
+
   test("packGreedy: budget, ordering, and oversized-turn invariants") {
     // conv a: 50+60 fit 128, 30 opens bin 1, 200 oversized → own bin 2,
     // 10 opens bin 3 (greedy never looks back). conv b: single turn.
