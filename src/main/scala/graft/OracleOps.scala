@@ -108,6 +108,26 @@ object OracleOps {
        |FROM corpus c LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.temperatureSample]] over the transcripts
+    * corpus stratified by `strataCol` (dense doc ids by the stable key
+    * order, as everywhere). */
+  def temperatureSample(strataCol: String, alpha: Double): String =
+    s"""WITH t AS (${Oracle.transcriptsSql}),
+       |c AS (SELECT $strataCol, count(*)::BIGINT AS c FROM t GROUP BY 1),
+       |m AS (SELECT min(c) AS mc FROM c),
+       |r AS (SELECT $strataCol,
+       |        CAST(floor(1000.0 * pow(CAST(mc AS DOUBLE) / c, ${1.0 - alpha})
+       |                   + 1e-9) AS INT) AS rate_permille
+       |      FROM c CROSS JOIN m),
+       |d AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1
+       |               AS BIGINT) AS doc_id, $strataCol
+       |      FROM t)
+       |SELECT d.doc_id, d.$strataCol, r.rate_permille
+       |FROM d JOIN r USING ($strataCol)
+       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+       |        < rate_permille
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.lineDedup]] over a corpus with the
     * gate's deterministic duplicate-span injection (docs ≡ 0 mod
     * `injectMod` share one pinned 10-token leading span). rnk=1 over

@@ -704,6 +704,12 @@ object SparkEntry {
     // consistent under corpus growth, shuffle-free
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(
       s.read.parquet(s"$dir/documents.parquet"), "lang", SampleRates, 600)),
+    // temperature-based source mixing over the transcripts corpus: keep
+    // rates derived from the strata's own frequencies (p^α, α=1/T) so
+    // downsampling flattens toward uniform while the rarest role survives
+    // whole — the standard multilingual-pretraining resampling rule
+    "q_sample_temperature" -> ((s, dir) => TextOps.temperatureSample(
+      transcriptCorpusAttrs(s, dir).select("doc_id", "role"), "role", 0.5)),
     // the END-TO-END training-set pipeline: quality gate → near-dup
     // canonical filter (components rep survives, other members drop) →
     // stratified sample — each stage the same operator its standalone
@@ -1401,6 +1407,7 @@ object SparkEntry {
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
+    "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
     "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),

@@ -372,6 +372,36 @@ object TextOps {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Temperature-based source mixing (the public multilingual-pretraining
+    * resampling rule: sample sources ∝ p^α, α = 1/T — XLM-R/mT5 shape):
+    * derive per-stratum Bernoulli keep-rates from the strata's own
+    * frequencies so the KEPT distribution follows p_i^α, with the rarest
+    * stratum kept whole (no upsampling):
+    *   rate_i = ⌊1000 · (c_min / c_i)^(1−α) + 1e-9⌋ per-mille,
+    * then the same deterministic md5(doc_id) per-mille filter as
+    * [[stratifiedSample]]. The 1e-9 guard pins the floor against ULP
+    * drift between the engine's and the oracle's libm pow. α = 1 is
+    * proportional (every rate 1000); α → 0 approaches uniform-by-stratum.
+    *
+    * Scale shape: strata counts are one partial-agg pass (|strata| rows
+    * broadcast back); the only driver state is the single min count. */
+  def temperatureSample(corpus: DataFrame, strataCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1] (got $alpha)")
+    val counts = corpus.groupBy(strataCol).agg(count(lit(1)).as("_c"))
+    val minC = counts.agg(min(col("_c"))).head().getLong(0) // O(1) driver
+    val rates = counts.withColumn("rate_permille",
+      floor(lit(1000.0) * pow(lit(minC.toDouble) / col("_c"),
+        lit(1.0 - alpha)) + lit(1e-9)).cast("int"))
+    corpus
+      .join(broadcast(rates.select(col(strataCol), col("rate_permille"))),
+        strataCol)
+      .where(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000 < col("rate_permille"))
+      .select(col("doc_id"), col(strataCol), col("rate_permille"))
+      .orderBy("doc_id")
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

@@ -291,4 +291,27 @@ class RequestSurfaceSpec extends SparkSpec {
     // consistency: raising a rate only ADDS docs
     assert(a.subsetOf(ids(Map("en" -> 700), 600)))
   }
+
+  test("temperatureSample: α=1 proportional, rarest whole, rate-monotone") {
+    // 400 en / 80 zh / 20 fi — deliberately skewed strata
+    val docs = (0L until 500L).map { i =>
+      (i, if (i < 400) "en" else if (i < 480) "zh" else "fi")
+    }.toDF("doc_id", "lang")
+    def run(alpha: Double) =
+      TextOps.temperatureSample(docs, "lang", alpha).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // α = 1 is proportional sampling: every stratum keeps rate 1000
+    val prop = run(1.0)
+    assert(prop.length == 500 && prop.forall(_._3 == 1000))
+    val t = run(0.5)
+    assert(t.toSeq == run(0.5).toSeq, "deterministic")
+    val rates = t.map(r => (r._2, r._3)).toMap
+    // the rarest stratum is kept whole; rates fall as counts rise
+    assert(rates("fi") == 1000)
+    assert(rates("zh") > rates("en"))
+    // exact closed form: rate = ⌊1000·(c_min/c)^(1−α)⌋
+    assert(rates("en") == math.floor(1000.0 * math.pow(20.0 / 400, 0.5) + 1e-9).toInt)
+    // lower α flattens harder: en's keep-rate shrinks monotonically
+    assert(run(0.3).map(r => (r._2, r._3)).toMap.apply("en") < rates("en"))
+  }
 }
