@@ -1055,6 +1055,22 @@ object Oracle {
        |) ORDER BY query_id, field, value""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.responseStats]]: Solr rows=0
+    * numFound + group.ngroups per query, zero-filled query spine;
+    * count(DISTINCT) ignores NULLs on both engines. */
+  def responseStats(queries: Seq[(Int, String)], groupField: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |agg AS (SELECT query_id, count(*)::BIGINT AS nf,
+       |               count(DISTINCT $groupField)::BIGINT AS ng
+       |        FROM matched JOIN corpus USING (doc_id)
+       |        GROUP BY query_id),
+       |qids AS (SELECT DISTINCT query_id FROM queries)
+       |SELECT qids.query_id, coalesce(nf, 0) AS num_found,
+       |       coalesce(ng, 0) AS ngroups
+       |FROM qids LEFT JOIN agg USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   /** Twin of [[graft.search.Facets.queryCounts]]: named facet.query
     * predicates (SQL twins of the Spark Columns), zero-filled on the
     * query-id spine — a query with an empty match set still reports

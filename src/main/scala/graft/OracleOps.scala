@@ -108,6 +108,29 @@ object OracleOps {
        |FROM corpus c LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.lmPerplexity]] — unigram add-α LM
+    * trained on the `lang = trainLang` subset of documents, scoring all
+    * docs; ln on both engines is ≤1-ulp libm, absorbed by the 6dp round
+    * (the BM25-idf contract). The keep flag compares the ROUNDED value. */
+  def lmPerplexity(trainLang: String, alpha: Double, threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, lang, unnest($toks) AS term
+       |               FROM documents),
+       |cnt AS (SELECT term, count(*)::BIGINT AS c FROM toks
+       |        WHERE lang = '$trainLang' GROUP BY 1),
+       |tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE)
+       |               + $alpha * (count(*) + 1) AS denom
+       |        FROM cnt),
+       |sc AS (SELECT t.doc_id,
+       |         -sum(ln((coalesce(c, 0) + $alpha) / denom)) / count(*) AS lppl,
+       |         count(*)::INT AS n_tokens
+       |       FROM toks t LEFT JOIN cnt USING (term) CROSS JOIN tot
+       |       GROUP BY t.doc_id)
+       |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       |       round(lppl, 6) AS log_ppl,
+       |       (lppl IS NOT NULL AND round(lppl, 6) <= $threshold) AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.temperatureSample]] over the transcripts
     * corpus stratified by `strataCol` (dense doc ids by the stable key
     * order, as everywhere). */

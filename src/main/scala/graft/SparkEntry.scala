@@ -710,6 +710,12 @@ object SparkEntry {
     // whole — the standard multilingual-pretraining resampling rule
     "q_sample_temperature" -> ((s, dir) => TextOps.temperatureSample(
       transcriptCorpusAttrs(s, dir).select("doc_id", "role"), "role", 0.5)),
+    // CCNet-style LM perplexity filter: unigram add-α LM trained on the
+    // corpus's own lang='en' subset, every doc scored, keep = the
+    // low-perplexity band
+    "q_lm_perplexity" -> ((s, dir) => TextOps.lmPerplexity(
+      s.read.parquet(s"$dir/documents.parquet"),
+      col("lang") === "en", 0.5, 8.0)),
     // the END-TO-END training-set pipeline: quality gate → near-dup
     // canonical filter (components rep survives, other members drop) →
     // stratified sample — each stage the same operator its standalone
@@ -831,6 +837,10 @@ object SparkEntry {
     // ONE match-set join (role + tool, NULLs uncounted)
     "q_facet_multi" -> ((s, dir) =>
       IndexSearch.facetFields(indexFor(s, dir), DisjQueries, Seq("role", "tool"))),
+    // Solr rows=0 response header: numFound + group.ngroups (distinct
+    // conversations matched), zero-filled spine (query 5 reports 0, 0)
+    "q_numfound" -> ((s, dir) =>
+      IndexSearch.responseStats(indexFor(s, dir), DisjQueries, "conv_id")),
     // Solr facet.query: named attribute predicates, zero-filled on the
     // query spine (query 5 matches nothing — all-zero rows pin the spine)
     "q_facet_query" -> ((s, dir) =>
@@ -1408,6 +1418,7 @@ object SparkEntry {
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
+    "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
     "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),
@@ -1427,6 +1438,7 @@ object SparkEntry {
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
     "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
     "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
+    "q_numfound" -> Oracle.responseStats(DisjQueries, "conv_id"),
     "q_facet_json" -> Oracle.facetJson(DisjQueries, "role", "tool", 2, 2,
       JsonFacetMetrics),
     "q_bm25_folded" -> Oracle.bm25TopK(Oracle.foldedDocumentsCorpus,

@@ -402,6 +402,64 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** N-gram LM PERPLEXITY filter (the CCNet quality signal, Wenzek et al.
+    * LREC 2020: score every document by a language model trained on an
+    * in-domain reference corpus, keep the low-perplexity band): here a
+    * unigram add-α LM trained on the `trainFilter` subset of the corpus
+    * itself (CCNet trains on Wikipedia; the gate trains on lang='en'),
+    * scoring ALL docs —
+    *
+    *   p(t) = (c_t + α) / (T + α·(V+1)),   log_ppl(d) = −Σ ln p(t_i) / n
+    *
+    * with c_t the train-set term count, T = Σ c, V = train vocab size and
+    * the +1 vocab slot reserving OOV mass (an unseen token scores c=0,
+    * never −∞). Output (doc_id, n_tokens, log_ppl, keep): log_ppl is
+    * round(·, 6) natural-log perplexity (the keep threshold applies on
+    * the log scale so neither engine exponentiates), keep = n > 0 AND
+    * log_ppl ≤ threshold; a tokenless doc reports NULL log_ppl, keep
+    * false.
+    *
+    * Scale shape: train counts are one hash agg (vocab-sized, stays
+    * distributed); T and V are a 1-row collect (two driver scalars, like
+    * collection stats G3); scoring is explode → term-keyed join against
+    * the counts (the tf ⋈ dictionary shuffle shape — NOT broadcast, a
+    * 100-TB vocab outgrows the driver) → per-doc hash agg; the corpus
+    * spine left-joins back so empty docs survive. FP: Σ ln over a doc's
+    * tokens is order-nondeterministic in a distributed sum — the 6dp
+    * round absorbs the ≤1-ulp-per-term drift, the same contract every
+    * BM25 gate relies on. */
+  def lmPerplexity(corpus: DataFrame, trainFilter: Column, alpha: Double,
+                   threshold: Double): DataFrame = {
+    require(alpha > 0, s"alpha must be positive (got $alpha)")
+    val toks = corpus.select(col("doc_id"), col("text"), trainFilter.as("_train"))
+      .select(col("doc_id"), col("_train"),
+        explode(Analyzer.tokens(col("text"))).as("term"))
+    val counts = toks.where(col("_train")).groupBy("term")
+      .agg(count(lit(1)).as("_c"))
+    // T and V: O(1) driver state, the G3 collection-stats idiom
+    val Array(totT, totV) = counts.agg(sum(col("_c")), count(lit(1)))
+      .head().toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    val denom = totT + alpha * (totV + 1)
+    val scored = toks
+      .join(counts.select(col("term"), col("_c")), Seq("term"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("_c"), lit(0L)) + lit(alpha)) / lit(denom)).as("_lp"))
+      .groupBy("doc_id")
+      .agg((-sum(col("_lp")) / count(lit(1))).as("_lppl"),
+        count(lit(1)).cast("int").as("n_tokens"))
+    corpus.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        round(col("_lppl"), 6).as("log_ppl"),
+        // the flag compares the ROUNDED value both engines agree on —
+        // a raw-value compare could flip keep across engines at the
+        // threshold boundary
+        (col("_lppl").isNotNull &&
+          round(col("_lppl"), 6) <= threshold).as("keep"))
+      .orderBy("doc_id")
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

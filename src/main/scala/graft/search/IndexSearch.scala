@@ -839,6 +839,34 @@ object IndexSearch {
   private def facetAttrs(idx: OpenIndex): DataFrame =
     idx.io.read(idx.spark, idx.paths.docs).drop("text")
 
+  /** Solr `rows=0` response header: per query `numFound` (total match
+    * count — what Solr always reports even when no docs are returned)
+    * plus the `group.ngroups` analog (distinct `groupField` values among
+    * the matches; NULL group values uncounted, per the grouping engine's
+    * pinned null policy), zero-filled on the driver-known query spine —
+    * a query matching nothing reports (0, 0).
+    *
+    * Scale shape: ONE match-set ⋈ column-pruned attrs join + one hash
+    * agg (partial count-distinct planned by Spark); nothing ranks,
+    * nothing reads text, output is |queries| rows. */
+  def responseStats(idx: OpenIndex, queries: Seq[(Int, String)],
+                    groupField: String): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val agged = matchedDocSet(idx, queries)
+      .join(facetAttrs(idx).select(col("doc_id"), col(groupField)), "doc_id")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("_nf"), count_distinct(col(groupField)).as("_ng"))
+    val spine = queries.map(_._1).distinct.sorted.toDF("query_id")
+    // agged is ≤ |queries| rows — broadcast the right side (the
+    // queryCounts spine idiom)
+    spine.join(broadcast(agged), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_nf"), lit(0L)).as("num_found"),
+        coalesce(col("_ng"), lit(0L)).as("ngroups"))
+      .orderBy("query_id")
+  }
+
   /** Multi-field Solr `facet.field` over the persisted index — repeated
     * facet.field params of one request, all counted from ONE match-set
     * join ([[Facets.fields]] semantics). */

@@ -109,4 +109,13 @@ class FacetSpec extends SparkSpec {
     intercept[IllegalArgumentException](IndexSearch.facetJsonRange(idx,
       Seq(1 -> "dog"), "dl", 8L, 0L, 4L, metrics))
   }
+
+  test("responseStats: numFound + ngroups, zero-filled spine") {
+    // bee → docs 0,1,2 over convs c0,c0,c1; zzz matches nothing;
+    // lark → doc 4 (conv c2)
+    val got = IndexSearch.responseStats(idx,
+      Seq(1 -> "bee", 2 -> "zzz", 3 -> "lark"), "conv_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 3L, 2L), (2, 0L, 0L), (3, 1L, 1L)))
+  }
 }

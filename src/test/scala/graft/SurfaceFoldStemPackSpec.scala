@@ -119,4 +119,27 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
       }
     }
   }
+
+  test("lmPerplexity: closed form, OOV penalty, empty doc, keep flag") {
+    val docs = Seq(
+      (0L, "a a b", "en"),     // train
+      (1L, "a", "en"),         // in-domain, high-prob token
+      (2L, "zz qq", "de"),     // all-OOV
+      (3L, "", "de")           // tokenless
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.lmPerplexity(docs, col("lang") === "en", 0.5, 1.0)
+      .collect().map(r => (r.getLong(0),
+        r.getInt(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getBoolean(3))).toSeq
+    // train set: c(a)=3, c(b)=1 over docs 0,1; T=4, V=2, denom=4+0.5*3=5.5
+    def lp(c: Long) = math.log((c + 0.5) / 5.5)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((0L, 3, Some(r6(-(2 * lp(3) + lp(1)) / 3)), true)))
+    assert(out(1) == ((1L, 1, Some(r6(-lp(3))), true)), s"got ${out(1)}")
+    assert(out(2) == ((2L, 2, Some(r6(-lp(0))), false)))
+    assert(out(3) == ((3L, 0, None, false)))
+    // OOV scores strictly worse than any in-vocab token
+    assert(out(2)._3.get > out(0)._3.get)
+  }
 }
