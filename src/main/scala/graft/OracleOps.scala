@@ -108,6 +108,35 @@ object OracleOps {
        |FROM corpus c LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.dsirWeights]] — hashed-bigram
+    * likelihood-ratio importance weights, target = `lang = trainLang`
+    * docs vs the raw corpus; same md5 bucket primitive, ln drift
+    * absorbed by the 6dp round, keep compares the ROUNDED value. */
+  def dsirWeights(trainLang: String, buckets: Int, alpha: Double,
+                  threshold: Double): String =
+    s"""WITH tk2 AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |g AS (SELECT doc_id, (lang = '$trainLang') AS tgt,
+       |        unnest(${gramsExpr(2)}) AS gram FROM tk2),
+       |gb AS (SELECT doc_id, tgt,
+       |         ('0x' || substr(md5(gram), 1, 8))::BIGINT % $buckets AS bucket
+       |       FROM g),
+       |st AS (SELECT bucket,
+       |         sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS ct,
+       |         count(*)::BIGINT AS cr
+       |       FROM gb GROUP BY 1),
+       |tot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) + $alpha * $buckets AS dent,
+       |               CAST(coalesce(sum(cr), 0) AS DOUBLE) + $alpha * $buckets AS denr
+       |        FROM st),
+       |lr AS (SELECT bucket, ln((ct + $alpha) / dent) - ln((cr + $alpha) / denr) AS lr
+       |       FROM st CROSS JOIN tot),
+       |sc AS (SELECT doc_id, sum(lr) AS lw, count(*)::INT AS n_grams
+       |       FROM gb JOIN lr USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+       |       round(lw, 6) AS log_w,
+       |       (lw IS NOT NULL AND round(lw, 6) >= $threshold) AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.lmPerplexity]] — unigram add-α LM
     * trained on the `lang = trainLang` subset of documents, scoring all
     * docs; ln on both engines is ≤1-ulp libm, absorbed by the 6dp round

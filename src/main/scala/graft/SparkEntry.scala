@@ -716,6 +716,12 @@ object SparkEntry {
     "q_lm_perplexity" -> ((s, dir) => TextOps.lmPerplexity(
       s.read.parquet(s"$dir/documents.parquet"),
       col("lang") === "en", 0.5, 8.0)),
+    // DSIR importance resampling: hashed-bigram likelihood ratio of the
+    // lang='en' target domain vs the raw corpus, deterministic-threshold
+    // keep (the paper's Gumbel-top-k replaced for bit-exactness)
+    "q_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(
+      s.read.parquet(s"$dir/documents.parquet"),
+      col("lang") === "en", 4096, 0.5, 0.0)),
     // the END-TO-END training-set pipeline: quality gate → near-dup
     // canonical filter (components rep survives, other members drop) →
     // stratified sample — each stage the same operator its standalone
@@ -1419,6 +1425,7 @@ object SparkEntry {
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
+    "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
     "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),

@@ -460,6 +460,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** DSIR importance weights (Data Selection with Importance Resampling,
+    * Xie et al. NeurIPS 2023): score every document by the hashed-n-gram
+    * likelihood ratio between a TARGET domain and the RAW corpus —
+    *
+    *   features: each analyzed bigram hashes into one of `buckets`
+    *     fixed buckets (md5-derived, the cross-engine hash primitive);
+    *   models:   p_b = (c_target,b + α)/(T_target + α·B) and q_b likewise
+    *     over the raw corpus (add-α over the FIXED bucket space — unlike
+    *     [[lmPerplexity]]'s open vocab there is no OOV slot, B is known);
+    *   weight:   log w(d) = Σ_grams (ln p_b(g) − ln q_b(g)).
+    *
+    * keep = round(log_w, 6) ≥ threshold — a deterministic threshold in
+    * lieu of the paper's Gumbel-top-k resampling (sampling noise is
+    * incompatible with bit-exact cross-engine verification; the paper's
+    * appendix top-k heuristic is this rule on the weight ordering).
+    * Docs with < 2 tokens have no features: NULL log_w, keep false.
+    *
+    * Scale shape: bucket stats are ONE conditional-sum hash agg over the
+    * exploded grams (both models in one pass) with ≤ B output rows — B
+    * is a caller constant, so the stats BROADCAST to the scoring join
+    * (unlike the perplexity dictionary, which grows with the corpus);
+    * T_target/T_raw are a 1-row collect; scoring is gram-explode →
+    * broadcast join → per-doc hash agg. */
+  def dsirWeights(corpus: DataFrame, targetFilter: Column, buckets: Int,
+                  alpha: Double, threshold: Double): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    require(alpha > 0, s"alpha must be positive (got $alpha)")
+    val grams = corpus
+      .select(col("doc_id"), targetFilter.as("_target"),
+        explode(ngramList(col("text"), 2)).as("gram"))
+      .select(col("doc_id"), col("_target"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+    val stats = grams.groupBy("bucket").agg(
+      sum(when(col("_target"), 1L).otherwise(0L)).as("_ct"),
+      count(lit(1)).as("_cr"))
+    val Array(tt, tr) = stats.agg(sum(col("_ct")), sum(col("_cr"))).head()
+      .toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    val (denT, denR) = (tt + alpha * buckets, tr + alpha * buckets)
+    val contrib = stats.select(col("bucket"),
+      (log((col("_ct") + lit(alpha)) / lit(denT)) -
+        log((col("_cr") + lit(alpha)) / lit(denR))).as("_lr"))
+    val scored = grams.select("doc_id", "bucket")
+      .join(broadcast(contrib), "bucket") // ≤ B rows, B a caller constant
+      .groupBy("doc_id")
+      .agg(sum(col("_lr")).as("_lw"), count(lit(1)).cast("int").as("n_grams"))
+    corpus.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        round(col("_lw"), 6).as("log_w"),
+        (col("_lw").isNotNull &&
+          round(col("_lw"), 6) >= threshold).as("keep"))
+      .orderBy("doc_id")
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

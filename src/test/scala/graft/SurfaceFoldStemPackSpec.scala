@@ -142,4 +142,27 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     // OOV scores strictly worse than any in-vocab token
     assert(out(2)._3.get > out(0)._3.get)
   }
+
+  test("dsirWeights: target-domain docs score higher; featureless doc NULL") {
+    // target docs share bigrams with each other; the off-domain doc's
+    // bigrams appear only in the raw corpus
+    val docs = Seq(
+      (0L, "spark merge spark merge", "en"),
+      (1L, "spark merge window", "en"),
+      (2L, "ganz anderes thema hier", "de"),
+      (3L, "x", "de") // single token → no bigram features
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.dsirWeights(docs, col("lang") === "en", 4096, 0.5, 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3)))
+    assert(out.map(_._2).toSeq == Seq(3, 2, 3, 0), "bigram counts")
+    // en docs carry positive log-ratio weight, the de doc negative
+    assert(out(0)._3.get > 0 && out(1)._3.get > 0 && out(2)._3.get < 0)
+    assert(out.map(_._4).toSeq == Seq(true, true, false, false))
+    // deterministic
+    val again = TextOps.dsirWeights(docs, col("lang") === "en", 4096, 0.5, 0.0)
+      .collect().map(_.toSeq).toSeq
+    assert(again == out.map(t =>
+      Seq[Any](t._1, t._2, t._3.getOrElse(null), t._4)).toSeq)
+  }
 }
