@@ -1368,6 +1368,17 @@ object Oracle {
        |       conv_id, turn_idx, role, dl
        |FROM pos ORDER BY query_id, export_pos""".stripMargin
 
+  /** Twin of [[graft.search.StreamExpr.run]]: the SAME parsed AST renders
+    * this SQL (StreamExpr.sql) — the expression string is interpreted
+    * exactly once, driver-side, for both engines. `docsattrs` is the
+    * stored-field surface (corpus attributes + dl). */
+  def streamExpr(expr: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |docsattrs AS (SELECT doc_id, conv_id, turn_idx, role, tool,
+       |                     CAST(dl.dl AS INT) AS dl
+       |              FROM corpus JOIN dl USING (doc_id))
+       |${graft.search.StreamExpr.sql(graft.search.StreamExpr.parse(expr))}""".stripMargin
+
   /** Twin of [[graft.search.IndexSearch.searchBoostQuery]] (`bq=`): the
     * bq STRING is parsed by the SAME [[graft.search.Search.parseClauses]]
     * the engine uses (driver-side shared parse), its per-doc

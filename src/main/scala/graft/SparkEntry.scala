@@ -31,6 +31,14 @@ object SparkEntry {
     * tokens so span windows stay aligned after the prepend. */
   val LineDedupSpan = "the quick brown fox jumps over the lazy dog again"
 
+  /** Streaming-expression gate requests — each string is parsed ONCE by
+    * [[graft.search.StreamExpr]] and the same AST renders the engine
+    * plan and the oracle SQL. */
+  val StreamRollupExpr: String =
+    """rollup(search(transcripts, q="spark merge window", fl="doc_id,role,dl", sort="doc_id asc"), over="role", count(*), sum(dl), min(dl), max(dl), avg(dl))"""
+  val StreamJoinExpr: String =
+    """top(innerJoin(search(transcripts, q="spark merge", fl="doc_id,conv_id,dl", sort="conv_id asc"), select(search(transcripts, q="batch", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), n=20, sort="dl desc")"""
+
   /** Fielded-clause query set (Lucene `field:term` syntax composed into
     * the boolean grammar): attr musts/nots/shoulds, a fielded boost, and
     * one pure-fielded query (no text terms at all). */
@@ -1137,6 +1145,15 @@ object SparkEntry {
       IndexSearch.exportSorted(indexFor(s, dir), ConjQueries,
         Seq(col("dl").asc), Seq("conv_id", "turn_idx", "role", "dl"),
         conjunctive = true)),
+    // Solr streaming expressions (/stream): rollup over a search source —
+    // per-role tuple counts + dl metrics of one query's full match set
+    "q_stream_rollup" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamRollupExpr)),
+    // streaming expressions: innerJoin of two search streams on conv_id
+    // (renamed right side), re-sorted by the top decorator — the
+    // decorator-composition shape of a real /stream request
+    "q_stream_join_top" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamJoinExpr)),
     // RealTimeGet over the SEGMENTED index — the live (upsert/tombstone-
     // aware) doc attrs between compactions; text not stored per-segment
     "q_doc_get_segmented" -> ((s, dir) =>
@@ -1543,6 +1560,8 @@ object SparkEntry {
       "turn_idx BETWEEN 1 AND 3 AND (tool IS NULL OR tool <> 'tool3')"),
     "q_doc_get" -> Oracle.getDocs(GetKeys, withText = true),
     "q_export" -> Oracle.exportSortedDl(ConjQueries),
+    "q_stream_rollup" -> Oracle.streamExpr(StreamRollupExpr),
+    "q_stream_join_top" -> Oracle.streamExpr(StreamJoinExpr),
     "q_doc_update" -> Oracle.getDocsUpdated(GetKeys, AtomicSets),
     "q_termvectors" -> Oracle.termVectors(GetKeys),
     "q_doc_get_segmented" -> Oracle.getDocs(GetKeys, withText = false),

@@ -1,0 +1,298 @@
+package graft.search
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Solr STREAMING EXPRESSIONS (`/stream` handler) — the tuple-stream
+  * relational algebra Solr exposes as composable source/decorator
+  * functions [PUB: Solr Streaming Expressions docs]. Supported subset:
+  *
+  *   - `search(col, q="…", fl="a,b", sort="f asc")` — stream source: the
+  *     FULL match set of a disjunctive analyzed query with the fl stored
+  *     fields (the /export discipline — no scored heap, never text);
+  *   - `select(stream, f as g, h)` — projection / rename decorator;
+  *   - `rollup(stream, over="k", count(*), sum(f), min(f), max(f),
+  *     avg(f))` — grouped metrics; outputs are named `n_tuples`,
+  *     `sum_f`, `min_f`, `max_f`, `avg_f` (parquet-safe names pinned in
+  *     lieu of Solr's `sum(f)` tuple keys);
+  *   - `innerJoin(left, right, on="k")` — equi-join; non-key columns of
+  *     the two sides must be DISJOINT (fail loudly; Solr silently
+  *     clobbers — the pinned divergence);
+  *   - `top(stream, n=10, sort="f desc")` — global top-n re-sorter.
+  *     Determinism pin: after the explicit sort keys every remaining
+  *     column tie-breaks ascending, so the selected SET is well-defined
+  *     on both engines (fully-identical rows are interchangeable).
+  *
+  * ONE parsed AST renders BOTH the engine DataFrame plan and the DuckDB
+  * oracle SQL — the FunctionQuery/JsonMetric no-drift pattern: there is
+  * no seam where the two engines could interpret the expression string
+  * differently. Unknown functions, unknown fields, sort keys outside the
+  * stream schema, and colliding join columns all fail loudly at parse /
+  * validate time (Solr 400s).
+  *
+  * Scale shape: `search` is the /export plan (match semi-join ⋈
+  * column-pruned attrs, no text, no collect); `rollup` one hash agg;
+  * `innerJoin` a key-shuffled join of two already-reduced streams;
+  * `top` a global sort+limit (TakeOrderedAndProject — the W3 shape).
+  * Nothing driver-sized anywhere.
+  */
+object StreamExpr {
+
+  /** Stored fields a stream may carry (the docs/ attribute surface minus
+    * raw ts — timestamps ride as epoch via function queries elsewhere;
+    * a ts-hashing seam is exactly what the ledger's invariant forbids). */
+  val StoredFields: Seq[String] =
+    Seq("doc_id", "conv_id", "turn_idx", "role", "tool", "dl")
+
+  sealed trait Metric { def outName: String }
+  case object MCount extends Metric { val outName = "n_tuples" }
+  final case class MSum(f: String) extends Metric { def outName = s"sum_$f" }
+  final case class MMin(f: String) extends Metric { def outName = s"min_$f" }
+  final case class MMax(f: String) extends Metric { def outName = s"max_$f" }
+  final case class MAvg(f: String) extends Metric { def outName = s"avg_$f" }
+
+  sealed trait Node { def schema: Seq[String] }
+  final case class SearchNode(q: String, fl: Seq[String],
+                              sort: Seq[(String, Boolean)]) extends Node {
+    def schema: Seq[String] = fl
+  }
+  final case class SelectNode(child: Node, fields: Seq[(String, String)]) extends Node {
+    def schema: Seq[String] = fields.map(_._2)
+  }
+  final case class RollupNode(child: Node, over: Seq[String],
+                              metrics: Seq[Metric]) extends Node {
+    def schema: Seq[String] = over ++ metrics.map(_.outName)
+  }
+  final case class JoinNode(left: Node, right: Node, on: Seq[String]) extends Node {
+    def schema: Seq[String] =
+      on ++ left.schema.filterNot(on.contains) ++ right.schema.filterNot(on.contains)
+  }
+  final case class TopNode(child: Node, n: Int,
+                           sort: Seq[(String, Boolean)]) extends Node {
+    def schema: Seq[String] = child.schema
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  def parse(expr: String): Node = {
+    val n = parseNode(expr.trim)
+    validate(n)
+    n
+  }
+
+  private def parseNode(s: String): Node = {
+    val open = s.indexOf('(')
+    require(open > 0 && s.endsWith(")"),
+      s"malformed stream expression: '$s'")
+    val name = s.substring(0, open).trim
+    val args = splitTop(s.substring(open + 1, s.length - 1))
+    name match {
+      case "search" =>
+        require(args.nonEmpty, "search(collection, …)")
+        val named = namedArgs(args.tail)
+        val q = named.getOrElse("q",
+          fail("search requires q=\"…\""))
+        val fl = named.getOrElse("fl", fail("search requires fl=\"…\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        SearchNode(q, fl, parseSort(named.getOrElse("sort",
+          fail("search requires sort=\"…\""))))
+      case "select" =>
+        require(args.size >= 2, "select(stream, field[, …])")
+        val fields = args.tail.map { a =>
+          a.split("\\s+[aA][sS]\\s+") match {
+            case Array(src)        => (src.trim, src.trim)
+            case Array(src, alias) => (src.trim, alias.trim)
+            case _ => fail(s"malformed select field '$a'")
+          }
+        }
+        SelectNode(parseNode(args.head), fields)
+      case "rollup" =>
+        require(args.size >= 3, "rollup(stream, over=\"…\", metric[, …])")
+        val (named, metricArgs) = args.tail.partition(_.matches("(?s)\\s*over\\s*=.*"))
+        val over = namedArgs(named).getOrElse("over", fail("rollup requires over=\"…\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        RollupNode(parseNode(args.head), over, metricArgs.map(parseMetric))
+      case "innerJoin" =>
+        require(args.size == 3, "innerJoin(left, right, on=\"…\")")
+        val on = namedArgs(Seq(args(2))).getOrElse("on", fail("innerJoin requires on=\"…\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        JoinNode(parseNode(args(0)), parseNode(args(1)), on)
+      case "top" =>
+        require(args.size == 3, "top(stream, n=…, sort=\"…\")")
+        val named = namedArgs(args.tail)
+        val n = named.getOrElse("n", fail("top requires n=")).toInt
+        require(n > 0, s"top n must be positive (got $n)")
+        TopNode(parseNode(args.head), n,
+          parseSort(named.getOrElse("sort", fail("top requires sort=\"…\""))))
+      case other => fail(s"unknown stream function '$other'")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"stream expression: $msg")
+
+  /** Split `s` at top-level commas (parens and double quotes nest). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false; var start = 0
+    for (i <- s.indices) s.charAt(i) match {
+      case '"'              => inQ = !inQ
+      case '(' if !inQ      => depth += 1
+      case ')' if !inQ      => depth -= 1
+      case ',' if !inQ && depth == 0 =>
+        out += s.substring(start, i).trim; start = i + 1
+      case _ =>
+    }
+    require(depth == 0 && !inQ, s"unbalanced stream expression: '$s'")
+    val last = s.substring(start).trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  private def namedArgs(args: Seq[String]): Map[String, String] =
+    args.map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"expected name=value, got '$a'")
+      val v = a.substring(eq + 1).trim
+      (a.substring(0, eq).trim,
+        if (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2)
+          v.substring(1, v.length - 1) else v)
+    }.toMap
+
+  private def parseSort(s: String): Seq[(String, Boolean)] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { part =>
+      part.split("\\s+") match {
+        case Array(f)         => (f, true)
+        case Array(f, "asc")  => (f, true)
+        case Array(f, "desc") => (f, false)
+        case _ => fail(s"malformed sort clause '$part'")
+      }
+    }
+
+  private val MetricRe = "(count|sum|min|max|avg)\\(\\s*([*a-z_][a-z0-9_]*|\\*)\\s*\\)".r
+  private def parseMetric(s: String): Metric = s.trim match {
+    case MetricRe("count", "*") => MCount
+    case MetricRe("sum", f)     => MSum(f)
+    case MetricRe("min", f)     => MMin(f)
+    case MetricRe("max", f)     => MMax(f)
+    case MetricRe("avg", f)     => MAvg(f)
+    case other                  => fail(s"unknown metric '$other'")
+  }
+
+  // ------------------------------------------------------------- validate
+
+  private def validate(n: Node): Unit = n match {
+    case SearchNode(q, fl, sort) =>
+      require(Analyzer.tokenize(q).nonEmpty, s"search q analyzes to no terms: '$q'")
+      require(fl.nonEmpty, "search fl must be non-empty")
+      fl.foreach(f => require(StoredFields.contains(f),
+        s"unknown fl field '$f' (stored: ${StoredFields.mkString(", ")})"))
+      sort.foreach { case (f, _) => require(fl.contains(f),
+        s"search sort field '$f' not in fl") }
+    case SelectNode(c, fields) =>
+      validate(c)
+      require(fields.nonEmpty, "select needs at least one field")
+      fields.foreach { case (src, _) => require(c.schema.contains(src),
+        s"select field '$src' not in stream schema ${c.schema.mkString(", ")}") }
+      require(fields.map(_._2).distinct.size == fields.size,
+        "select aliases collide")
+    case RollupNode(c, over, ms) =>
+      validate(c)
+      require(over.nonEmpty && ms.nonEmpty, "rollup needs over= and ≥1 metric")
+      (over ++ ms.collect { case MSum(f) => f; case MMin(f) => f
+        case MMax(f) => f; case MAvg(f) => f })
+        .foreach(f => require(c.schema.contains(f),
+          s"rollup field '$f' not in stream schema"))
+      require(ms.map(_.outName).distinct.size == ms.size, "duplicate rollup metrics")
+    case JoinNode(l, r, on) =>
+      validate(l); validate(r)
+      require(on.nonEmpty, "innerJoin needs on=")
+      on.foreach(k => require(l.schema.contains(k) && r.schema.contains(k),
+        s"join key '$k' missing from a side"))
+      val clash = l.schema.filterNot(on.contains)
+        .intersect(r.schema.filterNot(on.contains))
+      require(clash.isEmpty,
+        s"innerJoin non-key columns collide: ${clash.mkString(", ")} " +
+          "(rename via select — Solr's silent clobber is not reproduced)")
+    case TopNode(c, _, sort) =>
+      validate(c)
+      sort.foreach { case (f, _) => require(c.schema.contains(f),
+        s"top sort field '$f' not in stream schema") }
+  }
+
+  // ------------------------------------------------------- engine render
+
+  def run(idx: IndexSearch.OpenIndex, expr: String): DataFrame =
+    render(idx, parse(expr))
+
+  private def render(idx: IndexSearch.OpenIndex, n: Node): DataFrame = n match {
+    case SearchNode(q, fl, sort) =>
+      val matched = IndexSearch.matchedDocSet(idx, Seq(1 -> q)).select("doc_id")
+      val attrs = idx.io.read(idx.spark, idx.paths.docs)
+        .select(("doc_id" +: fl).distinct.map(col): _*)
+      matched.join(attrs, "doc_id")
+        .select(fl.map(col): _*)
+        .orderBy(sort.map { case (f, asc) =>
+          if (asc) col(f).asc else col(f).desc }: _*)
+    case SelectNode(c, fields) =>
+      render(idx, c).select(fields.map { case (s, a) => col(s).as(a) }: _*)
+    case RollupNode(c, over, ms) =>
+      val aggs = ms.map {
+        case MCount  => count(lit(1)).as("n_tuples")
+        case MSum(f) => sum(col(f)).cast("long").as(s"sum_$f")
+        case MMin(f) => min(col(f)).as(s"min_$f")
+        case MMax(f) => max(col(f)).as(s"max_$f")
+        case MAvg(f) => avg(col(f)).as(s"avg_$f")
+      }
+      render(idx, c).groupBy(over.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    case j @ JoinNode(l, r, on) =>
+      render(idx, l).join(render(idx, r), on)
+        .select(j.schema.map(col): _*)
+    case t @ TopNode(c, k, sort) =>
+      val keys = sort.map { case (f, asc) =>
+        if (asc) col(f).asc else col(f).desc } ++
+        t.schema.filterNot(f => sort.exists(_._1 == f)).map(col(_).asc)
+      render(idx, c).orderBy(keys: _*).limit(k)
+  }
+
+  // ------------------------------------------------------- oracle render
+
+  /** DuckDB SQL for the SAME parsed AST, over [[graft.Oracle.indexCtes]]'
+    * corpus/tf/dl relations (`corpusSql` = the transcripts corpus with
+    * attributes). The caller wraps with the WITH prologue. */
+  def sql(n: Node): String = n match {
+    case SearchNode(q, fl, _) =>
+      val terms = Analyzer.tokenize(q).distinct.sorted
+        .map(t => s"'$t'").mkString(", ")
+      s"""SELECT ${fl.mkString(", ")}
+         |FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN ($terms))
+         |JOIN docsattrs USING (doc_id)""".stripMargin
+    case SelectNode(c, fields) =>
+      val cols = fields.map { case (s, a) => if (s == a) s else s"$s AS $a" }
+      s"SELECT ${cols.mkString(", ")} FROM (\n${sql(c)}\n)"
+    case RollupNode(c, over, ms) =>
+      val aggs = ms.map {
+        case MCount  => "count(*)::BIGINT AS n_tuples"
+        case MSum(f) => s"CAST(sum($f) AS BIGINT) AS sum_$f"
+        case MMin(f) => s"min($f) AS min_$f"
+        case MMax(f) => s"max($f) AS max_$f"
+        case MAvg(f) => s"CAST(sum($f) AS DOUBLE) / count(*) AS avg_$f"
+      }
+      s"""SELECT ${(over ++ aggs).mkString(", ")} FROM (
+         |${sql(c)}
+         |) GROUP BY ${over.mkString(", ")}""".stripMargin
+    case j @ JoinNode(l, r, on) =>
+      s"""SELECT ${j.schema.mkString(", ")} FROM (
+         |${sql(l)}
+         |) JOIN (
+         |${sql(r)}
+         |) USING (${on.mkString(", ")})""".stripMargin
+    case t @ TopNode(c, k, sort) =>
+      val keys = sort.map { case (f, asc) => s"$f ${if (asc) "ASC" else "DESC"}" } ++
+        t.schema.filterNot(f => sort.exists(_._1 == f)).map(f => s"$f ASC")
+      s"""SELECT * FROM (
+         |${sql(c)}
+         |) ORDER BY ${keys.mkString(", ")} LIMIT $k""".stripMargin
+  }
+}

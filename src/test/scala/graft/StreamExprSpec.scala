@@ -1,0 +1,87 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.search.{IndexSearch, StreamExpr}
+import graft.search.StreamExpr._
+
+/** Solr streaming expressions ([[graft.search.StreamExpr]]): parser
+  * pinning, loud guards, and hand-audited semantics of each decorator
+  * over a tiny persisted index. */
+class StreamExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = java.nio.file.Files.createTempDirectory("graftse").toString
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  // doc_ids 0..4 in (conv_id, turn_idx) order; dl = 3,3,3,7,9
+  lazy val idx: IndexSearch.OpenIndex = {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(0)),
+      ("c0", 1, "assistant", "ant bee cat", "toolA", ts(1)),
+      ("c1", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(2)),
+      ("c1", 1, "assistant", "cat dog emu fox gnu hen ibis", "toolB", ts(3)),
+      ("c2", 0, "user", "dog emu fox gnu hen ibis jay kit lark", null.asInstanceOf[String], ts(4)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = tmp()
+    BuildIndexJob.run(spark, turns, root, "se", BuildIndexJob.Config(numShards = 4))
+    IndexSearch.open(spark, root)
+  }
+
+  test("parser: AST shapes and loud failures") {
+    val n = parse("""rollup(search(t, q="bee", fl="doc_id,role,dl", sort="doc_id asc"), over="role", count(*), sum(dl))""")
+    assert(n == RollupNode(
+      SearchNode("bee", Seq("doc_id", "role", "dl"), Seq(("doc_id", true))),
+      Seq("role"), Seq(MCount, MSum("dl"))))
+    assert(n.schema == Seq("role", "n_tuples", "sum_dl"))
+    val j = parse("""top(innerJoin(search(t, q="bee", fl="doc_id,conv_id,dl", sort="conv_id asc"), select(search(t, q="dog", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), n=3, sort="dl desc")""")
+    assert(j.schema == Seq("conv_id", "doc_id", "dl", "rdoc"))
+    // guards: unknown function, unknown fl field, sort outside fl,
+    // colliding join columns, metric field outside schema
+    intercept[IllegalArgumentException](parse("""shuffle(search(t, q="a", fl="doc_id", sort="doc_id asc"))"""))
+    intercept[IllegalArgumentException](parse("""search(t, q="bee", fl="doc_id,text", sort="doc_id asc")"""))
+    intercept[IllegalArgumentException](parse("""search(t, q="bee", fl="doc_id", sort="dl asc")"""))
+    intercept[IllegalArgumentException](parse("""innerJoin(search(t, q="a", fl="doc_id,conv_id", sort="doc_id asc"), search(t, q="b", fl="doc_id,conv_id", sort="doc_id asc"), on="conv_id")"""))
+    intercept[IllegalArgumentException](parse("""rollup(search(t, q="a", fl="doc_id", sort="doc_id asc"), over="doc_id", sum(dl))"""))
+    intercept[IllegalArgumentException](parse("""search(t, q="!!", fl="doc_id", sort="doc_id asc")"""))
+  }
+
+  test("search source: full match set with fl fields") {
+    val rows = StreamExpr.run(idx,
+      """search(t, q="bee", fl="doc_id,role,dl", sort="doc_id asc")""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((0L, "user", 3), (1L, "assistant", 3), (2L, "user", 3)))
+  }
+
+  test("rollup: hand-audited grouped metrics") {
+    val rows = StreamExpr.run(idx,
+      """rollup(search(t, q="bee dog", fl="doc_id,role,dl", sort="doc_id asc"), over="role", count(*), sum(dl), min(dl), max(dl), avg(dl))""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5))).sortBy(_._1).toSeq
+    // bee|dog matches all 5 docs: assistant dl {3,7}, user dl {3,3,9}
+    assert(rows == Seq(
+      ("assistant", 2L, 10L, 3, 7, 5.0),
+      ("user", 3L, 15L, 3, 9, 5.0)))
+  }
+
+  test("innerJoin + top: composition, disjoint columns, pinned tie-break") {
+    val rows = StreamExpr.run(idx,
+      """top(innerJoin(search(t, q="apple", fl="doc_id,conv_id,dl", sort="conv_id asc"), select(search(t, q="cat", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), n=2, sort="rdoc desc")""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    // apple → doc 0 (c0); cat → docs 1,2,3 (c0,c1,c1) → join on conv_id
+    // keeps only (doc 0 × doc 1); n=2 larger than the stream
+    assert(rows == Seq(("c0", 0L, 3, 1L)))
+    // top selects deterministically under ties: dl asc over the bee
+    // stream (three dl=3 rows) tie-breaks by the remaining columns asc
+    val t2 = StreamExpr.run(idx,
+      """top(search(t, q="bee", fl="doc_id,dl", sort="dl asc"), n=2, sort="dl asc")""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(t2 == Seq(0L, 1L))
+  }
+
+  test("oracle render: one AST, both engines (smoke)") {
+    val sqlStr = graft.Oracle.streamExpr(
+      """rollup(search(t, q="bee", fl="doc_id,role,dl", sort="doc_id asc"), over="role", count(*), sum(dl))""")
+    assert(sqlStr.contains("GROUP BY role") && sqlStr.contains("term IN ('bee')")
+      && sqlStr.contains("docsattrs"))
+  }
+}
