@@ -38,6 +38,8 @@ object SparkEntry {
     """rollup(search(transcripts, q="spark merge window", fl="doc_id,role,dl", sort="doc_id asc"), over="role", count(*), sum(dl), min(dl), max(dl), avg(dl))"""
   val StreamJoinExpr: String =
     """top(innerJoin(search(transcripts, q="spark merge", fl="doc_id,conv_id,dl", sort="conv_id asc"), select(search(transcripts, q="batch", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), n=20, sort="dl desc")"""
+  val StreamUniqueExpr: String =
+    """sort(leftOuterJoin(unique(search(transcripts, q="spark merge window", fl="doc_id,conv_id,dl", sort="conv_id asc"), over="conv_id"), select(search(transcripts, q="dup", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), by="conv_id asc")"""
 
   /** Fielded-clause query set (Lucene `field:term` syntax composed into
     * the boolean grammar): attr musts/nots/shoulds, a fielded boost, and
@@ -1154,6 +1156,11 @@ object SparkEntry {
     // decorator-composition shape of a real /stream request
     "q_stream_join_top" -> ((s, dir) =>
       graft.search.StreamExpr.run(indexFor(s, dir), StreamJoinExpr)),
+    // streaming expressions: unique (one tuple per conversation, pinned
+    // least-row) → leftOuterJoin against a rare-term stream (NULL rdoc
+    // on miss — the outer-join path) → sort tail
+    "q_stream_unique" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamUniqueExpr)),
     // RealTimeGet over the SEGMENTED index — the live (upsert/tombstone-
     // aware) doc attrs between compactions; text not stored per-segment
     "q_doc_get_segmented" -> ((s, dir) =>
@@ -1562,6 +1569,7 @@ object SparkEntry {
     "q_export" -> Oracle.exportSortedDl(ConjQueries),
     "q_stream_rollup" -> Oracle.streamExpr(StreamRollupExpr),
     "q_stream_join_top" -> Oracle.streamExpr(StreamJoinExpr),
+    "q_stream_unique" -> Oracle.streamExpr(StreamUniqueExpr),
     "q_doc_update" -> Oracle.getDocsUpdated(GetKeys, AtomicSets),
     "q_termvectors" -> Oracle.termVectors(GetKeys),
     "q_doc_get_segmented" -> Oracle.getDocs(GetKeys, withText = false),

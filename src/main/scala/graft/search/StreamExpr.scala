@@ -22,7 +22,23 @@ import org.apache.spark.sql.functions._
   *   - `top(stream, n=10, sort="f desc")` — global top-n re-sorter.
   *     Determinism pin: after the explicit sort keys every remaining
   *     column tie-breaks ascending, so the selected SET is well-defined
-  *     on both engines (fully-identical rows are interchangeable).
+  *     on both engines (fully-identical rows are interchangeable);
+  *   - `sort(stream, by="f asc")` — batch re-sort decorator (order is
+  *     presentation-only for the row-set contract; kept for surface
+  *     fidelity and as the conventional tail of a /stream request);
+  *   - `unique(stream, over="k")` — one tuple per key: the
+  *     lexicographically-LEAST remaining-column tuple per key (pinned —
+  *     Solr keeps the first in stream sort order, which this reproduces
+  *     whenever the stream sort leads with `over`, and stays
+  *     deterministic when it does not);
+  *   - `leftOuterJoin(left, right, on="k")` — left join, right columns
+  *     NULL on miss; `hashJoin(left, right, on="k")` — innerJoin's
+  *     broadcast-flavored alias (one plan here: Spark picks the physical
+  *     join itself — the alias exists so /stream requests port verbatim).
+  *
+  * NULL-ordering pin: every rendered SQL sort key carries an explicit
+  * NULLS FIRST (asc) / NULLS LAST (desc) matching Spark's defaults, so a
+  * nullable sort column cannot order differently across engines.
   *
   * ONE parsed AST renders BOTH the engine DataFrame plan and the DuckDB
   * oracle SQL — the FunctionQuery/JsonMetric no-drift pattern: there is
@@ -72,6 +88,17 @@ object StreamExpr {
                            sort: Seq[(String, Boolean)]) extends Node {
     def schema: Seq[String] = child.schema
   }
+  final case class SortNode(child: Node, by: Seq[(String, Boolean)]) extends Node {
+    def schema: Seq[String] = child.schema
+  }
+  final case class UniqueNode(child: Node, over: Seq[String]) extends Node {
+    def schema: Seq[String] = child.schema
+  }
+  final case class LeftJoinNode(left: Node, right: Node,
+                                on: Seq[String]) extends Node {
+    def schema: Seq[String] =
+      on ++ left.schema.filterNot(on.contains) ++ right.schema.filterNot(on.contains)
+  }
 
   // ---------------------------------------------------------------- parse
 
@@ -113,11 +140,22 @@ object StreamExpr {
         val over = namedArgs(named).getOrElse("over", fail("rollup requires over=\"…\""))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         RollupNode(parseNode(args.head), over, metricArgs.map(parseMetric))
-      case "innerJoin" =>
-        require(args.size == 3, "innerJoin(left, right, on=\"…\")")
-        val on = namedArgs(Seq(args(2))).getOrElse("on", fail("innerJoin requires on=\"…\""))
+      case "innerJoin" | "hashJoin" | "leftOuterJoin" =>
+        require(args.size == 3, s"$name(left, right, on=\"…\")")
+        val on = namedArgs(Seq(args(2))).getOrElse("on", fail(s"$name requires on=\"…\""))
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        JoinNode(parseNode(args(0)), parseNode(args(1)), on)
+        if (name == "leftOuterJoin")
+          LeftJoinNode(parseNode(args(0)), parseNode(args(1)), on)
+        else JoinNode(parseNode(args(0)), parseNode(args(1)), on)
+      case "sort" =>
+        require(args.size == 2, "sort(stream, by=\"…\")")
+        SortNode(parseNode(args.head),
+          parseSort(namedArgs(Seq(args(1))).getOrElse("by", fail("sort requires by=\"…\""))))
+      case "unique" =>
+        require(args.size == 2, "unique(stream, over=\"…\")")
+        UniqueNode(parseNode(args.head),
+          namedArgs(Seq(args(1))).getOrElse("over", fail("unique requires over=\"…\""))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case "top" =>
         require(args.size == 3, "top(stream, n=…, sort=\"…\")")
         val named = namedArgs(args.tail)
@@ -219,6 +257,27 @@ object StreamExpr {
       validate(c)
       sort.foreach { case (f, _) => require(c.schema.contains(f),
         s"top sort field '$f' not in stream schema") }
+    case SortNode(c, by) =>
+      validate(c)
+      require(by.nonEmpty, "sort needs by=")
+      by.foreach { case (f, _) => require(c.schema.contains(f),
+        s"sort field '$f' not in stream schema") }
+    case UniqueNode(c, over) =>
+      validate(c)
+      require(over.nonEmpty, "unique needs over=")
+      over.foreach(f => require(c.schema.contains(f),
+        s"unique field '$f' not in stream schema"))
+      require(over.size < c.schema.size,
+        "unique over the whole schema is distinct() — drop a key or use rollup")
+    case LeftJoinNode(l, r, on) =>
+      validate(l); validate(r)
+      require(on.nonEmpty, "leftOuterJoin needs on=")
+      on.foreach(k => require(l.schema.contains(k) && r.schema.contains(k),
+        s"join key '$k' missing from a side"))
+      val clash = l.schema.filterNot(on.contains)
+        .intersect(r.schema.filterNot(on.contains))
+      require(clash.isEmpty,
+        s"leftOuterJoin non-key columns collide: ${clash.mkString(", ")}")
   }
 
   // ------------------------------------------------------- engine render
@@ -254,6 +313,18 @@ object StreamExpr {
         if (asc) col(f).asc else col(f).desc } ++
         t.schema.filterNot(f => sort.exists(_._1 == f)).map(col(_).asc)
       render(idx, c).orderBy(keys: _*).limit(k)
+    case SortNode(c, by) =>
+      render(idx, c).orderBy(by.map { case (f, asc) =>
+        if (asc) col(f).asc else col(f).desc }: _*)
+    case u @ UniqueNode(c, over) =>
+      val rest = u.schema.filterNot(over.contains)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(over.map(col): _*).orderBy(rest.map(col(_).asc): _*)
+      render(idx, c).withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).select(u.schema.map(col): _*)
+    case j @ LeftJoinNode(l, r, on) =>
+      render(idx, l).join(render(idx, r), on, "left")
+        .select(j.schema.map(col): _*)
   }
 
   // ------------------------------------------------------- oracle render
@@ -289,10 +360,32 @@ object StreamExpr {
          |${sql(r)}
          |) USING (${on.mkString(", ")})""".stripMargin
     case t @ TopNode(c, k, sort) =>
-      val keys = sort.map { case (f, asc) => s"$f ${if (asc) "ASC" else "DESC"}" } ++
-        t.schema.filterNot(f => sort.exists(_._1 == f)).map(f => s"$f ASC")
+      val keys = sort.map { case (f, asc) => sqlKey(f, asc) } ++
+        t.schema.filterNot(f => sort.exists(_._1 == f)).map(sqlKey(_, asc = true))
       s"""SELECT * FROM (
          |${sql(c)}
          |) ORDER BY ${keys.mkString(", ")} LIMIT $k""".stripMargin
+    case SortNode(c, by) =>
+      s"""SELECT * FROM (
+         |${sql(c)}
+         |) ORDER BY ${by.map { case (f, a) => sqlKey(f, a) }.mkString(", ")}""".stripMargin
+    case u @ UniqueNode(c, over) =>
+      val rest = u.schema.filterNot(over.contains)
+      s"""SELECT ${u.schema.mkString(", ")} FROM (
+         |SELECT *, row_number() OVER (PARTITION BY ${over.mkString(", ")}
+         |  ORDER BY ${rest.map(sqlKey(_, asc = true)).mkString(", ")}) AS _rn FROM (
+         |${sql(c)}
+         |)) WHERE _rn = 1""".stripMargin
+    case j @ LeftJoinNode(l, r, on) =>
+      s"""SELECT ${j.schema.mkString(", ")} FROM (
+         |${sql(l)}
+         |) LEFT JOIN (
+         |${sql(r)}
+         |) USING (${on.mkString(", ")})""".stripMargin
   }
+
+  /** SQL sort key pinned to Spark's NULL placement: asc ⇒ NULLS FIRST,
+    * desc ⇒ NULLS LAST. */
+  private def sqlKey(f: String, asc: Boolean): String =
+    if (asc) s"$f ASC NULLS FIRST" else s"$f DESC NULLS LAST"
 }

@@ -78,6 +78,28 @@ class StreamExprSpec extends SparkSpec {
     assert(t2 == Seq(0L, 1L))
   }
 
+  test("unique + leftOuterJoin + sort: pinned least-row, NULL fill") {
+    // bee matches docs 0,1,2 (convs c0,c0,c1): unique over conv_id keeps
+    // the least (doc_id, dl) row per conv → docs 0 and 2
+    val u = StreamExpr.run(idx,
+      """unique(search(t, q="bee", fl="doc_id,conv_id,dl", sort="conv_id asc"), over="conv_id")""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(u == Seq((0L, "c0"), (2L, "c1")))
+    // leftOuterJoin against the lark stream (doc 4, c2 only): both bee
+    // convs miss → NULL rdoc survives the left join
+    val lj = StreamExpr.run(idx,
+      """sort(leftOuterJoin(unique(search(t, q="bee", fl="doc_id,conv_id,dl", sort="conv_id asc"), over="conv_id"), select(search(t, q="lark", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), by="conv_id asc")""")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(lj == Seq(("c0", 0L, -1L), ("c1", 2L, -1L)))
+    // hashJoin parses as the inner-join plan
+    assert(parse("""hashJoin(search(t, q="a", fl="doc_id,conv_id", sort="doc_id asc"), select(search(t, q="b", fl="doc_id,conv_id", sort="doc_id asc"), doc_id as r, conv_id), on="conv_id")""")
+      .isInstanceOf[JoinNode])
+    // unique over the full schema fails loudly
+    intercept[IllegalArgumentException](parse(
+      """unique(search(t, q="a", fl="doc_id", sort="doc_id asc"), over="doc_id")"""))
+  }
+
   test("oracle render: one AST, both engines (smoke)") {
     val sqlStr = graft.Oracle.streamExpr(
       """rollup(search(t, q="bee", fl="doc_id,role,dl", sort="doc_id asc"), over="role", count(*), sum(dl))""")
