@@ -40,6 +40,8 @@ object SparkEntry {
     """top(innerJoin(search(transcripts, q="spark merge", fl="doc_id,conv_id,dl", sort="conv_id asc"), select(search(transcripts, q="batch", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), n=20, sort="dl desc")"""
   val StreamUniqueExpr: String =
     """sort(leftOuterJoin(unique(search(transcripts, q="spark merge window", fl="doc_id,conv_id,dl", sort="conv_id asc"), over="conv_id"), select(search(transcripts, q="dup", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), by="conv_id asc")"""
+  val StreamFetchExpr: String =
+    """fetch(transcripts, select(search(transcripts, q="vector stream", fl="doc_id,dl", sort="doc_id asc"), doc_id), fl="conv_id,role", on="doc_id")"""
 
   /** Fielded-clause query set (Lucene `field:term` syntax composed into
     * the boolean grammar): attr musts/nots/shoulds, a fielded boost, and
@@ -1161,6 +1163,10 @@ object SparkEntry {
     // on miss — the outer-join path) → sort tail
     "q_stream_unique" -> ((s, dir) =>
       graft.search.StreamExpr.run(indexFor(s, dir), StreamUniqueExpr)),
+    // streaming expressions: fetch re-joins stored fields a select
+    // dropped — the post-decorator field-fetch shape
+    "q_stream_fetch" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamFetchExpr)),
     // RealTimeGet over the SEGMENTED index — the live (upsert/tombstone-
     // aware) doc attrs between compactions; text not stored per-segment
     "q_doc_get_segmented" -> ((s, dir) =>
@@ -1570,6 +1576,7 @@ object SparkEntry {
     "q_stream_rollup" -> Oracle.streamExpr(StreamRollupExpr),
     "q_stream_join_top" -> Oracle.streamExpr(StreamJoinExpr),
     "q_stream_unique" -> Oracle.streamExpr(StreamUniqueExpr),
+    "q_stream_fetch" -> Oracle.streamExpr(StreamFetchExpr),
     "q_doc_update" -> Oracle.getDocsUpdated(GetKeys, AtomicSets),
     "q_termvectors" -> Oracle.termVectors(GetKeys),
     "q_doc_get_segmented" -> Oracle.getDocs(GetKeys, withText = false),

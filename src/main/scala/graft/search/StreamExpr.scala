@@ -34,7 +34,11 @@ import org.apache.spark.sql.functions._
   *   - `leftOuterJoin(left, right, on="k")` — left join, right columns
   *     NULL on miss; `hashJoin(left, right, on="k")` — innerJoin's
   *     broadcast-flavored alias (one plan here: Spark picks the physical
-  *     join itself — the alias exists so /stream requests port verbatim).
+  *     join itself — the alias exists so /stream requests port verbatim);
+  *   - `fetch(collection, stream, fl="a,b", on="doc_id")` — re-joins
+  *     stored fields onto a stream that still carries the key (Solr's
+  *     post-decorator field fetch; an inner join — every stream key is a
+  *     real doc by construction).
   *
   * NULL-ordering pin: every rendered SQL sort key carries an explicit
   * NULLS FIRST (asc) / NULLS LAST (desc) matching Spark's defaults, so a
@@ -99,6 +103,10 @@ object StreamExpr {
     def schema: Seq[String] =
       on ++ left.schema.filterNot(on.contains) ++ right.schema.filterNot(on.contains)
   }
+  final case class FetchNode(child: Node, fl: Seq[String],
+                             on: String) extends Node {
+    def schema: Seq[String] = child.schema ++ fl
+  }
 
   // ---------------------------------------------------------------- parse
 
@@ -156,6 +164,13 @@ object StreamExpr {
         UniqueNode(parseNode(args.head),
           namedArgs(Seq(args(1))).getOrElse("over", fail("unique requires over=\"…\""))
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case "fetch" =>
+        require(args.size == 4, "fetch(collection, stream, fl=\"…\", on=\"…\")")
+        val named = namedArgs(args.drop(2))
+        FetchNode(parseNode(args(1)),
+          named.getOrElse("fl", fail("fetch requires fl=\"…\""))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          named.getOrElse("on", fail("fetch requires on=\"…\"")))
       case "top" =>
         require(args.size == 3, "top(stream, n=…, sort=\"…\")")
         val named = namedArgs(args.tail)
@@ -278,6 +293,15 @@ object StreamExpr {
         .intersect(r.schema.filterNot(on.contains))
       require(clash.isEmpty,
         s"leftOuterJoin non-key columns collide: ${clash.mkString(", ")}")
+    case FetchNode(c, fl, on) =>
+      validate(c)
+      require(on == "doc_id", s"fetch joins on the doc key (on=\"doc_id\"), got '$on'")
+      require(c.schema.contains(on), s"fetch stream lost its '$on' key")
+      require(fl.nonEmpty, "fetch needs fl=")
+      fl.foreach { f =>
+        require(StoredFields.contains(f), s"unknown fetch field '$f'")
+        require(!c.schema.contains(f), s"fetch field '$f' already in the stream")
+      }
   }
 
   // ------------------------------------------------------- engine render
@@ -325,6 +349,10 @@ object StreamExpr {
     case j @ LeftJoinNode(l, r, on) =>
       render(idx, l).join(render(idx, r), on, "left")
         .select(j.schema.map(col): _*)
+    case f @ FetchNode(c, fl, on) =>
+      val attrs = idx.io.read(idx.spark, idx.paths.docs)
+        .select((on +: fl).map(col): _*)
+      render(idx, c).join(attrs, on).select(f.schema.map(col): _*)
   }
 
   // ------------------------------------------------------- oracle render
@@ -382,6 +410,11 @@ object StreamExpr {
          |) LEFT JOIN (
          |${sql(r)}
          |) USING (${on.mkString(", ")})""".stripMargin
+    case f @ FetchNode(c, fl, on) =>
+      s"""SELECT ${f.schema.mkString(", ")} FROM (
+         |${sql(c)}
+         |) JOIN (SELECT ${(on +: fl).mkString(", ")} FROM docsattrs)
+         |USING ($on)""".stripMargin
   }
 
   /** SQL sort key pinned to Spark's NULL placement: asc ⇒ NULLS FIRST,

@@ -100,6 +100,18 @@ class StreamExprSpec extends SparkSpec {
       """unique(search(t, q="a", fl="doc_id", sort="doc_id asc"), over="doc_id")"""))
   }
 
+  test("fetch: re-joins stored fields; guards on key loss and collisions") {
+    val rows = StreamExpr.run(idx,
+      """fetch(t, select(search(t, q="bee", fl="doc_id,dl", sort="doc_id asc"), doc_id), fl="role,conv_id", on="doc_id")""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq.sortBy(_._1)
+    assert(rows == Seq((0L, "user", "c0"), (1L, "assistant", "c0"), (2L, "user", "c1")))
+    // stream without the key, and fetching an already-present field, fail
+    intercept[IllegalArgumentException](parse(
+      """fetch(t, select(search(t, q="bee", fl="doc_id,dl", sort="doc_id asc"), dl), fl="role", on="doc_id")"""))
+    intercept[IllegalArgumentException](parse(
+      """fetch(t, search(t, q="bee", fl="doc_id,dl", sort="doc_id asc"), fl="dl", on="doc_id")"""))
+  }
+
   test("oracle render: one AST, both engines (smoke)") {
     val sqlStr = graft.Oracle.streamExpr(
       """rollup(search(t, q="bee", fl="doc_id,role,dl", sort="doc_id asc"), over="role", count(*), sum(dl))""")
