@@ -108,6 +108,43 @@ object OracleOps {
        |FROM corpus c LEFT JOIN hits h USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.gopherRules]] — whitespace words over
+    * the lowercased text, exact-integer ratios (no libm anywhere), the
+    * paper's own stop list. */
+  def gopherRules(minWords: Int, maxWords: Int): String = {
+    val stops = lst(TextOps.GopherStops)
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS w,
+       |    CAST(len(regexp_extract_all(lower(text), '#|\\.\\.\\.')) AS INT) AS sym
+       |  FROM documents),
+       |base AS (SELECT doc_id, CAST(len(w) AS INT) AS n_words,
+       |  CASE WHEN len(w) > 0 THEN
+       |    CAST(list_reduce(list_transform(w, x -> length(x)), (a, b) -> a + b) AS DOUBLE) / len(w)
+       |  END AS mwl,
+       |  CASE WHEN len(w) > 0 THEN
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)
+       |  END AS alpha,
+       |  CASE WHEN len(w) > 0 THEN CAST(sym AS DOUBLE) / len(w) END AS symr,
+       |  CAST(len(list_intersect(list_distinct(w), $stops)) AS INT) AS stop_distinct
+       |  FROM w)
+       |SELECT doc_id, n_words,
+       |  round(mwl, 4) AS mean_word_len,
+       |  round(alpha, 4) AS alpha_ratio,
+       |  round(symr, 4) AS symbol_ratio,
+       |  stop_distinct,
+       |  (n_words >= $minWords AND n_words <= $maxWords) AS r_words,
+       |  coalesce(mwl >= 3.0 AND mwl <= 10.0, false) AS r_wordlen,
+       |  coalesce(alpha >= 0.8, false) AS r_alpha,
+       |  coalesce(symr < 0.1, false) AS r_symbol,
+       |  (stop_distinct >= 2) AS r_stop,
+       |  ((n_words >= $minWords AND n_words <= $maxWords)
+       |    AND coalesce(mwl >= 3.0 AND mwl <= 10.0, false)
+       |    AND coalesce(alpha >= 0.8, false)
+       |    AND coalesce(symr < 0.1, false)
+       |    AND stop_distinct >= 2) AS keep
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
   /** Twin of [[graft.ops.TextOps.dsirWeights]] — hashed-bigram
     * likelihood-ratio importance weights, target = `lang = trainLang`
     * docs vs the raw corpus; same md5 bucket primitive, ln drift

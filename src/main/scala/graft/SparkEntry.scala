@@ -734,6 +734,10 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(
       s.read.parquet(s"$dir/documents.parquet"),
       col("lang") === "en", 4096, 0.5, 0.0)),
+    // Gopher table-A1 quality rules (doc-level set), per-rule booleans;
+    // minWords=5 — the paper's 50 is tuned for web pages, not turns
+    "q_gopher_rules" -> ((s, dir) => TextOps.gopherRules(
+      s.read.parquet(s"$dir/documents.parquet"), minWords = 5)),
     // the END-TO-END training-set pipeline: quality gate → near-dup
     // canonical filter (components rep survives, other members drop) →
     // stratified sample — each stage the same operator its standalone
@@ -1456,6 +1460,7 @@ object SparkEntry {
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),
+    "q_gopher_rules" -> OracleOps.gopherRules(5, 100000),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
     "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),

@@ -186,6 +186,62 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher stopword list for rule 5 — the paper's own eight words. */
+  final val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY RULES (Rae et al. 2021 [PUB], table A1 — the
+    * document-level heuristics, each reported as its own boolean so a
+    * pipeline can audit which rule dropped a doc):
+    *
+    *   r_words:   word count ∈ [minWords, maxWords]
+    *   r_wordlen: mean word length ∈ [3, 10]
+    *   r_alpha:   ≥ 80% of words contain an alphabetic character
+    *   r_symbol:  symbol-to-word ratio (`#` or `...`) < 0.1
+    *   r_stop:    ≥ 2 DISTINCT words from the paper's stop list
+    *   keep = every rule passes.
+    *
+    * "Word" is whitespace-delimited over the lowercased text (the
+    * paper's unit — NOT the analyzer token stream; both engines split
+    * identically). The line-level rules (bullet-start / ellipsis-end
+    * fractions) are out of scope for a single-turn corpus with no line
+    * structure — documented, not approximated. All ratios divide exact
+    * integer counts (bit-exact across engines, no libm); the 4dp rounds
+    * are display-only. Map-only Column expressions, no shuffle. */
+  def gopherRules(corpus: DataFrame, minWords: Int = 50,
+                  maxWords: Int = 100000): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords, "bad word-count bounds")
+    val words = filter(split(trim(lower(col("text"))), "\\s+"), w => w =!= "")
+    val base = corpus.select(col("doc_id"), words.as("_w"),
+      size(regexp_extract_all(lower(col("text")), lit("#|\\.\\.\\."), lit(0)))
+        .cast("int").as("_sym"))
+      .select(col("doc_id"),
+        size(col("_w")).cast("int").as("n_words"),
+        when(size(col("_w")) > 0,
+          aggregate(col("_w"), lit(0L), (a, w) => a + length(w)).cast("double")
+            / size(col("_w"))).as("_mwl"),
+        when(size(col("_w")) > 0,
+          size(filter(col("_w"), w => w.rlike("[a-z]"))).cast("double")
+            / size(col("_w"))).as("_alpha"),
+        when(size(col("_w")) > 0,
+          col("_sym").cast("double") / size(col("_w"))).as("_symr"),
+        size(array_intersect(array_distinct(col("_w")),
+          array(GopherStops.map(lit): _*))).cast("int").as("stop_distinct"))
+    base.select(col("doc_id"), col("n_words"),
+        round(col("_mwl"), 4).as("mean_word_len"),
+        round(col("_alpha"), 4).as("alpha_ratio"),
+        round(col("_symr"), 4).as("symbol_ratio"),
+        col("stop_distinct"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("r_words"),
+        coalesce(col("_mwl") >= 3.0 && col("_mwl") <= 10.0, lit(false)).as("r_wordlen"),
+        coalesce(col("_alpha") >= 0.8, lit(false)).as("r_alpha"),
+        coalesce(col("_symr") < 0.1, lit(false)).as("r_symbol"),
+        (col("stop_distinct") >= 2).as("r_stop"))
+      .withColumn("keep", col("r_words") && col("r_wordlen") &&
+        col("r_alpha") && col("r_symbol") && col("r_stop"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns shared VERBATIM with the oracle — kept to the
     * Java ≡ RE2-portable regex subset (character classes, +/{m,}, no
     * backrefs/lookaround) so both engines match identically. */

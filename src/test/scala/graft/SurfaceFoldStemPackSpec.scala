@@ -165,4 +165,27 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     assert(again == out.map(t =>
       Seq[Any](t._1, t._2, t._3.getOrElse(null), t._4)).toSeq)
   }
+
+  test("gopherRules: hand-audited per-rule booleans") {
+    val docs = Seq(
+      // passes all: 8 words, mean len in [3,10], all alpha, 2 stops
+      (0L, "the analyzer keeps pace with all of this"),
+      // stop-rule fail: only one distinct stop word
+      (1L, "spark merges windows with vectors quickly again"),
+      // word-len fail: mean word length < 3
+      (2L, "a b c d e f"),
+      // symbol fail: 2 symbols / 6 words > 0.1; alpha fail: digits
+      (3L, "x1 23 45 ... 67 # the of"),
+      (4L, "")) // empty → every rule false
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, minWords = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8), r.getBoolean(9), r.getBoolean(10), r.getBoolean(11)))
+    //                    n_w  r_words r_wlen r_alpha r_sym r_stop keep
+    assert(out(0) == ((0L, 8, true, true, true, true, true, true)))
+    assert(out(1) == ((1L, 7, true, true, true, true, false, false)))
+    assert(out(2) == ((2L, 6, true, false, true, true, false, false)))
+    assert(out(3)._1 == 3L && !out(3)._5 && !out(3)._6 && !out(3)._8)
+    assert(out(4) == ((4L, 0, false, false, false, false, false, false)))
+  }
 }
