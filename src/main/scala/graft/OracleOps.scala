@@ -748,6 +748,42 @@ object OracleOps {
        |SELECT vec_id, label FROM $fin ORDER BY vec_id""".stripMargin
   }
 
+  /** Twin of q_dedup_semantic — SemDeDup (Abbas et al. 2023) over the
+    * TRAINED k-means assignment: within-cluster greedy keep-most-central
+    * under a cosine threshold. Mirrors
+    * [[graft.ops.Similarity.semDedup]]'s pinned semantics verbatim:
+    * centroid = per-coordinate avg rounded to 6, rank = round(centroid
+    * cosine, 9) DESC then vec_id ASC, drop iff a higher-ranked
+    * cluster-mate has round(pair cosine, 7) ≥ threshold. All dots are the
+    * sequential list_reduce fold (≡ Spark's native DotProduct). */
+  def semDedup(clusters: Int, iters: Int, threshold: Double): String = {
+    val (ctes, fin) = kmeansChain(clusters, iters)
+    def dotSeq(a: String, b: String) =
+      s"list_reduce(list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j]), (x, y) -> x + y)"
+    s"""WITH $ctes,
+       |n AS (SELECT a.vec_id, a.label, a.e,
+       |    sqrt(list_reduce(list_transform(a.e, x -> x * x), (p, q) -> p + q)) AS nrm
+       |  FROM $fin a),
+       |cent AS (SELECT label, list(c ORDER BY pos) AS centroid FROM (
+       |    SELECT label, pos, round(avg(v), 6) AS c FROM (
+       |      SELECT label, unnest(e) AS v, generate_subscripts(e, 1) AS pos FROM n)
+       |    GROUP BY label, pos) GROUP BY label),
+       |centn AS (SELECT label, centroid,
+       |    sqrt(list_reduce(list_transform(centroid, x -> x * x), (a, b) -> a + b)) AS cnrm
+       |  FROM cent),
+       |ranked AS (SELECT n.vec_id, n.label, n.e, n.nrm,
+       |    row_number() OVER (PARTITION BY n.label ORDER BY
+       |      round(${dotSeq("n.e", "c.centroid")} / (n.nrm * c.cnrm), 9) DESC,
+       |      n.vec_id ASC) AS r
+       |  FROM n JOIN centn c USING (label)),
+       |dropped AS (SELECT DISTINCT x.vec_id FROM ranked x JOIN ranked y
+       |    ON y.label = x.label AND y.r < x.r
+       |  WHERE round(${dotSeq("x.e", "y.e")} / (x.nrm * y.nrm), 7) >= $threshold)
+       |SELECT rk.vec_id, rk.label, d.vec_id IS NULL AS keep
+       |FROM ranked rk LEFT JOIN dropped d USING (vec_id)
+       |ORDER BY rk.vec_id""".stripMargin
+  }
+
   /** Twin of q_ann_ivf_kmeans: [[ivfTopK]] with the label column replaced
     * by the TRAINED k-means assignment (the serving path over its own
     * training operator — the self-contained ANN story). */

@@ -769,6 +769,10 @@ object SparkEntry {
     // IVF training: deterministic Lloyd's k-means (4 clusters, 2 iters)
     "q_ann_kmeans" -> ((s, dir) => Similarity.kmeansLabels(
       s.read.parquet(s"$dir/embeddings.parquet"), 4, 2)),
+    // SemDeDup (Abbas et al. 2023): k-means clusters, within-cluster
+    // cosine ≥ τ → keep the most-central doc of each duplicate relation
+    "q_dedup_semantic" -> ((s, dir) => Similarity.semDedup(
+      s.read.parquet(s"$dir/embeddings.parquet"), 4, 2, 0.3)),
     // Product-quantization ANN (Jégou et al. 2011): 8 subvectors × 16
     // codes trained with the pinned Lloyd's, ADC table-lookup serving —
     // the memory-bound scale path (64 floats → 8 codes per vector)
@@ -1466,6 +1470,7 @@ object SparkEntry {
     "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),
     "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),
     "q_ann_kmeans" -> OracleOps.kmeans(4, 2),
+    "q_dedup_semantic" -> OracleOps.semDedup(4, 2, 0.3),
     "q_ann_ivf_kmeans" -> OracleOps.ivfKmeans(Seq(0L, 1L, 2L), 10, 2, 4, 2),
     "q_bm25_multifield" -> Oracle.bm25MultiField(DisjQueries, 10,
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5),

@@ -283,6 +283,54 @@ object Similarity {
     assign(cent).select(col("vec_id"), col("label")).orderBy("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    * k-means clustering + WITHIN-CLUSTER pairwise cosine — never an
+    * all-pairs corpus join. Two docs in the same cluster with cosine ≥
+    * `threshold` are semantic duplicates; within each duplicate relation
+    * we KEEP the doc closest to its cluster centroid and drop the rest.
+    * Pinned deterministic rank (shared verbatim by the DuckDB twin):
+    * per cluster, ORDER BY round(cosine(e, centroid), 9) DESC, vec_id
+    * ASC; a doc is dropped iff SOME higher-ranked doc in its cluster has
+    * round(cosine, 7) ≥ threshold — the paper's greedy keep-one-per-
+    * ε-ball rule (we keep the most-central doc; the paper ablates
+    * central vs anti-central and finds the choice immaterial).
+    *
+    * 100-TB shape: pair work is Σ|cluster|² with k chosen so clusters
+    * stay bounded (the paper's own scale argument); the join shuffles on
+    * `label` only, and the drop decision is a label-local window + join,
+    * no global state.
+    *
+    * Output: (vec_id, label, keep) ordered by vec_id. */
+  def semDedup(embeddings: DataFrame, k: Int, iters: Int,
+               threshold: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val n = kmeansLabels(embeddings, k, iters).join(e, "vec_id")
+    // final centroids recomputed from the final assignment; coordinates
+    // rounded to 6 decimals — the same pinning kmeansLabels' update step
+    // uses, so the engines' avg() orderings cannot skew the rank
+    val cent = n.select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(round(avg(col("v")), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    val rankW = Window.partitionBy("label")
+      .orderBy(round(col("_csim"), 9).desc, col("vec_id").asc)
+    val ranked = n.join(broadcast(cent), "label")
+      .withColumn("_csim", cosine(col("e"), col("centroid")))
+      .withColumn("r", row_number().over(rankW))
+      .select(col("vec_id"), col("label"), col("e"), col("r"))
+    val hi = ranked.select(col("label"), col("e").as("ye"), col("r").as("yr"))
+    val dropped = ranked.join(hi, Seq("label"))
+      .where(col("yr") < col("r") &&
+        round(cosine(col("e"), col("ye")), 7) >= threshold)
+      .select(col("vec_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("_dropped").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** IVF top-k: probe the nProbe labels whose centroids are closest to the
     * query (by cosine, tie-break label asc), then brute-force within those
     * clusters only. */

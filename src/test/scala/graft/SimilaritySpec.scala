@@ -163,4 +163,59 @@ class SimilaritySpec extends SparkSpec {
     assert(cands.size < allPairs / 10,
       s"grid banding not a 100-TB shape: ${cands.size} of $allPairs candidates")
   }
+
+  test("semDedup ≡ Scala reimplementation of the pinned semantics; " +
+    "rank-1 docs always kept; deterministic") {
+    // 2 planted clusters; members of a cluster are near-identical (the
+    // duplicate relation) except one far member per cluster that stays
+    // below τ against everything.
+    val emb = (Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f))) ++
+      (2 until 10).map { i =>
+        val (a, b) = if (i % 2 == 0) (0.9f, 0.1f) else (0.05f, 0.95f)
+        (i.toLong, Array(a + 0.001f * i, b, 0.002f * i, 0f))
+      } ++ Seq( // far members: same half-space, low cosine to the rest
+        (10L, Array(0.5f, 0.1f, 0.9f, 0f)),
+        (11L, Array(0.1f, 0.5f, 0f, 0.9f)))).toDF("vec_id", "embedding")
+    val tau = 0.97
+    val got = Similarity.semDedup(emb, 2, 2, tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+
+    // independent Scala twin: labels from the separately-tested
+    // kmeansLabels, then centroid(round avg 6) → rank → greedy drop
+    val labels = Similarity.kmeansLabels(emb, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def rnd(v: Double, s: Int) =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cosF(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+      def nrm(x: Array[Double]) =
+        math.sqrt(x.foldLeft(0.0)((acc, v) => acc + v * v))
+      dot / (nrm(a) * nrm(b))
+    }
+    val expected = labels.groupBy(_._2).toSeq.flatMap { case (lab, mem) =>
+      val ids = mem.keys.toSeq
+      val dim = vecs(ids.head).length
+      val centroid = Array.tabulate(dim) { d =>
+        rnd(ids.map(vecs(_)(d)).sum / ids.size, 6)
+      }
+      val ranked = ids.sortBy(id => (-rnd(cosF(vecs(id), centroid), 9), id))
+      val keeps = ranked.zipWithIndex.map { case (id, r) =>
+        val dropped = ranked.take(r)
+          .exists(y => rnd(cosF(vecs(id), vecs(y)), 7) >= tau)
+        (id, lab, !dropped)
+      }
+      assert(keeps.head._3, s"rank-1 doc of cluster $lab must be kept")
+      keeps
+    }.sortBy(_._1)
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
+    assert(got.count(!_._3) >= 2, "vacuous: no semantic duplicates dropped")
+    assert(got.count(_._3) >= 4, "vacuous: nothing kept beyond rank-1s")
+    val again = Similarity.semDedup(emb, 2, 2, tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(got.toSeq == again.toSeq, "semDedup must be deterministic")
+  }
 }
