@@ -789,6 +789,41 @@ object Oracle {
        |WHERE rnk <= $k
        |ORDER BY r.query_id, rnk, p.term""".stripMargin
 
+  /** Twin of [[graft.search.IndexSearch.ltrFeatures]] (Solr LTR feature
+    * logging): the [[bm25Explain]] decomposition aggregated per (query,
+    * doc) into the reranker feature vector, plus the FieldValueFeature
+    * columns re-derived from the stored corpus row. */
+  def ltrFeatures(queries: Seq[(Int, String)], k: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpusTsRole)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |qn AS (SELECT query_id, count(DISTINCT term) AS qn FROM qt GROUP BY 1),
+       |per AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf,
+       |               ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5)) AS idf,
+       |               ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |                 * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS contrib,
+       |               dl.dl AS dl
+       |        FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |             JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+       |feats AS (SELECT query_id, doc_id, sum(contrib) AS score,
+       |                 CAST(sum(tf) AS BIGINT) AS f_tf_sum,
+       |                 CAST(count(DISTINCT term) AS INT) AS f_matched,
+       |                 round(max(idf), 4) AS f_idf_max,
+       |                 CAST(max(dl) AS BIGINT) AS f_dl
+       |          FROM per GROUP BY 1, 2),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |           FROM feats)
+       |SELECT r.query_id, CAST(rnk AS INT) AS "rank", r.doc_id,
+       |       round(r.score, 4) AS score, r.f_tf_sum, r.f_matched,
+       |       round(CAST(r.f_matched AS DOUBLE) / qn.qn, 4) AS f_coverage,
+       |       r.f_idf_max, r.f_dl,
+       |       CAST(c.role = 'user' AS INT) AS f_is_user
+       |FROM ranked r JOIN qn USING (query_id) JOIN corpus c ON c.doc_id = r.doc_id
+       |WHERE rnk <= $k
+       |ORDER BY r.query_id, rnk""".stripMargin
+
   /** Luke top-terms twin ([[graft.search.IndexSearch.topTerms]]). */
   def topTerms(n: Int): String =
     s"""WITH ${indexCtes(transcriptsCorpus)}

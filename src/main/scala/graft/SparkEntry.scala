@@ -832,6 +832,10 @@ object SparkEntry {
     // Luke /admin/luke top terms: metadata-only dictionary introspection
     "q_top_terms" -> ((s, dir) =>
       IndexSearch.topTerms(indexFor(s, dir), 25)),
+    // Solr LTR feature logging (fl=[features]): per-(query, top-k doc)
+    // reranker feature vectors — SolrFeature + FieldValueFeature classes
+    "q_ltr_features" -> ((s, dir) =>
+      IndexSearch.ltrFeatures(indexFor(s, dir), DisjQueries)),
     // Solr sort by FUNCTION QUERY (sort=recip(dl,1,100,10) desc): the
     // FunctionQuery-parsed sort key, doc_id tie-break; fv output pins
     // the bit-identical function value on both engines
@@ -1480,6 +1484,7 @@ object SparkEntry {
     "q_bm25_sort_multi" -> Oracle.bm25SortRoleTs(DisjQueries, 10),
     "q_bm25_explain" -> Oracle.bm25Explain(DisjQueries, 10),
     "q_top_terms" -> Oracle.topTerms(25),
+    "q_ltr_features" -> Oracle.ltrFeatures(DisjQueries, 10),
     "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),

@@ -147,6 +147,47 @@ object IndexSearch {
     } finally per.unpersist()
   }
 
+  /** Solr LTR feature logging (`fl=[features store=…]`,
+    * org.apache.solr.ltr FeatureLogger): per (query, top-k doc) the
+    * feature vector a reranker trains on. The first-pass BM25 ranker
+    * supplies the candidates (rank/score ≡ every other BM25 gate); the
+    * features mix Solr's two feature classes — query-dependent
+    * (SolrFeature-shaped: f_tf_sum, f_matched, f_coverage, f_idf_max)
+    * and document-only (FieldValueFeature-shaped: f_dl, f_is_user from
+    * the stored attrs). ONE cached pruned posting decode feeds ranking
+    * AND every query-dependent feature (the [[explain]] idiom); the
+    * attrs scan is column-pruned to (doc_id, role) and receives the
+    * ≤ queries·k enriched heads by broadcast. */
+  def ltrFeatures(idx: OpenIndex, queries: Seq[(Int, String)],
+                  k: Int = 10): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val qsize = qt.groupBy("query_id").agg(countDistinct(col("term")).as("_qn"))
+    val per = matchedPostings(idx, qt)
+      .withColumn("_idf", Bm25.idf(col("df"), lit(idx.stats.nDocs)))
+      .withColumn("_c", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .cache()
+    try {
+      val feats = per.groupBy("query_id", "doc_id").agg(
+        sum(col("_c")).as("_score"),
+        sum(col("tf")).cast("long").as("f_tf_sum"),
+        countDistinct(col("term")).cast("int").as("f_matched"),
+        round(max(col("_idf")), 4).as("f_idf_max"),
+        max(col("dl")).cast("long").as("f_dl"))
+      val heads = Search.rank(feats, k)
+        .join(feats.drop("_score"), Seq("query_id", "doc_id"))
+        .join(broadcast(qsize), "query_id")
+      val attrs = idx.io.read(idx.spark, idx.paths.docs)
+        .select(col("doc_id"), (col("role") === "user").cast("int").as("f_is_user"))
+      localize(idx.spark, attrs.join(broadcast(heads), Seq("doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+          col("f_tf_sum"), col("f_matched"),
+          round(col("f_matched").cast("double") / col("_qn"), 4).as("f_coverage"),
+          col("f_idf_max"), col("f_dl"), col("f_is_user"))
+        .orderBy("query_id", "rank"))
+    } finally per.unpersist()
+  }
+
   /** Luke-style index introspection (`/admin/luke` top terms): the n
     * highest-df dictionary terms with exact df/cf, (df DESC, term ASC)
     * order — a metadata-only dictionary scan, never a posting read. */

@@ -248,4 +248,25 @@ class SolrComponentsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == want)
   }
+
+  test("LTR features: ranks ≡ explain; per-feature hand audit on doc 2") {
+    val q = Seq(1 -> "bee cat zebra") // zebra unmatched → coverage < 1
+    val feats = IndexSearch.ltrFeatures(idx, q).orderBy("rank").collect()
+    val expl = IndexSearch.explain(idx, q).collect()
+    // candidate set + ranking identical to the explain (= every BM25) path
+    assert(feats.map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      expl.map(r => (r.getInt(1), r.getLong(2), r.getDouble(8)))
+        .distinct.sortBy(_._1).toSeq)
+    // doc 2 = "bee cat dog": both query terms match once, dl 3, role user
+    val d2 = feats.find(_.getLong(2) == 2L).get
+    assert(d2.getLong(4) == 2L, "f_tf_sum: bee+cat once each")
+    assert(d2.getInt(5) == 2, "f_matched")
+    assert(d2.getDouble(6) == 0.6667, "f_coverage = 2/3 (zebra unmatched)")
+    val idfs = expl.filter(_.getLong(2) == 2L).map(_.getDouble(6))
+    assert(d2.getDouble(7) == idfs.max, "f_idf_max ≡ explain's idf column")
+    assert(d2.getLong(8) == 3L, "f_dl")
+    assert(d2.getInt(9) == 1, "f_is_user: c1/0 is a user turn")
+    // assistant turn flags 0
+    assert(feats.find(_.getLong(2) == 3L).get.getInt(9) == 0)
+  }
 }
