@@ -824,6 +824,43 @@ object Oracle {
        |WHERE rnk <= $k
        |ORDER BY r.query_id, rnk""".stripMargin
 
+  /** Twin of [[graft.search.IndexSearch.hardNegatives]] (DPR-style
+    * retrieval training set): the standard BM25 ranking chain labeled
+    * pos/hard_neg, unioned with the md5-ordered per-mille-prefiltered
+    * random negatives (same hash idiom as the stratifiedSample twin),
+    * top-k excluded, NULL scores for rand_neg. */
+  def hardNegatives(queries: Seq[(Int, String)], k: Int, nRand: Int,
+                    permille: Int): String =
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |$scoredFromQtCte,
+       |ranked AS (SELECT query_id, doc_id, score,
+       |                  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |           FROM scored),
+       |heads AS (SELECT query_id, doc_id, rnk, score FROM ranked WHERE rnk <= $k),
+       |cand AS (SELECT q.query_id, c.doc_id,
+       |           ('0x' || substr(md5(CAST(q.query_id AS VARCHAR) || ':' ||
+       |                               CAST(c.doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |         FROM (SELECT DISTINCT query_id FROM queries) q CROSS JOIN corpus c),
+       |pool AS (SELECT * FROM cand WHERE h % 1000 < $permille
+       |         AND NOT EXISTS (SELECT 1 FROM heads hd
+       |              WHERE hd.query_id = cand.query_id AND hd.doc_id = cand.doc_id)),
+       |rand AS (SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY h ASC, doc_id ASC) AS rnk
+       |         FROM pool)
+       |SELECT query_id,
+       |       CASE WHEN rnk = 1 THEN 'pos' ELSE 'hard_neg' END AS kind,
+       |       CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM heads
+       |UNION ALL
+       |SELECT query_id, 'rand_neg' AS kind, CAST(rnk AS INT) AS "rank",
+       |       doc_id, CAST(NULL AS DOUBLE) AS score
+       |FROM rand WHERE rnk <= $nRand
+       |ORDER BY query_id, kind, "rank"""".stripMargin
+
   /** Luke top-terms twin ([[graft.search.IndexSearch.topTerms]]). */
   def topTerms(n: Int): String =
     s"""WITH ${indexCtes(transcriptsCorpus)}

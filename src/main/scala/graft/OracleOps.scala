@@ -855,4 +855,24 @@ object OracleOps {
        |scored AS (SELECT d.query_vec, d.vec_id, d.dot / (p.qn * p.nrm) AS sim
        |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
        |${rankedTail(k)}""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.sftPairs]]: the same one-window
+    * adjacency pairing over the derived transcripts — string_agg with an
+    * explicit running frame for the context render, lead() for the
+    * (next_role, next_turn, response) adjacency gate. */
+  def sftPairs: String =
+    s"""WITH t AS (${graft.sources.Transcripts.sqlFromDocuments}),
+       |w AS (SELECT conv_id, turn_idx, role, text,
+       |    string_agg(role || ': ' || text, chr(10)) OVER (
+       |      PARTITION BY conv_id ORDER BY turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS context,
+       |    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+       |    lead(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_turn,
+       |    lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS response
+       |  FROM t)
+       |SELECT conv_id, turn_idx, text AS prompt, context, response
+       |FROM w
+       |WHERE role = 'user' AND next_role = 'assistant'
+       |  AND next_turn = turn_idx + 1
+       |ORDER BY conv_id, turn_idx""".stripMargin
 }

@@ -716,6 +716,10 @@ object SparkEntry {
     // consistent under corpus growth, shuffle-free
     "q_sample_stratified" -> ((s, dir) => TextOps.stratifiedSample(
       s.read.parquet(s"$dir/documents.parquet"), "lang", SampleRates, 600)),
+    // transcripts → SFT training pairs: adjacent user→assistant turns
+    // with the running chat-template context (one window, no self-join)
+    "q_sft_pairs" -> ((s, dir) =>
+      TextOps.sftPairs(Transcripts.fromDocuments(s, dir))),
     // temperature-based source mixing over the transcripts corpus: keep
     // rates derived from the strata's own frequencies (p^α, α=1/T) so
     // downsampling flattens toward uniform while the rarest role survives
@@ -836,6 +840,10 @@ object SparkEntry {
     // reranker feature vectors — SolrFeature + FieldValueFeature classes
     "q_ltr_features" -> ((s, dir) =>
       IndexSearch.ltrFeatures(indexFor(s, dir), DisjQueries)),
+    // DPR hard-negative mining: pos/hard_neg from BM25 top-k, md5-ordered
+    // prefiltered random negatives — the retrieval-training-set extractor
+    "q_hard_negatives" -> ((s, dir) =>
+      IndexSearch.hardNegatives(indexFor(s, dir), DisjQueries, 10, 5, 200)),
     // Solr sort by FUNCTION QUERY (sort=recip(dl,1,100,10) desc): the
     // FunctionQuery-parsed sort key, doc_id tie-break; fv output pins
     // the bit-identical function value on both engines
@@ -1465,6 +1473,7 @@ object SparkEntry {
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
+    "q_sft_pairs" -> OracleOps.sftPairs,
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),
@@ -1485,6 +1494,7 @@ object SparkEntry {
     "q_bm25_explain" -> Oracle.bm25Explain(DisjQueries, 10),
     "q_top_terms" -> Oracle.topTerms(25),
     "q_ltr_features" -> Oracle.ltrFeatures(DisjQueries, 10),
+    "q_hard_negatives" -> Oracle.hardNegatives(DisjQueries, 10, 5, 200),
     "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),

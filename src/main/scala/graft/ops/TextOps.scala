@@ -572,6 +572,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** SFT PAIR EXTRACTION (the canonical transcripts → instruction-tuning
+    * step): each user turn followed IMMEDIATELY by an assistant turn
+    * (next turn_idx = turn_idx + 1 — gaps and non-assistant followups
+    * never pair) yields one training example. `prompt` is the user
+    * turn's text; `context` is the dialogue up to and including the
+    * prompt ("role: text" lines in turn order — the chat-template
+    * render); `response` is the assistant turn. ONE window over
+    * (conv_id, turn_idx) — a single shuffle by conversation at any
+    * scale, no self-join; conversations are short (≤ tens of turns), so
+    * the running-context frame never accumulates unbounded state. */
+  def sftPairs(transcripts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy("turn_idx")
+    transcripts
+      .withColumn("context", array_join(collect_list(
+        concat(col("role"), lit(": "), col("text"))).over(w), "\n"))
+      .withColumn("next_role", lead("role", 1).over(w))
+      .withColumn("next_turn", lead("turn_idx", 1).over(w))
+      .withColumn("response", lead("text", 1).over(w))
+      .where(col("role") === "user" && col("next_role") === "assistant" &&
+        col("next_turn") === col("turn_idx") + 1)
+      .select(col("conv_id"), col("turn_idx"), col("text").as("prompt"),
+        col("context"), col("response"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

@@ -188,6 +188,49 @@ object IndexSearch {
     } finally per.unpersist()
   }
 
+  /** DPR-style HARD-NEGATIVE MINING (Karpukhin et al., EMNLP 2020 — the
+    * retrieval-training-set construction step): per query, `pos` = the
+    * BM25 top-1 document, `hard_neg` = ranks 2..k (the lexically-similar
+    * non-positives a dense retriever must learn to separate), and
+    * `rand_neg` = nRand deterministic random negatives — md5-ordered over
+    * a per-mille hash PRE-FILTER of the corpus (the stratifiedSample
+    * idiom: the candidate pool is `permille`/1000 of the corpus, never
+    * all of it), excluding that query's top-k. Scores ride along for pos/
+    * hard_neg and are NULL for rand_neg (they were never scored — that's
+    * the point). Scale shape: the random-negative window ranks only the
+    * pre-filtered |corpus|·permille/1000·|queries| candidate rows, and
+    * the top-k exclusion is a broadcast anti-join. */
+  def hardNegatives(idx: OpenIndex, queries: Seq[(Int, String)],
+                    k: Int = 10, nRand: Int = 5,
+                    permille: Int = 200): DataFrame = {
+    require(nRand > 0 && permille > 0 && permille <= 1000,
+      s"hardNegatives needs nRand > 0 and permille in 1..1000")
+    val spark = idx.spark
+    val heads = search(idx, queries, k)
+    val labeled = heads.withColumn("kind",
+      when(col("rank") === 1, lit("pos")).otherwise(lit("hard_neg")))
+      .select("query_id", "kind", "rank", "doc_id", "score")
+    val qids = Search.queryFrame(spark, queries).select("query_id")
+    val docs = idx.io.read(spark, idx.paths.docs).select("doc_id")
+    val h = conv(substring(md5(concat(col("query_id").cast("string"),
+      lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("_h").asc, col("doc_id").asc)
+    val rand = docs.crossJoin(broadcast(qids))
+      .withColumn("_h", h)
+      .where(col("_h") % 1000 < permille)
+      .join(broadcast(heads.select("query_id", "doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= nRand)
+      .select(col("query_id"), lit("rand_neg").as("kind"),
+        col("rank").cast("int").as("rank"), col("doc_id"),
+        lit(null).cast("double").as("score"))
+    localize(spark, labeled.unionByName(rand)
+      .orderBy("query_id", "kind", "rank"))
+  }
+
   /** Luke-style index introspection (`/admin/luke` top terms): the n
     * highest-df dictionary terms with exact df/cf, (df DESC, term ASC)
     * order — a metadata-only dictionary scan, never a posting read. */

@@ -1,0 +1,79 @@
+package graft
+
+import graft.index.BuildIndexJob
+import graft.ops.TextOps
+import graft.search.IndexSearch
+
+/** Trainset-extraction ops: SFT pair extraction (adjacency + context
+  * render gates) and DPR hard-negative mining (labeling, exclusion,
+  * deterministic hash ordering) — hand-computed expectations. */
+class TrainsetOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(i: Int) = new java.sql.Timestamp(1704067200000L + i * 1000L)
+
+  test("sftPairs: adjacent user→assistant only; gaps, tool followups, " +
+    "trailing users excluded; context renders prior turns in order") {
+    val turns = Seq(
+      ("c0", 0, "user", "hi there"), ("c0", 1, "assistant", "hello"),
+      ("c0", 2, "user", "run tool"), ("c0", 3, "tool", "ok"),
+      ("c1", 0, "user", "solo"), ("c1", 2, "assistant", "orphan"),
+      ("c2", 0, "assistant", "lead"), ("c2", 1, "user", "q2"),
+      ("c2", 2, "assistant", "a2"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val got = TextOps.sftPairs(turns).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("c0", 0, "hi there", "user: hi there", "hello"),
+      ("c2", 1, "q2", "assistant: lead\nuser: q2", "a2")))
+  }
+
+  lazy val idx: IndexSearch.OpenIndex = {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(0)),
+      ("c0", 1, "assistant", "ant bee cat", "toolA", ts(1)),
+      ("c1", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(2)),
+      ("c1", 1, "assistant", "cat dog emu", "toolB", ts(3)),
+      ("c2", 0, "user", "emu fox goat", null.asInstanceOf[String], ts(4)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val root = java.nio.file.Files.createTempDirectory("grafttrs").toString
+    BuildIndexJob.run(spark, turns, root, "trs", BuildIndexJob.Config(numShards = 4))
+    IndexSearch.open(spark, root)
+  }
+
+  test("hardNegatives: pos = top-1, hard_neg = rest of top-k, rand_neg " +
+    "excludes heads, md5-ordered, NULL-scored; deterministic") {
+    // "apple" matches only doc 0 → 1 pos, 0 hard_neg, pool = docs 1..4
+    def run() = IndexSearch.hardNegatives(idx, Seq(1 -> "apple"),
+      k = 10, nRand = 5, permille = 1000).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val got = run()
+    val pos = got.filter(_._1 == "pos")
+    assert(pos.map(t => (t._3, t._2)).toSeq == Seq((0L, 1)))
+    assert(pos.forall(_._4.nonEmpty), "pos carries its BM25 score")
+    assert(!got.exists(_._1 == "hard_neg"), "single-match query: no hard negs")
+    val rand = got.filter(_._1 == "rand_neg")
+    assert(rand.map(_._3).toSet == Set(1L, 2L, 3L, 4L),
+      "pool = corpus minus heads (nRand over-ask truncates to pool size)")
+    assert(rand.forall(_._4.isEmpty), "rand_neg scores are NULL")
+    assert(rand.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4))
+    // deterministic hash ordering: rerun is identical
+    assert(run().toSeq == got.toSeq)
+
+    // multi-match query: ranks 2.. become hard negatives
+    val multi = IndexSearch.hardNegatives(idx, Seq(1 -> "cat dog"),
+      k = 10, nRand = 2, permille = 1000).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getLong(3)))
+    val heads = IndexSearch.search(idx, Seq(1 -> "cat dog")).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(multi.filter(_._1 == "pos").map(_._3).toSeq ==
+      heads.filter(_._1 == 1).map(_._2).toSeq)
+    assert(multi.filter(_._1 == "hard_neg").map(_._3).toSet ==
+      heads.filter(_._1 > 1).map(_._2).toSet)
+    val headSet = heads.map(_._2).toSet
+    assert(multi.filter(_._1 == "rand_neg").forall(t => !headSet(t._3)))
+    assert(multi.count(_._1 == "rand_neg") == 2, "nRand honored when pool suffices")
+  }
+}
