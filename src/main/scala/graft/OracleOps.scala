@@ -856,6 +856,28 @@ object OracleOps {
        |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
        |${rankedTail(k)}""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.fimExamples]]: the same two-hash cut
+    * geometry (md5 per-doc, mod the remaining length) and PSM render,
+    * end-inclusive bracket slices mirroring Spark's (start, length)
+    * slice() calls exactly. */
+  def fimExamples: String =
+    s"""WITH t AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS tk FROM documents),
+       |c AS (SELECT doc_id, tk, len(tk) AS n,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#1'), 1, 8))::BIGINT
+       |         % (len(tk) + 1) AS INT) AS cut_a
+       |  FROM t),
+       |c2 AS (SELECT doc_id, tk, n, cut_a,
+       |    CAST(cut_a + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#2'), 1, 8))::BIGINT
+       |         % (n - cut_a + 1) AS INT) AS cut_b
+       |  FROM c)
+       |SELECT doc_id, CAST(n AS INT) AS n_tokens, cut_a, cut_b,
+       |  '<PRE> ' || coalesce(array_to_string(tk[1:cut_a], ' '), '')
+       |    || ' <SUF> '
+       |    || coalesce(array_to_string(tk[cut_b+1:n], ' '), '')
+       |    || ' <MID>' AS fim_input,
+       |  coalesce(array_to_string(tk[cut_a+1:cut_b], ' '), '') AS fim_target
+       |FROM c2 ORDER BY doc_id""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.sftPairs]]: the same one-window
     * adjacency pairing over the derived transcripts — string_agg with an
     * explicit running frame for the context render, lead() for the

@@ -720,6 +720,10 @@ object SparkEntry {
     // with the running chat-template context (one window, no self-join)
     "q_sft_pairs" -> ((s, dir) =>
       TextOps.sftPairs(Transcripts.fromDocuments(s, dir))),
+    // FIM span-corruption examples (PSM format, deterministic cuts) —
+    // map-only, no shuffle
+    "q_fim_pairs" -> ((s, dir) =>
+      TextOps.fimExamples(documents(s, dir))),
     // temperature-based source mixing over the transcripts corpus: keep
     // rates derived from the strata's own frequencies (p^α, α=1/T) so
     // downsampling flattens toward uniform while the rarest role survives
@@ -1474,6 +1478,7 @@ object SparkEntry {
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_sft_pairs" -> OracleOps.sftPairs,
+    "q_fim_pairs" -> OracleOps.fimExamples,
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),

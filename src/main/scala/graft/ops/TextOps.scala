@@ -598,6 +598,38 @@ object TextOps {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** FIM SPAN-CORRUPTION example construction (Bavarian et al. 2022,
+    * arXiv:2207.14255 PSM format; the T5 span-corruption shape with one
+    * span): each doc's token stream is cut at two DETERMINISTIC points
+    * (md5(doc_id#1) mod (n+1), then a second hash over the remainder —
+    * the pinned stand-in for the paper's uniform draws), rendered as
+    * `<PRE> prefix <SUF> suffix <MID>` input with the excised middle as
+    * the target. Pure map-only Column expressions — no shuffle at any
+    * corpus size; cut points ride along so both engines' geometry is
+    * verified, not just the strings. */
+  def fimExamples(corpus: DataFrame): DataFrame = {
+    val toks = Analyzer.tokens(col("text"))
+    def h(salt: String) = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+    corpus
+      .select(col("doc_id"), toks.as("_t"))
+      .withColumn("n_tokens", size(col("_t")))
+      .withColumn("cut_a", (h("#1") % (col("n_tokens") + 1)).cast("int"))
+      .withColumn("cut_b", (col("cut_a") +
+        h("#2") % (col("n_tokens") - col("cut_a") + 1)).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("cut_a"), col("cut_b"),
+        concat(lit("<PRE> "),
+          array_join(slice(col("_t"), lit(1), col("cut_a")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col("_t"), col("cut_b") + 1,
+            col("n_tokens") - col("cut_b")), " "),
+          lit(" <MID>")).as("fim_input"),
+        array_join(slice(col("_t"), col("cut_a") + 1,
+          col("cut_b") - col("cut_a")), " ").as("fim_target"))
+      .orderBy("doc_id")
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

@@ -200,4 +200,29 @@ class PlanSpec extends SparkSpec {
       l.contains("PartitionFilters") && l.contains("shard"))
     assert(pruned, s"posting scan not shard-pruned under synonyms:\n$plan")
   }
+
+  test("semDedup pair work shuffles on label only — never a cartesian corpus join") {
+    import spark.implicits._
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i % 4 + 1) * (d + 1) + i * 0.01).toFloat)))
+      .toDF("vec_id", "embedding")
+    val df = graft.ops.Similarity.semDedup(emb, 4, 1, 0.9)
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cluster pairing must not be all-pairs:\n$plan")
+    assert(plan.contains("hashpartitioning(label"),
+      s"pair join not co-located on label:\n$plan")
+  }
+
+  test("sftPairs is one window pass — no join anywhere in the plan") {
+    import spark.implicits._
+    val t = Seq(("c0", 0, "user", "a"), ("c0", 1, "assistant", "b"))
+      .toDF("conv_id", "turn_idx", "role", "text")
+    val plan = graft.ops.TextOps.sftPairs(t)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"sftPairs must not self-join:\n$plan")
+    assert(plan.contains("hashpartitioning(conv_id"),
+      s"window not partitioned by conversation:\n$plan")
+  }
 }

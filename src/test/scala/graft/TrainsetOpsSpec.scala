@@ -3,6 +3,7 @@ package graft
 import graft.index.BuildIndexJob
 import graft.ops.TextOps
 import graft.search.IndexSearch
+import org.apache.spark.sql.functions.col
 
 /** Trainset-extraction ops: SFT pair extraction (adjacency + context
   * render gates) and DPR hard-negative mining (labeling, exclusion,
@@ -75,5 +76,33 @@ class TrainsetOpsSpec extends SparkSpec {
     val headSet = heads.map(_._2).toSet
     assert(multi.filter(_._1 == "rand_neg").forall(t => !headSet(t._3)))
     assert(multi.count(_._1 == "rand_neg") == 2, "nRand honored when pool suffices")
+  }
+
+  test("fimExamples: prefix+target+suffix reconstruct the token stream; " +
+    "cut bounds hold; deterministic; cuts vary across docs") {
+    val docs = (0L until 30L)
+      .map(i => (i, (0 to (i % 7).toInt).map(j => s"w${(i + j) % 5}").mkString(" ")))
+      .toDF("doc_id", "text")
+    def run() = TextOps.fimExamples(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getString(5)))
+    val got = run()
+    assert(got.length == 30)
+    got.foreach { case (id, n, a, b, input, target) =>
+      assert(0 <= a && a <= b && b <= n, s"doc $id cut bounds: $a/$b/$n")
+      val m = "(?s)<PRE> (.*) <SUF> (.*) <MID>".r
+      val (pre, suf) = input match { case m(p, s) => (p, s) }
+      def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+      val expected = docs.where(col("doc_id") === id)
+        .select(graft.analysis.Analyzer.tokens(col("text"))).collect()(0)
+        .getSeq[String](0)
+      assert(toks(pre) ++ toks(target) ++ toks(suf) == expected,
+        s"doc $id does not reconstruct")
+      assert(toks(pre).size == a && toks(target).size == b - a,
+        s"doc $id cut geometry vs rendered spans")
+    }
+    assert(got.map(t => (t._3, t._4)).distinct.size > 5,
+      "vacuous: cuts barely vary across docs")
+    assert(run().toSeq == got.toSeq, "fimExamples must be deterministic")
   }
 }
