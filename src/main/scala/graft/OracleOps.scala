@@ -878,6 +878,28 @@ object OracleOps {
        |  coalesce(array_to_string(tk[cut_a+1:cut_b], ' '), '') AS fim_target
        |FROM c2 ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.kneserNeyBigrams]]: identical integer
+    * inputs and pinned arithmetic order; every probability rounded to
+    * 9 dp on both engines. */
+  def kneserNeyBigrams(d: Double): String =
+    s"""WITH tk AS (SELECT $toks AS toks FROM documents),
+       |bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |           i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b
+       |       FROM tk WHERE len(toks) >= 2),
+       |c AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*)::BIGINT AS c
+       |      FROM bg GROUP BY 1, 2),
+       |s1 AS (SELECT w1, sum(c)::BIGINT AS tot1, count(*)::BIGINT AS n1fwd
+       |       FROM c GROUP BY 1),
+       |s2 AS (SELECT w2, count(*)::BIGINT AS n1bwd FROM c GROUP BY 1),
+       |bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM c)
+       |SELECT w1, w2, c,
+       |  round(n1bwd / b, 9) AS p_cont,
+       |  round($d * n1fwd / tot1, 9) AS lambda,
+       |  round(greatest(c - $d, 0.0) / tot1
+       |        + ($d * n1fwd / tot1) * (n1bwd / b), 9) AS p_kn
+       |FROM c JOIN s1 USING (w1) JOIN s2 USING (w2) CROSS JOIN bt
+       |ORDER BY w1, w2""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.sftPairs]]: the same one-window
     * adjacency pairing over the derived transcripts — string_agg with an
     * explicit running frame for the context render, lead() for the

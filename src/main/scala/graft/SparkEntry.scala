@@ -724,6 +724,10 @@ object SparkEntry {
     // map-only, no shuffle
     "q_fim_pairs" -> ((s, dir) =>
       TextOps.fimExamples(documents(s, dir))),
+    // interpolated Kneser–Ney bigram LM table (the KenLM estimation
+    // shape): one bigram hash agg + vocab²-bounded stats joins
+    "q_ngram_lm" -> ((s, dir) =>
+      TextOps.kneserNeyBigrams(documents(s, dir), 0.75)),
     // temperature-based source mixing over the transcripts corpus: keep
     // rates derived from the strata's own frequencies (p^α, α=1/T) so
     // downsampling flattens toward uniform while the rarest role survives
@@ -1479,6 +1483,7 @@ object SparkEntry {
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_sft_pairs" -> OracleOps.sftPairs,
     "q_fim_pairs" -> OracleOps.fimExamples,
+    "q_ngram_lm" -> OracleOps.kneserNeyBigrams(0.75),
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),

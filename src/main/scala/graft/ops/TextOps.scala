@@ -630,6 +630,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated KNESER–NEY bigram LM table (Kneser & Ney 1995; the
+    * Chen & Goodman 1999 interpolated form that KenLM estimates — the
+    * standard n-gram LM behind CCNet-style corpus filtering). Per
+    * observed bigram (w1, w2) over the analyzed token streams:
+    *
+    *   p_kn(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+    *               + λ(w1) · p_cont(w2)
+    *   λ(w1)    = d · N1+(w1,·) / c(w1·)      (the discount mass)
+    *   p_cont(w2) = N1+(·,w2) / B              (continuation probability)
+    *
+    * with c(w1·) = Σ_w2 c(w1,w2), N1+(w1,·)/N1+(·,w2) the distinct
+    * follower/predecessor counts and B the distinct-bigram-type total.
+    * All inputs are exact integers, the arithmetic order is pinned
+    * identically in the DuckDB twin, and every probability is emitted
+    * ROUNDED to 9 dp (the cross-engine float contract).
+    *
+    * Scale shape: bigram counting is ONE explode + hash agg (the G1 tf
+    * shape — map-side partial combine, shuffle on the bigram key); the
+    * three stats relations (per-w1, per-w2, B) derive from the COMPACT
+    * count table (vocab²-bounded, corpus-independent), so the two stats
+    * joins shuffle only that table; B is a 1-row collect (O(1) driver
+    * state, the G3 idiom). */
+  def kneserNeyBigrams(corpus: DataFrame, d: Double): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1) (got $d)")
+    val toks = Analyzer.tokens(col("text"))
+    val bigrams = corpus
+      .select(col("doc_id"), toks.as("_t"))
+      .where(size(col("_t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val c = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val w1Stats = c.groupBy("w1").agg(sum(col("c")).as("_tot1"),
+      count(lit(1)).as("_n1fwd"))
+    val w2Stats = c.groupBy("w2").agg(count(lit(1)).as("_n1bwd"))
+    // B: distinct bigram types — a 1-row collect, O(1) driver state
+    val b = c.agg(count(lit(1))).head().getLong(0).toDouble
+    c.join(w1Stats, Seq("w1")).join(w2Stats, Seq("w2"))
+      .select(col("w1"), col("w2"), col("c"),
+        round(col("_n1bwd") / lit(b), 9).as("p_cont"),
+        round(lit(d) * col("_n1fwd") / col("_tot1"), 9).as("lambda"),
+        round(greatest(col("c") - lit(d), lit(0.0)) / col("_tot1") +
+          (lit(d) * col("_n1fwd") / col("_tot1")) *
+            (col("_n1bwd") / lit(b)), 9).as("p_kn"))
+      .orderBy("w1", "w2")
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

@@ -188,4 +188,26 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     assert(out(3)._1 == 3L && !out(3)._5 && !out(3)._6 && !out(3)._8)
     assert(out(4) == ((4L, 0, false, false, false, false, false, false)))
   }
+
+  test("kneserNeyBigrams: hand-computed KN probabilities; per-w1 mass identity") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val out = TextOps.kneserNeyBigrams(docs, 0.75).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // bigrams: (a,b) c=2; (b,a) c=1; (b,c) c=1; B=3, p_cont=1/3 each
+    assert(out(("a", "b")) == ((2L, 0.333333333, 0.375, 0.75)))
+    assert(out(("b", "a")) == ((1L, 0.333333333, 0.75, 0.375)))
+    assert(out(("b", "c")) == ((1L, 0.333333333, 0.75, 0.375)))
+    // mass identity over OBSERVED rows: sum p_kn = (1-lambda) + lambda*sum(p_cont)
+    val byW1 = out.toSeq.groupBy(_._1._1)
+    byW1.foreach { case (w1, rows) =>
+      val lam = rows.head._2._3
+      val lhs = rows.map(_._2._4).sum
+      val rhs = (1.0 - lam) + lam * rows.map(_._2._2).sum
+      assert(math.abs(lhs - rhs) < 1e-8, s"mass identity fails for $w1")
+    }
+    // discount must be a valid probability mass
+    intercept[IllegalArgumentException](TextOps.kneserNeyBigrams(docs, 1.5))
+  }
 }
