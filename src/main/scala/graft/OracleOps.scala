@@ -878,6 +878,32 @@ object OracleOps {
        |  coalesce(array_to_string(tk[cut_a+1:cut_b], ' '), '') AS fim_target
        |FROM c2 ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.Dedup.bfsExpand]] seeded by the
+    * [[decontaminate]] contaminated set (bench = doc_id ≡ 0 mod
+    * `benchMod`): a DEPTH-BOUNDED recursive CTE over the symmetrized
+    * pair relation, min-depth per doc — the independent spelling of the
+    * Spark side's iterative frontier/anti-join BFS. */
+  def contaminationSpread(pairsSql: String, n: Int, benchMod: Int,
+                          maxDepth: Int): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+       |$corpusCte, $tkCte,
+       |g AS (SELECT doc_id, ${gramsExpr(n)} AS grams FROM tk),
+       |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+       |       WHERE doc_id % $benchMod = 0),
+       |seeds AS (SELECT DISTINCT dg.doc_id
+       |          FROM (SELECT doc_id, unnest(grams) AS gram FROM g) dg
+       |          JOIN bg USING (gram)),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach(doc_id, depth) AS (
+       |  SELECT doc_id, 0 AS depth FROM seeds
+       |  UNION
+       |  SELECT e.dst AS doc_id, reach.depth + 1 FROM reach
+       |  JOIN edges e ON e.src = reach.doc_id
+       |  WHERE reach.depth < $maxDepth)
+       |SELECT doc_id, CAST(min(depth) AS INT) AS depth FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.kneserNeyBigrams]]: identical integer
     * inputs and pinned arithmetic order; every probability rounded to
     * 9 dp on both engines. */

@@ -774,6 +774,15 @@ object SparkEntry {
     // per cluster (the keep/drop decision a training-data dedup ends with)
     "q_dedup_components" -> ((s, dir) =>
       Dedup.components(Dedup.minhashPairs(documents(s, dir), 0.7))),
+    // contamination spread: depth-bounded BFS (the {!graph maxDepth=d}
+    // traversal shape) from decontaminate-flagged seeds over the near-dup
+    // pair graph — drop near-duplicates of contaminated docs transitively
+    "q_contamination_spread" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.bfsExpand(Dedup.minhashPairs(d, 0.7),
+        TextOps.decontaminate(d, d.where(col("doc_id") % 97 === 0), 8)
+          .where(col("contaminated")), 2)
+    }),
     "q_ann_cosine" -> ((s, dir) => Similarity.bruteForceTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(
@@ -1480,6 +1489,8 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleOps.simhashPairs(3),
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
+    "q_contamination_spread" ->
+      OracleOps.contaminationSpread(OracleOps.minhashPairs(0.7), 8, 97, 2),
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
     "q_sft_pairs" -> OracleOps.sftPairs,
     "q_fim_pairs" -> OracleOps.fimExamples,

@@ -374,4 +374,57 @@ object Dedup {
     }
     spark.read.parquet(labelsPath).orderBy("doc_id")
   }
+
+  /** Depth-bounded BFS over a near-dup pair relation — the Solr
+    * `{!graph from=… to=… maxDepth=d}` traversal shape applied to the
+    * decontamination-hardening step real pipelines run: eval-set
+    * contamination propagates to near-duplicates of contaminated docs
+    * TRANSITIVELY, but only to a bounded hop radius (unbounded closure is
+    * [[components]]). Output (doc_id, depth) for every doc reachable from
+    * a seed within `maxDepth` hops, depth = MINIMUM hop distance (BFS
+    * invariant: a doc joins the visited set the first round it appears
+    * and is anti-joined out of later frontiers). Seeds in no pair still
+    * report depth 0 — killing a contaminated doc never depends on it
+    * having near-dups.
+    *
+    * Scale shape: per round ONE frontier ⋈ edges join (frontier keys
+    * only — no payload rides the loop) + ONE anti-join against visited,
+    * each round materialized to temp parquet (truncated lineage, the
+    * [[components]] idiom); driver state is the loop counter and a
+    * frontier row count. Rounds are `maxDepth` — a caller CONSTANT, not
+    * data-dependent. */
+  def bfsExpand(pairs: DataFrame, seeds: DataFrame,
+                maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0 (got $maxDepth)")
+    val spark = pairs.sparkSession
+    val edgesPath = graft.TempDirs.create("graft_bfs_edges")
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .write.mode("overwrite").parquet(edgesPath)
+    val edges = spark.read.parquet(edgesPath)
+    var visitedPath = graft.TempDirs.create("graft_bfs_v0")
+    seeds.select(col("doc_id")).distinct()
+      .withColumn("depth", lit(0))
+      .write.mode("overwrite").parquet(visitedPath)
+    var depth = 0
+    var frontierRows = 1L
+    while (depth < maxDepth && frontierRows > 0) {
+      val visited = spark.read.parquet(visitedPath)
+      val frontier = visited.where(col("depth") === depth)
+      val next = frontier
+        .join(edges, frontier("doc_id") === edges("src"))
+        .select(edges("dst").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .withColumn("depth", lit(depth + 1))
+      val nextPath = graft.TempDirs.create(s"graft_bfs_v${depth + 1}")
+      visited.unionByName(next).write.mode("overwrite").parquet(nextPath)
+      val nextDf = spark.read.parquet(nextPath)
+      // O(1) driver state: the new-frontier row count (loop exit test)
+      frontierRows = nextDf.where(col("depth") === depth + 1).count()
+      visitedPath = nextPath
+      depth += 1
+    }
+    spark.read.parquet(visitedPath).orderBy("doc_id")
+  }
 }

@@ -90,4 +90,34 @@ class DedupRecallSpec extends SparkSpec {
       spark.sparkContext.removeSparkListener(listener)
     }
   }
+
+  test("bfsExpand: min-depth BFS ≡ Floyd-style shortest paths; depth bound; edgeless seeds kept") {
+    import spark.implicits._
+    // graph: chain 1-2-3-4-5, triangle 10-11-12 (11 also links to 3),
+    // isolated edge 20-21, seed 30 with no edges at all
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (11L, 3L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq(1L, 10L, 30L).toDF("doc_id")
+    def run(d: Int) = Dedup.bfsExpand(pairs, seeds, d).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = run(2)
+    // brute shortest-path truth (BFS over the symmetric edge set)
+    val adj = Seq((1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12),
+      (10, 12), (11, 3), (20, 21)).flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = Map(1 -> 0, 10 -> 0, 30 -> 0)
+    for (d <- 0 until 2)
+      dist = dist ++ dist.filter(_._2 == d).keys
+        .flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(dist.contains).map(_ -> (d + 1)).toMap
+    assert(got == dist.map { case (k, v) => k.toLong -> v },
+      s"BFS mismatch: $got vs $dist")
+    assert(got(30L) == 0, "edgeless seed must report depth 0")
+    assert(!got.contains(5L) && !got.contains(20L),
+      "depth bound must hold; unreachable docs absent")
+    assert(run(0) == Map(1L -> 0, 10L -> 0, 30L -> 0), "maxDepth=0 = seeds only")
+    assert(run(10) == run(4), "fixpoint: extra rounds after exhaustion are no-ops")
+    intercept[IllegalArgumentException](Dedup.bfsExpand(pairs, seeds, -1))
+  }
 }
