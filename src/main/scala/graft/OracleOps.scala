@@ -692,6 +692,68 @@ object OracleOps {
        |SELECT query_vec, CAST(rnk AS INT) AS "rank", vec_id, round(sim, 4) AS sim
        |FROM ranked WHERE rnk <= $k ORDER BY query_vec, rnk""".stripMargin
 
+  /** Twin of [[graft.ops.Similarity.mrlTopK]] — truncated-prefix cosine
+    * shortlist (pinned boundary: round(simt,7) DESC, vec_id ASC), then
+    * full-dimension re-rank over the shortlist only. */
+  def mrlTopK(queryIds: Seq[Long], k: Int, dims: Int,
+              shortlist: Int): String =
+    s"""WITH ${embCtes(queryIds)},
+       |qt AS (SELECT query_vec, qe, qn, qe[1:$dims] AS qte,
+       |    sqrt(list_reduce(list_transform(qe[1:$dims], x -> x * x),
+       |         (a, b) -> a + b)) AS qtn FROM q),
+       |nt AS (SELECT vec_id, e, nrm, e[1:$dims] AS ete,
+       |    sqrt(list_reduce(list_transform(e[1:$dims], x -> x * x),
+       |         (a, b) -> a + b)) AS etn FROM n),
+       |tdots AS (SELECT query_vec, vec_id, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, vec_id, unnest(qte) AS a, unnest(ete) AS b
+       |        FROM qt CROSS JOIN nt WHERE nt.vec_id <> qt.query_vec)
+       |  GROUP BY query_vec, vec_id),
+       |ts AS (SELECT d.query_vec, d.vec_id,
+       |    d.dot / (q2.qtn * n2.etn) AS simt
+       |  FROM tdots d JOIN qt q2 USING (query_vec) JOIN nt n2 USING (vec_id)),
+       |heads AS (SELECT query_vec, vec_id FROM (
+       |    SELECT query_vec, vec_id, row_number() OVER (
+       |      PARTITION BY query_vec
+       |      ORDER BY round(simt, 7) DESC, vec_id ASC) AS r FROM ts)
+       |  WHERE r <= $shortlist),
+       |pairs AS (SELECT h.query_vec, h.vec_id, q.qe, n.e, q.qn, n.nrm
+       |  FROM heads h JOIN q USING (query_vec) JOIN n USING (vec_id)),
+       |dots AS (SELECT query_vec, vec_id, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, vec_id, unnest(qe) AS a, unnest(e) AS b FROM pairs)
+       |  GROUP BY query_vec, vec_id),
+       |scored AS (SELECT d.query_vec, d.vec_id, d.dot / (p.qn * p.nrm) AS sim
+       |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
+       |${rankedTail(k)}""".stripMargin
+
+  /** Twin of [[graft.ops.Similarity.sq8TopK]] — per-dim (min,max) train,
+    * clamp(floor(·),0,255)+0.5 mid-bucket dequant, asymmetric cosine; the
+    * quantization arithmetic is operand-order-identical to the engine. */
+  def sq8TopK(queryIds: Seq[Long], k: Int): String =
+    s"""WITH ${embCtes(queryIds)},
+       |dx AS (SELECT unnest(range(1, len(e) + 1)) AS dim, unnest(e) AS x
+       |       FROM emb),
+       |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM dx GROUP BY 1),
+       |stl AS (SELECT list(mn ORDER BY dim) AS mnl,
+       |    list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 0.0 END
+       |         ORDER BY dim) AS sl FROM st),
+       |xh AS (SELECT vec_id,
+       |    list_transform(range(1, len(e) + 1), i ->
+       |      CASE WHEN sl[i] = 0.0 THEN mnl[i]
+       |           ELSE mnl[i] + (least(greatest(floor((e[i] - mnl[i]) / sl[i]),
+       |                                         0.0), 255.0) + 0.5) * sl[i]
+       |      END) AS xhat
+       |  FROM n CROSS JOIN stl),
+       |pairs AS (SELECT q.query_vec, x.vec_id, q.qe, x.xhat, q.qn,
+       |    sqrt(list_reduce(list_transform(x.xhat, v -> v * v),
+       |         (a, b) -> a + b)) AS hn
+       |  FROM q CROSS JOIN xh x WHERE x.vec_id <> q.query_vec),
+       |dots AS (SELECT query_vec, vec_id, sum(a * b) AS dot
+       |  FROM (SELECT query_vec, vec_id, unnest(qe) AS a, unnest(xhat) AS b FROM pairs)
+       |  GROUP BY query_vec, vec_id),
+       |scored AS (SELECT d.query_vec, d.vec_id, d.dot / (p.qn * p.hn) AS sim
+       |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
+       |${rankedTail(k)}""".stripMargin
+
   def cosineTopK(queryIds: Seq[Long], k: Int): String =
     s"""WITH ${embCtes(queryIds)},
        |pairs AS (SELECT q.query_vec, n.vec_id, q.qe, n.e, q.qn, n.nrm

@@ -785,6 +785,13 @@ object SparkEntry {
     }),
     "q_ann_cosine" -> ((s, dir) => Similarity.bruteForceTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
+    // matryoshka two-stage retrieval: 16-dim prefix shortlist → full-dim
+    // re-rank of the shortlist only (ids-only candidate shuffle)
+    "q_ann_mrl" -> ((s, dir) => Similarity.mrlTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 16, 40)),
+    // SQ8 scalar quantization, asymmetric ADC cosine over dequantized codes
+    "q_ann_sq8" -> ((s, dir) => Similarity.sq8TopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 2)),
     // IVF training: deterministic Lloyd's k-means (4 clusters, 2 iters)
@@ -1500,6 +1507,8 @@ object SparkEntry {
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),
     "q_gopher_rules" -> OracleOps.gopherRules(5, 100000),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
+    "q_ann_mrl" -> OracleOps.mrlTopK(Seq(0L, 1L, 2L), 10, 16, 40),
+    "q_ann_sq8" -> OracleOps.sq8TopK(Seq(0L, 1L, 2L), 10),
     "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
     "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),
     "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),

@@ -352,6 +352,92 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** MATRYOSHKA two-stage retrieval (Kusupati et al. NeurIPS 2022,
+    * arXiv:2205.13147 — "adaptive retrieval with MRL embeddings"): stage
+    * 1 shortlists per-query top-`shortlist` candidates by cosine over the
+    * FIRST `dims` coordinates only (an MRL-trained embedding's prefix is
+    * itself a valid embedding — the whole point of the paper); stage 2
+    * re-ranks ONLY the shortlist with full-dimension cosine. Output is
+    * the usual (query_vec, rank, vec_id, sim) with sim the FULL cosine.
+    *
+    * 100-TB shape: the corpus-wide pass touches `dims`/d of the vector
+    * bytes (the paper's 64/768-style funnel — at scale stage 1 reads a
+    * truncated column/index, here expressed as a slice the scan feeds);
+    * stage 2's candidate set is queries×shortlist ids ONLY — the full
+    * vectors are re-fetched by an id join against the corpus, so full
+    * vectors never ride a corpus-wide shuffle. Shortlist boundary ties
+    * are pinned (round(sim,7) DESC, vec_id ASC), making the candidate
+    * SET itself deterministic cross-engine, not just the final ranks. */
+  def mrlTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              dims: Int = 16, shortlist: Int = 40): DataFrame = {
+    require(dims > 0, s"dims must be positive (got $dims)")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val q = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_vec"), col("embedding").as("qe"))
+    val w = Window.partitionBy("query_vec")
+      .orderBy(round(col("_simt"), 7).desc, col("vec_id").asc)
+    val heads = embeddings.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_vec"))
+      .withColumn("_simt", cosine(slice(col("qe"), 1, dims),
+        slice(col("embedding"), 1, dims)))
+      .withColumn("_r", row_number().over(w))
+      .where(col("_r") <= shortlist)
+      .select(col("query_vec"), col("vec_id"))
+    val scored = embeddings.join(broadcast(heads), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_vec"))
+      .withColumn("_sim", cosine(col("qe"), col("embedding")))
+    rank(scored, k)
+  }
+
+  /** SQ8 SCALAR QUANTIZATION with asymmetric serving (the faiss
+    * ScalarQuantizer QT_8bit shape, public faiss docs/impl semantics):
+    * TRAIN per-dimension (min, max) over the corpus; ENCODE every
+    * coordinate to code = clamp(floor((x−min)·255/(max−min)), 0, 255)
+    * (degenerate max=min dims pin code 0); SERVE by cosine between the
+    * FULL-precision query and the dequantized corpus vector
+    * x̂ = min + (code+0.5)·(max−min)/255 (the +0.5 mid-bucket
+    * reconstruction faiss uses). Output (query_vec, rank, vec_id, sim)
+    * with sim the quantized (ADC) cosine — 4× smaller vectors at serving
+    * time is the point; ranks shift vs exact by design.
+    *
+    * 100-TB shape: training is ONE aggregation pass emitting d (min,max)
+    * pairs — O(d) driver state (the centroid idiom), broadcast back as
+    * literals so encode/serve stay pure codegen'd Column expressions;
+    * encoding is map-only; serving is the brute pass over 1-byte codes.
+    * Every arithmetic step is pinned operand-order-identical in the twin
+    * (floor/clamp on IEEE doubles — exact cross-engine). */
+  def sq8TopK(embeddings: DataFrame, queryIds: Seq[Long],
+              k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    // train: per-dim min/max — one agg, d rows, O(d) driver state
+    val stats = e.select(posexplode(col("e")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("dim").collect()
+    val mn = stats.map(_.getDouble(1))
+    val mx = stats.map(_.getDouble(2))
+    val mnA = array(mn.map(lit): _*)
+    val scaleA = array(mn.indices.map(i =>
+      lit(if (mx(i) > mn(i)) (mx(i) - mn(i)) / 255.0 else 0.0)): _*)
+    // encode→mid-bucket dequantize in one expression:
+    //   x̂_i = s_i = 0 ? mn_i
+    //             : mn_i + (clamp(floor((x_i − mn_i)/s_i), 0, 255) + 0.5)·s_i
+    def dequant(v: Column): Column =
+      transform(sequence(lit(1), lit(mn.length)), i => {
+        val x = element_at(v, i); val m = element_at(mnA, i)
+        val s = element_at(scaleA, i)
+        when(s === 0.0, m).otherwise(m +
+          (least(greatest(floor((x - m) / s), lit(0.0)), lit(255.0))
+            + lit(0.5)) * s)
+      })
+    val q = e.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_vec"), col("e").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_vec"))
+      .withColumn("_sim", cosine(col("qe"), dequant(col("e"))))
+    rank(scored, k)
+  }
+
   /** Squared L2 between two double arrays — the same sequential-fold
     * shape as [[dot]]/[[norm]], mirrored verbatim by the oracle's
     * list_reduce (0.0 + v₁ ≡ v₁ exactly, so the fold trees agree). */

@@ -218,4 +218,48 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
     assert(got.toSeq == again.toSeq, "semDedup must be deterministic")
   }
+
+  test("mrlTopK: full shortlist ≡ brute force; sims are FULL cosines; deterministic") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val brute = Similarity.bruteForceTopK(df.select("vec_id", "embedding"),
+      Seq(0L, 21L), 10).collect().map(key)
+    // shortlist covering the whole corpus: stage 2 sees everything → ≡ brute
+    val full = Similarity.mrlTopK(df.select("vec_id", "embedding"),
+      Seq(0L, 21L), 10, 8, 300).collect().map(key)
+    assert(full.toSeq == brute.toSeq, "full-shortlist MRL must equal brute")
+    // tight shortlist: reported sims must still be the FULL-dim cosines
+    val tight = Similarity.mrlTopK(df.select("vec_id", "embedding"),
+      Seq(0L, 21L), 10, 8, 25).collect().map(key)
+    val bruteSims = brute.map(t => (t._1, t._3) -> t._4).toMap
+    tight.foreach { case (q, _, v, s) =>
+      bruteSims.get((q, v)).foreach(bs => assert(bs == s,
+        s"sim for ($q,$v) is not the full cosine: $s vs $bs")) }
+    assert(Similarity.mrlTopK(df.select("vec_id", "embedding"),
+      Seq(0L, 21L), 10, 8, 25).collect().map(key).toSeq == tight.toSeq)
+    intercept[IllegalArgumentException](
+      Similarity.mrlTopK(df.select("vec_id", "embedding"), Seq(0L), 10, 8, 5))
+  }
+
+  test("sq8TopK: ADC cosine within quantization error of exact; constant dim safe; deterministic") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val emb = df.select("vec_id", "embedding")
+    val got = Similarity.sq8TopK(emb, Seq(0L, 21L), 10).collect().map(key)
+    assert(got.length == 20)
+    val bruteSims = Similarity.bruteForceTopK(emb, Seq(0L, 21L), 199)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    got.foreach { case (q, _, v, s) =>
+      assert(math.abs(s - bruteSims((q, v))) < 0.05,
+        s"ADC sim drifts beyond 8-bit error for ($q,$v): $s vs ${bruteSims((q, v))}") }
+    // a constant coordinate (max = min → scale 0) must not divide by zero
+    import org.apache.spark.sql.functions._
+    val const = emb.withColumn("embedding",
+      concat(array(lit(1.5f)), col("embedding")))
+    assert(Similarity.sq8TopK(const, Seq(0L, 21L), 10).collect().length == 20)
+    assert(Similarity.sq8TopK(emb, Seq(0L, 21L), 10).collect().map(key).toSeq
+      == got.toSeq, "sq8TopK must be deterministic")
+  }
 }
