@@ -966,6 +966,75 @@ object OracleOps {
        |SELECT doc_id, CAST(min(depth) AS INT) AS depth FROM reach
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.bpeMerges]] — the full training loop
+    * unrolled as a CTE chain (the kmeansChain pattern): per round, pair
+    * stats over the word table (lead() adjacency), argmax with the
+    * pinned lexicographic tie-break, and the greedy replacement spelled
+    * in its CHAIN-PARITY form (islands of consecutive candidate
+    * positions via i − row_number(); keep odd offsets) — provably the
+    * same non-overlapping merge as the engine's left-to-right fold. */
+  def bpeMerges(numMerges: Int): String = {
+    val rounds = bpeRounds(numMerges)
+    val tail = (1 to numMerges)
+      .map(k => s"SELECT $k AS merge_rank, l AS lhs, r AS rhs, cnt AS freq FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpePrelude(rounds)}
+       |$tail
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Twin of [[graft.ops.TextOps.bpeEncode]]: the same unrolled chain,
+    * finished by the vocab-sized word→subword join + per-doc sums. */
+  def bpeEncode(numMerges: Int): String =
+    s"""WITH ${bpePrelude(bpeRounds(numMerges))},
+       |dt AS (SELECT doc_id, unnest($toks) AS word FROM documents),
+       |sw AS (SELECT doc_id, count(*)::INT AS n_tokens,
+       |    sum(len(syms))::BIGINT AS n_subwords
+       |  FROM dt JOIN w$numMerges USING (word) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       |  CAST(coalesce(n_subwords, 0) AS BIGINT) AS n_subwords
+       |FROM documents d LEFT JOIN sw USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def bpeRounds(numMerges: Int): String = {
+    (1 to numMerges).map { k =>
+      val p = k - 1
+      s"""ex$k AS (SELECT word, freq, unnest(range(1, len(syms) + 1)) AS i,
+         |    unnest(syms) AS sym FROM w$p),
+         |nx$k AS MATERIALIZED (SELECT word, freq, i, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY i) AS nxt FROM ex$k),
+         |b$k AS MATERIALIZED (SELECT sym AS l, nxt AS r, sum(freq)::BIGINT AS cnt
+         |  FROM nx$k WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |cd$k AS (SELECT n.word, n.i FROM nx$k n
+         |  JOIN b$k b ON n.sym = b.l AND n.nxt = b.r),
+         |is$k AS (SELECT word, i,
+         |    i - row_number() OVER (PARTITION BY word ORDER BY i) AS g
+         |  FROM cd$k),
+         |kp$k AS MATERIALIZED (SELECT word, i FROM (
+         |    SELECT word, i, row_number() OVER (PARTITION BY word, g
+         |                                       ORDER BY i) AS rj FROM is$k)
+         |  WHERE rj % 2 = 1),
+         |w$k AS MATERIALIZED (SELECT n.word, n.freq,
+         |    list(CASE WHEN k1.i IS NOT NULL THEN n.sym || n.nxt
+         |         ELSE n.sym END ORDER BY n.i) AS syms
+         |  FROM nx$k n
+         |  LEFT JOIN kp$k k1 ON k1.word = n.word AND k1.i = n.i
+         |  LEFT JOIN kp$k k2 ON k2.word = n.word AND k2.i = n.i - 1
+         |  WHERE k2.i IS NULL
+         |  GROUP BY n.word, n.freq)""".stripMargin
+    }.mkString(",\n")
+  }
+
+  private def bpePrelude(rounds: String): String =
+    s"""wf AS (SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
+       |w0 AS (SELECT word, freq,
+       |    list_append(list_transform(range(1, len(word) + 1),
+       |                               i -> word[i]), '_') AS syms
+       |  FROM wf),
+       |$rounds""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.kneserNeyBigrams]]: identical integer
     * inputs and pinned arithmetic order; every probability rounded to
     * 9 dp on both engines. */

@@ -728,6 +728,14 @@ object SparkEntry {
     // shape): one bigram hash agg + vocab²-bounded stats joins
     "q_ngram_lm" -> ((s, dir) =>
       TextOps.kneserNeyBigrams(documents(s, dir), 0.75)),
+    // BPE merge training (Sennrich 2016): vocab-sized iterations, greedy
+    // chain-parity replacement, pinned lexicographic tie-break
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(documents(s, dir), 8)),
+    // BPE subword encoding: the trained word table IS the word->subwords
+    // map; one vocab-sized join + per-doc sums
+    "q_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(documents(s, dir), 8)),
     // temperature-based source mixing over the transcripts corpus: keep
     // rates derived from the strata's own frequencies (p^α, α=1/T) so
     // downsampling flattens toward uniform while the rarest role survives
@@ -1502,6 +1510,8 @@ object SparkEntry {
     "q_sft_pairs" -> OracleOps.sftPairs,
     "q_fim_pairs" -> OracleOps.fimExamples,
     "q_ngram_lm" -> OracleOps.kneserNeyBigrams(0.75),
+    "q_bpe_merges" -> OracleOps.bpeMerges(8),
+    "q_bpe_encode" -> OracleOps.bpeEncode(8),
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),

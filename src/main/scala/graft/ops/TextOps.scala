@@ -678,6 +678,129 @@ object TextOps {
       .orderBy("w1", "w2")
   }
 
+  /** BPE MERGE TRAINING (Sennrich et al. ACL 2016, arXiv:1508.07909 —
+    * the tokenizer-training step of every LLM data pipeline): start from
+    * per-word character sequences (+ the `_` end-of-word symbol), then
+    * `numMerges` times (a) count every adjacent symbol pair weighted by
+    * word frequency (the paper's get_stats — overlapping occurrences all
+    * count), (b) pick the max-count pair (tie-break pinned lexicographic
+    * on (lhs, rhs) — the paper leaves ties arbitrary), (c) replace its
+    * non-overlapping occurrences greedily left-to-right in every word.
+    *
+    * GREEDY ≡ CHAIN PARITY: scanning candidates ascending and skipping
+    * any candidate overlapping the previously-kept one keeps exactly the
+    * odd-offset members of each maximal run of CONSECUTIVE candidate
+    * positions (candidates ≥ 2 apart never conflict; within a run each
+    * kept merge consumes its right neighbour). The Spark side folds the
+    * scan directly; the DuckDB twin spells the parity form with window
+    * functions — both provably the same replacement.
+    *
+    * Output: (merge_rank, lhs, rhs, freq) — the learned merge table.
+    *
+    * Scale shape: everything after the first aggregation operates on the
+    * WORD-FREQUENCY table (vocab-sized — orders of magnitude below the
+    * corpus at any scale; the reason BPE training is feasible at all);
+    * per round ONE pair-count hash agg + a 1-ROW collect (the chosen
+    * pair — O(numMerges) driver state, the centroid idiom) + a map-only
+    * rewrite, with the word table re-materialized to temp parquet each
+    * round (truncated lineage, the components idiom). */
+  def bpeMerges(corpus: DataFrame, numMerges: Int): DataFrame =
+    bpeTrain(corpus, numMerges)._1
+
+  /** BPE SUBWORD ENCODING — apply the merge table [[bpeMerges]] learns to
+    * the corpus itself (the tokenizer-application half of the pipeline):
+    * per doc, the analyzed token count and the total subword count after
+    * all `numMerges` merges. The final word table from training IS the
+    * word → subword-sequence map, so encoding is one vocab-sized join
+    * (shuffle keyed on `word`) + a per-doc sum — the corpus text is never
+    * re-segmented. Docs with no tokens report (0, 0). */
+  def bpeEncode(corpus: DataFrame, numMerges: Int): DataFrame = {
+    val words = bpeTrain(corpus, numMerges)._2
+      .select(col("word"), size(col("syms")).cast("long").as("_ns"))
+    val perDoc = corpus
+      .select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("word"))
+      .join(words, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("_ns")).as("n_subwords"))
+    corpus.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0)).as("n_tokens"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  private def bpeTrain(corpus: DataFrame,
+                       numMerges: Int): (DataFrame, DataFrame) = {
+    require(numMerges > 0 && numMerges <= 64,
+      s"numMerges must be in [1,64] (got $numMerges)")
+    val spark = corpus.sparkSession
+    def emptyInts = array().cast("array<int>")
+    def pairsOf(s: Column): Column =
+      when(size(s) >= 2, transform(sequence(lit(1), size(s) - 1),
+        i => struct(element_at(s, i).as("l"), element_at(s, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+    /** Greedy left-to-right non-overlapping replacement of (l,r) by lr. */
+    def mergeOnce(s: Column, l: String, r: String): Column = {
+      val cand = when(size(s) >= 2, filter(sequence(lit(1), size(s) - 1),
+        i => element_at(s, i) === l && element_at(s, i + 1) === r))
+        .otherwise(emptyInts)
+      // fold: keep candidate i iff it starts after the last consumed slot
+      val kept = aggregate(cand,
+        struct(lit(0).as("e"), emptyInts.as("k")),
+        (st, i) => when(i > st.getField("e"),
+          struct((i + 1).as("e"),
+            concat(st.getField("k"), array(i)).as("k")))
+          .otherwise(st)).getField("k")
+      transform(
+        filter(sequence(lit(1), size(s)), j => !array_contains(kept, j - 1)),
+        j => when(array_contains(kept, j),
+          concat(element_at(s, j), element_at(s, j + 1)))
+          .otherwise(element_at(s, j)))
+    }
+    var wordsPath = graft.TempDirs.create("graft_bpe_w0")
+    corpus.select(explode(Analyzer.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))),
+          array(lit("_"))).as("syms"))
+      .write.mode("overwrite").parquet(wordsPath)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (it <- 1 to numMerges) {
+      val words = spark.read.parquet(wordsPath)
+      // 1-row collect: the argmax pair (pinned lexicographic tie-break)
+      val best = words
+        .select(col("freq"), explode(pairsOf(col("syms"))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((it, l, r, cnt))
+        val nextPath = graft.TempDirs.create(s"graft_bpe_w$it")
+        words.select(col("word"), col("freq"),
+          mergeOnce(col("syms"), l, r).as("syms"))
+          .write.mode("overwrite").parquet(nextPath)
+        wordsPath = nextPath
+      }
+    }
+    val rows = merges.map { case (i, l, r, c) =>
+      org.apache.spark.sql.Row(i, l, r, c) }
+    import org.apache.spark.sql.types._
+    val mergeDf = spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*),
+      StructType(Seq(StructField("merge_rank", IntegerType, nullable = false),
+        StructField("lhs", StringType, nullable = false),
+        StructField("rhs", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false))))
+      .orderBy("merge_rank")
+    (mergeDf, spark.read.parquet(wordsPath))
+  }
+
   def stratifiedSample(corpus: DataFrame, strataCol: String,
                        rates: Map[String, Int], defaultRate: Int): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1000),

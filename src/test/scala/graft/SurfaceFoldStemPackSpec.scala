@@ -210,4 +210,63 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     // discount must be a valid probability mass
     intercept[IllegalArgumentException](TextOps.kneserNeyBigrams(docs, 1.5))
   }
+
+  test("bpeMerges ≡ independent reference BPE; overlap runs merge greedily left-to-right") {
+    import spark.implicits._
+    // reference implementation: straightforward imperative BPE
+    def refBpe(words: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+      var tbl = words.map { case (w, f) => (w.map(_.toString) :+ "_", f) }.toSeq
+      (1 to n).flatMap { it =>
+        val stats = tbl.flatMap { case (s, f) =>
+          s.zip(s.tail).map(p => p -> f) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        if (stats.isEmpty) None else {
+          val ((l, r), c) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+          tbl = tbl.map { case (s, f) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += s(i); i += 1 }
+            }
+            (out.toIndexedSeq, f)
+          }
+          Some((it, l, r, c))
+        }
+      }
+    }
+    // corpus with repeat runs (aaa: overlapping (a,a) candidates) and a
+    // classic low/lower/lowest family
+    val docs = Seq(
+      (0L, "low low low low low"), (1L, "lower lower newer newer newer"),
+      (2L, "aaa aaa aaaa bb"), (3L, "newest widest lowest"))
+      .toDF("doc_id", "text")
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(t => graft.analysis.Analyzer.tokenize(t._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = refBpe(words, 10)
+    val got = TextOps.bpeMerges(docs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"merge tables differ:\n got $got\n exp $expected")
+    // determinism
+    assert(TextOps.bpeMerges(docs, 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq == got)
+    intercept[IllegalArgumentException](TextOps.bpeMerges(docs, 0))
+  }
+
+  test("bpeEncode: subword counts bounded by chars+1 and >= token count; merges shrink") {
+    import spark.implicits._
+    val docs = Seq((0L, "low lower lowest"), (1L, ""), (2L, "low low"))
+      .toDF("doc_id", "text")
+    def counts(n: Int) = TextOps.bpeEncode(docs, n).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val c4 = counts(4)
+    assert(c4(1L) == ((0, 0L)), "empty doc reports (0,0)")
+    val (nt, ns) = c4(0L)
+    assert(nt == 3 && ns >= 3 && ns <= ("lowlowerlowest".length + 3),
+      s"subword count out of bounds: $ns")
+    // more merges never increase the subword count
+    assert(counts(8)(0L)._2 <= ns)
+  }
 }
