@@ -514,6 +514,41 @@ object OracleOps {
        |       ws AS (PARTITION BY user_id ORDER BY ts, event_id)
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** Twin of [[graft.ops.EventOps.sessionize]] — the gaps-and-islands
+    * spelling of session_window: a session break is a gap STRICTLY
+    * GREATER than `gapMinutes` — Spark merges touching windows, so an
+    * event at exactly prev_ts + gap stays in-session — island id by
+    * running sum of breaks, session end = last ts + gap. */
+  def eventsSessions(gapMinutes: Int): String =
+    s"""WITH o AS (SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w > INTERVAL $gapMinutes MINUTE
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |i AS (SELECT user_id, ts, value,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL $gapMinutes MINUTE AS session_end,
+       |  count(*)::INT AS n_events, round(sum(value), 4) AS sum_value
+       |FROM i GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
+  /** Twin of [[graft.ops.EventOps.funnel]]. */
+  def eventsFunnel(stepA: String, stepB: String, withinHours: Int): String =
+    s"""WITH a AS (SELECT user_id, min(ts) AS a_ts FROM events
+       |           WHERE event_type = '$stepA' GROUP BY 1),
+       |b AS (SELECT e.user_id, min(e.ts) AS b_ts
+       |      FROM events e JOIN a USING (user_id)
+       |      WHERE e.event_type = '$stepB' AND e.ts > a.a_ts GROUP BY 1)
+       |SELECT a.user_id, a.a_ts, b.b_ts,
+       |  (b.b_ts IS NOT NULL AND
+       |   b.b_ts <= a.a_ts + INTERVAL $withinHours HOUR) AS converted
+       |FROM a LEFT JOIN b USING (user_id)
+       |ORDER BY a.user_id""".stripMargin
+
   /** Twin of q_corpus_cube (G7 rollup); GROUPING() relabels rollup nulls
     * as 'ALL' so neither engine emits NULL (pandas str-casts them
     * differently). */

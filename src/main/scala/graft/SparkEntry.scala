@@ -1360,6 +1360,14 @@ object SparkEntry {
         .na.fill("none", Seq("prev_type"))
         .orderBy("user_id", "event_id")
     }),
+    // gap-based sessionization: native session_window (batch), one
+    // user-keyed shuffle; twin = gaps-and-islands
+    "q_events_sessions" -> ((s, dir) =>
+      ops.EventOps.sessionize(s.read.parquet(s"$dir/events.parquet"), 30)),
+    // ordered funnel: first signup -> first later purchase within 72h
+    "q_events_funnel" -> ((s, dir) =>
+      ops.EventOps.funnel(s.read.parquet(s"$dir/events.parquet"),
+        "signup", "purchase", 72)),
     // dedup family: embedding-cosine near-dup pairs (provably complete
     // pivot-projection banding + exact cosine verify)
     "q_dedup_embedding" -> ((s, dir) => Similarity.cosinePairs(
@@ -1674,6 +1682,8 @@ object SparkEntry {
     "q_queryset_bm25" -> Oracle.bm25TopK(Oracle.documentsCorpus,
       graft.sources.QuerySet.reference, 10, conjunctive = false),
     "q_events_windows" -> OracleOps.eventsWindows,
+    "q_events_sessions" -> OracleOps.eventsSessions(30),
+    "q_events_funnel" -> OracleOps.eventsFunnel("signup", "purchase", 72),
     "q_corpus_cube" -> OracleOps.corpusCube,
     "q_dedup_embedding" -> OracleOps.embeddingPairs(0.42),
     "q_term_tf_stopped" -> OracleOps.termTfStopped(TextOps.LangMarkers.head._2),
