@@ -789,6 +789,24 @@ object OracleOps {
        |  FROM dots d JOIN pairs p ON p.query_vec = d.query_vec AND p.vec_id = d.vec_id),
        |${rankedTail(k)}""".stripMargin
 
+  /** Twin of [[graft.ops.Similarity.rrfTopK]] — the two ranker twins as
+    * nested CTEs, full-outer rank join, exact reciprocal sums. */
+  def rrfTopK(queryIds: Seq[Long], k: Int, depth: Int, k0: Int): String =
+    s"""WITH ca AS (${cosineTopK(queryIds, depth)}),
+       |cb AS (${sq8TopK(queryIds, depth)}),
+       |f AS (SELECT coalesce(a.query_vec, b.query_vec) AS query_vec,
+       |    coalesce(a.vec_id, b.vec_id) AS vec_id,
+       |    coalesce(1.0 / ($k0 + a."rank"), 0.0)
+       |      + coalesce(1.0 / ($k0 + b."rank"), 0.0) AS rrf
+       |  FROM ca a FULL OUTER JOIN cb b
+       |    ON a.query_vec = b.query_vec AND a.vec_id = b.vec_id)
+       |SELECT query_vec, CAST(rnk AS INT) AS "rank", vec_id,
+       |  round(rrf, 9) AS rrf
+       |FROM (SELECT query_vec, vec_id, rrf,
+       |        row_number() OVER (PARTITION BY query_vec
+       |          ORDER BY round(rrf, 9) DESC, vec_id ASC) AS rnk FROM f)
+       |WHERE rnk <= $k ORDER BY query_vec, rnk""".stripMargin
+
   def cosineTopK(queryIds: Seq[Long], k: Int): String =
     s"""WITH ${embCtes(queryIds)},
        |pairs AS (SELECT q.query_vec, n.vec_id, q.qe, n.e, q.qn, n.nrm
@@ -974,6 +992,51 @@ object OracleOps {
        |    || ' <MID>' AS fim_input,
        |  coalesce(array_to_string(tk[cut_a+1:cut_b], ' '), '') AS fim_target
        |FROM c2 ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.pplBuckets]] — the [[lmPerplexity]] CTE
+    * ranked on (log_ppl, doc_id) with the ceil(N/3)/ceil(2N/3) integer
+    * boundaries; unscored docs in their own bucket outside N. */
+  def pplBuckets(trainLang: String, alpha: Double): String =
+    s"""WITH lp AS (${lmPerplexity(trainLang, alpha, 0.0)}),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM lp WHERE log_ppl IS NOT NULL),
+       |rk AS (SELECT doc_id, log_ppl,
+       |    row_number() OVER (ORDER BY log_ppl ASC, doc_id ASC) AS r
+       |  FROM lp WHERE log_ppl IS NOT NULL)
+       |SELECT doc_id, log_ppl,
+       |  CASE WHEN r <= (n + 2) // 3 THEN 'head'
+       |       WHEN r <= (2 * n + 2) // 3 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM rk CROSS JOIN nn
+       |UNION ALL
+       |SELECT doc_id, log_ppl, 'unscored' AS bucket
+       |FROM lp WHERE log_ppl IS NULL
+       |ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.ops.Dedup.pagerank]] — unrolled fixed-iteration
+    * chain (the kmeansChain pattern) over the MATERIALIZED symmetrized
+    * edge set; every iterate rounded to 9 dp before the next round so
+    * the engines' unordered in-neighbor sums re-agree. */
+  def pagerank(pairsSql: String, iters: Int, d: Double): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""r$k AS (SELECT e.dst AS doc_id,
+         |    round((1.0 - $d) / (SELECT n FROM nn)
+         |          + $d * sum(r.pr / dg.deg), 9) AS pr
+         |  FROM edges e
+         |  JOIN r${k - 1} r ON r.doc_id = e.src
+         |  JOIN deg dg ON dg.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($pairsSql),
+       |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg
+       |                     FROM edges GROUP BY 1),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+       |r0 AS (SELECT src AS doc_id, round(1.0 / (SELECT n FROM nn), 9) AS pr
+       |       FROM deg),
+       |$rounds
+       |SELECT doc_id, pr FROM r$iters ORDER BY doc_id""".stripMargin
+  }
 
   /** Twin of [[graft.ops.Dedup.bfsExpand]] seeded by the
     * [[decontaminate]] contaminated set (bench = doc_id ≡ 0 mod

@@ -745,6 +745,10 @@ object SparkEntry {
     // CCNet-style LM perplexity filter: unigram add-α LM trained on the
     // corpus's own lang='en' subset, every doc scored, keep = the
     // low-perplexity band
+    // CCNet head/middle/tail perplexity terciles (rank-pinned split)
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextOps.pplBuckets(s.read.parquet(s"$dir/documents.parquet"),
+        col("lang") === "en", 0.5)),
     "q_lm_perplexity" -> ((s, dir) => TextOps.lmPerplexity(
       s.read.parquet(s"$dir/documents.parquet"),
       col("lang") === "en", 0.5, 8.0)),
@@ -782,6 +786,10 @@ object SparkEntry {
     // per cluster (the keep/drop decision a training-data dedup ends with)
     "q_dedup_components" -> ((s, dir) =>
       Dedup.components(Dedup.minhashPairs(documents(s, dir), 0.7))),
+    // PageRank centrality within duplicate neighborhoods (3 pinned
+    // rounds): the alternative cluster-representative keep rule
+    "q_pagerank" -> ((s, dir) =>
+      Dedup.pagerank(Dedup.minhashPairs(documents(s, dir), 0.7), 3)),
     // contamination spread: depth-bounded BFS (the {!graph maxDepth=d}
     // traversal shape) from decontaminate-flagged seeds over the near-dup
     // pair graph — drop near-duplicates of contaminated docs transitively
@@ -800,6 +808,10 @@ object SparkEntry {
     // SQ8 scalar quantization, asymmetric ADC cosine over dequantized codes
     "q_ann_sq8" -> ((s, dir) => Similarity.sq8TopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
+    // reciprocal rank fusion of the exact and SQ8 retrievers (the hybrid
+    // -search combiner): top-list-only full-outer rank join
+    "q_ann_rrf" -> ((s, dir) => Similarity.rrfTopK(
+      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 20, 60)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(
       s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 2)),
     // IVF training: deterministic Lloyd's k-means (4 clusters, 2 iters)
@@ -1512,6 +1524,7 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleOps.simhashPairs(3),
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
+    "q_pagerank" -> OracleOps.pagerank(OracleOps.minhashPairs(0.7), 3, 0.85),
     "q_contamination_spread" ->
       OracleOps.contaminationSpread(OracleOps.minhashPairs(0.7), 8, 97, 2),
     "q_sample_stratified" -> OracleOps.stratifiedSample("lang", SampleRates, 600),
@@ -1522,11 +1535,13 @@ object SparkEntry {
     "q_bpe_encode" -> OracleOps.bpeEncode(8),
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
+    "q_ppl_buckets" -> OracleOps.pplBuckets("en", 0.5),
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),
     "q_gopher_rules" -> OracleOps.gopherRules(5, 100000),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_mrl" -> OracleOps.mrlTopK(Seq(0L, 1L, 2L), 10, 16, 40),
     "q_ann_sq8" -> OracleOps.sq8TopK(Seq(0L, 1L, 2L), 10),
+    "q_ann_rrf" -> OracleOps.rrfTopK(Seq(0L, 1L, 2L), 10, 20, 60),
     "q_ann_pq" -> OracleOps.pqTopK(Seq(0L, 1L, 2L), 10, 8, 16, 2),
     "q_ann_ivf_pq" -> OracleOps.ivfPqTopK(Seq(0L, 1L, 2L), 10, 4, 2, 8, 16, 2),
     "q_ann_ivf" -> OracleOps.ivfTopK(Seq(0L, 1L, 2L), 10, 2),

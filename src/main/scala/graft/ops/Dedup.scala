@@ -427,4 +427,47 @@ object Dedup {
     }
     spark.read.parquet(visitedPath).orderBy("doc_id")
   }
+
+  /** PAGERANK over the (symmetrized) near-dup pair graph — the canonical
+    * whole-corpus iterative graph computation (Page et al. 1999; the
+    * Pregel/GraphX reference workload), here ranking CENTRALITY within
+    * duplicate neighborhoods (a high-PR doc is the natural cluster
+    * representative — an alternative keep-rule to [[components]]' min
+    * id). Pinned semantics shared verbatim with the twin: nodes = docs
+    * in ≥ 1 pair (symmetric graph ⇒ no dangling nodes), pr₀ = 1/N,
+    * pr_{t+1} = (1−d)/N + d·Σ_in pr_t/deg, every iterate ROUNDED to
+    * 9 dp (the kmeans per-iteration pinning — unordered cross-engine
+    * sums must re-agree before the next round). Fixed `iters`, output
+    * (doc_id, pr) ordered by doc_id.
+    *
+    * Scale shape: per round ONE edges ⋈ ranks join (ranks are 16-byte
+    * rows) + ONE dst-keyed sum — the textbook map-reduce PageRank
+    * round; degrees computed once; N is a 1-row collect; rounds are a
+    * caller constant. Edges materialize once to temp parquet; the
+    * 3-deep rank lineage needs no checkpointing at fixed small iters. */
+  def pagerank(pairs: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+    require(iters >= 1 && iters <= 20, s"iters must be in [1,20] (got $iters)")
+    require(d > 0 && d < 1, s"damping must be in (0,1) (got $d)")
+    val spark = pairs.sparkSession
+    val edgesPath = graft.TempDirs.create("graft_pr_edges")
+    pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .write.mode("overwrite").parquet(edgesPath)
+    val edges = spark.read.parquet(edgesPath)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val n = deg.count() // 1-row driver scalar
+    var ranks = deg.select(col("src").as("doc_id"),
+      round(lit(1.0) / n, 9).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("doc_id"), (col("pr") / col("deg")).as("_c"))
+        .groupBy("doc_id").agg(sum(col("_c")).as("_in"))
+      ranks = contribs.select(col("doc_id"),
+        round(lit((1.0 - d) / n) + lit(d) * col("_in"), 9).as("pr"))
+    }
+    ranks.orderBy("doc_id")
+  }
 }

@@ -438,6 +438,39 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack et al. SIGIR 2009; the hybrid-search
+    * combiner Solr 9 / Elasticsearch ship): fuse two rankers' top-`depth`
+    * lists by rrf(d) = Σ_lists 1/(k0 + rank_list(d)), docs absent from a
+    * list contributing nothing. Here the two rankers are the exact-cosine
+    * and the SQ8-quantized retrievers ([[bruteForceTopK]] / [[sq8TopK]]) —
+    * the classic accurate-vs-compressed fusion pair. Output
+    * (query_vec, rank, vec_id, rrf·9dp), ties pinned on vec_id.
+    *
+    * Scale shape: fusion operates on the two top-lists ONLY —
+    * queries×depth rows each, a full-outer join on (query_vec, vec_id)
+    * that never touches the corpus again; rrf arithmetic is exact
+    * integer-reciprocal sums, identical cross-engine. */
+  def rrfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10,
+              depth: Int = 20, k0: Int = 60): DataFrame = {
+    require(depth >= k, s"depth ($depth) must be >= k ($k)")
+    require(k0 > 0, s"k0 must be positive (got $k0)")
+    def side(df: DataFrame, r: String) = df.select(col("query_vec"),
+      col("vec_id"), col("rank").as(r))
+    val fused = side(bruteForceTopK(embeddings, queryIds, depth), "_ra")
+      .join(side(sq8TopK(embeddings, queryIds, depth), "_rb"),
+        Seq("query_vec", "vec_id"), "full_outer")
+      .withColumn("_rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("_ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("_rb")), lit(0.0)))
+    val w = Window.partitionBy("query_vec")
+      .orderBy(round(col("_rrf"), 9).desc, col("vec_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_vec"), col("rank").cast("int").as("rank"),
+        col("vec_id"), round(col("_rrf"), 9).as("rrf"))
+      .orderBy("query_vec", "rank")
+  }
+
   /** Squared L2 between two double arrays — the same sequential-fold
     * shape as [[dot]]/[[norm]], mirrored verbatim by the oracle's
     * list_reduce (0.0 + v₁ ≡ v₁ exactly, so the fold trees agree). */

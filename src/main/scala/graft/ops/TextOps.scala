@@ -516,6 +516,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet HEAD/MIDDLE/TAIL perplexity buckets (Wenzek et al. LREC 2020
+    * §4.3 — the corpus is split into equal THIRDS by LM perplexity; the
+    * head third is the highest-quality slice pipelines keep): docs are
+    * ranked by (round(log_ppl, 6) ASC, doc_id ASC) — the rounded value
+    * both engines agree on, doc_id pinning ties — and bucketed at the
+    * ceil(N/3) / ceil(2N/3) rank boundaries; docs the LM cannot score
+    * (no tokens) land in an explicit 'unscored' bucket, outside N.
+    *
+    * Scale shape: the ranking is ONE corpus-wide sort of a TWO-column
+    * projection (log_ppl, doc_id) — the same discipline CCNet itself
+    * runs (it sorts the corpus by perplexity). At 100 TB the two bucket
+    * THRESHOLDS would come from a one-pass mergeable quantile sketch
+    * (percentile_approx) and bucketing would be map-only; the exact-rank
+    * form here is the deterministic, oracle-twinnable variant, and the
+    * sorted relation is 16 bytes/doc, not the corpus. */
+  def pplBuckets(corpus: DataFrame, trainFilter: Column,
+                 alpha: Double): DataFrame = {
+    val scored = lmPerplexity(corpus, trainFilter, alpha, 0.0)
+      .select(col("doc_id"), col("log_ppl"))
+    val n = scored.where(col("log_ppl").isNotNull).count()
+    val h = (n + 2) / 3          // ceil(N/3)
+    val m = (2 * n + 2) / 3      // ceil(2N/3)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("log_ppl").asc, col("doc_id").asc)
+    val ranked = scored.where(col("log_ppl").isNotNull)
+      .withColumn("_r", row_number().over(w))
+      .select(col("doc_id"), col("log_ppl"),
+        when(col("_r") <= h, "head")
+          .when(col("_r") <= m, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.where(col("log_ppl").isNull)
+      .select(col("doc_id"), col("log_ppl"), lit("unscored").as("bucket"))
+      .unionByName(ranked)
+      .orderBy("doc_id")
+  }
+
   /** DSIR importance weights (Data Selection with Importance Resampling,
     * Xie et al. NeurIPS 2023): score every document by the hashed-n-gram
     * likelihood ratio between a TARGET domain and the RAW corpus —

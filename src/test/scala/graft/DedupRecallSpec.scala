@@ -120,4 +120,29 @@ class DedupRecallSpec extends SparkSpec {
     assert(run(10) == run(4), "fixpoint: extra rounds after exhaustion are no-ops")
     intercept[IllegalArgumentException](Dedup.bfsExpand(pairs, seeds, -1))
   }
+
+  test("pagerank ≡ independent matrix iteration with per-round 9dp pinning; mass conserved") {
+    import spark.implicits._
+    // path 1-2-3 plus triangle 10-11-12: degrees differ, two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pagerank(pairs, 3, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent reference: same pinned semantics
+    val adj = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = deg.size
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var pr = deg.keys.map(_ -> r9(1.0 / n)).toMap
+    for (_ <- 1 to 3) {
+      val in = adj.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / deg(s) }.sum).toMap
+      pr = in.map { case (v, c) => v -> r9((1.0 - 0.85) / n + 0.85 * c) }
+    }
+    got.foreach { case (v, p) =>
+      assert(math.abs(p - pr(v)) < 2e-9, s"node $v: $p vs ${pr(v)}") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, "probability mass must be ~1")
+    intercept[IllegalArgumentException](Dedup.pagerank(pairs, 0))
+  }
 }

@@ -262,4 +262,28 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.sq8TopK(emb, Seq(0L, 21L), 10).collect().map(key).toSeq
       == got.toSeq, "sq8TopK must be deterministic")
   }
+
+  test("rrfTopK ≡ hand fusion of the two rankers' top lists; deterministic") {
+    import spark.implicits._
+    val emb = df.select("vec_id", "embedding")
+    def ranks(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val ra = ranks(Similarity.bruteForceTopK(emb, Seq(0L, 21L), 20))
+    val rb = ranks(Similarity.sq8TopK(emb, Seq(0L, 21L), 20))
+    val expected = (ra.keySet ++ rb.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq.map { key =>
+          val rrf = ra.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            rb.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (q, key._2, BigDecimal(rrf).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+          .map { case ((_, v, s), i) => (q, i + 1, v, s) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Similarity.rrfTopK(emb, Seq(0L, 21L), 10, 20, 60).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"fusion differs:\n got $got\n exp $expected")
+    assert(Similarity.rrfTopK(emb, Seq(0L, 21L), 10, 20, 60).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq == got)
+    intercept[IllegalArgumentException](Similarity.rrfTopK(emb, Seq(0L), 10, 5, 60))
+  }
 }

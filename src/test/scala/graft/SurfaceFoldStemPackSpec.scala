@@ -269,4 +269,24 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     // more merges never increase the subword count
     assert(counts(8)(0L)._2 <= ns)
   }
+
+  test("pplBuckets: ceil-third split on the rounded-ppl rank; unscored bucket; deterministic") {
+    import org.apache.spark.sql.functions.col
+    // 7 scored docs (varying OOV mix → distinct ppl) + 1 empty doc
+    val docs = ((0L until 7L).map(i =>
+      (i, ("the " * (i + 1).toInt + "zzz " * (7 - i).toInt).trim, "en")) :+
+      (7L, "", "en")).toDF("doc_id", "text", "lang")
+    val out = TextOps.pplBuckets(docs, col("lang") === "en", 0.5).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toDouble), r.getString(2)))
+    assert(out.length == 8)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    // N=7: head = ceil(7/3) = 3, middle = ceil(14/3) - 3 = 2, tail = 2
+    assert(byBucket == Map("head" -> 3, "middle" -> 2, "tail" -> 2, "unscored" -> 1),
+      s"split: $byBucket")
+    assert(out.find(_._1 == 7L).get._3 == "unscored")
+    // every head ppl <= every middle ppl <= every tail ppl
+    def ppls(b: String) = out.filter(_._3 == b).flatMap(_._2)
+    assert(ppls("head").max <= ppls("middle").min)
+    assert(ppls("middle").max <= ppls("tail").min)
+  }
 }
