@@ -673,6 +673,10 @@ object SparkEntry {
     // E4: block-max WAND fast path over the persisted index
     "q_bm25_wand" -> ((s, dir) =>
       IndexSearch.searchWand(indexFor(s, dir), DisjQueries)),
+    // E4b: MaxScore (Turtle & Flood 1995) — the other dynamic-pruning
+    // family over the same block layout; must be rank-identical too
+    "q_bm25_maxscore" -> ((s, dir) =>
+      IndexSearch.searchMaxScore(indexFor(s, dir), DisjQueries)),
     // J3 over the index: conjunctive AND
     "q_bm25_index_conj" -> ((s, dir) =>
       IndexSearch.search(indexFor(s, dir), ConjQueries, conjunctive = true)),
@@ -1508,6 +1512,7 @@ object SparkEntry {
     "q_bm25_transcripts" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_index" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_wand" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
+    "q_bm25_maxscore" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_index_conj" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, ConjQueries, 10, conjunctive = true),
     "q_lang_id" -> OracleOps.langId,
     "q_quality" -> OracleOps.quality,

@@ -49,8 +49,8 @@ object BlockMaxWand {
     * blockMax) may still cover out-of-range postings — a pure
     * OVER-estimate, which can only inhibit a skip, never cause one, so
     * range-restricted results stay exact. */
-  private final class Cursor(t: TermPostings, nDocs: Long, avgdl: Double,
-                             lo: Long, hi: Long) {
+  private[search] final class Cursor(t: TermPostings, nDocs: Long, avgdl: Double,
+                                     lo: Long, hi: Long) {
     private val df: Long = t.df
     private val blocks: Array[BlockRef] = t.blocks
     val upperBound: Double = {

@@ -1704,4 +1704,42 @@ object IndexSearch {
       .toDF("query_id", "doc_id", "_score")
     Search.rank(candidates, k, start)
   }
+
+  /** MaxScore fast path (disjunctive top-k) — same output as [[search]]
+    * and [[searchWand]], same doc-range-parallel shape and θ seeds via
+    * [[wandBlocks]]; only the within-range traversal differs
+    * ([[MaxScore.topKRange]]'s essential-list pruning instead of WAND's
+    * pivot bounding). Two engines over one block layout lets a caller
+    * pick per workload: MaxScore tends to win on queries mixing one hot
+    * low-impact term with selective terms (the hot list is probed, never
+    * walked); WAND on uniformly selective terms. */
+  def searchMaxScore(idx: OpenIndex, queries: Seq[(Int, String)], k: Int = 10,
+                     docsPerRange: Long = DefaultDocsPerRange,
+                     start: Int = 0): DataFrame = {
+    val spark = idx.spark
+    import spark.implicits._
+    val planned = wandBlocks(idx, queries, start + k, docsPerRange)
+    if (planned.isEmpty)
+      return Seq.empty[ResultRow].toDF()
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    val (blocks, seeds, rs) = planned.get
+    val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, start + k)
+    val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
+        val (qid, rid) = key
+        val byTerm = rows.toVector.groupBy(_.term)
+        val terms = byTerm.valuesIterator.map { trs =>
+          val sorted = trs.sortBy(_.first_doc)
+          BlockMaxWand.TermPostings(sorted.head.df,
+            sorted.map(r => BlockMaxWand.BlockRef(r.first_doc, r.last_doc,
+              r.block_max_score, r.doc_gaps, r.tfs, r.dls)).toArray)
+        }.toSeq
+        val lo = rid.toLong * rs
+        val seed = seeds.getOrElse(qid, Double.NegativeInfinity)
+        MaxScore.topKRange(terms, kk, nDocs, avgdl, lo, lo + rs, seed)
+          .iterator.map { case (doc, s) => (qid, doc, s) }
+      }
+      .toDF("query_id", "doc_id", "_score")
+    Search.rank(candidates, k, start)
+  }
 }
