@@ -40,7 +40,8 @@ object Oracle {
     s"""corpus AS ($corpusSql),
        |toks AS (SELECT doc_id, unnest(${Analyzer.sqlTokenList("text")}) AS term FROM corpus),
        |dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY doc_id),
-       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl,
+       |                 CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl),
        |tf AS (SELECT term, doc_id, count(*)::INT AS tf FROM toks GROUP BY term, doc_id),
        |df AS (SELECT term, count(*)::BIGINT AS df, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term)""".stripMargin
 
@@ -1092,6 +1093,32 @@ object Oracle {
        |FROM ranked WHERE rnk > $start AND rnk <= ${start + k}
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Disjunctive top-k under a pluggable similarity — [[bm25TopK]]'s
+    * shape with the per-(term, doc) score expression supplied by the
+    * model itself ([[graft.search.Similarities.SimilarityModel.sqlTermScore]]),
+    * so the SQL twin lives beside the Column expression and cannot
+    * drift. */
+  def simTopK(corpusSql: String, queries: Seq[(Int, String)], k: Int,
+              sim: graft.search.Similarities.SimilarityModel): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ${sim.sqlTermScore} ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** Transcripts corpus carrying the full facetable attribute set (the
     * persisted index's `docs/` columns minus ts — dl rides the dl CTE). */

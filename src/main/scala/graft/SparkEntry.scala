@@ -3,7 +3,7 @@ package graft
 import graft.analysis.Analyzer
 import graft.index.{BuildIndexJob, IndexBuild, IndexMerge, PostingBlocks}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
-import graft.search.{IndexSearch, Search}
+import graft.search.{IndexSearch, Search, Similarities}
 import graft.sources.Transcripts
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -677,6 +677,15 @@ object SparkEntry {
     // family over the same block layout; must be rank-identical too
     "q_bm25_maxscore" -> ((s, dir) =>
       IndexSearch.searchMaxScore(indexFor(s, dir), DisjQueries)),
+    // Pluggable similarity (Solr per-field <similarity>): LM with
+    // Dirichlet smoothing (Zhai & Lafferty 2001) and Lucene's classic
+    // TF-IDF, over the same persisted index + dictionary cf
+    "q_lmdirichlet" -> ((s, dir) =>
+      IndexSearch.searchSim(indexFor(s, dir), DisjQueries,
+        Similarities.LMDirichlet())),
+    "q_tfidf_classic" -> ((s, dir) =>
+      IndexSearch.searchSim(indexFor(s, dir), DisjQueries,
+        Similarities.ClassicTfIdf)),
     // J3 over the index: conjunctive AND
     "q_bm25_index_conj" -> ((s, dir) =>
       IndexSearch.search(indexFor(s, dir), ConjQueries, conjunctive = true)),
@@ -1513,6 +1522,8 @@ object SparkEntry {
     "q_bm25_index" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_wand" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_maxscore" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
+    "q_lmdirichlet" -> Oracle.simTopK(Oracle.transcriptsCorpus, DisjQueries, 10, Similarities.LMDirichlet()),
+    "q_tfidf_classic" -> Oracle.simTopK(Oracle.transcriptsCorpus, DisjQueries, 10, Similarities.ClassicTfIdf),
     "q_bm25_index_conj" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, ConjQueries, 10, conjunctive = true),
     "q_lang_id" -> OracleOps.langId,
     "q_quality" -> OracleOps.quality,

@@ -71,20 +71,22 @@ object IndexSearch {
     * the shards those terms hash to: (query_id, term, df, doc_id, tf, dl).
     * The shared scan under exhaustive scoring, filtering, faceting, and
     * NOT-exclusion. */
-  private def matchedPostings(idx: OpenIndex, qt: DataFrame): DataFrame = {
+  private def matchedPostings(idx: OpenIndex, qt: DataFrame,
+                              withCf: Boolean = false): DataFrame = {
     val spark = idx.spark
+    val dictCols = Seq("query_id", "term", "df") ++ (if (withCf) Seq("cf") else Nil)
     // tiny join: |distinct query terms| rows
     val qd = qt.join(idx.dictionary, "term")
-      .select("query_id", "term", "df", "shard")
+      .select((dictCols :+ "shard").map(col): _*)
     // driver boundary: the set of shards the query touches (≤ |q| ints)
     val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
     if (shards.isEmpty)
       return PostingBlocks.decodePostings(
         idx.io.read(spark, idx.paths.postings).limit(0)
-          .join(broadcast(qd.select("query_id", "term", "df")), Seq("term")))
+          .join(broadcast(qd.select(dictCols.map(col): _*)), Seq("term")))
     val blocks = idx.io.read(spark, idx.paths.postings)
       .where(col("shard").isin(shards: _*))
-      .join(broadcast(qd.select("query_id", "term", "df")), Seq("term"))
+      .join(broadcast(qd.select(dictCols.map(col): _*)), Seq("term"))
     PostingBlocks.decodePostings(blocks)
   }
 
@@ -112,6 +114,25 @@ object IndexSearch {
              conjunctive: Boolean = false, start: Int = 0): DataFrame = {
     val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
     Search.rank(scoredDocs(idx, qt, conjunctive), k, start)
+  }
+
+  /** Top-k under a pluggable similarity ([[Similarities.SimilarityModel]]
+    * — Solr's per-field `<similarity>`). Same dictionary probe, shard
+    * prune, and pinned ranking as [[search]]; only the per-posting score
+    * expression differs, with cf riding the broadcast dictionary probe
+    * for the collection model. Exhaustive (dictionary- and shard-pruned)
+    * by design: the persisted block maxes are BM25 bounds, so WAND /
+    * MaxScore skipping is unsound for other models. */
+  def searchSim(idx: OpenIndex, queries: Seq[(Int, String)],
+                sim: Similarities.SimilarityModel, k: Int = 10,
+                start: Int = 0): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val scored = matchedPostings(idx, qt, withCf = true)
+      .withColumn("_s", sim.termScore(col("tf"), col("dl"), col("df"),
+        col("cf"), idx.stats.nDocs, idx.stats.avgdl, idx.stats.totalTokens))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"))
+    Search.rank(scored, k, start)
   }
 
   /** Solr `debug=true` / Lucene Explanation over the persisted index:
