@@ -17,6 +17,26 @@ object OracleOps {
   val corpusCte = s"corpus AS (SELECT doc_id, text FROM documents)"
   val tkCte = s"tk AS (SELECT doc_id, text, $toks AS toks FROM corpus)"
 
+  /** Twin of [[graft.ops.TextOps.trainShards]] — identical 2^31 modular
+    * Knuth-hash key, shard mod, and within-shard windows. */
+  def trainShards(nShards: Int, seed: Long): String =
+    s"""WITH $corpusCte,
+       |keyed AS (SELECT doc_id, CAST(len($toks) AS INT) AS n_tokens,
+       |                 ((doc_id % 2147483648) * 2654435761 + $seed) % 2147483648 AS key
+       |          FROM corpus),
+       |sharded AS (SELECT doc_id, n_tokens, key,
+       |                   CAST(key % $nShards AS INT) AS shard
+       |            FROM keyed)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER w AS INT) AS pos,
+       |       n_tokens,
+       |       CAST(COALESCE(SUM(n_tokens) OVER
+       |         (PARTITION BY shard ORDER BY key, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+       |FROM sharded
+       |WINDOW w AS (PARTITION BY shard ORDER BY key, doc_id)
+       |ORDER BY shard, pos""".stripMargin
+
   def hitsExpr(markers: Seq[String]): String =
     s"CAST(len(list_filter(toks, t -> list_contains(${lst(markers)}, t))) AS INT)"
 

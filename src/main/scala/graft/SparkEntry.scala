@@ -696,6 +696,9 @@ object SparkEntry {
     // LLM-pretraining context-window chunking: 32-token windows, stride
     // 16 (50% overlap) — map-only, shuffle-free at any corpus size
     "q_chunks" -> ((s, dir) => TextOps.chunks(documents(s, dir), 32, 16)),
+    // deterministic shuffle+shard for training-shard writing: Knuth-hash
+    // permutation key, 16 shards, within-shard rank + token offsets
+    "q_train_shards" -> ((s, dir) => TextOps.trainShards(documents(s, dir), 16)),
     // benchmark decontamination (GPT-3 appendix-C shape): the "eval set"
     // is docs ≡ 0 (mod 97); any shared analyzed 8-gram flags a doc
     "q_decontaminate" -> ((s, dir) => {
@@ -1529,6 +1532,7 @@ object SparkEntry {
     "q_quality" -> OracleOps.quality,
     "q_token_counts" -> OracleOps.tokenCounts,
     "q_chunks" -> OracleOps.chunks(32, 16),
+    "q_train_shards" -> OracleOps.trainShards(16, 1L),
     "q_decontaminate" -> OracleOps.decontaminate(8, 97),
     "q_repetition" -> OracleOps.repetition(3, 0.2),
     "q_redact_pii" -> OracleOps.redactPii,

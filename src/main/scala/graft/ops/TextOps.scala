@@ -849,4 +849,41 @@ object TextOps {
       .select(col("doc_id"), col(strataCol))
       .orderBy("doc_id")
   }
+
+  /** Deterministic corpus shuffle + shard assignment — the "shuffle and
+    * shard" step a pretraining pipeline runs before writing training
+    * shards (the T5/C4-style sort-by-pseudorandom-key trick: a true
+    * Fisher–Yates is not distributable, sorting by a permutation-ish hash
+    * key is). Key = Knuth multiplicative hash of doc_id in EXACT modular
+    * arithmetic over 2^31 (every intermediate BIGINT product stays
+    * < 2^63, so the identical expression runs overflow-free in any SQL
+    * engine — the DuckDB twin is [[graft.OracleOps.trainShards]]);
+    * doc_ids ≥ 2^31 alias into the same key space and fall back to the
+    * pinned (key, doc_id) tie-break — still deterministic, still
+    * well-spread. shard = key mod nShards (balanced in expectation at any
+    * corpus size); `pos` and `tok_offset` are the rank and running token
+    * start within the shard — exactly what a sequence-packing shard
+    * writer consumes.
+    *
+    * Scale shape: ONE hash-partitioned window keyed by shard — the sort
+    * parallelizes across shards (no global sort), each shard's rows sort
+    * by an 8-byte key. At 10^12 docs pick nShards ≫ executors. */
+  def trainShards(corpus: DataFrame, nShards: Int, seed: Long = 1L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    require(seed >= 0 && seed < (1L << 31), "seed must fit the 2^31 key space")
+    val W = org.apache.spark.sql.expressions.Window
+    val M = 2147483648L // 2^31
+    val key = ((col("doc_id") % M) * lit(2654435761L) + lit(seed)) % lit(M)
+    val w = W.partitionBy("shard").orderBy(col("_key"), col("doc_id"))
+    corpus
+      .select(col("doc_id"), Analyzer.docLen(col("text")).as("n_tokens"))
+      .withColumn("_key", key)
+      .withColumn("shard", (col("_key") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("int"))
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tokens").cast("long"))
+          .over(w.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "shard", "pos", "n_tokens", "tok_offset")
+      .orderBy("shard", "pos")
+  }
 }

@@ -105,4 +105,36 @@ class TrainsetOpsSpec extends SparkSpec {
       "vacuous: cuts barely vary across docs")
     assert(run().toSeq == got.toSeq, "fimExamples must be deterministic")
   }
+
+  test("trainShards: partition of the corpus, contiguous ranks, exact " +
+    "token offsets, deterministic, seed-sensitive") {
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, ("tok " * (1 + i % 7)).trim))
+      .toDF("doc_id", "text")
+    val n = 8
+    def run(seed: Long) = TextOps.trainShards(corpus, n, seed).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    val got = run(1L)
+    // a PARTITION: every doc exactly once
+    assert(got.map(_._1).sorted.toSeq == (0L until 300L))
+    // every shard populated, ranks contiguous from 1, offsets = running sums
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet == (0 until n).toSet, "all shards populated")
+    byShard.foreach { case (s, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rows.length), s"shard $s ranks")
+      var acc = 0L
+      sorted.foreach { r =>
+        assert(r._5 == acc, s"shard $s doc ${r._1} offset")
+        acc += r._4
+      }
+    }
+    // the shuffle actually shuffles: within-shard order is not doc_id order
+    assert(byShard.values.exists { rows =>
+      val s = rows.sortBy(_._3).map(_._1).toSeq; s != s.sorted
+    }, "pseudorandom key must not preserve doc_id order")
+    assert(run(1L).toSeq == got.toSeq, "deterministic under a fixed seed")
+    assert(run(7L).map(t => (t._1, t._2)).toSeq != got.map(t => (t._1, t._2)).toSeq,
+      "seed must change the assignment")
+  }
 }
