@@ -1416,6 +1416,13 @@ object SparkEntry {
     // against the pruned docs/ attribute scan, full-corpus scoring stats
     "q_bm25_fq_index" -> ((s, dir) => IndexSearch.searchFiltered(
       indexFor(s, dir), DisjQueries, col("role") === "user")),
+    // Solr filterCache: the same fq served through the materialized
+    // DocSet — the first docSet() warms the cache, the search reads it
+    "q_bm25_fq_cached" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      graft.search.FilterCache.docSet(idx, "role:user").count() // warm
+      graft.search.FilterCache.searchFiltered(idx, DisjQueries, "role:user")
+    }),
     // Solr facet.field over the persisted index's match set
     "q_facet_role_index" -> ((s, dir) =>
       IndexSearch.facetCounts(indexFor(s, dir), DisjQueries, "role")),
@@ -1725,6 +1732,7 @@ object SparkEntry {
     "q_bm25_fq" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
     "q_facet_role" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_fq_index" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
+    "q_bm25_fq_cached" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
     "q_facet_role_index" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_not" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
     "q_bm25_not_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
