@@ -1423,6 +1423,13 @@ object SparkEntry {
       graft.search.FilterCache.docSet(idx, "role:user").count() // warm
       graft.search.FilterCache.searchFiltered(idx, DisjQueries, "role:user")
     }),
+    // Solr queryResultCache: page 2 (start=5, rows=5) served from the
+    // cached window-20 ranking the page-1 call warmed
+    "q_bm25_qrc_page" -> ((s, dir) => {
+      val idx = indexFor(s, dir)
+      graft.search.QueryResultCache.search(idx, DisjQueries, k = 5).count()
+      graft.search.QueryResultCache.search(idx, DisjQueries, k = 5, start = 5)
+    }),
     // Solr facet.field over the persisted index's match set
     "q_facet_role_index" -> ((s, dir) =>
       IndexSearch.facetCounts(indexFor(s, dir), DisjQueries, "role")),
@@ -1733,6 +1740,7 @@ object SparkEntry {
     "q_facet_role" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_fq_index" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
     "q_bm25_fq_cached" -> Oracle.bm25TopKFiltered(DisjQueries, 10, "role = 'user'"),
+    "q_bm25_qrc_page" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 5, conjunctive = false, start = 5),
     "q_facet_role_index" -> Oracle.facetCounts(DisjQueries, "role"),
     "q_bm25_not" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
     "q_bm25_not_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
