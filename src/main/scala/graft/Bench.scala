@@ -146,6 +146,12 @@ object Bench {
         while (i < reps) { IndexSearch.searchWand(idx, qs).count(); i += 1 }
       }
       results("wand_workload") = qSec / reps
+      // 3b. the same workload through the MaxScore engine — the pruning-
+      // family comparison on identical blocks (one rep: a comparison
+      // line, not the headline metric)
+      IndexSearch.searchMaxScore(idx, qs).count() // warmup
+      results("maxscore_workload") = time(
+        IndexSearch.searchMaxScore(idx, qs).count())._2
       Rep(results, nTurns, buildSec, qs.size * reps / qSec, probeB, probe3())
     }
 
@@ -189,7 +195,7 @@ object Bench {
     // line LAST on stdout.
     val total = results.values.filter(_ >= 0).sum
     val attributionKeys = Seq("index_prepare", "corpus_prepare",
-      "stream_prepare", "index_build", "wand_workload")
+      "stream_prepare", "index_build", "wand_workload", "maxscore_workload")
     def mkLine(qJson: String): String =
       s"""{"metric":"total","value":${rnd(total, 2)},"unit":"sec","queries":$qJson,""" +
         s""""sf":"$sfDir","build_turns":$nTurns,"build_sec":${rnd(buildSec, 2)},""" +
