@@ -693,6 +693,52 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.MultiField.searchCombined]] (BM25F / Lucene
+    * CombinedFieldQuery): weighted tf/dl merge BEFORE saturation, df over
+    * the merged pseudo-field, one shared k1/b. Arithmetic spelled
+    * operand-for-operand like the engine: tf' and dl' are exact doubles
+    * (integer counts × exactly-representable weights), idf/saturation the
+    * pinned single-field formula. */
+  def bm25CombinedFields(queries: Seq[(Int, String)], k: Int,
+                         titleBoost: Double, bodyBoost: Double,
+                         titleTokens: Int): String =
+    s"""WITH corpus AS ($transcriptsCorpus),
+       |lb AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |t_title AS (SELECT doc_id, unnest(list_slice(l, 1, $titleTokens)) AS term FROM lb),
+       |t_body AS (SELECT doc_id, unnest(l) AS term FROM lb),
+       |wtf AS (
+       |  SELECT term, doc_id, sum(wtf) AS tfc FROM (
+       |    SELECT term, doc_id, $titleBoost * count(*) AS wtf FROM t_title GROUP BY term, doc_id
+       |    UNION ALL
+       |    SELECT term, doc_id, $bodyBoost * count(*) AS wtf FROM t_body GROUP BY term, doc_id)
+       |  GROUP BY term, doc_id),
+       |wdl AS (
+       |  SELECT doc_id, sum(wdl) AS dlc FROM (
+       |    SELECT doc_id, $titleBoost * count(*) AS wdl FROM t_title GROUP BY doc_id
+       |    UNION ALL
+       |    SELECT doc_id, $bodyBoost * count(*) AS wdl FROM t_body GROUP BY doc_id)
+       |  GROUP BY doc_id),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, avg(dlc) AS avgdl FROM wdl),
+       |dict AS (SELECT term, count(*)::BIGINT AS df FROM wtf GROUP BY term),
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, w.doc_id,
+       |         sum( ln(1 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))
+       |              * w.tfc / (w.tfc + 1.2*(1 - 0.75 + 0.75*dl.dlc/s.avgdl)) ) AS score
+       |  FROM qt JOIN wtf w USING (term) JOIN dict d USING (term)
+       |       JOIN wdl dl ON w.doc_id = dl.doc_id CROSS JOIN st s
+       |  GROUP BY qt.query_id, w.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Transcripts corpus carrying the event-time second (ts_sec) — the
     * sort-by-stored-field twin. ts in the transcripts view is
     * Epoch2024 + original_doc_id·30 ([[Transcripts.fromDocumentsDf]]), so

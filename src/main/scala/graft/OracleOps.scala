@@ -113,6 +113,31 @@ object OracleOps {
        |                      i -> array_to_string(toks[i:i+${n - 1}], ' '))
        |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.classifierScore]] — identical md5
+    * bucket, identical integer milli-weight derivation, identical
+    * mean + 6dp round; empty-feature docs coalesce to (0, 0, NULL,
+    * false) in both engines. */
+  def classifierScore(buckets: Int, seed: Long, threshold: Double): String =
+    s"""WITH tk2 AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_concat(toks, ${gramsExpr(2)})) AS gram
+       |      FROM tk2),
+       |gw AS (SELECT doc_id,
+       |         ((('0x' || substr(md5(gram), 1, 8))::BIGINT % $buckets)
+       |            * 2654435761 + $seed) % 2001 - 1000 AS w
+       |       FROM g),
+       |sc AS (SELECT doc_id, count(*)::INT AS n_feats,
+       |              sum(w)::BIGINT AS lm
+       |       FROM gw GROUP BY 1)
+       |SELECT d.doc_id,
+       |       coalesce(n_feats, 0) AS n_feats,
+       |       coalesce(lm, 0) AS logit_milli,
+       |       CASE WHEN coalesce(n_feats, 0) > 0
+       |            THEN round(lm / (1000.0 * n_feats), 6) END AS score,
+       |       (coalesce(n_feats, 0) > 0 AND
+       |        round(lm / (1000.0 * n_feats), 6) >= $threshold) AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.decontaminate]] with the gate's
     * benchmark set = docs with doc_id ≡ 0 (mod `benchMod`). */
   def decontaminate(n: Int, benchMod: Int): String =

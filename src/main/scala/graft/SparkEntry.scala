@@ -692,6 +692,10 @@ object SparkEntry {
     // ---- training-data pipeline operators (documents / embeddings) ----
     "q_lang_id" -> ((s, dir) => TextOps.langId(documents(s, dir))),
     "q_quality" -> ((s, dir) => TextOps.quality(documents(s, dir))),
+    // fastText-style linear quality-classifier inference (hashed
+    // unigram+bigram features, pinned deterministic weight table)
+    "q_quality_fasttext" -> ((s, dir) => TextOps.classifierScore(
+      documents(s, dir), buckets = 512, seed = 7L, threshold = 0.0)),
     "q_token_counts" -> ((s, dir) => TextOps.tokenCounts(documents(s, dir))),
     // LLM-pretraining context-window chunking: 32-token windows, stride
     // 16 (50% overlap) — map-only, shuffle-free at any corpus size
@@ -864,6 +868,17 @@ object SparkEntry {
           array_join(slice(Analyzer.tokens(col("text")), 1, 5), " "))
         .withColumnRenamed("text", "body")
       graft.search.MultiField.searchFields(c,
+        Seq("title" -> 2.0, "body" -> 1.0), DisjQueries)
+    }),
+    // BM25F / Lucene CombinedFieldQuery: weighted tf/dl merged into one
+    // pseudo-field BEFORE saturation (same title/body fixture) — the
+    // third combiner family next to qf-sum and DisMax-max
+    "q_bm25_combined" -> ((s, dir) => {
+      val c = transcriptCorpus(s, dir)
+        .withColumn("title",
+          array_join(slice(Analyzer.tokens(col("text")), 1, 5), " "))
+        .withColumnRenamed("text", "body")
+      graft.search.MultiField.searchCombined(c,
         Seq("title" -> 2.0, "body" -> 1.0), DisjQueries)
     }),
     // Solr DisMax tie combiner at tie=0 (pure max over fields) — the
@@ -1544,6 +1559,7 @@ object SparkEntry {
     "q_bm25_index_conj" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, ConjQueries, 10, conjunctive = true),
     "q_lang_id" -> OracleOps.langId,
     "q_quality" -> OracleOps.quality,
+    "q_quality_fasttext" -> OracleOps.classifierScore(512, 7L, 0.0),
     "q_token_counts" -> OracleOps.tokenCounts,
     "q_chunks" -> OracleOps.chunks(32, 16),
     "q_train_shards" -> OracleOps.trainShards(16, 1L),
@@ -1586,6 +1602,8 @@ object SparkEntry {
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5),
     "q_bm25_dismax" -> Oracle.bm25MultiField(DisjQueries, 10,
       titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5, tie = 0.0),
+    "q_bm25_combined" -> Oracle.bm25CombinedFields(DisjQueries, 10,
+      titleBoost = 2.0, bodyBoost = 1.0, titleTokens = 5),
     "q_bm25_sort_ts" -> Oracle.bm25SortTs(DisjQueries, 10),
     "q_bm25_sort_multi" -> Oracle.bm25SortRoleTs(DisjQueries, 10),
     "q_bm25_explain" -> Oracle.bm25Explain(DisjQueries, 10),

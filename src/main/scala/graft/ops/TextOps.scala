@@ -886,4 +886,54 @@ object TextOps {
       .select("doc_id", "shard", "pos", "n_tokens", "tok_offset")
       .orderBy("shard", "pos")
   }
+
+  /** fastText-STYLE LINEAR QUALITY CLASSIFIER inference (Joulin et al.
+    * EACL 2017, arXiv:1607.01759 "Bag of Tricks" — the quality-classifier
+    * shape of the LLaMA/CCNet/GPT-3 data pipelines: score every document
+    * with a linear model over hashed bag-of-ngram features and keep above
+    * a threshold). Features are unigrams ++ bigrams hashed into `buckets`
+    * buckets (fastText's hashing trick); the document logit is the MEAN
+    * feature weight (fastText mean-pools before its linear layer); the
+    * sigmoid is omitted on purpose — it is strictly monotone, so
+    * thresholding the raw mean is decision-identical and saves a
+    * cross-engine exp().
+    *
+    * The weight table is a PINNED DETERMINISTIC STAND-IN for trained
+    * weights (no labeled data or training jobs exist in this sandbox —
+    * the [[Multimodal]] fake-decoder precedent): w(b) =
+    * ((b·2654435761 + seed) mod 2001) − 1000 ∈ [−1000, 1000] milli-units,
+    * exact 64-bit modular arithmetic. Because the table is
+    * hash-derivable, inference here is a PURE per-row Column fold — zero
+    * shuffle at any corpus size; with a real trained table the same op is
+    * one broadcast join of a ≤`buckets`-row relation (the [[dsirWeights]]
+    * plan shape), which is why the bucket count, not the vocab, bounds
+    * the broadcast.
+    *
+    * Exactness: the logit accumulates in INTEGER milli-units (`Σ w` is
+    * exact in any engine); the only FP ops are one division and one
+    * 6dp round. Docs with zero features score NULL and never keep.
+    *
+    * @return (doc_id, n_feats, logit_milli, score, keep) */
+  def classifierScore(corpus: DataFrame, buckets: Int, seed: Long,
+                      threshold: Double): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    require(seed >= 0, s"seed must be non-negative (got $seed)")
+    def w(g: Column): Column = {
+      val b = conv(substring(md5(g), 1, 8), 16, 10).cast("long") % buckets
+      (b * lit(2654435761L) + lit(seed)) % lit(2001L) - lit(1000L)
+    }
+    val grams = concat(Analyzer.tokens(col("text")), ngramList(col("text"), 2))
+    corpus
+      .select(col("doc_id"), grams.as("_g"))
+      .select(col("doc_id"),
+        size(col("_g")).cast("int").as("n_feats"),
+        aggregate(col("_g"), lit(0L), (acc, g) => acc + w(g))
+          .as("logit_milli"))
+      .withColumn("score",
+        when(col("n_feats") > 0,
+          round(col("logit_milli") / (lit(1000.0) * col("n_feats")), 6)))
+      .withColumn("keep",
+        col("n_feats") > 0 && col("score") >= threshold)
+      .orderBy("doc_id")
+  }
 }

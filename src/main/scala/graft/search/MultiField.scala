@@ -115,4 +115,63 @@ object MultiField {
     }
     combine(perField, k, tie)
   }
+
+  /** BM25F / Lucene `CombinedFieldQuery` (LUCENE-9364; the "simple BM25F"
+    * of Robertson, Zaragoza & Taylor CIKM 2004 [PUB] with a single shared
+    * b): fields merge into ONE pseudo-field BEFORE tf saturation —
+    * unlike [[searchFields]]' per-field-score combiners, a term's
+    * occurrences across fields saturate together, which is the
+    * theoretically sound fix for the "score(title) + score(body) double
+    * counts idf" critique the BM25F paper makes of qf-style sums:
+    *
+    *   tf'(t,d) = Σ_f w_f · tf_f(t,d)        dl'(d) = Σ_f w_f · dl_f(d)
+    *   df(t)  = |{d : tf'(t,d) > 0}|  (term in ANY field)
+    *   N      = |{d : dl'(d) > 0}|   (pseudo-field docCount)
+    *   avgdl' = Σ_d dl'(d) / N
+    *   score(q,d) = Σ_t idf(t) · tf'/(tf' + k1·(1 − b + b·dl'/avgdl'))
+    *
+    * — the exact [[Bm25.termScore]] saturation over combined statistics.
+    * Weights should be exactly representable (small integers / dyadic
+    * rationals) so w_f·tf stays EXACT in a double and the union's
+    * sum order cannot perturb tf' (Lucene requires w_f ≥ 1 for its
+    * upper-bound math; this engine only needs w_f > 0 since it prunes by
+    * ranking, not score bounds).
+    *
+    * Plan shape: one analysis pass per field (same as [[searchFields]]),
+    * then ONE (term, doc_id)-keyed combine shuffle and ONE doc-keyed dl
+    * combine — both on integral-weighted counts, not text; the combined
+    * dictionary joins the query terms broadcast-side exactly like the
+    * single-field engine, and the scored relation never re-touches the
+    * corpus. */
+  def searchCombined(corpus: DataFrame, fields: Seq[(String, Double)],
+                     queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+    require(fields.nonEmpty, "at least one field")
+    require(fields.forall(_._2 > 0), s"field weights must be positive: $fields")
+    val spark = corpus.sparkSession
+    val qf = Search.queryFrame(spark, queries)
+    val perField = fields.map { case (f, w) =>
+      val occ = IndexBuild.termOccurrences(
+        corpus.select(col("doc_id"), col(f).as("text")))
+      (IndexBuild.termFrequencies(occ).select(col("term"), col("doc_id"),
+          (col("tf") * lit(w)).as("_wtf")),
+        IndexBuild.docLengths(occ).select(col("doc_id"),
+          (col("dl") * lit(w)).as("_wdl")))
+    }
+    val tfC = perField.map(_._1).reduce(_ unionByName _)
+      .groupBy("term", "doc_id").agg(sum(col("_wtf")).as("_tfc"))
+    val dlC = perField.map(_._2).reduce(_ unionByName _)
+      .groupBy("doc_id").agg(sum(col("_wdl")).as("_dlc"))
+    // pseudo-field collection stats: one 1-row collect, O(1) driver state
+    val st = dlC.agg(count(lit(1)).as("n"), avg(col("_dlc")).as("a")).head()
+    val (nDocs, avgdl) = (st.getLong(0), st.getDouble(1))
+    val dict = tfC.groupBy("term").agg(count(lit(1)).cast("bigint").as("df"))
+    val qd = Search.queryTerms(qf).join(dict, "term")
+    val scored = tfC
+      .join(broadcast(qd), "term") // query terms × dict stays tiny
+      .join(dlC, "doc_id")
+      .withColumn("_ts", Bm25.termScore(col("_tfc"), col("_dlc"),
+        col("df"), lit(nDocs), lit(avgdl)))
+      .groupBy("query_id", "doc_id").agg(sum(col("_ts")).as("_score"))
+    Search.rank(scored, k)
+  }
 }

@@ -143,6 +143,42 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     assert(out(2)._3.get > out(0)._3.get)
   }
 
+  test("classifierScore ≡ independent Scala model; empty doc; threshold") {
+    val rows = Seq(
+      (0L, "spark spark indexes"),
+      (1L, "fast analytics engine rocks"),
+      (2L, ""))
+    val docs = rows.toDF("doc_id", "text")
+    val (buckets, seed) = (512, 7L)
+    // independent reimplementation of the pinned model
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def w(g: String): Long = {
+      val b = java.lang.Long.parseLong(md5hex(g).take(8), 16) % buckets
+      (b * 2654435761L + seed) % 2001L - 1000L
+    }
+    def expected(text: String): (Int, Long, Option[Double]) = {
+      val toks = Analyzer.tokenize(text)
+      val grams = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val lm = grams.map(w).sum
+      val sc = if (grams.isEmpty) None else Some(BigDecimal(lm / (1000.0 * grams.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (grams.size, lm, sc)
+    }
+    val out = TextOps.classifierScore(docs, buckets, seed, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getBoolean(4)))
+    out.foreach { case (id, n, lm, sc, keep) =>
+      val (en, elm, esc) = expected(rows.find(_._1 == id).get._2)
+      assert((n, lm, sc) == ((en, elm, esc)), s"doc $id")
+      assert(keep == esc.exists(_ >= 0.0), s"keep flag doc $id")
+    }
+    assert(out.find(_._1 == 2L).get._2 == 0, "empty doc has zero features")
+    // a threshold above every score keeps nothing
+    val none = TextOps.classifierScore(docs, buckets, seed, threshold = 1.5)
+    assert(none.where(col("keep")).count() == 0)
+  }
+
   test("dsirWeights: target-domain docs score higher; featureless doc NULL") {
     // target docs share bigrams with each other; the off-domain doc's
     // bigrams appear only in the raw corpus
