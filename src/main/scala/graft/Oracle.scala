@@ -1824,6 +1824,41 @@ object Oracle {
        |FROM qids LEFT JOIN agg ON qids.query_id = agg.query_id
        |ORDER BY qids.query_id""".stripMargin
 
+  /** Twin of [[graft.search.Facets.cardinality]] — the identical pinned
+    * HLL: same md5-32 hash, same register math (bitlen via bin()),
+    * same exact dyadic register sum, same linear-counting branch. */
+  def statsCardinality(queries: Seq[(Int, String)], field: String): String =
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |vals AS (SELECT DISTINCT query_id, CAST($field AS VARCHAR) AS value
+       |         FROM matched JOIN corpus USING (doc_id)
+       |         WHERE $field IS NOT NULL),
+       |hashed AS (SELECT query_id,
+       |             ('0x' || substr(md5(value), 1, 8))::BIGINT % 64 AS j,
+       |             ('0x' || substr(md5(value), 1, 8))::BIGINT // 64 AS w
+       |           FROM vals),
+       |regs AS (SELECT query_id, j,
+       |           max(CASE WHEN w = 0 THEN 27
+       |                    ELSE 27 - length(bin(w)) END) AS m
+       |         FROM hashed GROUP BY 1, 2),
+       |perq AS (SELECT query_id, count(*)::INT AS regs,
+       |                sum(2.0 ** (-m)) AS sp
+       |         FROM regs GROUP BY 1),
+       |exact AS (SELECT query_id, count(*)::BIGINT AS n_exact
+       |          FROM vals GROUP BY 1),
+       |qids AS (SELECT DISTINCT query_id FROM queries),
+       |est AS (SELECT qids.query_id,
+       |          coalesce(n_exact, 0) AS n_exact,
+       |          coalesce(perq.regs, 0) AS regs,
+       |          coalesce(sp, 0.0) + CAST(64 - coalesce(perq.regs, 0) AS DOUBLE) AS s
+       |        FROM qids LEFT JOIN exact ON qids.query_id = exact.query_id
+       |                  LEFT JOIN perq ON qids.query_id = perq.query_id)
+       |SELECT query_id, n_exact, regs,
+       |       CASE WHEN ${0.709 * 64 * 64} / s <= 160.0 AND regs < 64
+       |            THEN round(64.0 * ln(64.0 / (64 - regs)), 4)
+       |            ELSE round(${0.709 * 64 * 64} / s, 4) END AS cardinality
+       |FROM est ORDER BY query_id""".stripMargin
+
   /** Twin of [[graft.search.Facets.statsFacet]] over dl faceted by a
     * stored attribute: per (query × observed facet value) stats, no
     * spine (Solr only reports observed buckets). */

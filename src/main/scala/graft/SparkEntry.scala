@@ -1001,6 +1001,10 @@ object SparkEntry {
     // zero-filled spine (query 5 matches nothing)
     "q_stats_dl" -> ((s, dir) =>
       IndexSearch.statsField(indexFor(s, dir), DisjQueries, "dl")),
+    // StatsComponent cardinality=true: deterministic 64-register HLL
+    // estimate of distinct conv_id per match set (exact count as audit)
+    "q_stats_cardinality" -> ((s, dir) =>
+      IndexSearch.statsCardinality(indexFor(s, dir), DisjQueries, "conv_id")),
     // Solr stats.facet: the stats family per observed role value —
     // per-slice length diagnostics in one aggregation pass
     "q_stats_facet" -> ((s, dir) =>
@@ -1673,6 +1677,7 @@ object SparkEntry {
       contains = Some("01")),
     "q_facet_group" -> Oracle.groupFacet(DisjQueries, "role", "conv_id"),
     "q_stats_dl" -> Oracle.statsDl(DisjQueries),
+    "q_stats_cardinality" -> Oracle.statsCardinality(DisjQueries, "conv_id"),
     "q_stats_facet" -> Oracle.statsFacetDl(DisjQueries, "role"),
     "q_group_conv" -> Oracle.groupTopK(DisjQueries, "conv_id", 5, 3),
     "q_bm25_collapse" -> Oracle.collapseExpand(DisjQueries, "conv_id", 5, 2),

@@ -778,4 +778,77 @@ object Facets {
         metrics.map(m => m.out.cast(m.outType).as(m.name)): _*)
       .orderBy("query_id", "bucket")
   }
+
+  /** Solr StatsComponent `cardinality=true` (HyperLogLog, Flajolet et al.
+    * AofA 2007 [PUB] — Solr serves this through java-hll): per-query
+    * APPROXIMATE distinct count of a stored field over the match set,
+    * pinned to a DETERMINISTIC cross-engine HLL so the DuckDB twin
+    * hash-matches:
+    *
+    *   h   = 32-bit md5 prefix of the value    (the repo's hash primitive)
+    *   j   = h mod m   (m = 64 registers, p = 6)
+    *   w   = h div m   (the remaining 26 bits)
+    *   ρ   = 27 − bitlen(w)  (leftmost-1 position in the 26-bit window;
+    *                          w = 0 → 27)
+    *   M_j = max ρ per register;  S = Σ_j 2^−M_j  (empty register → 2^0)
+    *   E   = α_64·m²/S;  V = # empty registers
+    *   est = m·ln(m/V)  if E ≤ 2.5m and V > 0   (linear counting)
+    *         E          otherwise
+    *
+    * Every register value is an exact integer and S is a sum of ≤64 exact
+    * dyadic rationals ≥ 2^−27 — EXACT in a double regardless of
+    * aggregation order, so E is bit-identical cross-engine; the one libm
+    * call (ln, linear-counting branch) is absorbed by the 4dp output
+    * round (the BM25-idf contract). A zero-match query flows through the
+    * linear branch as m·ln(m/m) = exactly 0 — no spine special case.
+    * 32-bit hashing saturates near 2^32 distincts; at fleet scale swap
+    * the 64-bit-hash HLL++ variant (same plan shape, different constants
+    * — Heule et al. EDBT 2013), documented not emulated here.
+    *
+    * Plan shape: the per-(query, value) DISTINCT is the only shuffle that
+    * sees values; registers reduce to ≤ m rows per query before the
+    * estimate, and the whole post-distinct relation is O(queries·m) —
+    * broadcastable against the spine at any corpus size. `n_exact`
+    * (exact distinct, audit column) rides the same distinct relation.
+    *
+    * @return (query_id, n_exact, regs, cardinality) zero-filled spine */
+  def cardinality(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                  field: String, key: Seq[String] = Seq("doc_id")): DataFrame = {
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val m = 64
+    val alphaM2 = 0.709 * m * m // α_64 = 0.709, the published m=64 constant
+    val vals = matched
+      .join(attrs.select(key.map(col) :+
+        col(field).cast("string").as("value"): _*), key)
+      .where(col("value").isNotNull)
+      .select("query_id", "value").distinct()
+    val h = conv(substring(md5(col("value")), 1, 8), 16, 10).cast("long")
+    val regs = vals
+      .select(col("query_id"), (h % m).as("_j"), shiftright(h, 6).as("_w"))
+      .withColumn("_rho", when(col("_w") === 0, lit(27))
+        .otherwise(lit(27) - length(bin(col("_w")))))
+      .groupBy("query_id", "_j").agg(max(col("_rho")).as("_M"))
+    val perQ = regs.groupBy("query_id").agg(
+      count(lit(1)).cast("int").as("_regs"),
+      sum(pow(lit(2.0), -col("_M"))).as("_sp"))
+    val exact = vals.groupBy("query_id")
+      .agg(count(lit(1)).cast("bigint").as("_exact"))
+    val spine = queryIds.distinct.sorted.toDF("query_id")
+    spine.join(broadcast(exact), Seq("query_id"), "left")
+      .join(broadcast(perQ), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("_regs"), lit(0)).as("regs"),
+        coalesce(col("_sp"), lit(0.0)).as("_sp"))
+      .withColumn("_S", col("_sp") + (lit(m) - col("regs")).cast("double"))
+      .withColumn("_E", lit(alphaM2) / col("_S"))
+      .withColumn("cardinality",
+        when(col("_E") <= lit(2.5 * m) && col("regs") < m,
+          round(lit(m.toDouble) *
+            log(lit(m.toDouble) / (lit(m) - col("regs"))), 4))
+          .otherwise(round(col("_E"), 4)))
+      .select("query_id", "n_exact", "regs", "cardinality")
+      .orderBy("query_id")
+  }
 }

@@ -1082,6 +1082,14 @@ object IndexSearch {
     Facets.stats(queries.map(_._1), matchedDocSet(idx, queries),
       facetAttrs(idx), field)
 
+  /** Solr `stats.field=f&cardinality=true` over the persisted index
+    * ([[Facets.cardinality]] semantics: deterministic 64-register HLL
+    * over the match set's field values, zero-filled spine). */
+  def statsCardinality(idx: OpenIndex, queries: Seq[(Int, String)],
+                       field: String): DataFrame =
+    Facets.cardinality(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), field)
+
   /** Solr StatsComponent percentiles over the persisted index
     * ([[Facets.percentiles]] semantics: exact type-7, zero-filled
     * spine). */

@@ -169,4 +169,47 @@ class GroupStatsSpec extends SparkSpec {
       Suggest.suggest(idx, Seq(1 -> "a%b")))
     assert(e.getMessage.contains("partial token"))
   }
+
+  /** Independent Scala HLL — the same pinned algorithm reimplemented
+    * from the math, not the Column tree. */
+  private def bruteHll(values: Set[String]): (Int, Double) = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val regs = values.toSeq
+      .map { v =>
+        val h = java.lang.Long.parseLong(md5hex(v).take(8), 16)
+        val (j, w) = (h % 64, h / 64)
+        val rho = if (w == 0) 27 else 27 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        (j, rho)
+      }
+      .groupBy(_._1).map { case (j, rs) => j -> rs.map(_._2).max }
+    val s = regs.values.map(m => math.pow(2.0, -m)).sum + (64 - regs.size)
+    val e = 0.709 * 64 * 64 / s
+    val v = 64 - regs.size
+    val est = if (e <= 160.0 && v > 0) 64.0 * math.log(64.0 / v) else e
+    (regs.size, BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("stats cardinality: HLL ≡ independent Scala HLL; zero-match → 0") {
+    val qs = Seq(1 -> "bee", 2 -> "cat dog", 3 -> "zzz")
+    val got = IndexSearch.statsCardinality(idx, qs, "conv_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // brute match sets from the plain engine, values from the fixture
+    val convOf = Map(0L -> "c0", 1L -> "c0", 2L -> "c1", 3L -> "c1", 4L -> "c2")
+    val full = IndexSearch.search(idx, qs, k = 1000)
+      .select("query_id", "doc_id").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(r => convOf(r.getLong(1))).toSet)
+    for (qid <- Seq(1, 2, 3)) {
+      val vals = full.getOrElse(qid, Set.empty[String])
+      val (regs, est) = bruteHll(vals)
+      val row = got.find(_._1 == qid).get
+      assert(row == ((qid, vals.size.toLong, regs, est)),
+        s"query $qid: got $row, want (${vals.size}, $regs, $est)")
+    }
+    // the empty query exercises the V = m linear-count endpoint exactly
+    assert(got.find(_._1 == 3).get._4 == 0.0)
+    // small-n linear counting is tight: within 30% of exact here
+    got.filter(_._2 > 0).foreach { case (_, exact, _, est) =>
+      assert(math.abs(est - exact) / exact < 0.3, s"estimate $est vs $exact") }
+  }
 }
