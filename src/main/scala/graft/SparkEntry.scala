@@ -1318,6 +1318,36 @@ object SparkEntry {
       PostingBlocks.build(tfdl, dict, st, numShards = 8, blockSize = 16,
         saltTarget = 32)
     }),
+    // Elias–Fano doc-id codec round-trip: per-term sorted posting triple
+    // (EF docs + varint tf/dl sidecars) encode → decode → re-emit; the
+    // oracle recomputes the postings from raw text, so a single mis-set
+    // bit in either codec fails the hash
+    "q_postings_ef" -> ((s, dir) => {
+      import graft.index.codec
+      val corpus = documents(s, dir)
+      val occ = IndexBuild.termOccurrences(corpus)
+      val dl = IndexBuild.docLengths(occ)
+      val tf = IndexBuild.termFrequencies(occ)
+      val lists = IndexBuild.tfWithDl(tf, dl)
+        .groupBy("term")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"),
+          col("dl")))).as("p"))
+        .select(col("term"),
+          codec.efEncode(transform(col("p"), x => x.getField("doc_id")))
+            .as("docs_ef"),
+          codec.varintEncode(transform(col("p"),
+            x => x.getField("tf").cast("long"))).as("tf_b"),
+          codec.varintEncode(transform(col("p"),
+            x => x.getField("dl").cast("long"))).as("dl_b"))
+      lists
+        .withColumn("z", explode(arrays_zip(
+          codec.efDecode(col("docs_ef")),
+          codec.varintDecode(col("tf_b")),
+          codec.varintDecode(col("dl_b")))))
+        .select(col("term"), col("z.0").as("doc_id"),
+          col("z.1").cast("int").as("tf"), col("z.2").cast("int").as("dl"))
+        .orderBy("term", "doc_id")
+    }),
     // §2.10: streaming ingest → segmented index, queried by segment
     // fan-out (keys-shaped output; segment-local ids never escape)
     "q_streaming_topk" -> ((s, dir) =>
@@ -1736,6 +1766,7 @@ object SparkEntry {
     "q_merge_tombstone" -> Oracle.bm25TopK(Oracle.mergedTranscriptsCorpus(tombstoned = true),
       DisjQueries, 10, conjunctive = false),
     "q_posting_agg" -> Oracle.termTfDl(Oracle.documentsCorpus),
+    "q_postings_ef" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     // redelivered keys collapse to the corpus's one row per key; keys are

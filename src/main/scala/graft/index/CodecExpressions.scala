@@ -77,6 +77,28 @@ case class VarintNestedDecode(child: Expression) extends CodecExpression {
   override protected def withNewChildInternal(c: Expression): VarintNestedDecode = copy(c)
 }
 
+/** monotone array<long> → binary (Elias–Fano; [[EliasFano]] layout). */
+case class EliasFanoEncode(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    EliasFano.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.EliasFano.encode($c)")
+  override protected def withNewChildInternal(c: Expression): EliasFanoEncode = copy(c)
+}
+
+/** binary → monotone array<long> (Elias–Fano). */
+case class EliasFanoDecode(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    EliasFano.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.EliasFano.decode($c)")
+  override protected def withNewChildInternal(c: Expression): EliasFanoDecode = copy(c)
+}
+
 /** Column-level API for the codec expressions. */
 object codec {
   def varintEncode(c: Column): Column = Shims.column(VarintEncode(Shims.expression(c)))
@@ -85,4 +107,6 @@ object codec {
   def varintDeltaDecode(c: Column): Column = Shims.column(VarintDeltaDecode(Shims.expression(c)))
   def varintNestedEncode(c: Column): Column = Shims.column(VarintNestedEncode(Shims.expression(c)))
   def varintNestedDecode(c: Column): Column = Shims.column(VarintNestedDecode(Shims.expression(c)))
+  def efEncode(c: Column): Column = Shims.column(EliasFanoEncode(Shims.expression(c)))
+  def efDecode(c: Column): Column = Shims.column(EliasFanoDecode(Shims.expression(c)))
 }

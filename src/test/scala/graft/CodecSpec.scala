@@ -103,6 +103,58 @@ class CodecSpec extends SparkSpec {
     }
   }
 
+  def encEF(xs: Seq[Long]): Array[Byte] =
+    graft.index.EliasFano.encode(new GenericArrayData(xs.toArray))
+  def decEF(b: Array[Byte]): Seq[Long] =
+    graft.index.EliasFano.decode(b).toLongArray().toSeq
+
+  test("Elias–Fano: roundtrip on edges + random monotone arrays") {
+    val efEdges: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(0L), Seq(5L), Seq(0L, 0L, 0L),
+      Seq(0L, 1L, 2L, 3L), Seq(1000000L), (0L until 1000L),
+      Seq(3L, 7L, 7L, 900L, 901L, 1L << 40),
+      Seq(Long.MaxValue / 2), (0L until 256L).map(_ * 1000003L))
+    efEdges.foreach(xs => assert(decEF(encEF(xs)) == xs, s"EF $xs"))
+    (0 until 300).foreach { i =>
+      val gen = Gen.listOf(Gen.chooseNum(0L, 1L << 48))
+      val xs = gen.apply(Gen.Parameters.default, Seed(1000L + i)).get.sorted
+      assert(decEF(encEF(xs)) == xs, s"seed $i")
+    }
+  }
+
+  test("Elias–Fano: near-optimal size on dense ids, beats delta-varint") {
+    // 10k ids in a 20k universe: EF ≈ n(log2(u/n)+2)/8 ≈ 3750 B;
+    // delta varints cost ≥ 1 byte per gap = 10000 B
+    val ids = (0L until 10000L).map(_ * 2)
+    val ef = encEF(ids).length
+    assert(ef < encD(ids).length, s"EF $ef vs varint ${encD(ids).length}")
+    assert(ef <= 4 * 10000 / 8 + 64, s"EF $ef exceeds the succinct bound")
+  }
+
+  test("Elias–Fano: rejects negatives and descending input; corrupt fails loudly") {
+    intercept[IllegalArgumentException](encEF(Seq(-1L)))
+    intercept[IllegalArgumentException](encEF(Seq(5L, 3L)))
+    val b = encEF(Seq(1L, 9L, 200L))
+    val torn = java.util.Arrays.copyOf(b, b.length - 1)
+    intercept[IllegalArgumentException](graft.index.EliasFano.decode(torn))
+  }
+
+  test("Elias–Fano Column expressions roundtrip inside a Spark plan") {
+    val df = Seq(
+      (1L, Seq(3L, 7L, 7L, 7L + (1L << 40))),
+      (2L, Seq(0L)),
+      (3L, Seq.empty[Long]))
+      .toDF("id", "xs")
+    val got = df
+      .withColumn("ef", codec.efDecode(codec.efEncode(col("xs"))))
+      .orderBy("id").collect()
+    got.foreach(r => assert(r.getSeq[Long](2) == r.getSeq[Long](1)))
+    // nullIntolerant: null array → null bytes
+    val n = Seq((1L, Option.empty[Seq[Long]])).toDF("id", "xs")
+      .withColumn("enc", codec.efEncode(col("xs"))).collect()
+    assert(n(0).isNullAt(2))
+  }
+
   test("null input yields null (nullIntolerant)") {
     val df = Seq((1L, Option.empty[Seq[Long]]), (2L, Some(Seq(1L, 2L))))
       .toDF("id", "xs")
