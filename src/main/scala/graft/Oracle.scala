@@ -162,8 +162,22 @@ object Oracle {
     * order, so (round(score,7) DESC, doc_id ASC) ≡ (…, conv_id, turn_idx
     * ASC). Disjunctive only. */
   def bm25TopKKeys(queries: Seq[(Int, String)], k: Int): String =
-    s"""WITH ${indexCtes(transcriptsCorpus)},
-       |$keymapCte,
+    bm25TopKKeysOver(transcriptsSql, queries, k)
+
+  /** [[bm25TopKKeys]] over an arbitrary transcripts-shaped relation —
+    * fixture gates whose live corpus differs from the base transcripts
+    * (tiered-merge upserts/deletes, snapshot cuts) splice theirs here. */
+  def bm25TopKKeysOver(srcTranscriptsSql: String,
+                       queries: Seq[(Int, String)], k: Int): String = {
+    val corpus =
+      s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text
+         |FROM ($srcTranscriptsSql)""".stripMargin
+    val keymap =
+      s"""keymap AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+         |                  conv_id, turn_idx
+         |           FROM ($srcTranscriptsSql))""".stripMargin
+    s"""WITH ${indexCtes(corpus)},
+       |$keymap,
        |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
        |qt AS (SELECT DISTINCT query_id, term FROM
        |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
@@ -176,6 +190,32 @@ object Oracle {
        |SELECT query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx, round(score, 4) AS score
        |FROM ranked JOIN keymap USING (doc_id) WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Live transcripts of the TIERED-MERGE fixture: docs ≡ 0 (mod 50)
+    * upserted with ' upserted' appended, docs ≡ 0 (mod 97) deleted —
+    * mod classes so kills land in EVERY original segment and the merge's
+    * tombstone-ordinal remap is actually exercised. */
+  def tieredTranscriptsSql: String = {
+    val modDocs =
+      """(SELECT doc_id,
+        |        CASE WHEN doc_id % 50 = 0 THEN text || ' upserted' ELSE text END AS text
+        | FROM documents WHERE doc_id % 97 <> 0)""".stripMargin
+    s"""SELECT * FROM (${Transcripts.sqlFromDocumentsOver(modDocs)})
+       |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin
+  }
+
+  /** Transcripts restricted to the first `sixths`/6 of doc ids — the
+    * state of the tiered fixture as of snapshot v`sixths` (each of the
+    * six base appends committed one snapshot). Integer arithmetic matches
+    * the Spark fixture's `i * n / 6` slice bounds exactly. */
+  def headSixthsTranscriptsSql(sixths: Int): String = {
+    val cut =
+      s"""(SELECT doc_id, text FROM documents
+         | WHERE doc_id < (SELECT $sixths*count(*)//6 FROM documents))""".stripMargin
+    s"""SELECT * FROM (${Transcripts.sqlFromDocumentsOver(cut)})
+       |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin
+  }
 
   /** Twin of [[graft.index.SegmentedIndex.deleteByQuery]] + search: BM25
     * top-k (keys-shaped) over the transcripts corpus with every doc

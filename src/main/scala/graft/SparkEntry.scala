@@ -442,6 +442,7 @@ object SparkEntry {
     corpusRoots.clear(); builtIndexes.clear(); mergeOldRoots.clear()
     mergedRoots.clear(); streamRoots.clear(); compactRoots.clear()
     fieldIndexRoots.clear(); dbqRoots.clear(); updatedRoots.clear()
+    tieredRoots.clear()
   }
 
   /** Merge-gate inputs (U1/U2/J4): old index over docs < 4n/5; new batch =
@@ -506,6 +507,43 @@ object SparkEntry {
       val q = graft.streaming.StreamingIngest.start(s, in, root, tmp("graft_sckpt"),
         BuildIndexJob.Config(numShards = 8, storePositions = true))
       q.awaitTermination()
+      root
+    })
+
+  /** Memoized tiered-merge fixture: six equal doc_id slices appended as
+    * segments seg0..seg5 (one snapshot per commit — v1..v6), then a 7th
+    * append that UPSERTS docs ≡ 0 (mod 50) with " upserted" appended and
+    * DELETES docs ≡ 0 (mod 97) (kills land in every original segment),
+    * then [[graft.index.SegmentedIndex.tieredCompact]] with
+    * segsPerTier=3/maxMergeAtOnce=3 — the six same-tier segments merge in
+    * adjacent runs, exercising the tombstone-ordinal remap and the
+    * consolidated df-delta rewrite on the WAND path. The pre-merge
+    * snapshots stay readable (`root@v3` = first three slices). */
+  private val tieredRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def tieredIndex(s: SparkSession, dir: String): String =
+    tieredRoots.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val cfg = BuildIndexJob.Config(numShards = 8)
+      val root = TempDirs.create("graft_tier")
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count()
+      val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
+      (0 until 6).foreach { i =>
+        val lo = i * n / 6
+        val hi = if (i == 5) n + 1 else (i + 1) * n / 6
+        graft.index.SegmentedIndex.append(s, root,
+          Transcripts.fromDocumentsDf(
+            d.where(col("doc_id") >= lo && col("doc_id") < hi)),
+          noDeletes, s"seg$i", cfg)
+      }
+      val upserts = Transcripts.fromDocumentsDf(
+        d.where(col("doc_id") % 50 === 0 && col("doc_id") % 97 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" upserted"))))
+      val delKeys = Transcripts.fromDocumentsDf(d.where(col("doc_id") % 97 === 0))
+        .select("conv_id", "turn_idx")
+      graft.index.SegmentedIndex.append(s, root, upserts, delKeys, "seg6", cfg)
+      graft.index.SegmentedIndex.tieredCompact(s, root,
+        segsPerTier = 3, maxMergeAtOnce = 3, cfg = cfg)
       root
     })
 
@@ -1404,6 +1442,19 @@ object SparkEntry {
     "q_delete_by_query" -> ((s, dir) =>
       graft.index.SegmentedIndex.search(s, dbqIndex(s, dir), DisjQueries,
         cfg = BuildIndexJob.Config(numShards = 8))),
+    // Lucene TieredMergePolicy analog: adjacent same-tier segment runs
+    // folded (tombstone ordinals remapped, df-delta sidecar consolidated),
+    // then the WAND path over the merged artifacts — answers ≡ a rebuild
+    // on the post-upsert post-delete live corpus
+    "q_bm25_tiered" -> ((s, dir) =>
+      graft.index.SegmentedIndex.searchWand(s, tieredIndex(s, dir),
+        DisjQueries, cfg = BuildIndexJob.Config(numShards = 8))),
+    // Iceberg VERSION AS OF over the segmented index: the same engine read
+    // through snapshot v3 (committed before the upserts, deletes, and
+    // merges) answers from the first three slices only
+    "q_bm25_asof" -> ((s, dir) =>
+      graft.index.SegmentedIndex.search(s, tieredIndex(s, dir) + "@v3",
+        DisjQueries, cfg = BuildIndexJob.Config(numShards = 8))),
     // U1 at scale: compaction of the streamed segments back to a unified
     // global-id index — same oracle as any full-corpus BM25 query
     // (memoized: the compacted index is deterministic per sfDir)
@@ -1778,6 +1829,10 @@ object SparkEntry {
          |ORDER BY conv_id, turn_idx""".stripMargin,
     "q_delete_by_query" -> Oracle.bm25TopKKeysExcluding(DisjQueries, 10, "dup"),
     "q_bm25_wand_segmented" -> Oracle.bm25TopKKeys(DisjQueries, 10),
+    "q_bm25_tiered" ->
+      Oracle.bm25TopKKeysOver(Oracle.tieredTranscriptsSql, DisjQueries, 10),
+    "q_bm25_asof" ->
+      Oracle.bm25TopKKeysOver(Oracle.headSixthsTranscriptsSql(3), DisjQueries, 10),
     "q_bm25_synonyms_segmented" ->
       Oracle.bm25TopKKeysSynonyms(DisjQueries, SynonymGroups, 10),
     "q_segments_compact" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries,

@@ -52,15 +52,56 @@ object SegmentedIndex {
 
   private val Key = Seq("conv_id", "turn_idx")
 
-  def segPath(root: String, seg: String) = s"$root/segments/$seg"
-  def tombPath(root: String, name: String) = s"$root/tombstones/$name"
-  def dfDeltaPath(root: String, name: String) = s"$root/dfdeltas/$name"
-  def manifestPath(root: String) = s"$root/MANIFEST"
+  /** Snapshot time travel (Iceberg `VERSION AS OF` analog): every manifest
+    * commit ALSO writes an immutable numbered copy under `snapshots/`, and
+    * any READ entry point accepts `root@vN` to resolve the manifest as of
+    * commit N instead of the current one. Segments and tombstone dirs are
+    * immutable and retained by compaction/merges (see [[compactInPlace]]),
+    * so an old snapshot's reads stay consistent until [[vacuum]] — which
+    * is exactly Iceberg's expire-snapshots contract. Mutators reject
+    * versioned roots: writes go only to the table head. */
+  private def baseOf(root: String): String = root.split('@')(0)
+
+  /** Parsed snapshot version of a `root@vN` spec (None = current head). */
+  def versionOf(root: String): Option[Int] = root.split('@') match {
+    case Array(_)    => None
+    case Array(_, v) =>
+      require(v.matches("v[0-9]+"), s"bad snapshot spec '$root' (want root@vN)")
+      Some(v.drop(1).toInt)
+    case _ => sys.error(s"bad snapshot spec '$root' (want root@vN)")
+  }
+
+  private def requireHead(root: String, op: String): Unit =
+    require(versionOf(root).isEmpty,
+      s"$op writes to the table head — cannot target snapshot spec '$root'")
+
+  def segPath(root: String, seg: String) = s"${baseOf(root)}/segments/$seg"
+  def tombPath(root: String, name: String) = s"${baseOf(root)}/tombstones/$name"
+  def dfDeltaPath(root: String, name: String) = s"${baseOf(root)}/dfdeltas/$name"
+  def snapshotPath(root: String, v: Int) = s"${baseOf(root)}/snapshots/v$v"
+  def manifestPath(root: String): String = versionOf(root) match {
+    case Some(v) => snapshotPath(root, v)
+    case None    => s"${baseOf(root)}/MANIFEST"
+  }
+
+  /** Committed snapshot versions currently on disk, ascending. */
+  def snapshotVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"${baseOf(root)}/snapshots")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.matches("v[0-9]+") => n.drop(1).toInt }
+      .toSeq.sorted
+  }
 
   def readManifest(spark: SparkSession, root: String): Option[Manifest] = {
     val p = manifestPath(root)
-    if (!Fs.exists(spark, p)) None
-    else {
+    if (!Fs.exists(spark, p)) {
+      // a missing HEAD means an empty table (valid); a missing SNAPSHOT is
+      // a caller error — answering empty would be a silent wrong answer
+      require(versionOf(root).isEmpty, s"snapshot not found: $p")
+      None
+    } else {
       val kv = Fs.readString(spark, p).linesIterator
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
       def list(k: String) =
@@ -70,11 +111,21 @@ object SegmentedIndex {
     }
   }
 
-  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit =
-    Fs.publishString(spark, manifestPath(root),
+  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val body =
       s"segments=${m.segments.mkString(",")}\n" +
         s"tombs=${m.tombs.mkString(",")}\n" +
-        s"n_docs=${m.nDocs}\ntotal_tokens=${m.totalTokens}\n")
+        s"n_docs=${m.nDocs}\ntotal_tokens=${m.totalTokens}\n"
+    // snapshot first, MANIFEST publish second: the MANIFEST stays the ONLY
+    // commit point. A crash between the two leaves a snapshot file for a
+    // commit that never happened; the caller's replay re-runs the append
+    // deterministically, so the orphan names the same segment content the
+    // replay republishes — version numbers record commit ATTEMPTS (gaps
+    // allowed, like Iceberg's metadata.json sequence)
+    val next = snapshotVersions(spark, root).lastOption.getOrElse(0) + 1
+    Fs.publishString(spark, snapshotPath(root, next), body)
+    Fs.publishString(spark, manifestPath(baseOf(root)), body)
+  }
 
   private def emptyTombstones(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -178,6 +229,7 @@ object SegmentedIndex {
   def append(spark: SparkSession, root: String, batch: DataFrame,
              deletes: DataFrame, segName: String,
              cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
+    requireHead(root, "append")
     val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
     require(!old.segments.contains(segName) && !old.tombs.contains(segName),
       s"segment $segName already committed (replay must be caught by the caller)")
@@ -1274,6 +1326,7 @@ object SegmentedIndex {
     * reader can still hold a pre-compaction manifest. */
   def compactInPlace(spark: SparkSession, root: String,
                      cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
+    requireHead(root, "compactInPlace")
     val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
     if (old.segments.size <= 1 && old.tombs.isEmpty) return old
     val segName = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1289,10 +1342,15 @@ object SegmentedIndex {
   }
 
   /** Delete every segment/tombstone dir the CURRENT manifest does not
-    * reference (post-compaction garbage, crashed-append leftovers). NOT
-    * safe while a reader may still hold an older manifest — the caller
-    * owns that grace period, exactly like Iceberg's expire-snapshots. */
+    * reference (post-compaction garbage, crashed-append leftovers), and
+    * EXPIRE every snapshot older than the head (their manifests may
+    * reference the dirs being deleted — a retained snapshot must stay
+    * readable, so expiry and dir cleanup are one atomic policy). NOT
+    * safe while a reader may still hold an older manifest/snapshot — the
+    * caller owns that grace period, exactly like Iceberg's
+    * expire-snapshots. */
   def vacuum(spark: SparkSession, root: String): Unit = {
+    requireHead(root, "vacuum")
     val m = readManifest(spark, root).getOrElse(return)
     def clean(base: String, keep: Set[String]): Unit = {
       val p = new org.apache.hadoop.fs.Path(base)
@@ -1304,5 +1362,170 @@ object SegmentedIndex {
     clean(s"$root/segments", m.segments.toSet)
     clean(s"$root/tombstones", m.tombs.toSet)
     clean(s"$root/dfdeltas", m.tombs.toSet)
+    val latest = snapshotVersions(spark, root).lastOption
+    clean(s"$root/snapshots", latest.map(v => s"v$v").toSet)
+  }
+
+  /** One Lucene-style tiered-merge decision: segments at manifest
+    * ordinals [from, to] (adjacent, inclusive) folded into `into`. */
+  final case class MergeDecision(from: Int, to: Int, into: String,
+                                 mergedDocs: Long)
+
+  /** Merge the ADJACENT segment run at manifest ordinals [a, b] into one
+    * fresh segment, preserving every query answer (SegmentSpec pins
+    * ≡ rebuild under upserts + tombstones). Adjacency is load-bearing:
+    * tombstones address segments by ORDINAL (`upto` kills instances in
+    * ordinals < upto), and splicing one segment into an adjacent run's
+    * place admits an exact ordinal remap — Lucene's merges preserve
+    * segment order for the same reason its deletes are per-segment.
+    *
+    * What happens to deletes: rows of [a, b] killed by the CURRENT
+    * tombstone set are dropped PHYSICALLY (the merged segment holds only
+    * live instances of the range — so its build-time df/stats are exact
+    * for its rows). The surviving tombstone set is then rewritten once,
+    * remapped to the new ordinal space:
+    *
+    *   u ≤ a      → u            (kills only head segments — unchanged)
+    *   a < u ≤ b+1 → a           (its in-range kills became physical; it
+    *                              must still kill every head ordinal < a,
+    *                              and must NOT kill the merged segment —
+    *                              survivors came from ordinals ≥ u)
+    *   u > b+1    → u − (b − a)  (tail ordinals shift left by the run
+    *                              width; all of [a,b] was < u, so those
+    *                              kills were physical and the merged
+    *                              segment holds no such key)
+    *
+    * Multiple tombstones for one key collapse to max(upto) (kill iff ANY
+    * upto > ord ⟺ max(upto) > ord), and rows that no longer kill any
+    * PHYSICAL instance are pruned — both via one bucket-pruned metadata
+    * pass ([[segDocsMetaFor]], O(tombstone keys) read, not O(corpus)).
+    * The same pass recomputes the consolidated per-term df-delta sidecar
+    * (kill counts of instances still physically present) so the
+    * segmented WAND path's metadata-derived live df stays exact.
+    * Collection stats are untouched: a merge drops only already-dead
+    * rows. Obsolete dirs are retained for snapshot readers ([[vacuum]]
+    * reclaims). */
+  def mergeAdjacent(spark: SparkSession, root: String, a: Int, b: Int,
+                    cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
+    requireHead(root, "mergeAdjacent")
+    val m = readManifest(spark, root).getOrElse(
+      sys.error(s"mergeAdjacent on an empty table: $root"))
+    require(a >= 0 && a < b && b < m.segments.size,
+      s"bad merge range [$a,$b] over ${m.segments.size} segments")
+    val tombs = readTombstones(spark, root, m)
+    val rangeRows = m.segments.slice(a, b + 1).zipWithIndex.map { case (seg, i) =>
+      cfg.io.read(spark, s"${segPath(root, seg)}/docs")
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), col("ts"))
+        .withColumn("seg_ord", lit(a + i))
+    }.reduce(_ unionByName _)
+    val live = liveFilter(rangeRows, tombs).drop("seg_ord")
+    val segName = s"tier-${java.util.UUID.randomUUID().toString.take(8)}"
+    val sp = segPath(root, segName)
+    val hasRows = !live.isEmpty
+    if (hasRows) {
+      BuildIndexJob.run(spark, live, sp, segName, cfg)
+      val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
+      writeKeymeta(spark, sp, st.nDocs, cfg)
+    }
+    val newSegs = m.segments.take(a) ++
+      (if (hasRows) Seq(segName) else Seq.empty) ++ m.segments.drop(b + 1)
+    // ordinal remap; an all-dead merged range (hasRows=false) removes the
+    // run entirely, which is the width-(b-a+1) shift with no spliced slot
+    val width = if (hasRows) b - a else b - a + 1
+    val remapped = tombs
+      .select(col("conv_id"), col("turn_idx"),
+        when(col("upto") <= a, col("upto"))
+          .when(col("upto") <= b + 1, lit(a))
+          .otherwise(col("upto") - width).as("upto"))
+      .where(col("upto") > 0)
+      .groupBy("conv_id", "turn_idx").agg(max("upto").as("upto"))
+    val interim = Manifest(newSegs, Seq.empty, m.nDocs, m.totalTokens)
+    val tombKeys = remapped.select(Key.map(col): _*)
+    val newTombs = segDocsMetaFor(spark, root, interim, tombKeys, cfg) match {
+      case None => Seq.empty[String]
+      case Some(meta) =>
+        // instances STILL PHYSICALLY PRESENT that the remapped set kills
+        val killed = meta.join(remapped,
+            meta("conv_id") === remapped("conv_id") &&
+              meta("turn_idx") === remapped("turn_idx") &&
+              remapped("upto") > meta("seg_ord"))
+          .select(meta("conv_id"), meta("turn_idx"), meta("terms"),
+            remapped("upto"))
+          .cache()
+        try {
+          if (killed.isEmpty) Seq.empty[String]
+          else {
+            killed.select(col("conv_id"), col("turn_idx"), col("upto"))
+              .distinct()
+              .write.mode("overwrite").parquet(tombPath(root, segName))
+            // one row per dead physical INSTANCE (a twice-upserted key has
+            // two dead instances in two segments — each loses its terms
+            // one doc of df, exactly as the per-append deltas summed)
+            killed.select(explode(col("terms")).as("term"))
+              .groupBy("term").agg(count(lit(1)).as("killed"))
+              .write.mode("overwrite").parquet(dfDeltaPath(root, segName))
+            Seq(segName)
+          }
+        } finally killed.unpersist()
+    }
+    val out = interim.copy(tombs = newTombs)
+    writeManifest(spark, root, out)
+    out
+  }
+
+  /** Lucene TieredMergePolicy analog for the long-running ingest stream:
+    * repeatedly find the lowest (then leftmost) ADJACENT run of ≥
+    * `segsPerTier` segments sharing a size tier (tier =
+    * ⌊log_tierFactor(docs)⌋ over the segment's BUILD doc count — a stable
+    * artifact read, no live scan) and fold its first `maxMergeAtOnce`
+    * members with [[mergeAdjacent]], until no run qualifies. Unlike
+    * [[compactInPlace]] this never rewrites the whole table: big settled
+    * segments are left alone and only same-sized neighbors pay merge IO —
+    * the amortized O(n log n) total-write bound that makes a 10^12-turn
+    * append stream sustainable where periodic full compaction is O(n) per
+    * trigger. Returns the final manifest plus the decision trace
+    * (deterministic given the manifest and sizes — tests pin it). */
+  def tieredCompact(spark: SparkSession, root: String,
+                    segsPerTier: Int = 4, maxMergeAtOnce: Int = 4,
+                    tierFactor: Double = 4.0,
+                    cfg: BuildIndexJob.Config = BuildIndexJob.Config())
+      : (Manifest, Seq[MergeDecision]) = {
+    requireHead(root, "tieredCompact")
+    require(segsPerTier >= 2 && maxMergeAtOnce >= 2 && tierFactor > 1.0,
+      s"bad policy (segsPerTier=$segsPerTier, maxMergeAtOnce=$maxMergeAtOnce, " +
+        s"tierFactor=$tierFactor)")
+    val decisions = scala.collection.mutable.ArrayBuffer.empty[MergeDecision]
+    var m = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
+    var done = false
+    while (!done) {
+      val sizes = m.segments.map(seg => BuildIndexJob.readStats(spark,
+        BuildIndexJob.IndexPaths(segPath(root, seg)), cfg.io).nDocs)
+      val tiers = sizes.map(d =>
+        math.floor(math.log(math.max(1L, d).toDouble) / math.log(tierFactor)).toInt)
+      // maximal adjacent same-tier runs of qualifying length
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)] // (tier, from, to)
+      var i = 0
+      while (i < tiers.size) {
+        var j = i
+        while (j + 1 < tiers.size && tiers(j + 1) == tiers(i)) j += 1
+        if (j - i + 1 >= segsPerTier) runs += ((tiers(i), i, j))
+        i = j + 1
+      }
+      runs.sortBy(r => (r._1, r._2)).headOption match {
+        case None => done = true
+        case Some((_, from, to)) =>
+          val end = math.min(to, from + maxMergeAtOnce - 1)
+          val before = m.segments.size
+          m = mergeAdjacent(spark, root, from, end, cfg)
+          // a spliced merged slot shrinks the list by (end-from); an
+          // all-dead run (nothing survived) shrinks it by one more
+          val spliced = m.segments.size == before - (end - from)
+          decisions += MergeDecision(from, end,
+            if (spliced) m.segments(from) else "<all-dead>",
+            sizes.slice(from, end + 1).sum)
+      }
+    }
+    (m, decisions.toSeq)
   }
 }

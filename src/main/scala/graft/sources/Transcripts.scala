@@ -43,15 +43,21 @@ object Transcripts {
 
   /** DuckDB twin of [[fromDocuments]] (ts omitted — never oracle-checked,
     * timestamp hashing is engine-dependent). Splice as a CTE body. */
-  def sqlFromDocuments: String =
-    """SELECT 'conv' || lpad(CAST(doc_id // 4 AS VARCHAR), 6, '0') AS conv_id,
-      |       CAST(doc_id % 4 AS INT) AS turn_idx,
-      |       CASE WHEN doc_id % 4 = 3 THEN 'tool'
-      |            WHEN doc_id % 2 = 0 THEN 'user'
-      |            ELSE 'assistant' END AS role,
-      |       text,
-      |       CASE WHEN doc_id % 4 = 3 THEN 'tool' || CAST(doc_id % 8 AS VARCHAR) END AS tool
-      |FROM documents""".stripMargin
+  def sqlFromDocuments: String = sqlFromDocumentsOver("documents")
+
+  /** [[sqlFromDocuments]] over an arbitrary (doc_id, text) relation —
+    * fixture gates that mutate the documents corpus (upserts, deletes,
+    * snapshot cuts) splice their modified relation here so the
+    * documents→transcripts mapping stays one shared seam. */
+  def sqlFromDocumentsOver(src: String): String =
+    s"""SELECT 'conv' || lpad(CAST(doc_id // 4 AS VARCHAR), 6, '0') AS conv_id,
+       |       CAST(doc_id % 4 AS INT) AS turn_idx,
+       |       CASE WHEN doc_id % 4 = 3 THEN 'tool'
+       |            WHEN doc_id % 2 = 0 THEN 'user'
+       |            ELSE 'assistant' END AS role,
+       |       text,
+       |       CASE WHEN doc_id % 4 = 3 THEN 'tool' || CAST(doc_id % 8 AS VARCHAR) END AS tool
+       |FROM $src""".stripMargin
 
   /** Synthetic transcript corpus (FIXTURES.md §B): `numConvs`
     * conversations, 2–15 turns each, bag-of-words text over a `vocabSize`

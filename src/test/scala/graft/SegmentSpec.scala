@@ -211,6 +211,97 @@ class SegmentSpec extends SparkSpec {
     assert(got == expected, "≡ full rebuild over the live corpus")
   }
 
+  test("tiered merge: adjacent same-tier runs fold, answers ≡ rebuild, stats unchanged") {
+    // 6 slices of 12 convs ≈ 100 docs each — comfortably inside tier 3
+    // (64..255 at tierFactor=4), away from the 256 boundary
+    val all = Transcripts.synthetic(spark, 72).cache()
+    val root = tmp()
+    (0 until 6).foreach { i =>
+      val lo = f"conv${i * 12}%08d"
+      val hi = f"conv${(i + 1) * 12}%08d"
+      SegmentedIndex.append(spark, root,
+        all.where($"conv_id" >= lo && $"conv_id" < hi), noDeletes, s"seg$i", cfg)
+    }
+    // upserts/deletes spread across ALL six slices (conv ids ending 0 / 7)
+    // so merge-time tombstone remap + physical kills hit every segment
+    val upserts = all.where($"conv_id".endsWith("0") && $"turn_idx" === 1)
+      .withColumn("text", concat($"text", lit(" upserted zzzupserted")))
+    val dead = all.where($"conv_id".endsWith("7") && $"turn_idx" === 0)
+      .select("conv_id", "turn_idx")
+    SegmentedIndex.append(spark, root, upserts, dead, "seg6", cfg)
+    val m0 = SegmentedIndex.readManifest(spark, root).get
+    assert(m0.segments.size == 7 && m0.tombs.nonEmpty)
+
+    val (m1, decisions) = SegmentedIndex.tieredCompact(spark, root,
+      segsPerTier = 3, maxMergeAtOnce = 3, cfg = cfg)
+    // policy: the six same-tier slices fold in adjacent ≤3-runs; the tiny
+    // upsert segment (~8 docs, tier 1 — no same-tier neighbors) is never
+    // merged. Exact run split depends on per-slice doc counts, so pin the
+    // invariants, not the count.
+    assert(decisions.nonEmpty && decisions.forall(d => d.to - d.from + 1 <= 3))
+    assert(m1.segments.size <= m0.segments.size - 2)
+    assert(m1.segments.last == "seg6")
+    // merges drop only already-dead rows: live collection stats unchanged
+    assert(m1.nDocs == m0.nDocs && m1.totalTokens == m0.totalTokens)
+
+    val liveCorpus = all
+      .join(upserts.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+      .unionByName(upserts)
+      .join(dead, Seq("conv_id", "turn_idx"), "left_anti")
+    val expected = rebuildExpected(liveCorpus)
+    val got = segResults(root)
+    assert(got == expected && got.nonEmpty, "exhaustive ≡ rebuild after merges")
+    // the WAND path reads the CONSOLIDATED tombstones + df-delta sidecar —
+    // metadata-derived live df must survive the merge rewrite exactly
+    val wand = SegmentedIndex.searchWand(spark, root, queries, cfg = cfg)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(wand == expected, "WAND over merged artifacts ≡ rebuild")
+    all.unpersist()
+  }
+
+  test("snapshot time travel: root@vN reads the committed state; vacuum expires") {
+    val all = Transcripts.synthetic(spark, 60).cache()
+    val b1 = all.where($"conv_id" < "conv00000030")
+    val b2 = all.where($"conv_id" >= "conv00000030")
+    val root = tmp()
+    SegmentedIndex.append(spark, root, b1, noDeletes, "seg-a", cfg) // v1
+    val r1 = segResults(root)
+    SegmentedIndex.append(spark, root, b2, noDeletes, "seg-b", cfg) // v2
+    val r2 = segResults(root)
+    assert(r1 != r2 && r1.nonEmpty)
+    assert(SegmentedIndex.snapshotVersions(spark, root) == Seq(1, 2))
+    // VERSION AS OF: v1 answers exactly as the head did before commit 2
+    val v1 = SegmentedIndex.search(spark, s"$root@v1", queries, cfg = cfg)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(v1 == r1)
+    // mutators reject snapshot specs — writes go only to the head
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.append(spark, s"$root@v1", b2, noDeletes, "seg-x", cfg)
+    }
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.vacuum(spark, s"$root@v1")
+    }
+    // a bad version fails loudly instead of answering empty
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.search(spark, s"$root@v9", queries, cfg = cfg).collect()
+    }
+    // compaction retains old dirs: pre-compaction snapshots stay readable
+    SegmentedIndex.compactInPlace(spark, root, cfg) // v3
+    val v2 = SegmentedIndex.search(spark, s"$root@v2", queries, cfg = cfg)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(v2 == r2, "pre-compaction snapshot readable after compaction")
+    assert(segResults(root) == r2, "head answers unchanged by compaction")
+    // vacuum = expire-snapshots: only the head survives
+    SegmentedIndex.vacuum(spark, root)
+    val left = SegmentedIndex.snapshotVersions(spark, root)
+    assert(left.size == 1)
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.search(spark, s"$root@v2", queries, cfg = cfg).collect()
+    }
+    assert(segResults(root) == r2, "head still serves after vacuum")
+    all.unpersist()
+  }
+
   test("append writes O(batch) bytes — not O(corpus): deltas stay flat as the index grows") {
     def du(path: String): Long = {
       val f = new java.io.File(path)
