@@ -1129,6 +1129,60 @@ object Oracle {
     bm25Expanded(corpusSql, litValues, expSelects, k)
   }
 
+  /** Twin of [[graft.search.Phonetic.searchPhonetic]]: every analyzed
+    * query token expands against the df relation into terms sharing its
+    * phonetic code — the code computed IN SQL by
+    * [[graft.search.Phonetic.sqlCode]] (the stem's code constant-folded
+    * via the Scala twin; MultiTermSpec pins the three twins ≡), then the
+    * scoring-boolean rewrite. */
+  def bm25Phonetic(corpusSql: String, queries: Seq[(Int, String)],
+                   k: Int): String = {
+    import graft.search.Phonetic
+    val parsed = queries.map { case (qid, t) =>
+      (qid, Phonetic.parsePhoneticQuery(t))
+    }
+    val expSelects = parsed.flatMap { case (qid, stems) =>
+      stems.map(st =>
+        s"SELECT $qid AS query_id, term FROM df " +
+          s"WHERE ${Phonetic.sqlCode("term")} = '${Phonetic.codeOf(st)}'")
+    }
+    bm25Expanded(corpusSql, Seq("(0, '')"), expSelects, k)
+  }
+
+  /** Twin of [[graft.search.IndexSearch.searchSpanFirst]]: positions via
+    * the aligned parallel unnest (1-based, so the engine's 0-based
+    * `p < end` is `pos <= end` here), freq = qualifying-position count,
+    * idf from the TERM's unfiltered df. */
+  def bm25SpanFirst(corpusSql: String, queries: Seq[(Int, String, Int)],
+                    k: Int): String = {
+    val vals = queries.map { case (qid, text, end) =>
+      val toks = Analyzer.tokenize(text)
+      require(toks.size == 1 && end > 0, s"bad span_first query '$text'")
+      s"($qid, '${esc(toks.head)}', $end)"
+    }
+    s"""WITH ${indexCtes(corpusSql)},
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
+       |spanq(query_id, term, endp) AS (VALUES ${vals.mkString(", ")}),
+       |sf AS (SELECT query_id, ptoks.doc_id, count(*)::BIGINT AS tf
+       |       FROM ptoks JOIN spanq USING (term) WHERE pos <= endp
+       |       GROUP BY query_id, ptoks.doc_id),
+       |scored AS (
+       |  SELECT sf.query_id, sf.doc_id,
+       |         ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |           * sf.tf / (sf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS score
+       |  FROM sf JOIN spanq USING (query_id) JOIN df USING (term)
+       |       JOIN dl ON sf.doc_id = dl.doc_id CROSS JOIN stats s),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Shared tail of the MultiTermQuery twins (prefix/wildcard/fuzzy):
     * literal (query_id, term) VALUES ∪ per-pattern dictionary-expansion
     * SELECTs, deduped, scored by the standard BM25 CTE chain. */

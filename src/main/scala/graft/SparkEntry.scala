@@ -196,6 +196,27 @@ object SparkEntry {
     7 -> "sort~2",
     8 -> "batch~2 merge")
 
+  /** Phonetic (sounds-like) requests: misspellings that share the pinned
+    * soundex code with corpus vocabulary (mirge→merge, windoe→window,
+    * stremm→stream), a self-match, a code matching nothing, and a
+    * case-folded respelling. */
+  val PhoneticQueries: Seq[(Int, String)] = Seq(
+    1 -> "mirge",
+    2 -> "windoe batch",
+    3 -> "dedup stremm",
+    4 -> "zzzxqv",
+    5 -> "QWERY")
+
+  /** SpanFirst requests: (query_id, term, end) — the term must occur in
+    * the doc's first `end` tokens. Ends chosen so the position filter
+    * bites (end=1 keeps only doc-initial occurrences). */
+  val SpanFirstQueries: Seq[(Int, String, Int)] = Seq(
+    (1, "merge", 3),
+    (2, "window", 5),
+    (3, "batch", 1),
+    (4, "stream", 2),
+    (5, "zzzqqnope", 4))
+
   /** facet.query request: (name, Spark predicate, SQL twin) triples over
     * the stored doc attributes — defined once so the engine and the
     * oracle cannot drift. */
@@ -984,6 +1005,14 @@ object SparkEntry {
     // length-window prune + levenshtein <= maxEdits expansion
     "q_bm25_fuzzy" -> ((s, dir) =>
       graft.search.MultiTerm.searchFuzzy(indexFor(s, dir), FuzzyQueries)),
+    // Solr PhoneticFilter analog: sounds-like expansion against the
+    // dictionary (one batched code-join pass), scoring-boolean rewrite
+    "q_bm25_phonetic" -> ((s, dir) =>
+      graft.search.Phonetic.searchPhonetic(indexFor(s, dir), PhoneticQueries)),
+    // Lucene SpanFirstQuery: term within the first N tokens, freq = count
+    // of qualifying positions, idf from the unfiltered term df
+    "q_bm25_spanfirst" -> ((s, dir) =>
+      IndexSearch.searchSpanFirst(indexFor(s, dir), SpanFirstQueries)),
     // Solr multi-facet request: repeated facet.field params counted from
     // ONE match-set join (role + tool, NULLs uncounted)
     "q_facet_multi" -> ((s, dir) =>
@@ -1699,6 +1728,10 @@ object SparkEntry {
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
     "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
+    "q_bm25_phonetic" ->
+      Oracle.bm25Phonetic(Oracle.transcriptsCorpus, PhoneticQueries, 10),
+    "q_bm25_spanfirst" ->
+      Oracle.bm25SpanFirst(Oracle.transcriptsCorpus, SpanFirstQueries, 10),
     "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
     "q_numfound" -> Oracle.responseStats(DisjQueries, "conv_id"),
     "q_facet_json" -> Oracle.facetJson(DisjQueries, "role", "tool", 2, 2,

@@ -655,6 +655,49 @@ object IndexSearch {
       scoredDocs(idx, qtRows.toDF("query_id", "term"), conjunctive = false), k)
   }
 
+  /** Lucene SpanFirstQuery(SpanTermQuery(term), end): matches docs whose
+    * term occurs at a token position < `end` (0-based — "in the first
+    * `end` tokens", the classic title/lead-paragraph restriction). Pinned
+    * Lucene span scoring: freq = the COUNT of qualifying positions (each
+    * span match weighs 1.0 in SpanScorer's sloppyFreq), idf = the TERM's
+    * dictionary idf (SpanWeight scores with the underlying term
+    * statistics, NOT a position-filtered df), dl/avgdl as usual. Scale
+    * shape: dictionary probe → shard-pruned positional decode of the
+    * query terms only → per-posting position counting inside the scan
+    * (a codegen'd array filter — positions never explode into rows). */
+  def searchSpanFirst(idx: OpenIndex, queries: Seq[(Int, String, Int)],
+                      k: Int = 10): DataFrame = {
+    requirePositional(idx)
+    val spark = idx.spark
+    import spark.implicits._
+    val parsed = queries.map { case (qid, text, end) =>
+      val toks = graft.analysis.Analyzer.tokenize(text)
+      require(toks.size == 1,
+        s"span_first query '$text' must analyze to exactly one term")
+      require(end > 0, s"span_first end must be positive (query '$text')")
+      (qid, toks.head, end)
+    }
+    val qd = parsed.toDF("query_id", "term", "_end")
+      .join(idx.dictionary, "term")
+      .select("query_id", "term", "df", "_end", "shard")
+    val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+    val base =
+      if (shards.isEmpty) idx.io.read(spark, idx.paths.postings).limit(0)
+      else idx.io.read(spark, idx.paths.postings)
+        .where(col("shard").isin(shards: _*))
+    val rows = PostingBlocks.decodePostingsWithPositions(
+      base.join(broadcast(qd.drop("shard")), Seq("term")))
+    val scored = rows
+      .withColumn("_tf",
+        size(filter(col("positions"), p => p < col("_end"))))
+      .where(col("_tf") > 0)
+      .withColumn("_s", Bm25.termScore(col("_tf"), col("dl"), col("df"),
+        lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"))
+    Search.rank(scored, k)
+  }
+
   /** Boolean NOT over the persisted index (Solr `q=a -b`): the no-must
     * subset of the clause grammar — delegates to [[searchClauses]] (one
     * boolean engine path). A pure-negative query matches nothing. */

@@ -165,4 +165,76 @@ class MultiTermSpec extends SparkSpec {
       graft.search.Search.parseClauseQueries(spark, Seq(1 -> "+a* cat")))
     assert(e.getMessage.contains("terms-only"))
   }
+
+  test("phonetic: Column code twin ≡ Scala twin; search ≡ code-expanded disjunction") {
+    import graft.search.Phonetic
+    // property: the two engine-side twins agree on random analyzer tokens
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val toks = Seq.tabulate(300)(_ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString) ++
+      Seq("merge", "mirge", "window", "windoe", "stream", "stremm", "a", "7", "q2b")
+    val got = toks.toDF("t")
+      .select(Phonetic.codeCol(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == toks.map(Phonetic.codeOf), "codeCol ≡ codeOf")
+    // sounds-like pairs group, different first letters do not (soundex)
+    assert(Phonetic.codeOf("mirge") == Phonetic.codeOf("merge"))
+    assert(Phonetic.codeOf("stremm") == Phonetic.codeOf("stream"))
+    assert(Phonetic.codeOf("kat") != Phonetic.codeOf("cat"))
+    // search ≡ the plain disjunctive engine over the code-expanded set
+    val same = dict.filter(t => Phonetic.codeOf(t) == Phonetic.codeOf("caat"))
+    assert(same == Seq("cat"), s"fixture code groups drifted: $same")
+    sameAs(Phonetic.searchPhonetic(idx, Seq(1 -> "caat")), "cat")
+    sameAs(Phonetic.searchPhonetic(idx, Seq(1 -> "doog ant")), "dog ant")
+    assert(Phonetic.searchPhonetic(idx, Seq(1 -> "zzqx")).count() == 0)
+    val e = intercept[IllegalArgumentException](
+      Phonetic.searchPhonetic(idx, Seq(1 -> "cat"), maxExpansions = 0))
+    assert(e.getMessage.contains("maxExpansions"))
+  }
+
+  test("span_first ≡ brute positional count with unfiltered term idf") {
+    val turns = Seq(
+      ("c0", 0, "user", "apple ant bee", null.asInstanceOf[String], ts(0)),
+      ("c1", 0, "user", "ant bee cat", null.asInstanceOf[String], ts(1)),
+      ("c2", 0, "user", "bee cat dog", null.asInstanceOf[String], ts(2)),
+      ("c3", 0, "user", "cat dog emu", null.asInstanceOf[String], ts(3)),
+      ("c4", 0, "user", "ant ant bee ant", null.asInstanceOf[String], ts(4)))
+    val texts = turns.map(_._4.split(" ").toSeq) // key order = doc_id order
+    val root = tmp()
+    BuildIndexJob.run(spark, turns.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+      root, "sf", BuildIndexJob.Config(numShards = 4, storePositions = true))
+    val pidx = IndexSearch.open(spark, root)
+    val qs = Seq((1, "bee", 2), (2, "ant", 1), (3, "ant", 4), (4, "zzz", 3))
+    val got = IndexSearch.searchSpanFirst(pidx, qs)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val n = texts.size
+    val avgdl = texts.map(_.size).sum.toDouble / n
+    val brute = qs.flatMap { case (qid, term, end) =>
+      val df = texts.count(_.contains(term)).toLong
+      texts.zipWithIndex
+        .map { case (ts0, d) => (d.toLong, ts0.take(end).count(_ == term), ts0.size) }
+        .filter(_._2 > 0)
+        .map { case (d, tf, dl) =>
+          (qid, d, graft.search.Bm25.score(tf, dl, df, n.toLong, avgdl)) }
+        .sortBy { case (_, d, s) =>
+          (-BigDecimal(s).setScale(7, BigDecimal.RoundingMode.HALF_UP), d) }
+        .zipWithIndex
+        .map { case ((q, d, s), i) => (q, i + 1, d,
+          BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }
+    assert(got == brute && got.nonEmpty, s"got=$got brute=$brute")
+    // repeated occurrences inside the window count into freq: doc 4 has
+    // ant at 0,1,3 — end=4 sees tf=3 and outranks the single-ant docs
+    assert(got.filter(_._1 == 3).head._3 == 4L)
+    // guards: multi-token query, bad end, non-positional index
+    intercept[IllegalArgumentException](
+      IndexSearch.searchSpanFirst(pidx, Seq((1, "ant bee", 2))))
+    intercept[IllegalArgumentException](
+      IndexSearch.searchSpanFirst(pidx, Seq((1, "ant", 0))))
+    intercept[IllegalArgumentException](
+      IndexSearch.searchSpanFirst(idx, Seq((1, "ant", 2))))
+  }
 }
