@@ -1149,6 +1149,64 @@ object Oracle {
     bm25Expanded(corpusSql, Seq("(0, '')"), expSelects, k)
   }
 
+  /** Twin of [[graft.search.NestedBool.searchNested]]: the SAME driver-side
+    * parse (one seam), then the AST rendered recursively as match-set
+    * algebra — leaf = the per-(query, term, doc) score relation, OR =
+    * UNION ALL + sum, AND = the same with HAVING count(DISTINCT cid) = n,
+    * negatives = NOT IN — so every pinned semantic (OOV leaf empty,
+    * pure-negative empty, per-matching-child score sums, double-counted
+    * repeated clauses) is re-derived independently by DuckDB. */
+  def bm25Nested(corpusSql: String, queries: Seq[(Int, String)],
+                 k: Int): String = {
+    import graft.search.NestedBool
+    import graft.search.NestedBool.{Group, Leaf, Node}
+    val parsed = queries.map { case (qid, t) => (qid, NestedBool.parse(t)) }
+    val qtVals = parsed.flatMap { case (qid, n) =>
+      NestedBool.leafTerms(n).distinct.map(t => s"($qid, '${esc(t)}')")
+    }
+    def nodeSql(qid: Int, n: Node): String = n match {
+      case Leaf(t) =>
+        s"(SELECT doc_id, score FROM ls WHERE query_id = $qid AND term = '${esc(t)}')"
+      case Group(_, pos, _) if pos.isEmpty =>
+        "(SELECT doc_id, score FROM ls WHERE 1 = 0)"
+      case Group(and, pos, neg) =>
+        val union = pos.zipWithIndex.map { case (c, i) =>
+          s"SELECT $i AS cid, doc_id, score FROM ${nodeSql(qid, c)} c$i"
+        }.mkString(" UNION ALL ")
+        val having =
+          if (and) s" HAVING count(DISTINCT cid) = ${pos.size}" else ""
+        val matched =
+          s"(SELECT doc_id, sum(score) AS score FROM ($union) GROUP BY doc_id$having)"
+        if (neg.isEmpty) matched
+        else {
+          val negUnion = neg
+            .map(c => s"SELECT doc_id FROM ${nodeSql(qid, c)} nn")
+            .mkString(" UNION ALL ")
+          s"(SELECT m.doc_id, m.score FROM $matched m WHERE m.doc_id NOT IN ($negUnion))"
+        }
+    }
+    val roots = parsed.map { case (qid, n) =>
+      s"SELECT $qid AS query_id, doc_id, score FROM ${nodeSql(qid, n)} r$qid"
+    }
+    s"""WITH ${indexCtes(corpusSql)},
+       |qt(query_id, term) AS (VALUES ${qtVals.mkString(", ")}),
+       |ls AS (SELECT qt.query_id, qt.term, tf.doc_id AS doc_id,
+       |              ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |                * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS score
+       |       FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |            JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s),
+       |scored AS (
+       |${roots.mkString("\nUNION ALL\n")}),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchSpanFirst]]: positions via
     * the aligned parallel unnest (1-based, so the engine's 0-based
     * `p < end` is `pos <= end` here), freq = qualifying-position count,

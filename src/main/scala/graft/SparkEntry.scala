@@ -196,6 +196,18 @@ object SparkEntry {
     7 -> "sort~2",
     8 -> "batch~2 merge")
 
+  /** Nested boolean requests ([[graft.search.NestedBool]]): parenthesized
+    * OR-of-AND / AND-of-OR shapes, NOT under AND, adjacency-OR default, a
+    * dead AND branch rescued by OR, a pure-negative query (matches
+    * nothing), and a multi-group conjunction with a trailing exclusion. */
+  val NestedQueries: Seq[(Int, String)] = Seq(
+    1 -> "(merge OR window) AND batch",
+    2 -> "merge AND NOT error",
+    3 -> "(merge window) batch",
+    4 -> "(merge AND zzznope) OR window",
+    5 -> "NOT merge",
+    6 -> "(merge OR window) AND (batch OR stream) -error")
+
   /** Phonetic (sounds-like) requests: misspellings that share the pinned
     * soundex code with corpus vocabulary (mirge→merge, windoe→window,
     * stremm→stream), a self-match, a code matching nothing, and a
@@ -1005,6 +1017,10 @@ object SparkEntry {
     // length-window prune + levenshtein <= maxEdits expansion
     "q_bm25_fuzzy" -> ((s, dir) =>
       graft.search.MultiTerm.searchFuzzy(indexFor(s, dir), FuzzyQueries)),
+    // Nested boolean grammar — (a OR b) AND c -d — one pruned posting
+    // scan feeds every leaf; nodes combine as match-set algebra
+    "q_bm25_nested" -> ((s, dir) =>
+      graft.search.NestedBool.searchNested(indexFor(s, dir), NestedQueries)),
     // Solr PhoneticFilter analog: sounds-like expansion against the
     // dictionary (one batched code-join pass), scoring-boolean rewrite
     "q_bm25_phonetic" -> ((s, dir) =>
@@ -1728,6 +1744,8 @@ object SparkEntry {
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
     "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
+    "q_bm25_nested" ->
+      Oracle.bm25Nested(Oracle.transcriptsCorpus, NestedQueries, 10),
     "q_bm25_phonetic" ->
       Oracle.bm25Phonetic(Oracle.transcriptsCorpus, PhoneticQueries, 10),
     "q_bm25_spanfirst" ->

@@ -47,7 +47,7 @@ object IndexSearch {
   /** Materialize a driver-safe (≤ |queries|·k rows by construction)
     * result into a local frame so internal caches can be dropped before
     * returning — the same idiom as SegmentedIndex's localize. */
-  private def localize(spark: SparkSession, out: DataFrame): DataFrame = {
+  private[search] def localize(spark: SparkSession, out: DataFrame): DataFrame = {
     val rows = out.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
@@ -71,8 +71,8 @@ object IndexSearch {
     * the shards those terms hash to: (query_id, term, df, doc_id, tf, dl).
     * The shared scan under exhaustive scoring, filtering, faceting, and
     * NOT-exclusion. */
-  private def matchedPostings(idx: OpenIndex, qt: DataFrame,
-                              withCf: Boolean = false): DataFrame = {
+  private[search] def matchedPostings(idx: OpenIndex, qt: DataFrame,
+                                      withCf: Boolean = false): DataFrame = {
     val spark = idx.spark
     val dictCols = Seq("query_id", "term", "df") ++ (if (withCf) Seq("cf") else Nil)
     // tiny join: |distinct query terms| rows
