@@ -1063,6 +1063,37 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchFields]] (Solr `fl=`): the
+    * standard score-ranked top-k joined to the stored attributes (role,
+    * tool, dl) plus a function-query pseudo-field rendered from the SAME
+    * [[graft.search.FunctionQuery]] AST as the engine's Column. */
+  def bm25FieldList(queries: Seq[(Int, String)], k: Int,
+                    fn: String): String = {
+    val fnSql = graft.search.FunctionQuery.toSql(
+      graft.search.FunctionQuery.parse(fn),
+      f => { require(f == "dl", s"fl twin resolves 'dl' only, got '$f'")
+             "attrs.dl" })
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |attrs AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |                 role, tool, ${Analyzer.sqlDocLen("text")} AS dl
+       |          FROM ($transcriptsSql)),
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", ranked.doc_id AS doc_id,
+       |       attrs.role AS role, attrs.tool AS tool, attrs.dl AS dl,
+       |       $fnSql AS brev, round(score, 4) AS score
+       |FROM ranked JOIN attrs ON ranked.doc_id = attrs.doc_id
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchPrefix]]: prefixes expand
     * against the df relation (`term LIKE 'p%'` — the dictionary), each
     * expanded term scoring with its own idf (the pinned scoring-boolean

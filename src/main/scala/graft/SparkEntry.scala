@@ -999,6 +999,12 @@ object SparkEntry {
       IndexSearch.searchSorted(indexFor(s, dir), DisjQueries,
         Seq(col("fv").desc), 10, extra = Seq("fv" -> fv))
     }),
+    // Solr fl= field list: stored fields + a function-query pseudo-field
+    // (alias:fn(dl)) on every hit, ranking unchanged
+    "q_bm25_fl" -> ((s, dir) =>
+      IndexSearch.searchFields(indexFor(s, dir), DisjQueries,
+        fields = Seq("role", "tool", "dl"),
+        pseudo = Seq("brev" -> SortFnString))),
     // Lucene/Solr prefix queries (te*): dictionary range-scan expansion,
     // scoring-boolean rewrite, maxExpansions guard
     "q_bm25_prefix" -> ((s, dir) =>
@@ -1830,6 +1836,7 @@ object SparkEntry {
     "q_facet_mincount" -> Oracle.facetFields(DisjQueries, Seq("role", "tool"),
       mincount = 5L),
     "q_bm25_sort_fn" -> Oracle.bm25SortFn(DisjQueries, 10, SortFnString),
+    "q_bm25_fl" -> Oracle.bm25FieldList(DisjQueries, 10, SortFnString),
     "q_facet_missing" -> Oracle.facetFields(DisjQueries, Seq("tool"),
       missing = true),
     "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),

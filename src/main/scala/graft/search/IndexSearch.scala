@@ -283,6 +283,26 @@ object IndexSearch {
     Search.rankBy(withExtra, sortCols, k, keep = extra.map(_._1))
   }
 
+  /** Solr `fl=` field-list response shaping: the standard disjunctive
+    * top-k with requested STORED fields and function-query PSEUDO-FIELDS
+    * (Solr `alias:fn(...)`) carried on every hit. Ranking is unchanged
+    * (score desc, doc_id tie-break); one column-pruned attrs join serves
+    * both the stored fields and the function inputs (text never read).
+    * Pseudo-fields render from the same [[FunctionQuery]] AST as the
+    * oracle's SQL, so reported values are bit-identical cross-engine. */
+  def searchFields(idx: OpenIndex, queries: Seq[(Int, String)],
+                   fields: Seq[String], pseudo: Seq[(String, String)] = Nil,
+                   k: Int = 10): DataFrame = {
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val attrs = idx.io.read(idx.spark, idx.paths.docs).drop("text")
+    val joined = scoredDocs(idx, qt, conjunctive = false).join(attrs, "doc_id")
+    val withPseudo = pseudo.foldLeft(joined) { case (d, (n, fn)) =>
+      d.withColumn(n, FunctionQuery.toColumn(FunctionQuery.parse(fn))) }
+    Search.rankBy(withPseudo,
+      Seq(round(col("_score"), Bm25.RankScale).desc), k,
+      keep = fields ++ pseudo.map(_._1))
+  }
+
   /** Solr/edismax additive function-query boost (`bf=`): final score =
     * BM25 + `boost`, where `boost` is an arbitrary numeric expression
     * over the stored doc attributes (e.g. the classic recency/brevity

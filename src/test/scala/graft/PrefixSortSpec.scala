@@ -60,4 +60,20 @@ class PrefixSortSpec extends SparkSpec {
       .map(r => r.getLong(2) -> r.getDouble(3)).toMap
     assert(res.forall(r => byScore(r.getLong(2)) == r.getDouble(3)))
   }
+
+  test("fl field list: ranking ≡ plain search, stored + pseudo fields carried") {
+    val qs = Seq(1 -> "bee cat", 2 -> "ant")
+    val fl = IndexSearch.searchFields(idx, qs,
+      fields = Seq("role", "dl"), pseudo = Seq("dl2" -> "product(dl,2)"))
+      .orderBy("query_id", "rank").collect()
+    val plain = IndexSearch.search(idx, qs)
+      .orderBy("query_id", "rank").collect()
+    // same ranking and scores, response shaped with the extra columns
+    assert(fl.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq ==
+      plain.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq)
+    assert(fl.map(_.getAs[Double]("score")).toSeq ==
+      plain.map(_.getAs[Double]("score")).toSeq)
+    assert(fl.forall(r => r.getAs[String]("role") == "user" &&
+      r.getAs[Double]("dl2") == 2.0 * r.getAs[Int]("dl")))
+  }
 }
