@@ -219,6 +219,49 @@ object OracleOps {
        |FROM documents d LEFT JOIN sc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.lrQuality]] — full-batch logistic
+    * regression unrolled as one CTE chain per iteration (the k-means
+    * unrolled-oracle idiom): w0 ≡ 0 folds iteration 1's p into the 0.5
+    * constant; every weight update rounds to 1e-9 exactly like the
+    * engine's driver-side update, so unordered FP sums cannot fork the
+    * trajectory. */
+  def lrQuality(trainLang: String, buckets: Int, iters: Int,
+                lr: Double): String = {
+    val n = "(SELECT n FROM nn)"
+    val head =
+      s"""WITH tk AS (SELECT doc_id, CAST(lang = '$trainLang' AS INT) AS y, $toks AS l FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |x AS (SELECT doc_id, y,
+         |        ('0x' || substr(md5(tok), 1, 8))::BIGINT % $buckets AS bucket,
+         |        CAST(count(*) AS DOUBLE) / any_value(ntok) AS x
+         |      FROM (SELECT doc_id, y, len(l) AS ntok, unnest(l) AS tok FROM tk)
+         |      GROUP BY doc_id, y, bucket)""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      val grad =
+        if (t == 1) s"sum((0.5 - y) * x) / $n"
+        else s"sum((p${t - 1}.p - x.y) * x.x) / $n"
+      val prev = if (t == 1) "0" else s"any_value(w${t - 1}.w)"
+      val joins =
+        if (t == 1) "x"
+        else s"x JOIN p${t - 1} USING (doc_id) JOIN w${t - 1} ON w${t - 1}.bucket = x.bucket"
+      val wCte =
+        s"""w$t AS (SELECT x.bucket AS bucket, round($prev - $lr * $grad, 9) AS w
+           |        FROM $joins GROUP BY x.bucket)""".stripMargin
+      val pCte =
+        s"""p$t AS (SELECT doc_id, y, 1/(1 + exp(-sum(w$t.w * x.x))) AS p
+           |        FROM x JOIN w$t ON w$t.bucket = x.bucket GROUP BY doc_id, y)""".stripMargin
+      s"$wCte,\n$pCte"
+    }.mkString(",\n")
+    s"""$head,
+       |$iterCtes
+       |SELECT d.doc_id,
+       |       CAST(d.lang = '$trainLang' AS INT) AS y,
+       |       round(coalesce(p$iters.p, 0.5), 6) AS p,
+       |       CAST(round(coalesce(p$iters.p, 0.5), 6) >= 0.5 AS INT) AS pred
+       |FROM documents d LEFT JOIN p$iters ON p$iters.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Twin of [[graft.ops.TextOps.lmPerplexity]] — unigram add-α LM
     * trained on the `lang = trainLang` subset of documents, scoring all
     * docs; ln on both engines is ≤1-ulp libm, absorbed by the 6dp round

@@ -849,6 +849,12 @@ object SparkEntry {
     "q_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(
       s.read.parquet(s"$dir/documents.parquet"),
       col("lang") === "en", 4096, 0.5, 0.0)),
+    // fastText-style classifier TRAINING on-cluster: full-batch logistic
+    // regression over hashed features, weak lang labels, 1e-9-rounded
+    // deterministic GD trajectory (oracle unrolls the iterations)
+    "q_lr_quality" -> ((s, dir) => TextOps.lrQuality(
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "lang"),
+      "en", 8, 3, 2.0)),
     // Gopher table-A1 quality rules (doc-level set), per-rule booleans;
     // minWords=5 — the paper's 50 is tuned for web pages, not turns
     "q_gopher_rules" -> ((s, dir) => TextOps.gopherRules(
@@ -1723,6 +1729,7 @@ object SparkEntry {
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_ppl_buckets" -> OracleOps.pplBuckets("en", 0.5),
     "q_dsir_weights" -> OracleOps.dsirWeights("en", 4096, 0.5, 0.0),
+    "q_lr_quality" -> OracleOps.lrQuality("en", 8, 3, 2.0),
     "q_gopher_rules" -> OracleOps.gopherRules(5, 100000),
     "q_ann_cosine" -> OracleOps.cosineTopK(Seq(0L, 1L, 2L), 10),
     "q_ann_mrl" -> OracleOps.mrlTopK(Seq(0L, 1L, 2L), 10, 16, 40),

@@ -608,6 +608,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** LOGISTIC-REGRESSION classifier TRAINING (the fastText-style
+    * supervised quality/domain filter a large pipeline trains ON-cluster
+    * before applying it corpus-wide): full-batch gradient descent on
+    * hashed token-unigram features, weak labels from the stored `lang`
+    * column (y = 1 iff lang = trainLang). The scale shape is Lloyd's:
+    * the model is B driver-side doubles (B a caller constant), the data
+    * is only SCANNED — one cached feature relation feeds every
+    * iteration, no per-iteration shuffle growth.
+    *
+    * Determinism contract (the k-means centroid-rounding idiom): each
+    * iteration's weight update is rounded to 1e-9 —
+    * w_j ← round(w_j − lr·Σ_i (p_i − y_i)x_ij / N, 9) — so the unordered
+    * FP sums of both oracle engines land on the same trajectory.
+    * Features x_ij = (tokens of doc i in bucket j) / |tokens of doc i|
+    * (bucket = the md5-prefix hash shared with [[dsirWeights]]); w
+    * starts at 0, so iteration 1 sees p ≡ 0.5. Zero-token docs carry no
+    * features (p stays 0.5) but DO count in N. Output: one row per doc
+    * with the final sigmoid score (6dp), the weak label, and the
+    * ≥ 0.5-thresholded prediction. */
+  def lrQuality(corpus: DataFrame, trainLang: String = "en",
+                buckets: Int = 8, iters: Int = 3,
+                lr: Double = 2.0): DataFrame = {
+    require(buckets > 0 && iters > 0 && lr > 0,
+      s"bad lrQuality config (buckets=$buckets, iters=$iters, lr=$lr)")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    def features(): DataFrame = corpus
+      .select(col("doc_id"),
+        (col("lang") === trainLang).cast("int").as("y"),
+        size(Analyzer.tokens(col("text"))).as("_ntok"),
+        explode(Analyzer.tokens(col("text"))).as("_tok"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("_tok")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+      .groupBy("doc_id", "y", "bucket")
+      .agg((count(lit(1)).cast("double") / first(col("_ntok"))).as("x"))
+    def pFrame(x: DataFrame, w: Map[Long, Double]): DataFrame = {
+      val wDf = broadcast(
+        (0L until buckets).map(j => (j, w(j))).toDF("bucket", "_w"))
+      x.join(wDf, "bucket")
+        .groupBy("doc_id", "y")
+        .agg((lit(1.0) / (lit(1.0) + exp(-sum(col("_w") * col("x")))))
+          .as("p"))
+    }
+    val x = features().cache()
+    val w =
+      try {
+        def round9(v: Double): Double =
+          BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var w0 = Map.empty[Long, Double].withDefaultValue(0.0)
+        (1 to iters).foreach { _ =>
+          // driver boundary: ≤ B gradient rows per iteration
+          val grads = x.join(pFrame(x, w0), Seq("doc_id", "y"))
+            .groupBy("bucket")
+            .agg((sum((col("p") - col("y")) * col("x")) / n).as("g"))
+            .collect().map(r => r.getLong(0) -> r.getDouble(1))
+          w0 = grads.foldLeft(w0) { case (m, (j, g)) =>
+            m.updated(j, round9(m(j) - lr * g))
+          }
+        }
+        w0
+      } finally x.unpersist()
+    // the returned plan re-derives features lazily (nothing cached rides
+    // out; the model itself is the B broadcast weights — never the data)
+    corpus.select(col("doc_id"), col("lang"))
+      .join(pFrame(features(), w).drop("y"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("lang") === trainLang).cast("int").as("y"),
+        round(coalesce(col("p"), lit(0.5)), 6).as("p"))
+      .withColumn("pred", (col("p") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** SFT PAIR EXTRACTION (the canonical transcripts → instruction-tuning
     * step): each user turn followed IMMEDIATELY by an assistant turn
     * (next turn_idx = turn_idx + 1 — gaps and non-assistant followups

@@ -137,4 +137,27 @@ class TrainsetOpsSpec extends SparkSpec {
     assert(run(7L).map(t => (t._1, t._2)).toSeq != got.map(t => (t._1, t._2)).toSeq,
       "seed must change the assignment")
   }
+
+  test("lrQuality: deterministic GD trajectory, labels learned on a " +
+    "separable corpus, zero-token docs score 0.5") {
+    // two disjoint vocabularies → linearly separable in hashed space whp
+    val docs = (0 until 40).map { i =>
+      val en = i % 2 == 0
+      val words = if (en) Seq("the", "merge", "batch") else Seq("el", "de", "que")
+      (i.toLong, (words ++ words).mkString(" "), if (en) "en" else "es")
+    } :+ (40L, "", "en") // zero-token doc
+    val corpus = docs.toDF("doc_id", "text", "lang")
+    def run() = TextOps.lrQuality(corpus, "en", 8, 5, 2.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    val got = run()
+    assert(got == run(), "training must be run-to-run deterministic")
+    assert(got.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    assert(got.forall(r => r._4 == (if (r._3 >= 0.5) 1 else 0)))
+    // the model actually learned: every labeled doc predicted correctly
+    val labeled = got.filter(_._1 < 40)
+    assert(labeled.forall(r => r._4 == r._2),
+      s"separable corpus misclassified: ${labeled.filterNot(r => r._4 == r._2)}")
+    assert(got.last == ((40L, 1, 0.5, 1)), "featureless doc stays at sigmoid(0)")
+  }
 }
