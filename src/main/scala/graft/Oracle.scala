@@ -1063,6 +1063,55 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchFeedback]] (pseudo-relevance
+    * feedback): the whole two-round chain re-derived in SQL — round-1
+    * top-fbDocs, RM1-style expansion weights (round 7, term-asc
+    * tie-break, original terms anti-joined), weighted round-2 scoring. */
+  def bm25Feedback(corpusSql: String, queries: Seq[(Int, String)], k: Int,
+                   fbDocs: Int, fbTerms: Int, expWeight: Double): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |${scoredFromQtCte},
+       |fb AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |    FROM scored) WHERE rnk <= $fbDocs),
+       |ew AS (
+       |  SELECT fb.query_id, tf.term,
+       |         round(sum(CAST(tf.tf AS DOUBLE) / dl.dl), 7) AS w
+       |  FROM fb JOIN tf USING (doc_id) JOIN dl ON tf.doc_id = dl.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |                    WHERE qt.query_id = fb.query_id AND qt.term = tf.term)
+       |  GROUP BY fb.query_id, tf.term),
+       |expq AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |           row_number() OVER (PARTITION BY query_id
+       |                              ORDER BY w DESC, term ASC) AS r
+       |    FROM ew) WHERE r <= $fbTerms),
+       |qt1 AS (SELECT query_id, term, 1.0 AS boost FROM qt
+       |        UNION ALL
+       |        SELECT query_id, term, $expWeight AS boost FROM expq),
+       |scored1 AS (
+       |  SELECT qt1.query_id, tf.doc_id,
+       |         sum( qt1.boost * ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt1 JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt1.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored1)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Twin of [[graft.search.IndexSearch.searchFields]] (Solr `fl=`): the
     * standard score-ranked top-k joined to the stored attributes (role,
     * tool, dl) plus a function-query pseudo-field rendered from the SAME

@@ -1005,6 +1005,11 @@ object SparkEntry {
       IndexSearch.searchSorted(indexFor(s, dir), DisjQueries,
         Seq(col("fv").desc), 10, extra = Seq("fv" -> fv))
     }),
+    // Pseudo-relevance feedback (Rocchio/RM3): mine the top-5 hits'
+    // strongest terms, re-query with the expanded weighted set
+    "q_bm25_feedback" -> ((s, dir) =>
+      IndexSearch.searchFeedback(indexFor(s, dir), DisjQueries,
+        k = 10, fbDocs = 5, fbTerms = 3, expWeight = 0.5)),
     // Solr fl= field list: stored fields + a function-query pseudo-field
     // (alias:fn(dl)) on every hit, ranking unchanged
     "q_bm25_fl" -> ((s, dir) =>
@@ -1844,6 +1849,8 @@ object SparkEntry {
       mincount = 5L),
     "q_bm25_sort_fn" -> Oracle.bm25SortFn(DisjQueries, 10, SortFnString),
     "q_bm25_fl" -> Oracle.bm25FieldList(DisjQueries, 10, SortFnString),
+    "q_bm25_feedback" -> Oracle.bm25Feedback(Oracle.transcriptsCorpus,
+      DisjQueries, 10, 5, 3, 0.5),
     "q_facet_missing" -> Oracle.facetFields(DisjQueries, Seq("tool"),
       missing = true),
     "q_terms" -> Oracle.termsIndexSorted(SuggestPrefixes, 5),

@@ -283,6 +283,76 @@ object IndexSearch {
     Search.rankBy(withExtra, sortCols, k, keep = extra.map(_._1))
   }
 
+  /** PSEUDO-RELEVANCE FEEDBACK (Rocchio / RM3 family — Rocchio 1971,
+    * Lavrenko & Croft SIGIR 2001): run the query, treat its top `fbDocs`
+    * hits as relevant, mine their strongest terms, and re-query with the
+    * expanded, weighted term set. Pinned model (oracle-expressible):
+    *
+    *   weight(t) = round(Σ_{d ∈ fb} tf(t,d)/dl(d), 7)   (RM1-style,
+    *   length-normalized; original query terms excluded from expansion)
+    *   expansion = top `fbTerms` by (weight DESC, term ASC)
+    *   final score(d) = Σ_orig BM25_t(d) + expWeight · Σ_exp BM25_t(d)
+    *
+    * Scale shape: round 1 is the standard pruned top-k; term mining reads
+    * ONLY the ≤ |queries|·fbDocs feedback docs (doc_id-IN point lookups
+    * on docs/ — the highlight path's idiom), never a postings-by-doc
+    * scan; round 2 is one more standard pruned scoring pass over ≤
+    * (|orig| + fbTerms) terms per query. Driver boundaries: the feedback
+    * (query, doc) pairs and the (query, term) expansions — both
+    * request-shaped constants. */
+  def searchFeedback(idx: OpenIndex, queries: Seq[(Int, String)],
+                     k: Int = 10, fbDocs: Int = 5, fbTerms: Int = 3,
+                     expWeight: Double = 0.5): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, "fbDocs and fbTerms must be positive")
+    val spark = idx.spark
+    import spark.implicits._
+    val orig: Seq[(Int, String)] = queries.flatMap { case (qid, t) =>
+      graft.analysis.Analyzer.tokenize(t).distinct.map(tt => (qid, tt))
+    }
+    if (orig.isEmpty)
+      return Seq.empty[ResultRow].toDF()
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+    val qt0 = orig.toDF("query_id", "term")
+    // round 1: standard top-fbDocs (driver boundary: ≤ |queries|·fbDocs)
+    val fbPairs = Search.rank(scoredDocs(idx, qt0, conjunctive = false), fbDocs)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val expansions: Seq[(Int, String)] =
+      if (fbPairs.isEmpty) Seq.empty
+      else {
+        val hitIds = fbPairs.map(_._2).distinct
+        val docToks = idx.io.read(spark, idx.paths.docs)
+          .where(col("doc_id").isin(hitIds: _*))
+          .select(col("doc_id"), col("dl"),
+            explode(graft.analysis.Analyzer.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("_tf"), first(col("dl")).as("_dl"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("_w").desc, col("term").asc)
+        broadcast(fbPairs.toDF("query_id", "doc_id"))
+          .join(docToks, "doc_id")
+          .join(qt0, Seq("query_id", "term"), "left_anti")
+          .groupBy("query_id", "term")
+          .agg(round(sum(col("_tf").cast("double") / col("_dl")), 7).as("_w"))
+          .withColumn("_r", row_number().over(w))
+          .where(col("_r") <= fbTerms)
+          .select("query_id", "term").collect()
+          .map(r => (r.getInt(0), r.getString(1))).toSeq
+      }
+    // round 2: weighted disjunction (orig at 1.0, expansion at expWeight)
+    val qt1 = orig.map { case (q, t) => (q, t, 1.0) } ++
+      expansions.map { case (q, t) => (q, t, expWeight) }
+    val boosts = broadcast(qt1.toDF("query_id", "term", "_boost"))
+    val scored = matchedPostings(idx, qt1.map(r => (r._1, r._2))
+        .toDF("query_id", "term"))
+      .join(boosts, Seq("query_id", "term"))
+      .withColumn("_s", col("_boost") * Bm25.termScore(col("tf"), col("dl"),
+        col("df"), lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"))
+    Search.rank(scored, k)
+  }
+
   /** Solr `fl=` field-list response shaping: the standard disjunctive
     * top-k with requested STORED fields and function-query PSEUDO-FIELDS
     * (Solr `alias:fn(...)`) carried on every hit. Ranking is unchanged

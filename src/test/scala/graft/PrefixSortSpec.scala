@@ -76,4 +76,24 @@ class PrefixSortSpec extends SparkSpec {
     assert(fl.forall(r => r.getAs[String]("role") == "user" &&
       r.getAs[Double]("dl2") == 2.0 * r.getAs[Int]("dl")))
   }
+
+  test("pseudo-relevance feedback mines top-hit terms and widens the match set") {
+    // corpus: 0=apple ant bee, 1=ant bee cat, 2=bee cat dog, 3=cat dog emu.
+    // "bee" feedback docs = {0,1,2}; expansion weights (tf/dl): ant=2/3,
+    // cat=2/3, apple=1/3, dog=1/3 → top-2 = {ant, cat} (term-asc tie on
+    // the rounded weight). cat pulls doc 3 into the final match set.
+    def docsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(2)).toSet
+    val plain = docsOf(IndexSearch.search(idx, Seq(1 -> "bee")))
+    assert(plain == Set(0L, 1L, 2L))
+    val fb2 = docsOf(IndexSearch.searchFeedback(idx, Seq(1 -> "bee"),
+      fbDocs = 3, fbTerms = 2))
+    assert(fb2 == Set(0L, 1L, 2L, 3L), s"expansion must reach doc 3: $fb2")
+    // fbTerms=1 keeps only 'ant' (tie broken by term ASC) — doc 3 stays out
+    val fb1 = docsOf(IndexSearch.searchFeedback(idx, Seq(1 -> "bee"),
+      fbDocs = 3, fbTerms = 1))
+    assert(fb1 == Set(0L, 1L, 2L), s"ant-only expansion: $fb1")
+    // a zero-match query expands nothing and stays empty
+    assert(docsOf(IndexSearch.searchFeedback(idx, Seq(1 -> "zzznope"))).isEmpty)
+  }
 }
