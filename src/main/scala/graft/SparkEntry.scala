@@ -42,6 +42,10 @@ object SparkEntry {
     """sort(leftOuterJoin(unique(search(transcripts, q="spark merge window", fl="doc_id,conv_id,dl", sort="conv_id asc"), over="conv_id"), select(search(transcripts, q="dup", fl="doc_id,conv_id", sort="conv_id asc"), doc_id as rdoc, conv_id), on="conv_id"), by="conv_id asc")"""
   val StreamFetchExpr: String =
     """fetch(transcripts, select(search(transcripts, q="vector stream", fl="doc_id,dl", sort="doc_id asc"), doc_id), fl="conv_id,role", on="doc_id")"""
+  val StreamHavingExpr: String =
+    """having(rollup(search(transcripts, q="spark merge window", fl="doc_id,conv_id,dl", sort="doc_id asc"), over="conv_id", count(*), sum(dl)), and(gt(n_tuples, 1), not(lt(sum_dl, 20))))"""
+  val StreamReduceExpr: String =
+    """reduce(search(transcripts, q="merge window batch", fl="doc_id,conv_id,role,dl", sort="doc_id asc"), by="conv_id", group(sort="dl desc", n=2))"""
 
   /** Fielded-clause query set (Lucene `field:term` syntax composed into
     * the boolean grammar): attr musts/nots/shoulds, a fielded boost, and
@@ -1366,6 +1370,12 @@ object SparkEntry {
     // dropped — the post-decorator field-fetch shape
     "q_stream_fetch" -> ((s, dir) =>
       graft.search.StreamExpr.run(indexFor(s, dir), StreamFetchExpr)),
+    // streaming expressions: having boolean evaluator filters rollup rows
+    "q_stream_having" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamHavingExpr)),
+    // streaming expressions: reduce keeps each group's top-n under sort
+    "q_stream_reduce" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamReduceExpr)),
     // RealTimeGet over the SEGMENTED index — the live (upsert/tombstone-
     // aware) doc attrs between compactions; text not stored per-segment
     "q_doc_get_segmented" -> ((s, dir) =>
@@ -1875,6 +1885,8 @@ object SparkEntry {
     "q_stream_join_top" -> Oracle.streamExpr(StreamJoinExpr),
     "q_stream_unique" -> Oracle.streamExpr(StreamUniqueExpr),
     "q_stream_fetch" -> Oracle.streamExpr(StreamFetchExpr),
+    "q_stream_having" -> Oracle.streamExpr(StreamHavingExpr),
+    "q_stream_reduce" -> Oracle.streamExpr(StreamReduceExpr),
     "q_doc_update" -> Oracle.getDocsUpdated(GetKeys, AtomicSets),
     "q_termvectors" -> Oracle.termVectors(GetKeys),
     "q_doc_get_segmented" -> Oracle.getDocs(GetKeys, withText = false),

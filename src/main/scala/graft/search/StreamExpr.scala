@@ -103,6 +103,24 @@ object StreamExpr {
     def schema: Seq[String] =
       on ++ left.schema.filterNot(on.contains) ++ right.schema.filterNot(on.contains)
   }
+  /** Solr `having` boolean evaluator (numeric comparisons + and/or/not). */
+  sealed trait Pred
+  final case class Cmp(op: String, f: String, v: Double) extends Pred
+  final case class AndPred(ps: Seq[Pred]) extends Pred
+  final case class OrPred(ps: Seq[Pred]) extends Pred
+  final case class NotPred(p: Pred) extends Pred
+
+  final case class HavingNode(child: Node, pred: Pred) extends Node {
+    def schema: Seq[String] = child.schema
+  }
+  /** Solr `reduce(stream, by=…, group(sort=…, n=…))`: per-key top-n —
+    * each `by` group keeps its first `n` tuples under `sort` (remaining
+    * schema fields ASC as the pinned tie-break). */
+  final case class ReduceNode(child: Node, by: Seq[String],
+                              sort: Seq[(String, Boolean)], n: Int) extends Node {
+    def schema: Seq[String] = child.schema
+  }
+
   final case class FetchNode(child: Node, fl: Seq[String],
                              on: String) extends Node {
     def schema: Seq[String] = child.schema ++ fl
@@ -171,6 +189,21 @@ object StreamExpr {
           named.getOrElse("fl", fail("fetch requires fl=\"…\""))
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq,
           named.getOrElse("on", fail("fetch requires on=\"…\"")))
+      case "having" =>
+        require(args.size == 2, "having(stream, booleanEvaluator)")
+        HavingNode(parseNode(args.head), parsePred(args(1)))
+      case "reduce" =>
+        require(args.size == 3, "reduce(stream, by=\"…\", group(sort=\"…\", n=…))")
+        val by = namedArgs(Seq(args(1))).getOrElse("by", fail("reduce requires by=\"…\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val g = args(2).trim
+        require(g.startsWith("group(") && g.endsWith(")"),
+          s"reduce's 3rd arg must be group(sort=\"…\", n=…), got '$g'")
+        val gNamed = namedArgs(splitTop(g.substring(6, g.length - 1)))
+        val n = gNamed.getOrElse("n", fail("reduce group requires n=")).toInt
+        require(n > 0, s"reduce group n must be positive (got $n)")
+        ReduceNode(parseNode(args.head), by,
+          parseSort(gNamed.getOrElse("sort", fail("reduce group requires sort=\"…\""))), n)
       case "top" =>
         require(args.size == 3, "top(stream, n=…, sort=\"…\")")
         val named = namedArgs(args.tail)
@@ -222,6 +255,29 @@ object StreamExpr {
         case _ => fail(s"malformed sort clause '$part'")
       }
     }
+
+  private def parsePred(s0: String): Pred = {
+    val s = s0.trim
+    val open = s.indexOf('(')
+    require(open > 0 && s.endsWith(")"), s"malformed boolean evaluator '$s'")
+    val args = splitTop(s.substring(open + 1, s.length - 1))
+    s.substring(0, open).trim match {
+      case "and" => require(args.size >= 2, "and(p, p, …)"); AndPred(args.map(parsePred))
+      case "or"  => require(args.size >= 2, "or(p, p, …)"); OrPred(args.map(parsePred))
+      case "not" => require(args.size == 1, "not(p)"); NotPred(parsePred(args.head))
+      case op @ ("eq" | "gt" | "lt" | "gteq" | "lteq") =>
+        require(args.size == 2, s"$op(field, value)")
+        Cmp(op, args.head.trim, args(1).trim.toDouble)
+      case other => fail(s"unknown boolean evaluator '$other'")
+    }
+  }
+
+  private def predFields(p: Pred): Seq[String] = p match {
+    case Cmp(_, f, _) => Seq(f)
+    case AndPred(ps)  => ps.flatMap(predFields)
+    case OrPred(ps)   => ps.flatMap(predFields)
+    case NotPred(q)   => predFields(q)
+  }
 
   private val MetricRe = "(count|sum|min|max|avg)\\(\\s*([*a-z_][a-z0-9_]*|\\*)\\s*\\)".r
   private def parseMetric(s: String): Metric = s.trim match {
@@ -293,6 +349,17 @@ object StreamExpr {
         .intersect(r.schema.filterNot(on.contains))
       require(clash.isEmpty,
         s"leftOuterJoin non-key columns collide: ${clash.mkString(", ")}")
+    case HavingNode(c, p) =>
+      validate(c)
+      predFields(p).foreach(f => require(c.schema.contains(f),
+        s"having field '$f' not in stream schema ${c.schema.mkString(", ")}"))
+    case ReduceNode(c, by, sort, _) =>
+      validate(c)
+      require(by.nonEmpty, "reduce needs by=")
+      (by ++ sort.map(_._1)).foreach(f => require(c.schema.contains(f),
+        s"reduce field '$f' not in stream schema"))
+      require(by.size < c.schema.size,
+        "reduce over the whole schema keeps every tuple — drop a key")
     case FetchNode(c, fl, on) =>
       validate(c)
       require(on == "doc_id", s"fetch joins on the doc key (on=\"doc_id\"), got '$on'")
@@ -353,6 +420,28 @@ object StreamExpr {
       val attrs = idx.io.read(idx.spark, idx.paths.docs)
         .select((on +: fl).map(col): _*)
       render(idx, c).join(attrs, on).select(f.schema.map(col): _*)
+    case HavingNode(c, p) =>
+      def pc(q: Pred): org.apache.spark.sql.Column = q match {
+        case Cmp("eq", f, v)   => col(f) === v
+        case Cmp("gt", f, v)   => col(f) > v
+        case Cmp("lt", f, v)   => col(f) < v
+        case Cmp("gteq", f, v) => col(f) >= v
+        case Cmp("lteq", f, v) => col(f) <= v
+        case Cmp(op, _, _)     => sys.error(s"unreachable cmp '$op'")
+        case AndPred(ps)       => ps.map(pc).reduce(_ && _)
+        case OrPred(ps)        => ps.map(pc).reduce(_ || _)
+        case NotPred(q2)       => !pc(q2)
+      }
+      render(idx, c).where(pc(p))
+    case rd @ ReduceNode(c, by, sort, n) =>
+      val keys = sort.map { case (f, asc) =>
+        if (asc) col(f).asc else col(f).desc } ++
+        rd.schema.filterNot(f => sort.exists(_._1 == f) || by.contains(f))
+          .map(col(_).asc)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(by.map(col): _*).orderBy(keys: _*)
+      render(idx, c).withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= n).select(rd.schema.map(col): _*)
   }
 
   // ------------------------------------------------------- oracle render
@@ -415,6 +504,30 @@ object StreamExpr {
          |${sql(c)}
          |) JOIN (SELECT ${(on +: fl).mkString(", ")} FROM docsattrs)
          |USING ($on)""".stripMargin
+    case HavingNode(c, p) =>
+      def ps(q: Pred): String = q match {
+        case Cmp("eq", f, v)   => s"$f = $v"
+        case Cmp("gt", f, v)   => s"$f > $v"
+        case Cmp("lt", f, v)   => s"$f < $v"
+        case Cmp("gteq", f, v) => s"$f >= $v"
+        case Cmp("lteq", f, v) => s"$f <= $v"
+        case Cmp(op, _, _)     => sys.error(s"unreachable cmp '$op'")
+        case AndPred(qs)       => qs.map(x => s"(${ps(x)})").mkString(" AND ")
+        case OrPred(qs)        => qs.map(x => s"(${ps(x)})").mkString(" OR ")
+        case NotPred(q2)       => s"NOT (${ps(q2)})"
+      }
+      s"""SELECT * FROM (
+         |${sql(c)}
+         |) WHERE ${ps(p)}""".stripMargin
+    case rd @ ReduceNode(c, by, sort, n) =>
+      val keys = sort.map { case (f, asc) => sqlKey(f, asc) } ++
+        rd.schema.filterNot(f => sort.exists(_._1 == f) || by.contains(f))
+          .map(sqlKey(_, asc = true))
+      s"""SELECT ${rd.schema.mkString(", ")} FROM (
+         |SELECT *, row_number() OVER (PARTITION BY ${by.mkString(", ")}
+         |  ORDER BY ${keys.mkString(", ")}) AS _rn FROM (
+         |${sql(c)}
+         |)) WHERE _rn <= $n""".stripMargin
   }
 
   /** SQL sort key pinned to Spark's NULL placement: asc ⇒ NULLS FIRST,

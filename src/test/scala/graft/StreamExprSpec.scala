@@ -118,4 +118,38 @@ class StreamExprSpec extends SparkSpec {
     assert(sqlStr.contains("GROUP BY role") && sqlStr.contains("term IN ('bee')")
       && sqlStr.contains("docsattrs"))
   }
+
+  test("having: boolean evaluator filters; nested and/or/not; guards") {
+    // conv counts for "bee": c0 docs {0,1}, c1 doc {2} → gt(n_tuples,1)
+    // keeps only c0
+    val got = StreamExpr.run(idx,
+      """having(rollup(search(t, q="bee", fl="doc_id,conv_id", sort="doc_id asc"), over="conv_id", count(*)), gt(n_tuples, 1))""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("c0", 2L)))
+    // or + not compose
+    val got2 = StreamExpr.run(idx,
+      """having(rollup(search(t, q="bee", fl="doc_id,conv_id", sort="doc_id asc"), over="conv_id", count(*)), or(not(gt(n_tuples, 1)), eq(n_tuples, 2)))""")
+      .collect().map(_.getString(0)).toSet
+    assert(got2 == Set("c0", "c1"))
+    intercept[IllegalArgumentException](parse(
+      """having(search(t, q="bee", fl="doc_id", sort="doc_id asc"), gt(nope, 1))"""))
+    intercept[IllegalArgumentException](parse(
+      """having(search(t, q="bee", fl="doc_id", sort="doc_id asc"), between(doc_id, 1))"""))
+  }
+
+  test("reduce: per-key top-n under group sort with pinned tie-break") {
+    // "cat" hits docs 1 (c0, dl=3), 2 (c1, dl=3), 3 (c1, dl=7):
+    // by=conv_id, sort=dl desc, n=1 → c0 keeps doc 1, c1 keeps doc 3
+    val got = StreamExpr.run(idx,
+      """reduce(search(t, q="cat", fl="doc_id,conv_id,dl", sort="doc_id asc"), by="conv_id", group(sort="dl desc", n=1))""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq((1L, "c0"), (3L, "c1")))
+    // n=2 keeps both c1 docs
+    val got2 = StreamExpr.run(idx,
+      """reduce(search(t, q="cat", fl="doc_id,conv_id,dl", sort="doc_id asc"), by="conv_id", group(sort="dl desc", n=2))""")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException](parse(
+      """reduce(search(t, q="cat", fl="doc_id", sort="doc_id asc"), by="doc_id", group(sort="doc_id asc", n=1))"""))
+  }
 }
