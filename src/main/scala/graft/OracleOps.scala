@@ -334,6 +334,36 @@ object OracleOps {
        |FROM a LEFT JOIN b USING (doc_id)
        |ORDER BY a.doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.substringSpans]] — identical md5 window
+    * key, ≥ 2-occurrences rule, and p′ − p ≤ k island merge (NULL lag
+    * falls to the new-island branch in both engines). */
+  def substringSpans(k: Int, injectMod: Int, injectText: String): String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, CASE WHEN doc_id % $injectMod = 0
+       |           THEN '$injectText ' || text ELSE text END AS text
+       |  FROM documents),
+       |$tkCte,
+       |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |             md5(array_to_string(toks[i:i+${k - 1}], ' ')) AS gh
+       |      FROM (SELECT doc_id, toks,
+       |              unnest(range(1, len(toks) - $k + 2)) AS i
+       |            FROM tk WHERE len(toks) >= $k)),
+       |d AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |m AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM d)),
+       |b AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |               <= $k THEN 0 ELSE 1 END AS brk
+       |      FROM m),
+       |s AS (SELECT doc_id, pos,
+       |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+       |      FROM b)
+       |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       |       CAST(max(pos) + ${k - 1} AS INT) AS span_end,
+       |       CAST(max(pos) - min(pos) + $k AS INT) AS span_tokens,
+       |       CAST(count(*) AS INT) AS n_windows
+       |FROM s GROUP BY doc_id, gid
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** Twin of [[graft.ops.TextOps.repetition]] (Gopher duplicate-n-gram
     * fraction; dup_frac rounded from the RAW ratio in both engines). */
   def repetition(n: Int, maxDupFrac: Double): String =

@@ -31,6 +31,12 @@ object SparkEntry {
     * tokens so span windows stay aligned after the prepend. */
   val LineDedupSpan = "the quick brown fox jumps over the lazy dog again"
 
+  /** 12 analyzed tokens — longer than the q_dedup_substring window k = 8,
+    * so the injected prefix surfaces as ONE merged maximal span per doc
+    * (5 overlapping duplicated windows → island [0, 11]). */
+  val SubstrDedupSpan =
+    "pack my box with five dozen liquor jugs before the auction starts"
+
   /** Streaming-expression gate requests — each string is parsed ONCE by
     * [[graft.search.StreamExpr]] and the same AST renders the engine
     * plan and the oracle SQL. */
@@ -793,6 +799,14 @@ object SparkEntry {
         when(col("doc_id") % 11 === 0,
           concat(lit(LineDedupSpan + " "), col("text")))
           .otherwise(col("text"))), 10)),
+    // ExactSubstr span-dedup geometry (Lee et al. 2022): docs ≡ 0 mod 7
+    // share an injected 12-token prefix — every maximal ≥ 8-token
+    // duplicated span in the corpus is reported with its token extent
+    "q_dedup_substring" -> ((s, dir) => TextOps.substringSpans(
+      documents(s, dir).withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit(SubstrDedupSpan + " "), col("text")))
+          .otherwise(col("text"))), 8)),
     // PII redaction over a deterministically injected corpus (docs ≡ 0
     // mod 3 gain an email + E.164 phone; the rest pin the no-match path)
     "q_redact_pii" -> ((s, dir) => TextOps.redactPii(
@@ -1790,6 +1804,7 @@ object SparkEntry {
       10, conjunctive = false),
     "q_pack_context" -> Oracle.packGreedy(128),
     "q_line_dedup" -> OracleOps.lineDedup(10, 11, LineDedupSpan),
+    "q_dedup_substring" -> OracleOps.substringSpans(8, 7, SubstrDedupSpan),
     "q_bm25_frange" -> {
       val fnSql = graft.search.FunctionQuery.toSql(
         graft.search.FunctionQuery.parse("recip(dl,1,10,10)"),

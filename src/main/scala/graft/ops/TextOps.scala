@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.analysis.Analyzer
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over
@@ -1009,5 +1010,62 @@ object TextOps {
       .withColumn("keep",
         col("n_feats") > 0 && col("score") >= threshold)
       .orderBy("doc_id")
+  }
+
+  /** EXACT-SUBSTRING span dedup geometry (ExactSubstr semantics of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 [PUB]): report, per doc, the MAXIMAL token spans covered by any
+    * k-token window whose text occurs ≥ 2 times ANYWHERE in the corpus
+    * (a second doc or a self-repeat — both dedupe, as in the paper). The
+    * paper builds a corpus-wide suffix array; the distributed re-shape is
+    * the k-gram inversion the index build already uses: explode every
+    * overlapping k-token window (the suffix-array match floor — a
+    * duplicated substring of length ≥ k contains a duplicated k-window,
+    * so coverage is EXACTLY the paper's ≥ k-token duplicated regions),
+    * count occurrences with one hash-keyed groupBy, and merge surviving
+    * window starts into maximal spans with per-doc gaps-and-islands
+    * (windows at p, p′ merge iff p′ − p ≤ k: overlapping or exactly
+    * adjacent coverage).
+    *
+    * Scale shape: the groupBy keys on md5(window text) — a fixed 32-char
+    * key rides the shuffle instead of k tokens, and a million-fold
+    * duplicated window partial-aggregates to one count per partition
+    * (no hot task). The only other shuffles are the left-semi back-join
+    * on the same key and the per-doc window (keyed on doc_id — bounded
+    * by doc length, never corpus-wide). An md5 collision would merge two
+    * distinct windows identically in both engines (the twin hashes the
+    * same string), so the oracle gate stays bit-exact.
+    *
+    * @return (doc_id, span_start, span_end, span_tokens, n_windows) —
+    *         0-based token positions, end inclusive; one row per maximal
+    *         duplicated span, docs with none absent. */
+  def substringSpans(corpus: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"window length must be positive (got $k)")
+    val toks = Analyzer.tokens(col("text"))
+    val grams = corpus
+      .select(col("doc_id"), toks.as("_toks"))
+      .where(size(col("_toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("_toks")) - k),
+        i => md5(array_join(slice(col("_toks"), i + 1, lit(k)), " ")))))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        col("col").as("gh"))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= 2).select("gh")
+    val marked = grams.join(dup, Seq("gh"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("_brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0).otherwise(1))
+      .withColumn("_gid", sum(col("_brk")).over(w))
+      .groupBy(col("doc_id"), col("_gid"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).cast("int").as("span_end"),
+        count(lit(1)).cast("int").as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int")
+          .as("span_tokens"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
   }
 }
