@@ -52,6 +52,16 @@ object SparkEntry {
     """having(rollup(search(transcripts, q="spark merge window", fl="doc_id,conv_id,dl", sort="doc_id asc"), over="conv_id", count(*), sum(dl)), and(gt(n_tuples, 1), not(lt(sum_dl, 20))))"""
   val StreamReduceExpr: String =
     """reduce(search(transcripts, q="merge window batch", fl="doc_id,conv_id,role,dl", sort="doc_id asc"), by="conv_id", group(sort="dl desc", n=2))"""
+  val StreamMergeExpr: String =
+    """merge(search(transcripts, q="spark window", fl="doc_id,role,dl", sort="doc_id asc"), search(transcripts, q="batch vector", fl="doc_id,role,dl", sort="doc_id asc"), on="doc_id asc")"""
+  val StreamIntersectExpr: String =
+    """intersect(search(transcripts, q="spark merge", fl="doc_id,conv_id,dl", sort="doc_id asc"), search(transcripts, q="window batch", fl="doc_id,conv_id", sort="doc_id asc"), on="conv_id")"""
+  val StreamComplementExpr: String =
+    """complement(search(transcripts, q="spark merge", fl="doc_id,conv_id,dl", sort="doc_id asc"), search(transcripts, q="window batch", fl="doc_id,conv_id", sort="doc_id asc"), on="doc_id")"""
+  val StreamFacetExpr: String =
+    """facet(transcripts, q="spark merge window", buckets="role,tool", bucketSorts="n_tuples desc", bucketSizeLimit=5, count(*), sum(dl), avg(dl))"""
+  val StreamStatsExpr: String =
+    """stats(transcripts, q="spark merge window", count(*), sum(dl), min(dl), max(dl), avg(dl))"""
 
   /** Fielded-clause query set (Lucene `field:term` syntax composed into
     * the boolean grammar): attr musts/nots/shoulds, a fielded boost, and
@@ -1390,6 +1400,21 @@ object SparkEntry {
     // streaming expressions: reduce keeps each group's top-n under sort
     "q_stream_reduce" -> ((s, dir) =>
       graft.search.StreamExpr.run(indexFor(s, dir), StreamReduceExpr)),
+    // streaming expressions: merge unions two same-schema search streams
+    "q_stream_merge" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamMergeExpr)),
+    // streaming expressions: intersect/complement — semi/anti join of two
+    // match-set streams on the conversation key
+    "q_stream_intersect" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamIntersectExpr)),
+    "q_stream_complement" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamComplementExpr)),
+    // streaming expressions: facet desugars to search → rollup → top
+    "q_stream_facet" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamFacetExpr)),
+    // streaming expressions: stats — global bucketless metrics
+    "q_stream_stats" -> ((s, dir) =>
+      graft.search.StreamExpr.run(indexFor(s, dir), StreamStatsExpr)),
     // RealTimeGet over the SEGMENTED index — the live (upsert/tombstone-
     // aware) doc attrs between compactions; text not stored per-segment
     "q_doc_get_segmented" -> ((s, dir) =>
@@ -1900,6 +1925,11 @@ object SparkEntry {
     "q_stream_join_top" -> Oracle.streamExpr(StreamJoinExpr),
     "q_stream_unique" -> Oracle.streamExpr(StreamUniqueExpr),
     "q_stream_fetch" -> Oracle.streamExpr(StreamFetchExpr),
+    "q_stream_merge" -> Oracle.streamExpr(StreamMergeExpr),
+    "q_stream_intersect" -> Oracle.streamExpr(StreamIntersectExpr),
+    "q_stream_complement" -> Oracle.streamExpr(StreamComplementExpr),
+    "q_stream_facet" -> Oracle.streamExpr(StreamFacetExpr),
+    "q_stream_stats" -> Oracle.streamExpr(StreamStatsExpr),
     "q_stream_having" -> Oracle.streamExpr(StreamHavingExpr),
     "q_stream_reduce" -> Oracle.streamExpr(StreamReduceExpr),
     "q_doc_update" -> Oracle.getDocsUpdated(GetKeys, AtomicSets),

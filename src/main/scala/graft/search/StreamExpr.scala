@@ -38,7 +38,19 @@ import org.apache.spark.sql.functions._
   *   - `fetch(collection, stream, fl="a,b", on="doc_id")` — re-joins
   *     stored fields onto a stream that still carries the key (Solr's
   *     post-decorator field fetch; an inner join — every stream key is a
-  *     real doc by construction).
+  *     real doc by construction);
+  *   - `merge(left, right, on="f asc")` — union of two same-schema
+  *     streams re-sorted on the merge keys (UNION ALL row-set contract;
+  *     Solr's incremental merge-sort is an ordering detail);
+  *   - `intersect(left, right, on="k")` / `complement(left, right,
+  *     on="k")` — left tuples whose key does / does not appear in right
+  *     (semi / anti join; right-side multiplicity never duplicates left);
+  *   - `facet(collection, q="…", buckets="a,b", bucketSorts="m desc",
+  *     bucketSizeLimit=n, metric…)` — pure parse-time DESUGAR into
+  *     search → rollup → top (Solr's facet stream IS aggregation
+  *     pushdown; no new render path, no drift seam);
+  *   - `stats(collection, q="…", metric…)` — bucketless facet: global
+  *     metrics over the match set, exactly one tuple.
   *
   * NULL-ordering pin: every rendered SQL sort key carries an explicit
   * NULLS FIRST (asc) / NULLS LAST (desc) matching Spark's defaults, so a
@@ -124,6 +136,30 @@ object StreamExpr {
   final case class FetchNode(child: Node, fl: Seq[String],
                              on: String) extends Node {
     def schema: Seq[String] = child.schema ++ fl
+  }
+  /** Solr `merge(left, right, on="f asc")`: union of two streams with the
+    * same schema, re-sorted on the merge keys (row-set contract: UNION
+    * ALL — Solr's streaming merge-sort is an ordering detail here). */
+  final case class MergeNode(left: Node, right: Node,
+                             on: Seq[(String, Boolean)]) extends Node {
+    def schema: Seq[String] = left.schema
+  }
+  /** Solr `intersect(left, right, on="k")`: left tuples whose key appears
+    * in right (semi join — right multiplicity never duplicates left). */
+  final case class IntersectNode(left: Node, right: Node,
+                                 on: Seq[String]) extends Node {
+    def schema: Seq[String] = left.schema
+  }
+  /** Solr `complement(left, right, on="k")`: left tuples whose key does
+    * NOT appear in right (anti join). */
+  final case class ComplementNode(left: Node, right: Node,
+                                  on: Seq[String]) extends Node {
+    def schema: Seq[String] = left.schema
+  }
+  /** Solr `stats(collection, q=…, metric…)` — global (bucketless) metrics
+    * over the match set; always exactly one output tuple. */
+  final case class StatsNode(child: Node, metrics: Seq[Metric]) extends Node {
+    def schema: Seq[String] = metrics.map(_.outName)
   }
 
   // ---------------------------------------------------------------- parse
@@ -211,6 +247,58 @@ object StreamExpr {
         require(n > 0, s"top n must be positive (got $n)")
         TopNode(parseNode(args.head), n,
           parseSort(named.getOrElse("sort", fail("top requires sort=\"…\""))))
+      case "merge" =>
+        require(args.size == 3, "merge(left, right, on=\"f asc[, …]\")")
+        MergeNode(parseNode(args(0)), parseNode(args(1)),
+          parseSort(namedArgs(Seq(args(2)))
+            .getOrElse("on", fail("merge requires on=\"…\""))))
+      case "intersect" | "complement" =>
+        require(args.size == 3, s"$name(left, right, on=\"…\")")
+        val on = namedArgs(Seq(args(2)))
+          .getOrElse("on", fail(s"$name requires on=\"…\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (name == "intersect")
+          IntersectNode(parseNode(args(0)), parseNode(args(1)), on)
+        else ComplementNode(parseNode(args(0)), parseNode(args(1)), on)
+      case "facet" =>
+        // Pure DESUGAR into search → rollup → top: the facet stream IS
+        // Solr's aggregation pushdown, which rollup-over-the-match-set
+        // already expresses — no new render path, no drift seam.
+        require(args.size >= 6,
+          "facet(collection, q=…, buckets=…, bucketSorts=…, bucketSizeLimit=…, metric[, …])")
+        val isNamed = (a: String) =>
+          a.matches("(?s)\\s*(q|buckets|bucketSorts|bucketSizeLimit)\\s*=.*")
+        val (named0, metricArgs) = args.tail.partition(isNamed)
+        val named = namedArgs(named0)
+        val buckets = named.getOrElse("buckets", fail("facet requires buckets=\"…\""))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(buckets.nonEmpty, "facet buckets= is empty")
+        val ms = metricArgs.map(parseMetric)
+        val limit = named.getOrElse("bucketSizeLimit",
+          fail("facet requires bucketSizeLimit=")).toInt
+        require(limit > 0, s"facet bucketSizeLimit must be positive (got $limit)")
+        val needed = (buckets ++ ms.collect { case MSum(f) => f; case MMin(f) => f
+          case MMax(f) => f; case MAvg(f) => f }).distinct
+        TopNode(
+          RollupNode(
+            SearchNode(named.getOrElse("q", fail("facet requires q=\"…\"")),
+              needed, Seq(needed.head -> true)),
+            buckets, ms),
+          limit,
+          parseSort(named.getOrElse("bucketSorts",
+            fail("facet requires bucketSorts=\"…\""))))
+      case "stats" =>
+        // Desugar: a bucketless facet — global metrics over the match set.
+        require(args.size >= 3, "stats(collection, q=…, metric[, …])")
+        val (named0, metricArgs) = args.tail.partition(
+          _.matches("(?s)\\s*q\\s*=.*"))
+        val ms = metricArgs.map(parseMetric)
+        val fields = ms.collect { case MSum(f) => f; case MMin(f) => f
+          case MMax(f) => f; case MAvg(f) => f }.distinct
+        val fl = if (fields.nonEmpty) fields else Seq("doc_id")
+        StatsNode(
+          SearchNode(namedArgs(named0).getOrElse("q",
+            fail("stats requires q=\"…\"")), fl, Seq(fl.head -> true)), ms)
       case other => fail(s"unknown stream function '$other'")
     }
   }
@@ -360,6 +448,31 @@ object StreamExpr {
         s"reduce field '$f' not in stream schema"))
       require(by.size < c.schema.size,
         "reduce over the whole schema keeps every tuple — drop a key")
+    case m @ MergeNode(l, r, on) =>
+      validate(l); validate(r)
+      require(on.nonEmpty, "merge needs on=")
+      require(l.schema.toSet == r.schema.toSet,
+        s"merge schemas differ: ${l.schema.mkString(",")} vs ${r.schema.mkString(",")}")
+      on.foreach { case (f, _) => require(m.schema.contains(f),
+        s"merge key '$f' not in stream schema") }
+    case IntersectNode(l, r, on) =>
+      validate(l); validate(r)
+      require(on.nonEmpty, "intersect needs on=")
+      on.foreach(k => require(l.schema.contains(k) && r.schema.contains(k),
+        s"intersect key '$k' missing from a side"))
+    case ComplementNode(l, r, on) =>
+      validate(l); validate(r)
+      require(on.nonEmpty, "complement needs on=")
+      on.foreach(k => require(l.schema.contains(k) && r.schema.contains(k),
+        s"complement key '$k' missing from a side"))
+    case StatsNode(c, ms) =>
+      validate(c)
+      require(ms.nonEmpty, "stats needs ≥1 metric")
+      ms.collect { case MSum(f) => f; case MMin(f) => f
+        case MMax(f) => f; case MAvg(f) => f }
+        .foreach(f => require(c.schema.contains(f),
+          s"stats field '$f' not in stream schema"))
+      require(ms.map(_.outName).distinct.size == ms.size, "duplicate stats metrics")
     case FetchNode(c, fl, on) =>
       validate(c)
       require(on == "doc_id", s"fetch joins on the doc key (on=\"doc_id\"), got '$on'")
@@ -442,6 +555,28 @@ object StreamExpr {
         .partitionBy(by.map(col): _*).orderBy(keys: _*)
       render(idx, c).withColumn("_rn", row_number().over(w))
         .where(col("_rn") <= n).select(rd.schema.map(col): _*)
+    case m @ MergeNode(l, r, on) =>
+      render(idx, l).select(m.schema.map(col): _*)
+        .union(render(idx, r).select(m.schema.map(col): _*))
+        .orderBy(on.map { case (f, asc) =>
+          if (asc) col(f).asc else col(f).desc }: _*)
+    case i @ IntersectNode(l, r, on) =>
+      render(idx, l).join(
+        render(idx, r).select(on.map(col): _*).distinct(), on, "left_semi")
+        .select(i.schema.map(col): _*)
+    case cn @ ComplementNode(l, r, on) =>
+      render(idx, l).join(
+        render(idx, r).select(on.map(col): _*).distinct(), on, "left_anti")
+        .select(cn.schema.map(col): _*)
+    case StatsNode(c, ms) =>
+      val aggs = ms.map {
+        case MCount  => count(lit(1)).as("n_tuples")
+        case MSum(f) => sum(col(f)).cast("long").as(s"sum_$f")
+        case MMin(f) => min(col(f)).as(s"min_$f")
+        case MMax(f) => max(col(f)).as(s"max_$f")
+        case MAvg(f) => avg(col(f)).as(s"avg_$f")
+      }
+      render(idx, c).agg(aggs.head, aggs.tail: _*)
   }
 
   // ------------------------------------------------------- oracle render
@@ -528,6 +663,35 @@ object StreamExpr {
          |  ORDER BY ${keys.mkString(", ")}) AS _rn FROM (
          |${sql(c)}
          |)) WHERE _rn <= $n""".stripMargin
+    case m @ MergeNode(l, r, on) =>
+      s"""SELECT ${m.schema.mkString(", ")} FROM (
+         |(${sql(l)})
+         |UNION ALL
+         |(SELECT ${m.schema.mkString(", ")} FROM (
+         |${sql(r)}
+         |))
+         |) ORDER BY ${on.map { case (f, a) => sqlKey(f, a) }.mkString(", ")}""".stripMargin
+    case i @ IntersectNode(l, r, on) =>
+      s"""SELECT ${i.schema.mkString(", ")} FROM (
+         |${sql(l)}
+         |) JOIN (SELECT DISTINCT ${on.mkString(", ")} FROM (
+         |${sql(r)}
+         |)) USING (${on.mkString(", ")})""".stripMargin
+    case cn @ ComplementNode(l, r, on) =>
+      s"""SELECT ${cn.schema.mkString(", ")} FROM (
+         |${sql(l)}
+         |) LEFT JOIN (SELECT DISTINCT ${on.mkString(", ")}, 1 AS _hit FROM (
+         |${sql(r)}
+         |)) USING (${on.mkString(", ")}) WHERE _hit IS NULL""".stripMargin
+    case StatsNode(c, ms) =>
+      val aggs = ms.map {
+        case MCount  => "count(*)::BIGINT AS n_tuples"
+        case MSum(f) => s"CAST(sum($f) AS BIGINT) AS sum_$f"
+        case MMin(f) => s"min($f) AS min_$f"
+        case MMax(f) => s"max($f) AS max_$f"
+        case MAvg(f) => s"CAST(sum($f) AS DOUBLE) / count(*) AS avg_$f"
+      }
+      s"SELECT ${aggs.mkString(", ")} FROM (\n${sql(c)}\n)"
   }
 
   /** SQL sort key pinned to Spark's NULL placement: asc ⇒ NULLS FIRST,

@@ -152,4 +152,61 @@ class StreamExprSpec extends SparkSpec {
     intercept[IllegalArgumentException](parse(
       """reduce(search(t, q="cat", fl="doc_id", sort="doc_id asc"), by="doc_id", group(sort="doc_id asc", n=1))"""))
   }
+
+  test("merge: UNION ALL of same-schema streams, duplicates kept; schema guard") {
+    // bee → docs 0,1,2; cat → docs 1,2,3: the union keeps both copies of
+    // the overlap (UNION ALL row-set contract)
+    val got = StreamExpr.run(idx,
+      """merge(search(t, q="bee", fl="doc_id,dl", sort="doc_id asc"), search(t, q="cat", fl="doc_id,dl", sort="doc_id asc"), on="doc_id asc")""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 1L, 2L, 2L, 3L))
+    intercept[IllegalArgumentException](parse(
+      """merge(search(t, q="bee", fl="doc_id,dl", sort="doc_id asc"), search(t, q="cat", fl="doc_id,role", sort="doc_id asc"), on="doc_id asc")"""))
+    intercept[IllegalArgumentException](parse(
+      """merge(search(t, q="bee", fl="doc_id", sort="doc_id asc"), search(t, q="cat", fl="doc_id", sort="doc_id asc"), on="dl asc")"""))
+  }
+
+  test("intersect / complement: semi and anti join on the stream key") {
+    // bee → docs 0,1,2; dog → docs 2,3,4
+    val semi = StreamExpr.run(idx,
+      """intersect(search(t, q="bee", fl="doc_id,dl", sort="doc_id asc"), search(t, q="dog", fl="doc_id", sort="doc_id asc"), on="doc_id")""")
+      .collect().map(_.getLong(0)).toSet
+    assert(semi == Set(2L))
+    val anti = StreamExpr.run(idx,
+      """complement(search(t, q="bee", fl="doc_id,dl", sort="doc_id asc"), search(t, q="dog", fl="doc_id", sort="doc_id asc"), on="doc_id")""")
+      .collect().map(_.getLong(0)).toSet
+    assert(anti == Set(0L, 1L))
+    // conv-keyed: bee's convs are c0,c1; dog's are c1,c2 → semi keeps the
+    // c1 doc (2), anti the c0 docs (0, 1); right multiplicity (two dog
+    // docs in c1) must NOT duplicate the left tuple
+    val semiConv = StreamExpr.run(idx,
+      """intersect(search(t, q="bee", fl="doc_id,conv_id", sort="doc_id asc"), search(t, q="dog", fl="doc_id,conv_id", sort="doc_id asc"), on="conv_id")""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(semiConv == Seq(2L))
+    intercept[IllegalArgumentException](parse(
+      """intersect(search(t, q="bee", fl="doc_id", sort="doc_id asc"), search(t, q="dog", fl="doc_id", sort="doc_id asc"), on="conv_id")"""))
+  }
+
+  test("facet: desugars to search→rollup→top; stats: one global tuple") {
+    // cat → docs 1 (assistant, 3), 2 (user, 3), 3 (assistant, 7)
+    val f = parse(
+      """facet(t, q="cat", buckets="role", bucketSorts="n_tuples desc", bucketSizeLimit=2, count(*), sum(dl))""")
+    assert(f == TopNode(
+      RollupNode(SearchNode("cat", Seq("role", "dl"), Seq(("role", true))),
+        Seq("role"), Seq(MCount, MSum("dl"))),
+      2, Seq(("n_tuples", false))))
+    val fr = StreamExpr.run(idx,
+      """facet(t, q="cat", buckets="role", bucketSorts="n_tuples desc", bucketSizeLimit=2, count(*), sum(dl))""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fr == Seq(("assistant", 2L, 10L), ("user", 1L, 3L)))
+    val st = StreamExpr.run(idx,
+      """stats(t, q="cat", count(*), sum(dl), min(dl), max(dl), avg(dl))""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getDouble(4))).toSeq
+    assert(st == Seq((3L, 13L, 3, 7, 13.0 / 3)))
+    intercept[IllegalArgumentException](parse(
+      """facet(t, q="cat", buckets="role", bucketSorts="n_tuples desc", count(*))"""))
+    intercept[IllegalArgumentException](parse(
+      """stats(t, q="cat", sum(nope))"""))
+  }
 }
