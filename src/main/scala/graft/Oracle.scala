@@ -1372,6 +1372,54 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.Clustering.clusters]]: BM25 top-k per query
+    * ([[bm25TopK]]'s scored/ranked CTEs verbatim), label = each hit doc's
+    * (min df, then min term) dictionary term, clusters grouped per
+    * (query, label) with the < minClusterSize remainder folded into one
+    * `__other__` bucket per query. */
+  def bm25Clusters(corpusSql: String, queries: Seq[(Int, String)], k: Int,
+                   minClusterSize: Int): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored),
+       |topk AS (SELECT query_id, doc_id FROM ranked WHERE rnk <= $k),
+       |docterms AS (SELECT DISTINCT doc_id, term FROM tf
+       |             WHERE doc_id IN (SELECT doc_id FROM topk)),
+       |lab AS (SELECT doc_id, term AS label FROM (
+       |          SELECT dt.doc_id, dt.term,
+       |                 row_number() OVER (PARTITION BY dt.doc_id
+       |                                    ORDER BY df.df ASC, dt.term ASC) AS rn
+       |          FROM docterms dt JOIN df USING (term)) WHERE rn = 1),
+       |labeled AS (SELECT t.query_id, t.doc_id, l.label
+       |            FROM topk t JOIN lab l USING (doc_id)),
+       |g AS (SELECT query_id, label, count(*)::INT AS n_docs,
+       |             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+       |      FROM labeled GROUP BY query_id, label),
+       |big AS (SELECT * FROM g WHERE n_docs >= $minClusterSize),
+       |small AS (SELECT l.query_id, l.doc_id FROM labeled l
+       |          LEFT JOIN big b ON l.query_id = b.query_id AND l.label = b.label
+       |          WHERE b.label IS NULL),
+       |oth AS (SELECT query_id, '__other__' AS label, count(*)::INT AS n_docs,
+       |               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs
+       |        FROM small GROUP BY query_id)
+       |SELECT query_id, label, n_docs, docs FROM big
+       |UNION ALL
+       |SELECT query_id, label, n_docs, docs FROM oth
+       |ORDER BY query_id, n_docs DESC, label""".stripMargin
+
   /** Disjunctive top-k under a pluggable similarity — [[bm25TopK]]'s
     * shape with the per-(term, doc) score expression supplied by the
     * model itself ([[graft.search.Similarities.SimilarityModel.sqlTermScore]]),

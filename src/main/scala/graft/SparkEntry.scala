@@ -761,6 +761,10 @@ object SparkEntry {
     // (varint decode path) — same oracle as the inline pipeline
     "q_bm25_index" -> ((s, dir) =>
       IndexSearch.search(indexFor(s, dir), DisjQueries)),
+    // Solr ClusteringComponent analog: label-driven clusters over each
+    // query's top-10 (label = rarest dictionary term, __other__ bucket)
+    "q_bm25_cluster" -> ((s, dir) =>
+      graft.search.Clustering.clusters(indexFor(s, dir), DisjQueries)),
     // E4: block-max WAND fast path over the persisted index
     "q_bm25_wand" -> ((s, dir) =>
       IndexSearch.searchWand(indexFor(s, dir), DisjQueries)),
@@ -1748,6 +1752,7 @@ object SparkEntry {
     "q_docids_transcripts" -> Oracle.docIdsTranscripts,
     "q_bm25_transcripts" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_index" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
+    "q_bm25_cluster" -> Oracle.bm25Clusters(Oracle.transcriptsCorpus, DisjQueries, 10, 2),
     "q_bm25_wand" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_bm25_maxscore" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_lmdirichlet" -> Oracle.simTopK(Oracle.transcriptsCorpus, DisjQueries, 10, Similarities.LMDirichlet()),
