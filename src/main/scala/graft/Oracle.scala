@@ -1209,6 +1209,67 @@ object Oracle {
     bm25Expanded(corpusSql, litValues, expSelects, k)
   }
 
+  /** Twin of [[graft.search.MultiTerm.searchTermRange]]: each
+    * `[lo TO hi]` / `{lo TO hi}` range expands against the df relation
+    * via the matching string-comparison predicates (per-side
+    * inclusivity), then the scoring-boolean rewrite. */
+  def bm25TermRange(corpusSql: String, queries: Seq[(Int, String)],
+                    k: Int): String = {
+    val parsed = queries.map { case (qid, t) =>
+      (qid, graft.search.MultiTerm.parseRangeQuery(t))
+    }
+    val litValues0 = parsed.flatMap { case (qid, (terms, _)) =>
+      terms.map(t => s"($qid, '${esc(t)}')")
+    }
+    val litValues = if (litValues0.nonEmpty) litValues0 else Seq("(0, '')")
+    val expSelects = parsed.flatMap { case (qid, (_, ranges)) =>
+      ranges.map { r =>
+        val loOp = if (r.incLo) ">=" else ">"
+        val hiOp = if (r.incHi) "<=" else "<"
+        s"SELECT $qid AS query_id, term FROM df " +
+          s"WHERE term $loOp '${esc(r.lo)}' AND term $hiOp '${esc(r.hi)}'"
+      }
+    }
+    bm25Expanded(corpusSql, litValues, expSelects, k)
+  }
+
+  /** Twin of [[graft.index.CheckIndex.run]]: the integrity report's
+    * numeric fields recomputed from the corpus CTEs (the ground truth the
+    * physical artifacts must reproduce); a healthy index reports every
+    * boolean TRUE. */
+  def checkIndex(corpusSql: String): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |d AS (SELECT count(*)::BIGINT AS n_terms,
+       |             CAST(sum(df) AS BIGINT) AS total_df,
+       |             CAST(sum(cf) AS BIGINT) AS total_cf FROM df),
+       |c AS (SELECT count(*)::BIGINT AS n_docs,
+       |             CAST(max(doc_id) AS BIGINT) AS max_doc FROM corpus)
+       |SELECT d.n_terms, d.total_df, d.total_cf,
+       |       d.n_terms AS postings_terms, d.total_df AS postings_df,
+       |       d.total_cf AS postings_cf,
+       |       c.n_docs, c.max_doc, d.total_cf AS dl_sum,
+       |       TRUE AS postings_match, TRUE AS docs_dense,
+       |       TRUE AS norms_match, TRUE AS stats_ok, TRUE AS ok
+       |FROM d CROSS JOIN c""".stripMargin
+
+  /** Twin of [[graft.analysis.Analyzer.analysisChain]]: per-stage token
+    * streams via the three stage twins' SQL forms; positions from
+    * DuckDB's zipped parallel unnest over range(len). */
+  def analysisChain(corpusSql: String): String = {
+    def stage(name: String, listExpr: String) =
+      s"""SELECT doc_id, '$name' AS stage,
+         |       CAST(unnest(range(len(l))) AS INT) AS pos, unnest(l) AS token
+         |FROM (SELECT doc_id, $listExpr AS l FROM corpus)""".stripMargin
+    s"""WITH corpus AS ($corpusSql)
+       |${stage("1_raw", Analyzer.sqlTokenList("text"))}
+       |UNION ALL
+       |${stage("2_folded", Analyzer.sqlTokenList(Analyzer.sqlFoldAscii("text")))}
+       |UNION ALL
+       |${stage("3_stemmed",
+          Analyzer.sqlTokenList(Analyzer.sqlStemmedText(Analyzer.sqlFoldAscii("text"))))}
+       |ORDER BY doc_id, stage, pos""".stripMargin
+  }
+
   /** Twin of [[graft.search.Phonetic.searchPhonetic]]: every analyzed
     * query token expands against the df relation into terms sharing its
     * phonetic code — the code computed IN SQL by
@@ -2081,6 +2142,32 @@ object Oracle {
        |         CAST(rnk AS INT) AS "rank", n_docs$mNulls
        |  FROM cr WHERE rnk <= $childLimit)
        |ORDER BY query_id, value, child_value NULLS FIRST""".stripMargin
+  }
+
+  /** Twin of [[graft.search.Facets.jsonAllBuckets]]: the facet domain
+    * (non-NULL parent) per query aggregated to one header row —
+    * numBuckets + allBuckets metrics — left-joined onto the query spine
+    * (empty match set → zeros with NULL metrics). */
+  def facetJsonAll(queries: Seq[(Int, String)], parentField: String,
+                   metrics: Seq[graft.search.Facets.JsonMetric]): String = {
+    val mSql = metrics.map(m => ",\n               " + m.sql).mkString
+    val mNames = metrics.map(m => ", " + m.name).mkString
+    val spineVals = queries.map(_._1).distinct.sorted
+      .map(q => s"($q)").mkString(", ")
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |${matchedCtes(queries)},
+       |j AS (SELECT query_id, CAST($parentField AS VARCHAR) AS parent,
+       |             corpus.*, dl.dl AS dl
+       |      FROM matched JOIN corpus USING (doc_id) JOIN dl USING (doc_id)
+       |      WHERE $parentField IS NOT NULL),
+       |agg AS (SELECT query_id, count(DISTINCT parent)::BIGINT AS num_buckets,
+       |               count(*)::BIGINT AS n_docs$mSql
+       |        FROM j GROUP BY query_id),
+       |spine(query_id) AS (VALUES $spineVals)
+       |SELECT query_id, coalesce(num_buckets, 0)::BIGINT AS num_buckets,
+       |       coalesce(n_docs, 0)::BIGINT AS n_docs$mNames
+       |FROM spine LEFT JOIN agg USING (query_id)
+       |ORDER BY query_id""".stripMargin
   }
 
   /** Twin of [[graft.search.Facets.stats]] via IndexSearch.statsField over

@@ -1292,4 +1292,33 @@ object OracleOps {
        |WHERE role = 'user' AND next_role = 'assistant'
        |  AND next_turn = turn_idx + 1
        |ORDER BY conv_id, turn_idx""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.convPrefixGroups]]: rank turns per
+    * conversation, md5 the '#'-joined first-k texts, report groups ≥ 2.
+    * `transcriptsSql` must yield (conv_id, turn_idx, text). */
+  def convPrefixGroups(transcriptsSql: String, k: Int): String =
+    s"""WITH t AS ($transcriptsSql),
+       |rk AS (SELECT conv_id, text,
+       |         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+       |       FROM t),
+       |fp AS (SELECT conv_id, count(*) AS n,
+       |         md5(string_agg(text, '#' ORDER BY rn)) AS prefix_fp
+       |       FROM rk WHERE rn <= $k GROUP BY conv_id),
+       |ok AS (SELECT conv_id, prefix_fp FROM fp WHERE n = $k),
+       |sz AS (SELECT prefix_fp, count(*)::BIGINT AS group_size
+       |       FROM ok GROUP BY prefix_fp)
+       |SELECT conv_id, prefix_fp, group_size FROM ok JOIN sz USING (prefix_fp)
+       |WHERE group_size >= 2 ORDER BY conv_id""".stripMargin
+
+  /** Twin of [[graft.ops.Dedup.keepBestByQuality]]: the components twin
+    * and the quality twin as nested CTE bodies, then the keep window
+    * (quality_score DESC, doc_id ASC). */
+  def dedupKeepBest(pairsSql: String): String =
+    s"""WITH comp AS (${dedupComponents(pairsSql)}),
+       |q AS ($quality)
+       |SELECT doc_id, rep, quality_score,
+       |       row_number() OVER (PARTITION BY rep
+       |         ORDER BY quality_score DESC, doc_id ASC) = 1 AS keep
+       |FROM comp JOIN q USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

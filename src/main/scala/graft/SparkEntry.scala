@@ -216,6 +216,18 @@ object SparkEntry {
     7 -> "sort~2",
     8 -> "batch~2 merge")
 
+  /** Lucene TermRangeQuery set ([[graft.search.MultiTerm.searchTermRange]]):
+    * inclusive `[lo TO hi]`, exclusive `{lo TO hi}`, half-open mix,
+    * a range + literal-term mix, a single-letter-bounded range, an empty
+    * (reversed) range, and a range matching nothing. */
+  val TermRangeQueries: Seq[(Int, String)] = Seq(
+    1 -> "[batch TO data]",
+    2 -> "[query TO sort] dup",
+    3 -> "{batch TO data}",
+    4 -> "[s TO t]",
+    5 -> "[merge TO hash]",
+    6 -> "{zz TO zzz]")
+
   /** Nested boolean requests ([[graft.search.NestedBool]]): parenthesized
     * OR-of-AND / AND-of-OR shapes, NOT under AND, adjacency-OR default, a
     * dead AND branch rescued by OR, a pure-negative query (matches
@@ -919,6 +931,25 @@ object SparkEntry {
     // rounds): the alternative cluster-representative keep rule
     "q_pagerank" -> ((s, dir) =>
       Dedup.pagerank(Dedup.minhashPairs(documents(s, dir), 0.7), 3)),
+    // FineWeb-style keep rule: components + keep the HIGHEST-QUALITY copy
+    // per cluster (4dp-pinned quality score, doc_id tie-break)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.keepBestByQuality(Dedup.minhashPairs(d, 0.7), TextOps.quality(d))
+    }),
+    // Agent-corpus shared-prefix grouping: conversations bootstrapped from
+    // an identical turn-0 system prompt group together (two injected
+    // prompt families, convs ≡ 0 and ≡ 3 mod 7)
+    "q_conv_prefix_groups" -> ((s, dir) => {
+      val convNum = substring(col("conv_id"), 5, 6).cast("int")
+      TextOps.convPrefixGroups(
+        Transcripts.fromDocuments(s, dir).withColumn("text",
+          when(col("turn_idx") === 0 && convNum % 7 === 0,
+            lit("alpha scaffold boot prompt"))
+            .when(col("turn_idx") === 0 && convNum % 7 === 3,
+              lit("beta scaffold boot prompt"))
+            .otherwise(col("text"))), 1)
+    }),
     // contamination spread: depth-bounded BFS (the {!graph maxDepth=d}
     // traversal shape) from decontaminate-flagged seeds over the near-dup
     // pair graph — drop near-duplicates of contaminated docs transitively
@@ -1066,6 +1097,27 @@ object SparkEntry {
     // length-window prune + levenshtein <= maxEdits expansion
     "q_bm25_fuzzy" -> ((s, dir) =>
       graft.search.MultiTerm.searchFuzzy(indexFor(s, dir), FuzzyQueries)),
+    // Lucene TermRangeQuery: [lo TO hi] / {lo TO hi} dictionary-range
+    // expansion (endpoint predicates pushed to the dictionary scan), then
+    // the scoring-boolean rewrite
+    "q_bm25_term_range" -> ((s, dir) =>
+      graft.search.MultiTerm.searchTermRange(indexFor(s, dir), TermRangeQueries)),
+    // Lucene CheckIndex analog: physical-artifact integrity fsck — every
+    // posting block decoded and cross-checked against dictionary/docs/stats
+    "q_index_check" -> ((s, dir) =>
+      graft.index.CheckIndex.run(indexFor(s, dir))),
+    // Solr FieldAnalysisRequestHandler analog: per-stage token streams of
+    // the charFilter→tokenizer→tokenFilter chain over an accent+plural
+    // injected corpus slice (both optional stages exercised)
+    "q_analysis_chain" -> ((s, dir) =>
+      Analyzer.analysisChain(documents(s, dir)
+        .where(col("doc_id") % 7 === 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            translate(col("text"), "aeio", "áéíó")).otherwise(col("text")))
+        .withColumn("text",
+          when(col("doc_id") % 2 === 0, regexp_replace(col("text"),
+            "\\b(table|join|row|filter)\\b", "$1s")).otherwise(col("text"))))),
     // Nested boolean grammar — (a OR b) AND c -d — one pruned posting
     // scan feeds every leaf; nodes combine as match-set algebra
     "q_bm25_nested" -> ((s, dir) =>
@@ -1309,6 +1361,11 @@ object SparkEntry {
     "q_facet_json_sort" -> ((s, dir) =>
       IndexSearch.facetJson(indexFor(s, dir), DisjQueries, "role", "tool",
         2, 2, JsonFacetMetrics, sortBy = Some("avg_dl"))),
+    // JSON Facet API allBuckets+numBuckets header: one row per query with
+    // the bucket count and the metric set over ALL buckets combined
+    "q_facet_json_all" -> ((s, dir) =>
+      IndexSearch.facetJsonAll(indexFor(s, dir), DisjQueries, "role",
+        JsonFacetMetrics)),
     // JSON Facet API query facets: named predicate buckets each carrying
     // the metric set (query 5 matches nothing — the spine pins its zeros)
     "q_facet_json_query" -> ((s, dir) =>
@@ -1775,6 +1832,15 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleOps.simhashPairs(3),
     "q_dedup_ngram" -> OracleOps.ngramPairs(3, 0.3),
     "q_dedup_components" -> OracleOps.dedupComponents(OracleOps.minhashPairs(0.7)),
+    "q_dedup_keep_best" -> OracleOps.dedupKeepBest(OracleOps.minhashPairs(0.7)),
+    "q_conv_prefix_groups" -> OracleOps.convPrefixGroups(
+      s"""SELECT conv_id, turn_idx,
+         |  CASE WHEN turn_idx = 0 AND CAST(substring(conv_id, 5) AS INT) % 7 = 0
+         |         THEN 'alpha scaffold boot prompt'
+         |       WHEN turn_idx = 0 AND CAST(substring(conv_id, 5) AS INT) % 7 = 3
+         |         THEN 'beta scaffold boot prompt'
+         |       ELSE text END AS text
+         |FROM (${graft.sources.Transcripts.sqlFromDocuments})""".stripMargin, 1),
     "q_pagerank" -> OracleOps.pagerank(OracleOps.minhashPairs(0.7), 3, 0.85),
     "q_contamination_spread" ->
       OracleOps.contaminationSpread(OracleOps.minhashPairs(0.7), 8, 97, 2),
@@ -1816,6 +1882,18 @@ object SparkEntry {
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
     "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
+    "q_bm25_term_range" ->
+      Oracle.bm25TermRange(Oracle.transcriptsCorpus, TermRangeQueries, 10),
+    "q_index_check" -> Oracle.checkIndex(Oracle.transcriptsCorpus),
+    "q_analysis_chain" -> Oracle.analysisChain(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN regexp_replace(t1, '\b(table|join|row|filter)\b', '\1s', 'g')
+        |    ELSE t1 END AS text
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 5 = 0 THEN translate(text, 'aeio', 'áéíó')
+        |             ELSE text END AS t1
+        |      FROM documents WHERE doc_id % 7 = 0)""".stripMargin),
     "q_bm25_nested" ->
       Oracle.bm25Nested(Oracle.transcriptsCorpus, NestedQueries, 10),
     "q_bm25_phonetic" ->
@@ -1825,6 +1903,8 @@ object SparkEntry {
     "q_facet_multi" -> Oracle.facetFields(DisjQueries, Seq("role", "tool")),
     "q_numfound" -> Oracle.responseStats(DisjQueries, "conv_id"),
     "q_facet_json" -> Oracle.facetJson(DisjQueries, "role", "tool", 2, 2,
+      JsonFacetMetrics),
+    "q_facet_json_all" -> Oracle.facetJsonAll(DisjQueries, "role",
       JsonFacetMetrics),
     "q_bm25_folded" -> Oracle.bm25TopK(Oracle.foldedDocumentsCorpus,
       FoldQueries.map { case (id, q) => id -> Analyzer.foldAsciiString(q) },

@@ -92,4 +92,25 @@ object Analyzer {
   /** DuckDB twin (replacement backref is `\1` in DuckDB, `$1` in Spark). */
   def sqlStemmedText(textExpr: String): String =
     s"""array_to_string(list_transform(${sqlTokenList(textExpr)}, x -> regexp_replace(x, '^(..*[^us])s$$', '\\1')), ' ')"""
+
+  /** Solr FieldAnalysisRequestHandler analog: per-stage token streams of
+    * the full optional chain (charFilter → tokenizer → tokenFilter) for
+    * each input row — (doc_id, stage, pos, token) with
+    * stage ∈ {1_raw, 2_folded, 3_stemmed} (numbered so lexicographic
+    * order IS chain order) and 0-based positions within each stage's
+    * stream. The introspection surface every Solr admin uses to debug an
+    * analyzer; pure Column expressions (one posexplode per stage over the
+    * stage-composed arrays), map-only at any corpus size. */
+  def analysisChain(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def stage(name: String, toks: Column) =
+      corpus.select(col("doc_id"), lit(name).as("stage"),
+        posexplode(toks))
+        .toDF("doc_id", "stage", "pos", "token")
+    stage("1_raw", tokens(col("text")))
+      .unionAll(stage("2_folded", tokens(foldAscii(col("text")))))
+      .unionAll(stage("3_stemmed",
+        tokens(stemmedText(foldAscii(col("text"))))))
+      .orderBy("doc_id", "stage", "pos")
+  }
 }

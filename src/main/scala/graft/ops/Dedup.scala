@@ -470,4 +470,22 @@ object Dedup {
     }
     ranks.orderBy("doc_id")
   }
+
+  /** FineWeb-style cluster keep rule: connected components over the
+    * near-dup pair graph, then ONE representative per cluster kept by
+    * QUALITY (the 4dp-pinned [[TextOps.quality]] score DESC, doc_id ASC
+    * tie-break) instead of [[components]]' min-id rule — "keep the best
+    * copy", the decision a production training-data dedup actually ends
+    * with. `scores` must carry (doc_id, quality_score) for every doc in
+    * `pairs`. Scale shape: the window partitions by cluster rep — work is
+    * bounded by pair-graph membership, never the corpus. */
+  def keepBestByQuality(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val w = Window.partitionBy("rep")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    components(pairs)
+      .join(scores.select("doc_id", "quality_score"), "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "rep", "quality_score", "keep")
+      .orderBy("doc_id")
+  }
 }

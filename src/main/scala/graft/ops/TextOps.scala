@@ -1068,4 +1068,37 @@ object TextOps {
         col("n_windows"))
       .orderBy("doc_id", "span_start")
   }
+
+  /** Shared-prefix conversation grouping — the agent-corpus dedup shape:
+    * fleets of conversations bootstrapped from identical system prompts /
+    * scaffold turns. Fingerprint = md5 over the first `k` turns' RAW
+    * texts in stable (conv_id, turn_idx) order, '#'-joined (the corpus
+    * token alphabet cannot contain '#', so the join is collision-free);
+    * only conversations with ≥ k turns participate (a shorter
+    * conversation has no k-prefix); groups of ≥ 2 are reported with
+    * their size. Scale shape: ONE by-conversation shuffle (the window
+    * and the fingerprint agg share it), then a fingerprint-keyed size
+    * agg + broadcast-able join — never all-pairs, no corpus-sized
+    * driver state. */
+  def convPrefixGroups(transcripts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val fps = transcripts.select(col("conv_id"), col("turn_idx"), col("text"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("_n"),
+        md5(concat_ws("#",
+          transform(
+            array_sort(collect_list(struct(col("_rn").as("r"),
+              col("text").as("t")))),
+            s => s.getField("t")))).as("prefix_fp"))
+      .where(col("_n") === k)
+      .select("conv_id", "prefix_fp")
+    val sizes = fps.groupBy("prefix_fp")
+      .agg(count(lit(1)).cast("long").as("group_size"))
+    fps.join(sizes, "prefix_fp").where(col("group_size") >= 2)
+      .select("conv_id", "prefix_fp", "group_size")
+      .orderBy("conv_id")
+  }
 }

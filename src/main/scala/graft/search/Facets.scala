@@ -141,6 +141,40 @@ object Facets {
       .orderBy("query_id", "facet")
   }
 
+  /** JSON Facet API `allBuckets:true` + `numBuckets:true` header of a
+    * terms facet: ONE row per query carrying the bucket count over the
+    * facet domain (docs with a non-NULL `parentField`, exactly [[json]]'s
+    * domain rule) and the metric set aggregated over ALL buckets combined
+    * (Solr's allBuckets pseudo-bucket). Zero-filled on the driver-known
+    * query spine: an empty match set reports num_buckets 0 / n_docs 0
+    * with NULL metrics (both engines' native agg-over-empty semantics —
+    * the [[stats]] pinning). Scale shape: the same single match-set join
+    * as [[json]], one hash agg to |queries| rows, broadcast spine join. */
+  def jsonAllBuckets(queryIds: Seq[Int], matched: DataFrame, attrs: DataFrame,
+                     parentField: String, metrics: Seq[JsonMetric],
+                     key: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(metrics.map(_.name).distinct.size == metrics.size,
+      "json.facet metric names must be unique")
+    val spark = matched.sparkSession
+    import spark.implicits._
+    val needed = (Seq(parentField) ++ metrics.map(_.field)).distinct
+    val joined = matched
+      .join(attrs.select((key ++ needed).distinct.map(col): _*), key)
+      .where(col(parentField).isNotNull)
+    val aggCols = (Seq(
+      "_nb" -> count_distinct(col(parentField).cast("string")),
+      "_n" -> count(lit(1))) ++ metrics.flatMap(_.aggs))
+      .map { case (n, c) => c.as(n) }
+    val agg = joined.groupBy("query_id").agg(aggCols.head, aggCols.tail: _*)
+    val spine = queryIds.distinct.sorted.toDF("query_id")
+    spine.join(broadcast(agg), Seq("query_id"), "left")
+      .select(Seq(col("query_id"),
+        coalesce(col("_nb"), lit(0L)).as("num_buckets"),
+        coalesce(col("_n"), lit(0L)).as("n_docs")) ++
+        metrics.map(m => m.out.cast(m.outType).as(m.name)): _*)
+      .orderBy("query_id")
+  }
+
   /** Solr `facet.sort=count` + `facet.limit`: the top-N values of ONE
     * facet field per query, ranked by (n_docs DESC, value ASC) — count
     * sort IS Solr's default; [[fields]] pins the `facet.sort=index`

@@ -1182,6 +1182,14 @@ object IndexSearch {
       parentField, childField, parentLimit, childLimit, metrics,
       sortBy = sortBy)
 
+  /** JSON Facet API `allBuckets` + `numBuckets` header over the persisted
+    * index ([[Facets.jsonAllBuckets]] semantics). */
+  def facetJsonAll(idx: OpenIndex, queries: Seq[(Int, String)],
+                   parentField: String,
+                   metrics: Seq[Facets.JsonMetric]): DataFrame =
+    Facets.jsonAllBuckets(queries.map(_._1), matchedDocSet(idx, queries),
+      facetAttrs(idx), parentField, metrics)
+
   /** JSON Facet API `query` facets with bucket metrics over the persisted
     * index ([[Facets.jsonQuery]] semantics). */
   def facetJsonQuery(idx: OpenIndex, queries: Seq[(Int, String)],

@@ -187,4 +187,68 @@ object MultiTerm {
     }
     IndexSearch.searchExpandedTerms(idx, qtRows, k)
   }
+
+  /** A Lucene TermRangeQuery endpoint pair: `[lo TO hi]` (inclusive) or
+    * `{lo TO hi}` (exclusive), per-side — `[lo TO hi}` mixes them exactly
+    * like Lucene's half-open syntax. */
+  final case class TermRange(lo: String, hi: String,
+                             incLo: Boolean, incHi: Boolean)
+
+  private val RangeRe =
+    """([\[{])\s*([A-Za-z0-9]+)\s+[Tt][Oo]\s+([A-Za-z0-9]+)\s*([\]}])""".r
+
+  /** Parse a term-range query string: `[lo TO hi]` / `{lo TO hi}` clauses
+    * (Lucene TermRangeQuery — endpoints lowercase onto the token
+    * alphabet; a reversed range matches nothing, as in Lucene) plus plain
+    * analyzed terms from the remaining text. Returns (terms, ranges),
+    * both deduped. */
+  def parseRangeQuery(text: String): (Seq[String], Seq[TermRange]) = {
+    val ranges = RangeRe.findAllMatchIn(text).map { m =>
+      val (lo, hi) = (m.group(2).toLowerCase, m.group(3).toLowerCase)
+      require(lo.matches("[a-z0-9]+") && hi.matches("[a-z0-9]+"),
+        s"range endpoints '$lo'/'$hi' must be over the token alphabet [a-z0-9]")
+      TermRange(lo, hi, m.group(1) == "[", m.group(4) == "]")
+    }.toSeq.distinct
+    val rest = RangeRe.replaceAllIn(text, " ")
+    (Analyzer.tokenize(rest).distinct, ranges)
+  }
+
+  /** Batch term-range expansion: one dictionary probe per DISTINCT range,
+    * both endpoint predicates pushed to the parquet dictionary scan
+    * (GreaterThan[OrEqual]/LessThan[OrEqual] on the sorted `term`
+    * column), `limit(maxExpansions + 1)`-bounded before the collect —
+    * an over-broad range fails loudly (TooManyClauses analog), never
+    * materializes. */
+  def expandRanges(idx: IndexSearch.OpenIndex, ranges: Seq[TermRange],
+                   maxExpansions: Int): Map[TermRange, Seq[String]] =
+    ranges.distinct.map { r =>
+      val loP = if (r.incLo) col("term") >= r.lo else col("term") > r.lo
+      val hiP = if (r.incHi) col("term") <= r.hi else col("term") < r.hi
+      val terms = idx.dictionary.where(loP && hiP)
+        .select("term").limit(maxExpansions + 1)
+        .collect().map(_.getString(0)).toSeq
+      require(terms.size <= maxExpansions,
+        s"term range '${r.lo} TO ${r.hi}' expands to more than " +
+          s"maxExpansions=$maxExpansions dictionary terms " +
+          "(Lucene TooManyClauses analog)")
+      r -> terms
+    }.toMap
+
+  /** Lucene TermRangeQuery over the persisted index, pinned to the same
+    * SCORING_BOOLEAN_QUERY_REWRITE as the prefix/wildcard/fuzzy engines:
+    * the range expands against the dictionary into a bounded disjunction
+    * where every expanded term scores with its OWN idf (the
+    * oracle-expressible pre-4.0 Lucene semantics; modern CONSTANT_SCORE
+    * is a documented divergence). */
+  def searchTermRange(idx: IndexSearch.OpenIndex, queries: Seq[(Int, String)],
+                      k: Int = 10,
+                      maxExpansions: Int = IndexSearch.DefaultMaxExpansions): DataFrame = {
+    val parsed = queries.map { case (qid, t) => (qid, parseRangeQuery(t)) }
+    val expansions: Map[TermRange, Seq[String]] =
+      expandRanges(idx, parsed.flatMap(_._2._2), maxExpansions)
+    val qtRows = parsed.flatMap { case (qid, (terms, rs)) =>
+      (terms ++ rs.flatMap(expansions)).distinct.map(t => (qid, t))
+    }
+    IndexSearch.searchExpandedTerms(idx, qtRows, k)
+  }
 }

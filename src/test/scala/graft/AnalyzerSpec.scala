@@ -61,4 +61,31 @@ class AnalyzerSpec extends SparkSpec {
           Analyzer.tokenize(a) ++ Analyzer.tokenize(b))
     }
   }
+
+  test("analysisChain: per-stage streams match the stage twins") {
+    val corpus = Seq((0L, "Tablés and Rows"), (1L, "join filters"))
+      .toDF("doc_id", "text")
+    val got = Analyzer.analysisChain(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+      .toSeq
+    def want(id: Long, text: String) = {
+      val raw = Analyzer.tokenize(text)
+      val folded = Analyzer.tokenize(Analyzer.foldAsciiString(text))
+      val stemmed = Analyzer.tokenize(
+        Analyzer.stemString(Analyzer.foldAsciiString(text)))
+      raw.zipWithIndex.map { case (t, i) => (id, "1_raw", i, t) } ++
+        folded.zipWithIndex.map { case (t, i) => (id, "2_folded", i, t) } ++
+        stemmed.zipWithIndex.map { case (t, i) => (id, "3_stemmed", i, t) }
+    }
+    val expected = (want(0L, "Tablés and Rows") ++ want(1L, "join filters"))
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got == expected)
+    // the accent splits the raw token; folding heals it; stemming strips s
+    assert(got.filter(r => r._1 == 0L && r._2 == "1_raw").map(_._4) ==
+      Seq("tabl", "s", "and", "rows"))
+    assert(got.filter(r => r._1 == 0L && r._2 == "2_folded").map(_._4) ==
+      Seq("tables", "and", "rows"))
+    assert(got.filter(r => r._1 == 0L && r._2 == "3_stemmed").map(_._4) ==
+      Seq("table", "and", "row"))
+  }
 }

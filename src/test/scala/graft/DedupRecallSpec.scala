@@ -145,4 +145,19 @@ class DedupRecallSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-6, "probability mass must be ~1")
     intercept[IllegalArgumentException](Dedup.pagerank(pairs, 0))
   }
+
+  test("keepBestByQuality: one highest-quality keeper per component; ties by doc_id") {
+    import spark.implicits._
+    // two components: {1,2,3} (chain) and {7,8}; 5 is not in any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val scores = Seq(
+      (1L, 0.4), (2L, 0.9), (3L, 0.6), (7L, 0.5), (8L, 0.5), (5L, 1.0))
+      .toDF("doc_id", "quality_score")
+    val got = graft.ops.Dedup.keepBestByQuality(pairs, scores).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    // doc 5 never enters (not in the pair graph); component reps are min ids
+    assert(got == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (7L, 7L, true), (8L, 7L, false)))
+  }
 }

@@ -123,4 +123,33 @@ class IndexRoundtripSpec extends SparkSpec {
       }
     } finally rmrf(root)
   }
+
+  test("CheckIndex: healthy build reports ok with exact recounts") {
+    val root = tmpDir()
+    try {
+      val turns = Transcripts.synthetic(spark, 120)
+      BuildIndexJob.run(spark, turns, root, "fsck",
+        BuildIndexJob.Config(numShards = 4, blockSize = 8))
+      val idx = IndexSearch.open(spark, root)
+      val rows = graft.index.CheckIndex.run(idx).collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      // independent ground truth from the raw text
+      val toks = spark.read.parquet(s"$root/docs")
+        .select(col("doc_id"), explode(graft.analysis.Analyzer.tokens(col("text"))).as("term"))
+      val nTerms = toks.select("term").distinct().count()
+      val totalDf = toks.select("term", "doc_id").distinct().count()
+      val totalCf = toks.count()
+      val nDocs = spark.read.parquet(s"$root/docs").count()
+      assert(r.getAs[Long]("n_terms") == nTerms)
+      assert(r.getAs[Long]("total_df") == totalDf)
+      assert(r.getAs[Long]("total_cf") == totalCf)
+      assert(r.getAs[Long]("postings_df") == totalDf)
+      assert(r.getAs[Long]("postings_cf") == totalCf)
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("max_doc") == nDocs - 1)
+      for (f <- Seq("postings_match", "docs_dense", "norms_match", "stats_ok", "ok"))
+        assert(r.getAs[Boolean](f), f)
+    } finally rmrf(root)
+  }
 }

@@ -237,4 +237,34 @@ class MultiTermSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IndexSearch.searchSpanFirst(idx, Seq((1, "ant", 2))))
   }
+
+  // ---- TermRangeQuery ----
+  // dictionary (sorted): ant apple bee cat dog emu
+
+  test("term range ≡ hand-expanded disjunction (inclusive/exclusive/mix)") {
+    assert(dict == Seq("ant", "apple", "bee", "cat", "dog", "emu"))
+    // inclusive endpoints
+    sameAs(MultiTerm.searchTermRange(idx, Seq(1 -> "[ant TO cat]")),
+      "ant apple bee cat")
+    // exclusive endpoints
+    sameAs(MultiTerm.searchTermRange(idx, Seq(1 -> "{ant TO cat}")),
+      "apple bee")
+    // half-open [lo TO hi} + a literal term rides along
+    sameAs(MultiTerm.searchTermRange(idx, Seq(1 -> "[bee TO cat} dog")),
+      "bee dog")
+    // case folds on endpoints; TO keyword is case-insensitive
+    sameAs(MultiTerm.searchTermRange(idx, Seq(1 -> "[BEE to CAT]")),
+      "bee cat")
+    // reversed range matches nothing (Lucene semantics)
+    assert(MultiTerm.searchTermRange(idx, Seq(1 -> "[cat TO ant]")).count() == 0)
+    // non-range text falls through to plain analyzed terms
+    val (terms, ranges) = MultiTerm.parseRangeQuery("cat dog")
+    assert(terms == Seq("cat", "dog") && ranges.isEmpty)
+  }
+
+  test("term range guards: maxExpansions") {
+    val e = intercept[IllegalArgumentException](
+      MultiTerm.searchTermRange(idx, Seq(1 -> "[ant TO emu]"), maxExpansions = 2))
+    assert(e.getMessage.contains("maxExpansions"))
+  }
 }
