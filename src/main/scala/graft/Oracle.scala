@@ -1433,6 +1433,79 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchCommonTerms]]: the bm25TopK
+    * scored CTE extended with a per-doc matched-low flag (df ≤ cutoff·N)
+    * and a per-query has-low fallback flag over the dictionary-matched
+    * term set; docs rank iff they match a low-df term or the query has
+    * none. */
+  def bm25CommonTerms(corpusSql: String, queries: Seq[(Int, String)],
+                      maxTermFrequency: Double, k: Int): String =
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |haslow AS (
+       |  SELECT query_id,
+       |         max(CASE WHEN df.df <= $maxTermFrequency * s.n_docs
+       |             THEN 1 ELSE 0 END) AS has_low
+       |  FROM qt JOIN df USING (term) CROSS JOIN stats s
+       |  GROUP BY query_id),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score,
+       |         max(CASE WHEN df.df <= $maxTermFrequency * s.n_docs
+       |             THEN 1 ELSE 0 END) AS low_matched
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored JOIN haslow USING (query_id)
+       |  WHERE low_matched = 1 OR has_low = 0)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Twin of [[graft.search.IndexSearch.searchGroupQueries]]: the
+    * bm25TopK scored CTE joined to per-group membership (distinct docs
+    * containing any of the group's terms), windowed per (query, group)
+    * with the per-group numFound. */
+  def bm25GroupQueries(corpusSql: String, queries: Seq[(Int, String)],
+                       groups: Seq[(String, String)], groupLimit: Int): String = {
+    val gtValues = groups.flatMap { case (g, text) =>
+      graft.analysis.Analyzer.tokenize(text).distinct
+        .map(t => s"('${esc(g)}', '${esc(t)}')")
+    }.mkString(", ")
+    s"""WITH ${indexCtes(corpusSql)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS score
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+       |  GROUP BY qt.query_id, tf.doc_id),
+       |gt(group_name, term) AS (VALUES $gtValues),
+       |member AS (SELECT DISTINCT gt.group_name, tf.doc_id
+       |           FROM gt JOIN tf USING (term)),
+       |j AS (SELECT s.query_id, m.group_name, s.doc_id, s.score
+       |      FROM scored s JOIN member m USING (doc_id)),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY query_id, group_name
+       |          ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk,
+       |        count(*) OVER (PARTITION BY query_id, group_name) AS ghits
+       |      FROM j)
+       |SELECT query_id, group_name, CAST(rnk AS INT) AS "rank", doc_id,
+       |       round(score, 4) AS score, ghits::BIGINT AS group_hits
+       |FROM r WHERE rnk <= $groupLimit
+       |ORDER BY query_id, group_name, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.Clustering.clusters]]: BM25 top-k per query
     * ([[bm25TopK]]'s scored/ranked CTEs verbatim), label = each hit doc's
     * (min df, then min term) dictionary term, clusters grouped per

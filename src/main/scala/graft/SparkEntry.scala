@@ -228,6 +228,24 @@ object SparkEntry {
     5 -> "[merge TO hash]",
     6 -> "{zz TO zzz]")
 
+  /** Lucene CommonTermsQuery set (cutoff 0.5·N — 'dup' is the only
+    * low-df corpus term): low+high mix, all-high fallback disjunction,
+    * pure low, OOV + high fallback, wide mix. */
+  val CommonTermsQueries: Seq[(Int, String)] = Seq(
+    1 -> "dup the query",
+    2 -> "merge window",
+    3 -> "dup",
+    4 -> "zzmissing the",
+    5 -> "dup slow sort batch")
+
+  /** group.query set: a rare-term group, a disjunctive group, and a
+    * no-match group (absent from the response — numFound 0 is
+    * driver-known absence). */
+  val GroupQueries: Seq[(String, String)] = Seq(
+    "has_dup" -> "dup",
+    "merge_or_window" -> "merge window",
+    "nada" -> "zzmissing")
+
   /** Nested boolean requests ([[graft.search.NestedBool]]): parenthesized
     * OR-of-AND / AND-of-OR shapes, NOT under AND, adjacency-OR default, a
     * dead AND branch rescued by OR, a pure-negative query (matches
@@ -507,8 +525,26 @@ object SparkEntry {
     corpusRoots.clear(); builtIndexes.clear(); mergeOldRoots.clear()
     mergedRoots.clear(); streamRoots.clear(); compactRoots.clear()
     fieldIndexRoots.clear(); dbqRoots.clear(); updatedRoots.clear()
-    tieredRoots.clear()
+    tieredRoots.clear(); aliasRoots.clear()
   }
+
+  /** Alias fixture: TWO collections over disjoint corpus halves (the
+    * time-partitioned-collections shape a Solr alias fronts). Alias
+    * search with exact global stats must equal full-corpus BM25. */
+  private val aliasRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def aliasIndexes(s: SparkSession, dir: String): Seq[String] =
+    aliasRoots.computeIfAbsent(dir, _ => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val n = d.count()
+      Seq(("lo", col("doc_id") < n / 2), ("hi", col("doc_id") >= n / 2))
+        .map { case (tag, p) =>
+          val r = TempDirs.create(s"graft_alias_$tag")
+          BuildIndexJob.run(s, Transcripts.fromDocumentsDf(d.where(p)), r,
+            s"alias-$tag", BuildIndexJob.Config(numShards = 8))
+          r
+        }
+    })
 
   /** Merge-gate inputs (U1/U2/J4): old index over docs < 4n/5; new batch =
     * docs ≥ 3n/4 with " upserted" appended inside the overlap window
@@ -1106,6 +1142,10 @@ object SparkEntry {
     // posting block decoded and cross-checked against dictionary/docs/stats
     "q_index_check" -> ((s, dir) =>
       graft.index.CheckIndex.run(indexFor(s, dir))),
+    // Lucene CommonTermsQuery (ES cutoff_frequency): high-df terms demote
+    // to scoring-only; docs must match a low-df backbone term
+    "q_bm25_common" -> ((s, dir) =>
+      IndexSearch.searchCommonTerms(indexFor(s, dir), CommonTermsQueries, 0.5)),
     // Solr FieldAnalysisRequestHandler analog: per-stage token streams of
     // the charFilter→tokenizer→tokenFilter chain over an accent+plural
     // injected corpus slice (both optional stages exercised)
@@ -1203,6 +1243,16 @@ object SparkEntry {
     "q_group_conv" -> ((s, dir) =>
       IndexSearch.searchGrouped(indexFor(s, dir), DisjQueries, "conv_id",
         kGroups = 5, groupLimit = 3)),
+    // Solr group.query: named query-defined groups, main-query ranking
+    // within each, per-group numFound
+    "q_group_query" -> ((s, dir) =>
+      IndexSearch.searchGroupQueries(indexFor(s, dir), DisjQueries,
+        GroupQueries, groupLimit = 3)),
+    // Solr collection alias + ExactStatsCache: one query over two
+    // time-partitioned collections, global df/N/avgdl — answers ≡ one
+    // unified index over the union (the full-corpus keys oracle)
+    "q_bm25_alias" -> ((s, dir) =>
+      IndexSearch.searchAlias(s, aliasIndexes(s, dir), DisjQueries)),
     // Solr {!collapse field=conv_id} + expand=true: flat best-turn-per-
     // conversation list, each head carrying its next-2 expand section
     "q_bm25_collapse" -> ((s, dir) =>
@@ -1885,6 +1935,8 @@ object SparkEntry {
     "q_bm25_term_range" ->
       Oracle.bm25TermRange(Oracle.transcriptsCorpus, TermRangeQueries, 10),
     "q_index_check" -> Oracle.checkIndex(Oracle.transcriptsCorpus),
+    "q_bm25_common" ->
+      Oracle.bm25CommonTerms(Oracle.transcriptsCorpus, CommonTermsQueries, 0.5, 10),
     "q_analysis_chain" -> Oracle.analysisChain(
       """SELECT doc_id,
         |  CASE WHEN doc_id % 2 = 0
@@ -1965,6 +2017,9 @@ object SparkEntry {
     "q_stats_cardinality" -> Oracle.statsCardinality(DisjQueries, "conv_id"),
     "q_stats_facet" -> Oracle.statsFacetDl(DisjQueries, "role"),
     "q_group_conv" -> Oracle.groupTopK(DisjQueries, "conv_id", 5, 3),
+    "q_group_query" -> Oracle.bm25GroupQueries(Oracle.transcriptsCorpus,
+      DisjQueries, GroupQueries, 3),
+    "q_bm25_alias" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     "q_bm25_collapse" -> Oracle.collapseExpand(DisjQueries, "conv_id", 5, 2),
     "q_significant_terms" -> Oracle.significantTerms(DisjQueries, 5, 3L, 2L),
     "q_stats_percentiles" -> Oracle.percentilesDl(DisjQueries,

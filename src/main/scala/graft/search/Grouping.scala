@@ -60,4 +60,38 @@ object Grouping {
         col("doc_rank"), col("doc_id"), round(col("_score"), 4).as("score"))
       .orderBy("query_id", "group_rank", "doc_rank")
   }
+
+  /** Solr grouping by QUERY (`group.query=…`, repeated): each named group
+    * is its own query; the response pairs every main query with every
+    * group it overlaps, listing the group's top `groupLimit` docs ranked
+    * by the MAIN query's score (round-7 DESC, doc_id ASC — the pinned
+    * key) plus the group's total hit count within the main match set
+    * (Solr's per-group numFound). Group membership = the DISJUNCTIVE
+    * match set of the group query's analyzed terms (Solr's default OR
+    * parser; a group query is a filter here — its own scores never mix
+    * into ranking, matching Solr, which ranks group.query hits by the
+    * main query). A (main, group) pair with an empty intersection has no
+    * rows — its numFound-0 entry is driver-known absence, same rule as
+    * every spine-less ranking gate.
+    *
+    * `member` must be (_gid, doc_id) membership rows; `gnames` maps
+    * _gid → group_name. Scale shape: scored × member is a doc_id-keyed
+    * join of two match sets; windows partition by (query, group). */
+  def topGroupQueries(scored: DataFrame, member: DataFrame,
+                      gnames: DataFrame, groupLimit: Int): DataFrame = {
+    require(groupLimit > 0, s"groupLimit must be positive (got $groupLimit)")
+    val wg = Window.partitionBy("query_id", "_gid")
+    val w = wg.orderBy(round(col("_score"), Bm25.RankScale).desc,
+      col("doc_id").asc)
+    scored.join(member, "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("_hits", count(lit(1)).over(wg))
+      .where(col("rank") <= groupLimit)
+      .join(broadcast(gnames), "_gid")
+      .select(col("query_id"), col("group_name"),
+        col("rank").cast("int").as("rank"), col("doc_id"),
+        round(col("_score"), Bm25.OutScale).as("score"),
+        col("_hits").cast("long").as("group_hits"))
+      .orderBy("query_id", "group_name", "rank")
+  }
 }

@@ -135,6 +135,122 @@ object IndexSearch {
     Search.rank(scored, k, start)
   }
 
+  /** Lucene CommonTermsQuery (the Elasticsearch `cutoff_frequency` match
+    * shape): query terms partition by document frequency at
+    * `maxTermFrequency`·N — low-df terms are the selective backbone,
+    * high-df (stopword-like) terms demote to SCORING-ONLY. A doc
+    * qualifies iff it matches ≥ 1 low-df term; ALL its matched terms
+    * (both classes) contribute BM25. If no dictionary-matched query term
+    * is low-df, the query falls back to a plain disjunction (Lucene's
+    * empty-low-freq-clause fallback; classification is over
+    * DICTIONARY-matched terms — an out-of-vocabulary term is neither
+    * class). Pinned vs Lucene: low.minimumNumberShouldMatch = 1,
+    * high.msm = 0 (the ES cutoff semantics; Lucene's independent per-group
+    * msm knobs are not exposed). Scale shape: identical to [[search]] —
+    * the classification rides the broadcast dictionary df, so the hot
+    * stopword-ish postings stay OUT of the required set without any
+    * index-time stopping. */
+  def searchCommonTerms(idx: OpenIndex, queries: Seq[(Int, String)],
+                        maxTermFrequency: Double, k: Int = 10): DataFrame = {
+    require(maxTermFrequency > 0 && maxTermFrequency <= 1,
+      s"maxTermFrequency must be in (0,1] (got $maxTermFrequency)")
+    val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
+    val cutoff = lit(maxTermFrequency) * lit(idx.stats.nDocs)
+    val perTerm = matchedPostings(idx, qt)
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(idx.stats.nDocs), lit(idx.stats.avgdl)))
+      .withColumn("_low", when(col("df") <= cutoff, 1).otherwise(0))
+    val scored = perTerm.groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_score"),
+        max(col("_low")).as("_low_matched"))
+    // per-query fallback flag from the tiny dictionary probe
+    val qHasLow = qt.join(idx.dictionary.select("term", "df"), "term")
+      .groupBy("query_id")
+      .agg(max(when(col("df") <= cutoff, 1).otherwise(0)).as("_has_low"))
+    Search.rank(
+      scored.join(broadcast(qHasLow), "query_id")
+        .where(col("_low_matched") === 1 || col("_has_low") === 0), k)
+  }
+
+  /** Solr COLLECTION ALIAS query with EXACT distributed statistics (the
+    * ExactStatsCache contract): one logical query over several
+    * time-partitioned collections — disjoint corpora, each with its own
+    * index — scored with GLOBAL stats: df summed across collections,
+    * N/avgdl from the combined corpus. The alias answer is therefore
+    * bit-identical to a single unified index over the union; Solr's
+    * default per-shard IDF (LocalStatsCache) is the documented
+    * alternative this deliberately does NOT reproduce — exactness is the
+    * contract. Results are key-identified (conv_id, turn_idx): each
+    * collection assigns its own dense doc ids, so local ids cannot name
+    * alias results; the rank tie-break is (round-7 score DESC, conv_id
+    * ASC, turn_idx ASC), the segmented engine's pinned key ordering.
+    *
+    * Scale shape: one pushed `term IN` dictionary probe per collection
+    * (driver holds ≤ |distinct terms| × |collections| df rows), shard-
+    * pruned posting decodes scored map-side against broadcast global
+    * stats, per-collection key joins over the match set only, one union
+    * + the standard rank window. Collections never shuffle against each
+    * other below the final window. */
+  def searchAlias(spark: SparkSession, roots: Seq[String],
+                  queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(roots.nonEmpty, "alias must name at least one collection")
+    val idxs = roots.map(r => open(spark, r))
+    val nDocs = idxs.map(_.stats.nDocs).sum
+    val totalTokens = idxs.map(_.stats.totalTokens).sum
+    require(nDocs > 0, "alias over empty collections")
+    val avgdl = totalTokens.toDouble / nDocs
+    val terms = queries.flatMap(q => graft.analysis.Analyzer.tokenize(q._2))
+      .distinct
+    // exact global df: sum the collections' dictionary rows for the
+    // probe terms (each probe is a pushed In filter; ≤ |terms| rows back)
+    val dfGlobal: Map[String, Long] = idxs
+      .flatMap { idx =>
+        if (terms.isEmpty) Nil
+        else idx.dictionary.where(col("term").isin(terms: _*))
+          .select("term", "df").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+      }
+      .groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).sum }
+    val qtRows = queries.flatMap { case (qid, text) =>
+      graft.analysis.Analyzer.tokenize(text).distinct
+        .collect { case t if dfGlobal.contains(t) => (qid, t, dfGlobal(t)) }
+    }
+    if (qtRows.isEmpty)
+      return Seq.empty[(Int, Int, String, Int, Double)]
+        .toDF("query_id", "rank", "conv_id", "turn_idx", "score")
+    val qdf = qtRows.toDF("query_id", "term", "df")
+    val perRoot = idxs.flatMap { idx =>
+      val shards = qdf.join(idx.dictionary.select("term", "shard"), "term")
+        .select("shard").distinct().collect().map(_.getInt(0)).toSeq
+      if (shards.isEmpty) None
+      else {
+        val blocks = idx.io.read(spark, idx.paths.postings)
+          .where(col("shard").isin(shards: _*))
+          .join(broadcast(qdf), Seq("term"))
+        val scored = PostingBlocks.decodePostings(blocks)
+          .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+            lit(nDocs), lit(avgdl)))
+          .groupBy("query_id", "doc_id")
+          .agg(sum(col("_s")).as("_score"))
+        val keys = idx.io.read(spark, idx.paths.docs)
+          .select("doc_id", "conv_id", "turn_idx")
+        Some(scored.join(keys, "doc_id")
+          .select("query_id", "conv_id", "turn_idx", "_score"))
+      }
+    }
+    val all = perRoot.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(round(col("_score"), Bm25.RankScale).desc,
+        col("conv_id").asc, col("turn_idx").asc)
+    all.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("conv_id"), col("turn_idx"),
+        round(col("_score"), Bm25.OutScale).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Solr `debug=true` / Lucene Explanation over the persisted index:
     * the standard disjunctive top-k, each hit DECOMPOSED into one row
     * per matching query term carrying the scoring inputs (tf, df), the
@@ -1390,6 +1506,30 @@ object IndexSearch {
     val qt = Search.queryTerms(Search.queryFrame(idx.spark, queries))
     Grouping.topGroups(scoredDocs(idx, qt, conjunctive = false),
       facetAttrs(idx), groupField, kGroups, groupLimit)
+  }
+
+  /** Solr `group.query` over the persisted index
+    * ([[Grouping.topGroupQueries]] semantics): group membership from ONE
+    * batched pruned posting probe over all group queries' terms (pseudo
+    * query ids = group ordinals), main-query scores from the standard
+    * disjunctive engine. */
+  def searchGroupQueries(idx: OpenIndex, queries: Seq[(Int, String)],
+                         groups: Seq[(String, String)],
+                         groupLimit: Int = 3): DataFrame = {
+    require(groups.nonEmpty && groups.map(_._1).distinct.size == groups.size,
+      "group.query names must be non-empty and unique")
+    val spark = idx.spark
+    import spark.implicits._
+    val qt = Search.queryTerms(Search.queryFrame(spark, queries))
+    val gqt = groups.zipWithIndex.flatMap { case ((_, text), i) =>
+      graft.analysis.Analyzer.tokenize(text).distinct.map(t => (i, t))
+    }.toDF("query_id", "term")
+    val member = matchedPostings(idx, gqt)
+      .select(col("query_id").as("_gid"), col("doc_id")).distinct()
+    val gnames = groups.zipWithIndex.map { case ((g, _), i) => (i, g) }
+      .toDF("_gid", "group_name")
+    Grouping.topGroupQueries(scoredDocs(idx, qt, conjunctive = false),
+      member, gnames, groupLimit)
   }
 
   /** Solr `{!collapse field=…}` + ExpandComponent over the persisted

@@ -124,6 +124,33 @@ class IndexRoundtripSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("alias search (exact global stats) ≡ one unified index over the union") {
+    val roots = Seq(tmpDir(), tmpDir())
+    val rootU = tmpDir()
+    try {
+      val t = Transcripts.synthetic(spark, 200)
+      val parts = Seq(
+        t.where(pmod(xxhash64(col("conv_id")), lit(2)) === 0),
+        t.where(pmod(xxhash64(col("conv_id")), lit(2)) === 1))
+      roots.zip(parts).zipWithIndex.foreach { case ((r, p), i) =>
+        BuildIndexJob.run(spark, p, r, s"al$i",
+          BuildIndexJob.Config(numShards = 4))
+      }
+      BuildIndexJob.run(spark, t, rootU, "alu",
+        BuildIndexJob.Config(numShards = 4))
+      val idxU = IndexSearch.open(spark, rootU)
+      val want = IndexSearch.search(idxU, queries, 10)
+        .join(spark.read.parquet(s"$rootU/docs")
+          .select("doc_id", "conv_id", "turn_idx"), "doc_id")
+        .select("query_id", "rank", "conv_id", "turn_idx", "score")
+        .orderBy("query_id", "rank").collect().toSeq
+      val got = IndexSearch.searchAlias(spark, roots, queries, 10)
+        .select("query_id", "rank", "conv_id", "turn_idx", "score")
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(got == want && got.nonEmpty)
+    } finally (roots :+ rootU).foreach(rmrf)
+  }
+
   test("CheckIndex: healthy build reports ok with exact recounts") {
     val root = tmpDir()
     try {

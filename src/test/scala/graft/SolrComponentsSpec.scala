@@ -269,4 +269,55 @@ class SolrComponentsSpec extends SparkSpec {
     // assistant turn flags 0
     assert(feats.find(_.getLong(2) == 3L).get.getInt(9) == 0)
   }
+
+  // corpus dfs: apple 2, ant 2, bee 3, cat 3, dog 2, emu 3, fox 2, goat 1
+  // N = 6; cutoff 0.4·6 = 2.4 → low = {apple ant dog fox goat}
+
+  test("CommonTermsQuery: high-df terms score but don't gate; all-high falls back") {
+    // "apple bee": apple is the low backbone → only apple docs (0, 5)
+    // qualify; bee still scores where matched — the ranked subset of the
+    // plain disjunction restricted to apple docs, scores unchanged
+    val got = IndexSearch.searchCommonTerms(idx, Seq(1 -> "apple bee"), 0.4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    val full = IndexSearch.search(idx, Seq(1 -> "apple bee"))
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == full.filter(r => Seq(0L, 5L).contains(r._1)) && got.size == 2)
+    // every term high-df → empty low clause → plain disjunction fallback
+    val fb = IndexSearch.searchCommonTerms(idx, Seq(1 -> "bee cat emu"), 0.4)
+      .orderBy("rank").collect().toSeq
+    assert(fb == IndexSearch.search(idx, Seq(1 -> "bee cat emu"))
+      .orderBy("rank").collect().toSeq && fb.nonEmpty)
+    // OOV term is neither class: "zzz bee" ≡ search("bee")
+    assert(IndexSearch.searchCommonTerms(idx, Seq(1 -> "zzz bee"), 0.4)
+      .orderBy("rank").collect().toSeq ==
+      IndexSearch.search(idx, Seq(1 -> "bee")).orderBy("rank").collect().toSeq)
+    intercept[IllegalArgumentException](
+      IndexSearch.searchCommonTerms(idx, Seq(1 -> "bee"), 0.0))
+  }
+
+  test("group.query: membership filters, the MAIN query ranks, per-group numFound") {
+    val scores = IndexSearch.search(idx, Seq(1 -> "bee")).collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    // main "bee" matches {0,1,2}; g_ant ∩ = {0,1} (tied score → doc_id),
+    // g_dogemu ∩ = {2}, g_none matches nothing → absent
+    val got = IndexSearch.searchGroupQueries(idx, Seq(1 -> "bee"),
+      Seq("g_ant" -> "ant", "g_dogemu" -> "dog emu", "g_none" -> "zzz"),
+      groupLimit = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1, "g_ant", 1, 0L, scores(0L), 2L),
+      (1, "g_ant", 2, 1L, scores(1L), 2L),
+      (1, "g_dogemu", 1, 2L, scores(2L), 1L)))
+    // groupLimit truncates but numFound still reports the full group
+    val lim1 = IndexSearch.searchGroupQueries(idx, Seq(1 -> "bee"),
+      Seq("g_ant" -> "ant"), groupLimit = 1).collect()
+      .map(r => (r.getInt(2), r.getLong(3), r.getLong(5))).toSeq
+    assert(lim1 == Seq((1, 0L, 2L)))
+    intercept[IllegalArgumentException](
+      IndexSearch.searchGroupQueries(idx, Seq(1 -> "bee"),
+        Seq("a" -> "x", "a" -> "y")))
+  }
 }
