@@ -911,6 +911,30 @@ object Oracle {
        |WHERE rnk <= $k
        |ORDER BY r.query_id, rnk""".stripMargin
 
+  /** Twin of [[graft.search.IndexSearch.ltrRerank]]: the [[ltrFeatures]]
+    * twin as a nested CTE, the linear model spelled in the SAME exact
+    * integer fixed point (weights ×10², features ×10⁴ — integer sums
+    * cannot drift cross-engine the way near-boundary double rounding
+    * does), rerank window over the depth candidates only. */
+  def ltrRerank(queries: Seq[(Int, String)],
+                weights: Seq[(String, Double)], k: Int, depth: Int): String = {
+    val model = weights.map { case (f, w) =>
+      s"${math.round(w * 100)} * CAST(round(CAST($f AS DOUBLE) * 10000) AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH f AS (
+       |${ltrFeatures(queries, depth)}
+       |),
+       |m AS (SELECT query_id, "rank" AS first_rank, doc_id, score,
+       |             $model AS ltrf FROM f),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ltrf DESC, doc_id ASC) AS rnk FROM m)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id,
+       |       CAST(ltrf AS DOUBLE) / 1000000 AS ltr_score,
+       |       CAST(first_rank AS INT) AS first_rank, score
+       |FROM r WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.hardNegatives]] (DPR-style
     * retrieval training set): the standard BM25 ranking chain labeled
     * pos/hard_neg, unioned with the md5-ordered per-mille-prefiltered
@@ -1825,6 +1849,34 @@ object Oracle {
        |       CAST(dl.dl AS BIGINT) AS dl$textCol
        |FROM corpus JOIN keys USING (conv_id, turn_idx)
        |     JOIN dl ON corpus.doc_id = dl.doc_id
+       |ORDER BY conv_id, turn_idx""".stripMargin
+  }
+
+  /** Twin of [[graft.search.IndexSearch.getDocsRealtime]]: the committed
+    * [[getDocs]] lookup with pending-key rows EXCLUDED, unioned with the
+    * pending batch itself (driver literals) restricted to the requested
+    * keys, dl re-derived from the literal text by the analyzer twin. */
+  def getDocsRealtime(keys: Seq[(String, Int)],
+                      pending: Seq[(String, Int, String, String, String)]): String = {
+    require(keys.nonEmpty && pending.nonEmpty,
+      "realtime-get oracle needs keys and a pending batch")
+    val keyRows = keys.map { case (c, t) => s"('${esc(c)}', $t)" }
+    val pendRows = pending.map { case (c, t, role, tool, text) =>
+      s"('${esc(c)}', $t, '${esc(role)}', '${esc(tool)}', '${esc(text)}')" }
+    s"""WITH ${indexCtes(transcriptsCorpusFacets)},
+       |keys(conv_id, turn_idx) AS (VALUES ${keyRows.mkString(", ")}),
+       |pend(conv_id, turn_idx, role, tool, text) AS (VALUES ${pendRows.mkString(", ")})
+       |SELECT c.conv_id, c.turn_idx, c.role, c.tool,
+       |       CAST(dl.dl AS BIGINT) AS dl, c.text
+       |FROM corpus c JOIN keys USING (conv_id, turn_idx)
+       |     JOIN dl ON c.doc_id = dl.doc_id
+       |WHERE NOT EXISTS (SELECT 1 FROM pend p
+       |        WHERE p.conv_id = c.conv_id AND p.turn_idx = c.turn_idx)
+       |UNION ALL
+       |SELECT p.conv_id, p.turn_idx, p.role, p.tool,
+       |       CAST(len(${Analyzer.sqlTokenList("p.text")}) AS BIGINT) AS dl,
+       |       p.text
+       |FROM pend p JOIN keys USING (conv_id, turn_idx)
        |ORDER BY conv_id, turn_idx""".stripMargin
   }
 

@@ -407,6 +407,25 @@ object SparkEntry {
     ("conv000010", 0),
     ("convzzzzzz", 0))
 
+  /** LTR LinearModel weights (the Solr ltr model-store shape) over the
+    * [[graft.search.IndexSearch.ltrFeatures]] vector: coverage and idf
+    * dominate, dl penalized — a model that genuinely permutes the BM25
+    * candidate window instead of echoing it. */
+  val LtrWeights: Seq[(String, Double)] = Seq(
+    "f_tf_sum" -> 0.05, "f_matched" -> 0.4, "f_coverage" -> 1.5,
+    "f_idf_max" -> 0.7, "f_dl" -> -0.01, "f_is_user" -> 0.25)
+
+  /** Uncommitted tlog tail for the realtime-get gate: an update to a
+    * committed GetKeys doc plus one brand-new uncommitted add. */
+  val RtgPending: Seq[(String, Int, String, String, String)] = Seq(
+    ("conv000001", 1, "assistant", "tool9",
+      "pending updated answer with fresh tokens"),
+    ("convpend01", 0, "user", "", "a brand new uncommitted question"))
+
+  /** Realtime-get key set: the committed GetKeys plus the pending-only
+    * add (visible through the tlog despite never being committed). */
+  val RtgKeys: Seq[(String, Int)] = GetKeys :+ (("convpend01", 0))
+
   /** MoreLikeThis seed requests: (request id, seed doc_id). Seeds span
     * roles/turn positions (dense transcript doc ids — all < 500, present
     * at every sf); request 4's seed pairs with request 1's conversation
@@ -1091,6 +1110,15 @@ object SparkEntry {
     // reranker feature vectors — SolrFeature + FieldValueFeature classes
     "q_ltr_features" -> ((s, dir) =>
       IndexSearch.ltrFeatures(indexFor(s, dir), DisjQueries)),
+    // Solr LTR rerank ({!ltr model=linear reRankDocs=30}): the logged
+    // feature vectors scored by a linear model, top-30 window re-sorted
+    "q_bm25_ltr_rerank" -> ((s, dir) =>
+      IndexSearch.ltrRerank(indexFor(s, dir), DisjQueries, LtrWeights,
+        k = 10, depth = 30)),
+    // Solr /get against the uncommitted update log: pending updates and
+    // adds visible by key before any commit, tlog wins on collision
+    "q_rtg_pending" -> ((s, dir) =>
+      IndexSearch.getDocsRealtime(indexFor(s, dir), RtgPending, RtgKeys)),
     // DPR hard-negative mining: pos/hard_neg from BM25 top-k, md5-ordered
     // prefiltered random negatives — the retrieval-training-set extractor
     "q_hard_negatives" -> ((s, dir) =>
@@ -1927,6 +1955,8 @@ object SparkEntry {
     "q_bm25_explain" -> Oracle.bm25Explain(DisjQueries, 10),
     "q_top_terms" -> Oracle.topTerms(25),
     "q_ltr_features" -> Oracle.ltrFeatures(DisjQueries, 10),
+    "q_bm25_ltr_rerank" -> Oracle.ltrRerank(DisjQueries, LtrWeights, 10, 30),
+    "q_rtg_pending" -> Oracle.getDocsRealtime(RtgKeys, RtgPending),
     "q_hard_negatives" -> Oracle.hardNegatives(DisjQueries, 10, 5, 200),
     "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),

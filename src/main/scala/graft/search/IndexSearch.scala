@@ -325,6 +325,54 @@ object IndexSearch {
     } finally per.unpersist()
   }
 
+  /** Solr LTR RERANKING (`rq={!ltr model=… reRankDocs=…}`,
+    * org.apache.solr.ltr.model.LinearModel): the second half of the LTR
+    * loop whose first half is [[ltrFeatures]] — the BM25 first pass
+    * supplies the top-`depth` candidate window, each candidate's logged
+    * feature vector is scored by a LINEAR model (Σ wᵢ·fᵢ over the caller's
+    * (feature, weight) list, summed in list order — the operand-order
+    * pin that keeps both engines' float sums identical), and ONLY that
+    * window re-sorts by model score; docs below `depth` are never
+    * re-scored, Solr's reRankDocs contract. No normalizers (Solr's
+    * optional feature normalizer is identity here, pinned).
+    *
+    * Determinism pin: unlike BM25 (whose ln() keeps scores away from
+    * decimal rounding boundaries), a linear model over DISCRETE logged
+    * features lands ON round-half boundaries constantly, where Spark's
+    * BigDecimal HALF_UP and DuckDB's float-multiply round disagree by one
+    * ulp. So the model evaluates in EXACT INTEGER fixed point — weights
+    * quantized to 1e-2 (enforced), features scaled by 1e4 (their logged
+    * precision) — ranks on the integer, and reports the score by one
+    * exact division, no rounding anywhere. Output carries the model score
+    * AND the first-pass rank/score so rank movement is verifiable. Scale
+    * shape: features ride the one cached pruned posting decode of
+    * [[ltrFeatures]]; reranking touches ≤ queries·depth rows. */
+  def ltrRerank(idx: OpenIndex, queries: Seq[(Int, String)],
+                weights: Seq[(String, Double)], k: Int = 10,
+                depth: Int = 30): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._1).distinct.size == weights.size,
+      "ltr model needs a non-empty, duplicate-free weight list")
+    require(weights.forall { case (_, w) =>
+      math.abs(w * 100 - math.round(w * 100)) < 1e-9 },
+      "ltr weights must be exact multiples of 0.01 (the fixed-point pin)")
+    require(k > 0 && depth >= k, s"need depth >= k > 0 (got depth=$depth k=$k)")
+    val feats = ltrFeatures(idx, queries, depth)
+    val model = weights.map { case (f, w) =>
+      lit(math.round(w * 100)) *
+        round(col(f).cast("double") * lit(10000)).cast("long")
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(col("_ltr").desc, col("doc_id").asc)
+    feats.withColumn("_ltr", model)
+      .withColumn("_rr", row_number().over(w))
+      .where(col("_rr") <= k)
+      .select(col("query_id"), col("_rr").cast("int").as("rank"),
+        col("doc_id"),
+        (col("_ltr").cast("double") / lit(1e6)).as("ltr_score"),
+        col("rank").cast("int").as("first_rank"), col("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** DPR-style HARD-NEGATIVE MINING (Karpukhin et al., EMNLP 2020 — the
     * retrieval-training-set construction step): per query, `pos` = the
     * BM25 top-1 document, `hard_neg` = ranks 2..k (the lexically-similar
@@ -526,6 +574,43 @@ object IndexSearch {
       .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
         col("dl").cast("long").as("dl"), col("text"))
       .orderBy("conv_id", "turn_idx")
+  }
+
+  /** Solr REAL-TIME GET against an UNCOMMITTED pending batch (the update
+    * log contract: `/get` consults the tlog BEFORE the last-committed
+    * searcher, so in-flight adds and updates are visible by key even
+    * though no commit has opened them to search). `pending` rows —
+    * (conv_id, turn_idx, role, tool, text), the tlog tail — WIN over the
+    * committed index on key collision; pending-only keys (uncommitted
+    * adds) surface; keys in neither are omitted ([[getDocs]] parity).
+    * dl of a pending doc is re-derived by the shared [[graft.analysis.Analyzer]]
+    * (the committed index stored its dl at build time from the same
+    * analyzer — one invariant, two ages). Scale shape: the committed side
+    * is the same key-predicate point lookup as [[getDocs]]; the pending
+    * batch is tlog-sized (driver literals here), anti-joined as a local
+    * predicate — the corpus is never rescanned. */
+  def getDocsRealtime(idx: OpenIndex,
+                      pending: Seq[(String, Int, String, String, String)],
+                      keys: Seq[(String, Int)]): DataFrame = {
+    require(keys.nonEmpty, "realtime get needs at least one key")
+    require(pending.map(p => (p._1, p._2)).distinct.size == pending.size,
+      "pending batch must not repeat a key (tlog replay collapses first)")
+    val spark = idx.spark
+    import spark.implicits._
+    def pred(ks: Seq[(String, Int)]) = ks.map { case (c, t) =>
+      col("conv_id") === c && col("turn_idx") === t }.reduce(_ || _)
+    val pendKeys = pending.map(p => (p._1, p._2))
+    val committed = idx.io.read(spark, idx.paths.docs)
+      .where(pred(keys))
+      .where(if (pendKeys.isEmpty) lit(true) else !pred(pendKeys))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        col("dl").cast("long").as("dl"), col("text"))
+    val fromLog = pending.toDF("conv_id", "turn_idx", "role", "tool", "text")
+      .where(pred(keys))
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        size(graft.analysis.Analyzer.tokens(col("text"))).cast("long").as("dl"),
+        col("text"))
+    committed.unionByName(fromLog).orderBy("conv_id", "turn_idx")
   }
 
   /** Solr TermVectorsComponent (`tv=true&tv.df=true&tv.positions=true`):

@@ -297,6 +297,43 @@ class SolrComponentsSpec extends SparkSpec {
       IndexSearch.searchCommonTerms(idx, Seq(1 -> "bee"), 0.0))
   }
 
+  test("LTR rerank: linear model re-sorts ONLY the depth window; first_rank kept") {
+    // "bee cat": BM25 order 1,2 (2 matched terms, tie → doc_id), 0, 3.
+    // model = f_is_user → user turns (0, 2) outrank assistant (1, 3)
+    val got = IndexSearch.ltrRerank(idx, Seq(1 -> "bee cat"),
+      Seq("f_is_user" -> 1.0), k = 4, depth = 4).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(got.map(_._2) == Seq(0L, 2L, 1L, 3L))
+    assert(got.map(_._4) == Seq(3, 2, 1, 4)) // first-pass ranks ride along
+    assert(got.map(_._3) == Seq(1.0, 1.0, 0.0, 0.0))
+    // reRankDocs contract: depth=2 → doc 0 can never enter, whatever
+    // the model says; within {1, 2} the user turn 2 wins
+    val win = IndexSearch.ltrRerank(idx, Seq(1 -> "bee cat"),
+      Seq("f_is_user" -> 1.0), k = 2, depth = 2).collect()
+      .map(r => (r.getLong(2), r.getInt(4))).toSeq
+    assert(win == Seq((2L, 2), (1L, 1)))
+    intercept[IllegalArgumentException](IndexSearch.ltrRerank(idx,
+      Seq(1 -> "bee"), Seq("f_dl" -> 1.0, "f_dl" -> 2.0)))
+    intercept[IllegalArgumentException](IndexSearch.ltrRerank(idx,
+      Seq(1 -> "bee"), Seq("f_dl" -> 1.0), k = 5, depth = 3))
+  }
+
+  test("realtime get: tlog wins on collision, uncommitted adds visible") {
+    val pending = Seq(
+      ("c0", 1, "assistant", "t9", "xx yy"),
+      ("c9", 0, "user", "", "zz"))
+    val keys = Seq(("c0", 1), ("c9", 0), ("c1", 0), ("cmissing", 0))
+    val got = IndexSearch.getDocsRealtime(idx, pending, keys).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      ("c0", 1, "assistant", "t9", 2L, "xx yy"),              // tlog wins
+      ("c1", 0, "user", null.asInstanceOf[String], 3L, "bee cat dog"),
+      ("c9", 0, "user", "", 1L, "zz")))                // uncommitted add
+    intercept[IllegalArgumentException](IndexSearch.getDocsRealtime(idx,
+      Seq(("a", 0, "r", "t", "x"), ("a", 0, "r", "t", "y")), keys))
+  }
+
   test("group.query: membership filters, the MAIN query ranks, per-group numFound") {
     val scores = IndexSearch.search(idx, Seq(1 -> "bee")).collect()
       .map(r => r.getLong(2) -> r.getDouble(3)).toMap
