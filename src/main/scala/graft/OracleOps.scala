@@ -1321,4 +1321,42 @@ object OracleOps {
        |         ORDER BY quality_score DESC, doc_id ASC) = 1 AS keep
        |FROM comp JOIN q USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** Twin of [[graft.ops.Dedup.bloomDedup]] over the gate's incoming
+    * batch (docs ≡ 0 mod 4 verbatim = true dups, ≡ 1 mod 4 with ' novel'
+    * appended = novel). The twin verifies filter SEMANTICS set-wise — a
+    * probe hits iff every double-hashed position is in the corpus's
+    * set-bit position set, which is the bitset test by construction (the
+    * word encoding itself is spec-tested). */
+  def bloomDedup(mBits: Int, kHashes: Int): String = {
+    val is = (0 until kHashes).map(i => s"($i)").mkString(", ")
+    s"""WITH $corpusCte, $tkCte,
+       |fps AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM tk),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+       |        UNION ALL
+       |        SELECT doc_id, text || ' novel' FROM documents WHERE doc_id % 4 = 1),
+       |ifps AS (SELECT doc_id, md5(array_to_string($toks, ' ')) AS fp
+       |         FROM (SELECT doc_id, text FROM inc)),
+       |i(i) AS (VALUES $is),
+       |ch AS (SELECT ('0x' || substr(fp, 1, 8))::BIGINT AS h1,
+       |              ('0x' || substr(fp, 9, 8))::BIGINT AS h2 FROM fps),
+       |cpos AS (SELECT DISTINCT (h1 + i.i * h2) % $mBits AS p
+       |         FROM ch CROSS JOIN i),
+       |ih AS (SELECT doc_id, fp,
+       |              ('0x' || substr(fp, 1, 8))::BIGINT AS h1,
+       |              ('0x' || substr(fp, 9, 8))::BIGINT AS h2 FROM ifps),
+       |probe AS (SELECT doc_id, fp,
+       |            min(CASE WHEN (h1 + i.i * h2) % $mBits IN (SELECT p FROM cpos)
+       |                THEN 1 ELSE 0 END) AS bloom_hit
+       |          FROM ih CROSS JOIN i GROUP BY doc_id, fp),
+       |ex AS (SELECT p.doc_id, p.bloom_hit,
+       |              CASE WHEN EXISTS (SELECT 1 FROM fps f WHERE f.fp = p.fp)
+       |              THEN 1 ELSE 0 END AS exact_dup
+       |       FROM probe p)
+       |SELECT doc_id, CAST(bloom_hit AS INT) AS bloom_hit,
+       |       CAST(exact_dup AS INT) AS exact_dup,
+       |       CAST(CASE WHEN bloom_hit = 1 AND exact_dup = 0
+       |            THEN 1 ELSE 0 END AS INT) AS false_pos
+       |FROM ex ORDER BY doc_id""".stripMargin
+  }
 }

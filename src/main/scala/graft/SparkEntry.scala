@@ -901,6 +901,16 @@ object SparkEntry {
     "q_fingerprints_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(documents(s, dir))),
     "q_dedup_exact" -> ((s, dir) => TextOps.dupGroups(documents(s, dir))),
+    // dolma-style Bloom-filter incremental dedup: new batch (¼ verbatim
+    // dups, ¼ mutated novels) screened against the corpus filter; false
+    // positives exhibited, false negatives structurally impossible
+    "q_dedup_bloom" -> ((s, dir) => {
+      val d = documents(s, dir).select(col("doc_id"), col("text"))
+      val incoming = d.where(col("doc_id") % 4 === 0).unionByName(
+        d.where(col("doc_id") % 4 === 1)
+          .select(col("doc_id"), concat(col("text"), lit(" novel")).as("text")))
+      graft.ops.Dedup.bloomDedup(d, incoming, mBits = 4096, kHashes = 3)
+    }),
     // training-data stratified sampling: per-lang md5-threshold rates
     // (en downsampled to 30%, zh kept, rest at 60%) — deterministic,
     // consistent under corpus growth, shuffle-free
@@ -1905,6 +1915,7 @@ object SparkEntry {
     "q_fingerprints" -> OracleOps.fingerprints,
     "q_fingerprints_rolling" -> OracleOps.rollingFingerprints(3),
     "q_dedup_exact" -> OracleOps.dupGroups,
+    "q_dedup_bloom" -> OracleOps.bloomDedup(4096, 3),
     "q_dedup_minhash" -> OracleOps.minhashPairs(0.7),
     "q_simhash" -> OracleOps.simhash,
     "q_dedup_simhash" -> OracleOps.simhashPairs(3),

@@ -488,4 +488,63 @@ object Dedup {
       .select("doc_id", "rep", "quality_score", "keep")
       .orderBy("doc_id")
   }
+
+  /** BLOOM-FILTER INCREMENTAL DEDUP (the AllenAI dolma deduper shape
+    * [PUB]: screen a NEW crawl batch against an already-processed corpus
+    * through a Bloom filter, so incremental dedup never joins the new
+    * batch against the full corpus): the existing corpus's exact-dup keys
+    * ([[TextOps.fingerprints]] `fp`, md5 of the normalized token stream)
+    * populate an `mBits`-bit filter via `kHashes` double-hashed probes
+    * (Kirsch–Mitzenmacher: pᵢ = (h1 + i·h2) mod m, h1/h2 = the fp's
+    * first/second 8 hex chars — exact integer arithmetic, so the DuckDB
+    * twin reproduces every bit). Each incoming doc reports `bloom_hit`
+    * (all k bits set — "maybe already seen"), `exact_dup` (true
+    * membership), and `false_pos` (bloom_hit without membership — the
+    * filter's false positives, surfaced rather than hidden; no false
+    * NEGATIVES is the structural guarantee the spec asserts).
+    *
+    * Scale shape: training is ONE distinct-positions aggregate whose
+    * result is ≤ mBits rows (the FILTER size, a constant — never
+    * corpus-sized), collected once into mBits/64 long words and shipped
+    * as a plan literal; probing is a pure map-only bit-test Column
+    * expression over the new batch — screening costs one corpus pass to
+    * train plus one batch scan, no corpus⋈batch join. The `exact_dup`
+    * column joins true fingerprints only to EXHIBIT the FP rate in the
+    * verified gate; production screening is the bloom verdict alone
+    * (dolma's contract — novel docs are dropped at the published
+    * (1−e^(−kn/m))^k rate, never duplicated). */
+  def bloomDedup(corpus: DataFrame, incoming: DataFrame,
+                 mBits: Int = 4096, kHashes: Int = 3): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0,
+      s"mBits must be a positive multiple of 64 (got $mBits)")
+    require(kHashes >= 1 && kHashes <= 8,
+      s"kHashes must be in 1..8 (got $kHashes)")
+    def hashed(c: DataFrame) = TextOps.fingerprints(c)
+      .select(col("doc_id"), col("fp"),
+        conv(substring(col("fp"), 1, 8), 16, 10).cast("long").as("_h1"),
+        conv(substring(col("fp"), 9, 8), 16, 10).cast("long").as("_h2"))
+    def pos(i: Int): Column =
+      (col("_h1") + lit(i.toLong) * col("_h2")) % lit(mBits.toLong)
+    val setBits = hashed(corpus)
+      .select(explode(array((0 until kHashes).map(pos): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](mBits / 64)
+    setBits.foreach(p => words((p / 64).toInt) |= 1L << (p % 64).toInt)
+    val probed = (0 until kHashes).foldLeft(
+      hashed(incoming).withColumn("_words", typedLit(words.toSeq))) {
+      (d, i) => d.withColumn(s"_p$i", pos(i)) }
+    val hit = (0 until kHashes).map(i =>
+      expr(s"(shiftright(element_at(_words, cast(_p$i / 64 as int) + 1), " +
+        s"cast(_p$i % 64 as int)) & 1) = 1")).reduce(_ && _)
+    val seen = TextOps.fingerprints(corpus)
+      .select(col("fp")).distinct().withColumn("_seen", lit(1))
+    // exact join = the cost the filter exists to avoid; gate-exhibit only
+    probed.withColumn("bloom_hit", hit.cast("int"))
+      .join(seen, Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("_seen"), lit(0)).as("exact_dup"),
+        (col("bloom_hit") === 1 && coalesce(col("_seen"), lit(0)) === 0)
+          .cast("int").as("false_pos"))
+      .orderBy("doc_id")
+  }
 }

@@ -160,4 +160,48 @@ class DedupRecallSpec extends SparkSpec {
       (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
       (7L, 7L, true), (8L, 7L, false)))
   }
+
+  test("bloom dedup: no false negatives; bitset probe ≡ set-membership reimpl") {
+    import spark.implicits._
+    val corpus = (0 until 120).map(i =>
+      (i.toLong, s"doc body ${i % 37} tail token$i")).toDF("doc_id", "text")
+    // incoming: 40 verbatim dups + 80 novels
+    val incoming = (0 until 120).map { i =>
+      (1000L + i, if (i < 40) s"doc body ${i % 37} tail token$i"
+                  else s"totally new content $i never indexed")
+    }.toDF("doc_id", "text")
+    // tiny filter (m=256, k=3) so saturation forces some false positives
+    val got = Dedup.bloomDedup(corpus, incoming, mBits = 256, kHashes = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // structural guarantee: every true duplicate hits
+    assert(got.filter(_._3 == 1).forall(_._2 == 1))
+    assert(got.count(_._3 == 1) == 40)
+    // flag algebra: false_pos ≡ hit ∧ ¬dup
+    assert(got.forall { case (_, h, d, f) => f == (if (h == 1 && d == 0) 1 else 0) })
+    // independent reimplementation: set-of-positions membership in Scala
+    def fp(t: String): String = {
+      val toks = graft.analysis.Analyzer.tokenize(t)
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    def positions(f: String, m: Int, k: Int): Seq[Long] = {
+      val h1 = java.lang.Long.parseLong(f.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(f.substring(8, 16), 16)
+      (0 until k).map(i => (h1 + i.toLong * h2) % m)
+    }
+    val setBits = corpus.collect()
+      .flatMap(r => positions(fp(r.getString(1)), 256, 3)).toSet
+    val want = incoming.collect().map { r =>
+      val hit = positions(fp(r.getString(1)), 256, 3).forall(setBits)
+      (r.getLong(0), if (hit) 1 else 0)
+    }.toMap
+    assert(got.forall { case (id, h, _, _) => want(id) == h })
+    // saturated-enough filter actually exhibits a false positive here
+    assert(got.exists(_._4 == 1))
+    intercept[IllegalArgumentException](
+      Dedup.bloomDedup(corpus, incoming, mBits = 100, kHashes = 3))
+    intercept[IllegalArgumentException](
+      Dedup.bloomDedup(corpus, incoming, mBits = 256, kHashes = 0))
+  }
 }
