@@ -981,6 +981,29 @@ object Oracle {
   /** Transcripts corpus carrying ts_sec AND role — the multi-field sort
     * twin ([[transcriptsCorpusTs]] plus the role derivation from
     * [[Transcripts.sqlFromDocuments]]). */
+  /** Twin of [[graft.index.SortedDocs.topK]]: the full transcripts
+    * relation (NO ingest text filter — the sorted family stores every
+    * turn) ranked by the pinned index sort (ts_sec, conv_id, turn_idx),
+    * optional role filter, limit k. The engine's bucket walk is pure
+    * access-path optimization — this twin is the semantics it must
+    * preserve. */
+  def sortedTopK(k: Int, roleFilter: Option[String]): String = {
+    val where = roleFilter.map(r => s"WHERE role = '${esc(r)}'").getOrElse("")
+    s"""WITH t AS (
+       |  SELECT 'conv' || lpad(CAST(doc_id // 4 AS VARCHAR), 6, '0') AS conv_id,
+       |         CAST(doc_id % 4 AS INT) AS turn_idx,
+       |         CASE WHEN doc_id % 4 = 3 THEN 'tool'
+       |              WHEN doc_id % 2 = 0 THEN 'user'
+       |              ELSE 'assistant' END AS role,
+       |         CAST(${Transcripts.Epoch2024} + doc_id * 30 AS BIGINT) AS ts_sec
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (ORDER BY ts_sec ASC, conv_id ASC,
+       |        turn_idx ASC) AS rnk
+       |      FROM t $where)
+       |SELECT CAST(rnk AS INT) AS "rank", conv_id, turn_idx, role, ts_sec
+       |FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
   def transcriptsCorpusTsRole: String =
     s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
        |       text, ts_sec, role

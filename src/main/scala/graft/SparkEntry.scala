@@ -544,7 +544,7 @@ object SparkEntry {
     corpusRoots.clear(); builtIndexes.clear(); mergeOldRoots.clear()
     mergedRoots.clear(); streamRoots.clear(); compactRoots.clear()
     fieldIndexRoots.clear(); dbqRoots.clear(); updatedRoots.clear()
-    tieredRoots.clear(); aliasRoots.clear()
+    tieredRoots.clear(); aliasRoots.clear(); sortedRoots.clear()
   }
 
   /** Alias fixture: TWO collections over disjoint corpus halves (the
@@ -563,6 +563,18 @@ object SparkEntry {
             s"alias-$tag", BuildIndexJob.Config(numShards = 8))
           r
         }
+    })
+
+  /** Index-sorted bucket family (Lucene setIndexSort analog) over the
+    * transcripts, built once per sf dir. */
+  private val sortedRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def sortedDocsFor(s: SparkSession, dir: String): String =
+    sortedRoots.computeIfAbsent(dir, _ => {
+      val r = TempDirs.create("graft_sorted")
+      graft.index.SortedDocs.write(s, Transcripts.fromDocuments(s, dir), r,
+        numBuckets = 8)
+      r
     })
 
   /** Merge-gate inputs (U1/U2/J4): old index over docs < 4n/5; new batch =
@@ -1340,6 +1352,15 @@ object SparkEntry {
         graft.search.FilterQuery.parse("role:user") &&
           graft.search.FilterQuery.parse("dl:[5 TO *]"),
         Seq(col("dl").desc), 20, Seq("role", "dl"))),
+    // Lucene index-time sort (setIndexSort) + early termination: earliest
+    // 15 turns — the manifest picks the bucket prefix, no corpus sort
+    "q_sorted_topk" -> ((s, dir) =>
+      graft.index.SortedDocs.topK(s, sortedDocsFor(s, dir), 15)),
+    // same walk under a filter: the collector pass counts matches per
+    // range bucket and still reads only the satisfying prefix
+    "q_sorted_topk_tool" -> ((s, dir) =>
+      graft.index.SortedDocs.topK(s, sortedDocsFor(s, dir), 15,
+        Some(col("role") === "tool"))),
     "q_bm25_parent" -> ((s, dir) =>
       IndexSearch.searchParents(indexFor(s, dir), DisjQueries,
         graft.search.BlockJoin.Total, k = 10)),
@@ -2019,6 +2040,8 @@ object SparkEntry {
     "q_bm25_children" -> Oracle.bm25Children(DisjQueries, 5, "max"),
     "q_match_all" -> Oracle.matchAllSorted(
       "role = 'user' AND dl >= 5", "dl DESC", 20, Seq("role", "dl")),
+    "q_sorted_topk" -> Oracle.sortedTopK(15, None),
+    "q_sorted_topk_tool" -> Oracle.sortedTopK(15, Some("tool")),
     "q_bm25_parent" -> Oracle.bm25Parents(DisjQueries, 10, "total"),
     "q_bm25_parent_avg" -> Oracle.bm25Parents(DisjQueries, 10, "avg"),
     "q_bm25_parent_segmented" -> Oracle.bm25Parents(DisjQueries, 10, "total"),

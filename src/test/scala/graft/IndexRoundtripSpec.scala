@@ -151,6 +151,44 @@ class IndexRoundtripSpec extends SparkSpec {
     } finally (roots :+ rootU).foreach(rmrf)
   }
 
+  test("index-sorted buckets: early-terminated top-k ≡ full sort; prefix walk") {
+    import graft.index.SortedDocs
+    val root = tmpDir()
+    try {
+      val t = Transcripts.synthetic(spark, 200)
+      SortedDocs.write(spark, t, root, numBuckets = 8)
+      def want(pred: Option[org.apache.spark.sql.Column], k: Int) = {
+        val base = pred.fold(t)(t.where)
+        base.orderBy(col("ts").asc, col("conv_id").asc, col("turn_idx").asc)
+          .limit(k)
+          .select(col("conv_id"), col("turn_idx"), col("role"),
+            col("ts").cast("long").as("ts_sec"))
+          .collect().toSeq
+      }
+      def got(pred: Option[org.apache.spark.sql.Column], k: Int) =
+        SortedDocs.topK(spark, root, k, pred).orderBy("rank")
+          .select("conv_id", "turn_idx", "role", "ts_sec").collect().toSeq
+      // unfiltered: ≡ full sort AND only the first range bucket is read
+      assert(got(None, 20) == want(None, 20))
+      assert(SortedDocs.selectBuckets(spark, root, 20) == Seq(0))
+      // filtered: ≡ filter+sort+limit; the walk is an ascending PREFIX
+      val p = Some(col("role") === "tool")
+      assert(got(p, 40) == want(p, 40) && got(p, 40).size == 40)
+      val walked = SortedDocs.selectBuckets(spark, root, 40, p)
+      assert(walked == (0 until walked.size) && walked.size < 8)
+      // impossible predicate: walks everything, returns nothing
+      val none = Some(col("role") === "nosuch")
+      assert(SortedDocs.selectBuckets(spark, root, 1, none).size == 8)
+      assert(got(none, 1).isEmpty)
+      // k beyond the corpus: every row, still rank-contiguous
+      val total = t.count().toInt
+      val all = SortedDocs.topK(spark, root, total + 50).collect()
+      assert(all.length == total &&
+        all.map(_.getInt(0)).toSeq == (1 to total))
+      intercept[IllegalArgumentException](SortedDocs.topK(spark, root, 0))
+    } finally rmrf(root)
+  }
+
   test("CheckIndex: healthy build reports ok with exact recounts") {
     val root = tmpDir()
     try {
