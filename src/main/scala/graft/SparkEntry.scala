@@ -1667,6 +1667,35 @@ object SparkEntry {
           col("z.1").cast("int").as("tf"), col("z.2").cast("int").as("dl"))
         .orderBy("term", "doc_id")
     }),
+    // Lucene ForUtil/ForDeltaUtil bit-packing round-trip (the THIRD codec
+    // family): doc ids as FOR-delta blocks, tf/dl as plain FOR blocks —
+    // one mis-packed bit anywhere fails the recomputed-postings hash
+    "q_postings_for" -> ((s, dir) => {
+      import graft.index.codec
+      val corpus = documents(s, dir)
+      val occ = IndexBuild.termOccurrences(corpus)
+      val dl = IndexBuild.docLengths(occ)
+      val tf = IndexBuild.termFrequencies(occ)
+      val lists = IndexBuild.tfWithDl(tf, dl)
+        .groupBy("term")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"),
+          col("dl")))).as("p"))
+        .select(col("term"),
+          codec.forDeltaEncode(transform(col("p"), x => x.getField("doc_id")))
+            .as("docs_for"),
+          codec.forEncode(transform(col("p"),
+            x => x.getField("tf").cast("long"))).as("tf_b"),
+          codec.forEncode(transform(col("p"),
+            x => x.getField("dl").cast("long"))).as("dl_b"))
+      lists
+        .withColumn("z", explode(arrays_zip(
+          codec.forDeltaDecode(col("docs_for")),
+          codec.forDecode(col("tf_b")),
+          codec.forDecode(col("dl_b")))))
+        .select(col("term"), col("z.0").as("doc_id"),
+          col("z.1").cast("int").as("tf"), col("z.2").cast("int").as("dl"))
+        .orderBy("term", "doc_id")
+    }),
     // §2.10: streaming ingest → segmented index, queried by segment
     // fan-out (keys-shaped output; segment-local ids never escape)
     "q_streaming_topk" -> ((s, dir) =>
@@ -2151,6 +2180,7 @@ object SparkEntry {
       DisjQueries, 10, conjunctive = false),
     "q_posting_agg" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_postings_ef" -> Oracle.termTfDl(Oracle.documentsCorpus),
+    "q_postings_for" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_postings_salted" -> Oracle.termTfDl(Oracle.documentsCorpus),
     "q_streaming_topk" -> Oracle.bm25TopKKeys(DisjQueries, 10),
     // redelivered keys collapse to the corpus's one row per key; keys are

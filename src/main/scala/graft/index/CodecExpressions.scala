@@ -99,6 +99,50 @@ case class EliasFanoDecode(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): EliasFanoDecode = copy(c)
 }
 
+/** array<long> (non-negative) → binary (FOR bit-packed blocks). */
+case class ForPackEncode(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    ForUtil.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.ForUtil.encode($c)")
+  override protected def withNewChildInternal(c: Expression): ForPackEncode = copy(c)
+}
+
+/** binary → array<long> (FOR bit-packed blocks). */
+case class ForPackDecode(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ForUtil.decode(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.ForUtil.decode($c)")
+  override protected def withNewChildInternal(c: Expression): ForPackDecode = copy(c)
+}
+
+/** non-decreasing array<long> → binary (FOR-delta — Lucene ForDeltaUtil). */
+case class ForDeltaEncode(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(v: Any): Any =
+    ForUtil.encodeDelta(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.ForUtil.encodeDelta($c)")
+  override protected def withNewChildInternal(c: Expression): ForDeltaEncode = copy(c)
+}
+
+/** binary → non-decreasing array<long> (FOR-delta). */
+case class ForDeltaDecode(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    ForUtil.decodeDelta(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.ForUtil.decodeDelta($c)")
+  override protected def withNewChildInternal(c: Expression): ForDeltaDecode = copy(c)
+}
+
 /** Column-level API for the codec expressions. */
 object codec {
   def varintEncode(c: Column): Column = Shims.column(VarintEncode(Shims.expression(c)))
@@ -109,4 +153,8 @@ object codec {
   def varintNestedDecode(c: Column): Column = Shims.column(VarintNestedDecode(Shims.expression(c)))
   def efEncode(c: Column): Column = Shims.column(EliasFanoEncode(Shims.expression(c)))
   def efDecode(c: Column): Column = Shims.column(EliasFanoDecode(Shims.expression(c)))
+  def forEncode(c: Column): Column = Shims.column(ForPackEncode(Shims.expression(c)))
+  def forDecode(c: Column): Column = Shims.column(ForPackDecode(Shims.expression(c)))
+  def forDeltaEncode(c: Column): Column = Shims.column(ForDeltaEncode(Shims.expression(c)))
+  def forDeltaDecode(c: Column): Column = Shims.column(ForDeltaDecode(Shims.expression(c)))
 }

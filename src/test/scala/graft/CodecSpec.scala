@@ -155,6 +155,72 @@ class CodecSpec extends SparkSpec {
     assert(n(0).isNullAt(2))
   }
 
+  def encFor(xs: Seq[Long]): Array[Byte] =
+    graft.index.ForUtil.encode(new GenericArrayData(xs.toArray))
+  def decFor(b: Array[Byte]): Seq[Long] =
+    graft.index.ForUtil.decode(b).toLongArray().toSeq
+  def encForD(xs: Seq[Long]): Array[Byte] =
+    graft.index.ForUtil.encodeDelta(new GenericArrayData(xs.toArray))
+  def decForD(b: Array[Byte]): Seq[Long] =
+    graft.index.ForUtil.decodeDelta(b).toLongArray().toSeq
+
+  test("FOR bit-packing: roundtrip on block edges + random arrays, both variants") {
+    val edges: Seq[Seq[Long]] = Seq(
+      Seq.empty[Long], Seq(0L), Seq(5L), Seq.fill(300)(0L),
+      (0L until 127L), (0L until 128L), (0L until 129L), (0L until 256L),
+      Seq(1L << 40, 3L, 0L, Long.MaxValue / 2),
+      (0L until 1000L).map(i => i % 7))
+    edges.foreach(xs => assert(decFor(encFor(xs)) == xs, s"FOR $xs"))
+    edges.map(_.sorted).foreach(xs =>
+      assert(decForD(encForD(xs)) == xs, s"FOR-delta $xs"))
+    (0 until 300).foreach { i =>
+      val gen = Gen.listOf(Gen.chooseNum(0L, 1L << 48))
+      val xs = gen.apply(Gen.Parameters.default, Seed(7000L + i)).get
+      assert(decFor(encFor(xs)) == xs, s"seed $i")
+      assert(decForD(encForD(xs.sorted)) == xs.sorted, s"delta seed $i")
+    }
+  }
+
+  test("FOR: per-block width — zero runs cost a byte/block, small ints pack tight") {
+    // 1280 zeros → 10 blocks × (1 width byte) + varint(n) = 12 bytes
+    assert(encFor(Seq.fill(1280)(0L)).length <= 12)
+    // tf-like stream of values < 8 → 3 bits/value ≈ 3/8 byte each,
+    // far under the 1 byte/value varint floor
+    val tfs = (0 until 1024).map(i => (i % 7 + 1).toLong)
+    assert(encFor(tfs).length < enc(tfs).length)
+    assert(encFor(tfs).length <= 1024 * 3 / 8 + 8 + 10)
+    // a single outlier widens ONLY its own block (no patching, pinned)
+    val spiked = (0L until 256L).map(i => if (i == 255) 1L << 30 else 1L)
+    val flat = (0L until 256L).map(_ => 1L)
+    assert(encFor(spiked).length - encFor(flat).length <= 31 * 128 / 8 + 8)
+  }
+
+  test("FOR: rejects negatives and descending delta input") {
+    intercept[IllegalArgumentException](encFor(Seq(-1L)))
+    intercept[IllegalArgumentException](encForD(Seq(5L, 3L)))
+    intercept[IllegalArgumentException](encForD(Seq(-2L, 3L)))
+  }
+
+  test("FOR Column expressions roundtrip inside a Spark plan") {
+    val df = Seq(
+      (1L, Seq(3L, 7L, 7L, 7L + (1L << 40))),
+      (2L, Seq(0L)),
+      (3L, Seq.empty[Long]),
+      (4L, (0L until 200L).toSeq))
+      .toDF("id", "xs")
+    val got = df
+      .withColumn("f", codec.forDecode(codec.forEncode(col("xs"))))
+      .withColumn("fd", codec.forDeltaDecode(codec.forDeltaEncode(col("xs"))))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](2) == r.getSeq[Long](1))
+      assert(r.getSeq[Long](3) == r.getSeq[Long](1))
+    }
+    val n = Seq((1L, Option.empty[Seq[Long]])).toDF("id", "xs")
+      .withColumn("enc", codec.forEncode(col("xs"))).collect()
+    assert(n(0).isNullAt(2))
+  }
+
   test("null input yields null (nullIntolerant)") {
     val df = Seq((1L, Option.empty[Seq[Long]]), (2L, Some(Seq(1L, 2L))))
       .toDF("id", "xs")
