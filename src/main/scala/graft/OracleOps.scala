@@ -1322,6 +1322,69 @@ object OracleOps {
        |FROM comp JOIN q USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Twin of [[graft.ops.TextOps.unigramEncode]]: identical pinned vocab
+    * (chars + minCount-pruned 2..L-grams, 9-dp log-probs), the Viterbi
+    * forward pass unrolled as one CTE per position (the bpeMerges
+    * unrolled-chain idiom — d_j picks each word's best edge into j by
+    * (score DESC, start ASC), ≡ the engine's array_max(score, pieceLen)),
+    * and the backtrack unrolled as maxWordLen hop CTEs. */
+  def unigramEncode(minCount: Long, maxPieceLen: Int, maxWordLen: Int): String = {
+    val dpRounds = (1 to maxWordLen).map { j =>
+      val prev = if (j == 1) "d0" else s"a${j - 1}"
+      // MATERIALIZED (the bpeMerges chain idiom): a_j is referenced by
+      // both d_{j+1} and a_{j+1} — inlining would expand 2^maxWordLen×
+      s"""d$j AS MATERIALIZED (SELECT word, j, best, back FROM (
+         |  SELECT e.word, e.j, d.best + e.logp AS best, e.i AS back,
+         |         row_number() OVER (PARTITION BY e.word
+         |           ORDER BY d.best + e.logp DESC, e.i ASC) AS rn
+         |  FROM e JOIN $prev d ON d.word = e.word AND d.j = e.i
+         |  WHERE e.j = $j) WHERE rn = 1),
+         |a$j AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM d$j)"""
+        .stripMargin
+    }.mkString(",\n")
+    val dall = s"a$maxWordLen"
+    val btRounds = (1 to maxWordLen).map { s =>
+      s"""bt$s AS (SELECT b.word,
+         |  CASE WHEN b.pos > 0 THEN d.back ELSE b.pos END AS pos,
+         |  CASE WHEN b.pos > 0 THEN concat(
+         |         substr(b.word, d.back + 1, b.pos - d.back),
+         |         CASE WHEN b.pieces = '' THEN '' ELSE '${"|"}' END, b.pieces)
+         |       ELSE b.pieces END AS pieces,
+         |  CASE WHEN b.pos > 0 THEN b.np + 1 ELSE b.np END AS np
+         |FROM bt${s - 1} b LEFT JOIN $dall d
+         |  ON d.word = b.word AND d.j = b.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $corpusCte, $tkCte,
+       |w AS (SELECT unnest(toks) AS word FROM tk),
+       |wf AS MATERIALIZED (SELECT * FROM (SELECT word, count(*)::BIGINT AS freq
+       |       FROM w GROUP BY word) WHERE length(word) <= $maxWordLen),
+       |cand AS MATERIALIZED (SELECT word, freq, ss.s, ll.l,
+       |           substr(word, ss.s + 1, ll.l) AS piece
+       |         FROM wf
+       |         CROSS JOIN generate_series(0, ${maxWordLen - 1}) ss(s)
+       |         CROSS JOIN generate_series(1, $maxPieceLen) ll(l)
+       |         WHERE ss.s + ll.l <= length(word)),
+       |vocab AS (SELECT piece, sum(freq) AS w FROM cand GROUP BY piece
+       |          HAVING length(piece) = 1 OR sum(freq) >= $minCount),
+       |t AS (SELECT sum(w) AS t FROM vocab),
+       |lp AS (SELECT piece,
+       |         round(ln(CAST(w AS DOUBLE) / CAST(t.t AS DOUBLE)), 9) AS logp
+       |       FROM vocab CROSS JOIN t),
+       |e AS MATERIALIZED (SELECT c.word, CAST(c.s AS INT) AS i,
+       |             CAST(c.s + c.l AS INT) AS j, lp.logp
+       |      FROM cand c JOIN lp USING (piece)),
+       |d0 AS (SELECT word, 0 AS j, CAST(0 AS DOUBLE) AS best, -1 AS back FROM wf),
+       |$dpRounds,
+       |bt0 AS (SELECT word, CAST(length(word) AS INT) AS pos,
+       |               CAST('' AS VARCHAR) AS pieces, 0 AS np FROM wf),
+       |$btRounds
+       |SELECT f.word, f.pieces, CAST(f.np AS INT) AS n_pieces,
+       |       round(d.best, 6) AS logp
+       |FROM bt$maxWordLen f JOIN $dall d
+       |  ON d.word = f.word AND d.j = length(f.word)
+       |ORDER BY f.word""".stripMargin
+  }
+
   /** Twin of [[graft.ops.Dedup.bloomDedup]] over the gate's incoming
     * batch (docs ≡ 0 mod 4 verbatim = true dups, ≡ 1 mod 4 with ' novel'
     * appended = novel). The twin verifies filter SEMANTICS set-wise — a

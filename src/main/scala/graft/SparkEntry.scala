@@ -948,6 +948,11 @@ object SparkEntry {
     // map; one vocab-sized join + per-doc sums
     "q_bpe_encode" -> ((s, dir) =>
       TextOps.bpeEncode(documents(s, dir), 8)),
+    // SentencePiece unigram-LM Viterbi segmentation (the OTHER tokenizer
+    // family): max-likelihood piece split of every distinct word under a
+    // pinned char+n-gram piece LM — DP as a pure Column fold
+    "q_unigram_encode" -> ((s, dir) =>
+      TextOps.unigramEncode(documents(s, dir), minCount = 20)),
     // temperature-based source mixing over the transcripts corpus: keep
     // rates derived from the strata's own frequencies (p^α, α=1/T) so
     // downsampling flattens toward uniform while the rarest role survives
@@ -1989,6 +1994,7 @@ object SparkEntry {
     "q_ngram_lm" -> OracleOps.kneserNeyBigrams(0.75),
     "q_bpe_merges" -> OracleOps.bpeMerges(8),
     "q_bpe_encode" -> OracleOps.bpeEncode(8),
+    "q_unigram_encode" -> OracleOps.unigramEncode(20, 4, 16),
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_ppl_buckets" -> OracleOps.pplBuckets("en", 0.5),

@@ -1101,4 +1101,106 @@ object TextOps {
       .select("conv_id", "prefix_fp", "group_size")
       .orderBy("conv_id")
   }
+
+  /** UNIGRAM-LM SUBWORD SEGMENTATION (Kudo, ACL 2018, arXiv:1804.10959 —
+    * the SentencePiece unigram model's Viterbi ENCODE step; the other
+    * mainstream tokenizer family next to [[bpeEncode]]): each distinct
+    * corpus word splits into the maximum-likelihood piece sequence
+    * argmax Σ log p(piece) under a unigram piece LM. The paper's EM vocab
+    * estimation is replaced by a PINNED deterministic model (the
+    * lrQuality/kmeans idiom — training stochasticity is not portable
+    * across engines, the INFERENCE algorithm is the verified artifact):
+    * vocab = every single character (the reachability floor the paper
+    * also keeps) plus every 2..`maxPieceLen`-char substring with
+    * freq-weighted occurrence count ≥ `minCount`; p(piece) = count /
+    * Σ vocab counts, log-probs rounded to 9 dp in BOTH engines so DP sums
+    * are bit-identical. Viterbi ties break toward the LONGER last piece
+    * (array_max on (score, pieceLen) ≡ the twin's score DESC, start ASC).
+    * Words longer than `maxWordLen` are excluded (pinned bound — it sizes
+    * the twin's unrolled DP); production fallback is char segmentation.
+    *
+    * Scale shape: everything runs on the DISTINCT-WORD table (Heaps-law
+    * sized, the [[bpeMerges]] contract), never the corpus: candidate
+    * explode is ≤ maxWordLen·maxPieceLen rows per word, the vocab is one
+    * hash agg, the DP is a pure per-row Column fold (aggregate HOF) over
+    * the word's own edge list — map-only after one vocab join, no
+    * iteration over the data, no driver model. Output: (word, pieces
+    * '|'-joined, n_pieces, logp). */
+  def unigramEncode(corpus: DataFrame, minCount: Long, maxPieceLen: Int = 4,
+                    maxWordLen: Int = 16): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
+      s"need 1 <= maxPieceLen <= maxWordLen (got $maxPieceLen, $maxWordLen)")
+    val wf = corpus
+      .select(explode(Analyzer.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .where(length(col("word")) <= maxWordLen)
+    val cand = wf
+      .select(col("word"), col("freq"),
+        explode(flatten(transform(sequence(lit(0), length(col("word")) - 1),
+          s => transform(sequence(lit(1), lit(maxPieceLen)),
+            l => struct(s.as("s"), l.as("l")))))).as("sl"))
+      .select(col("word"), col("freq"),
+        col("sl.s").as("s"), col("sl.l").as("l"))
+      .where(col("s") + col("l") <= length(col("word")))
+      .withColumn("piece", expr("substring(word, s + 1, l)"))
+    val vocab = cand.groupBy("piece").agg(sum(col("freq")).as("w"))
+      .where(length(col("piece")) === 1 || col("w") >= minCount)
+    val tRel = vocab.agg(sum(col("w")).as("t"))
+    val lp = vocab.crossJoin(broadcast(tRel))
+      .select(col("piece"),
+        round(log(col("w").cast("double") / col("t").cast("double")), 9)
+          .as("logp"))
+    val edges = cand.join(lp, "piece")
+      .select(col("word"), col("s").cast("int").as("i"),
+        (col("s") + col("l")).cast("int").as("j"), col("logp"))
+      .groupBy("word")
+      .agg(collect_list(struct(col("i"), col("j"), col("logp"))).as("_E"))
+    val len = length(col("word"))
+    val NEG = lit(-1e18)
+    // Viterbi forward pass: state = (best[0..len], back[0..len])
+    val init = struct(
+      concat(array(lit(0.0)), array_repeat(NEG, len)).as("best"),
+      array_repeat(lit(-1), len + 1).as("back"))
+    val dp = aggregate(sequence(lit(1), len), init, (st, j) => {
+      val cands = transform(sequence(lit(1), lit(maxPieceLen)), o => {
+        val i = j - o
+        val edge = try_element_at(filter(col("_E"),
+          e => e.getField("i") === i && e.getField("j") === j), lit(1))
+        val b = when(i >= 0 && edge.isNotNull &&
+            element_at(st.getField("best"), i + 1) > lit(-1e17),
+          element_at(st.getField("best"), i + 1) + edge.getField("logp"))
+          .otherwise(NEG)
+        struct(b.as("b"), o.as("o"))
+      })
+      val top = array_max(cands)
+      struct(
+        transform(st.getField("best"), (x, idx) =>
+          when(idx === j, top.getField("b")).otherwise(x)).as("best"),
+        transform(st.getField("back"), (x, idx) =>
+          when(idx === j, (j - top.getField("o")).cast("int")).otherwise(x))
+          .as("back"))
+    })
+    // backtrack: ≤ maxWordLen hops from len to 0 via back pointers
+    val bt = aggregate(sequence(lit(1), lit(maxWordLen)),
+      struct(len.cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val i = element_at(col("_dp").getField("back"), pos + 1)
+        when(pos > 0,
+          struct(i.as("pos"),
+            concat(array(col("word").substr(i + 1, pos - i)),
+              st.getField("ps")).as("ps")))
+          .otherwise(st)
+      })
+    wf.join(edges, "word")
+      .withColumn("_dp", dp)
+      .withColumn("_bt", bt)
+      .select(col("word"),
+        array_join(col("_bt").getField("ps"), "|").as("pieces"),
+        size(col("_bt").getField("ps")).cast("int").as("n_pieces"),
+        round(element_at(col("_dp").getField("best"), len + 1), 6).as("logp"))
+      .orderBy("word")
+  }
 }

@@ -325,4 +325,64 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     assert(ppls("head").max <= ppls("middle").min)
     assert(ppls("middle").max <= ppls("tail").min)
   }
+
+  test("unigramEncode ≡ independent imperative Viterbi; reconstruction + tie rules") {
+    // corpus engineered so multi-char pieces clear minCount: 'abcd'/'ab'/
+    // 'cd' frequent, plus rare words that must fall back to chars
+    val docs = (
+      Seq.fill(12)("abcd ab cd") ++ Seq.fill(6)("abx cdy") :+ "zq abcdab"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.unigramEncode(docs, minCount = 5, maxPieceLen = 4,
+      maxWordLen = 16).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    // independent model: same pinned vocab + probs
+    val words = docs.collect().flatMap(r =>
+      graft.analysis.Analyzer.tokenize(r.getString(1)))
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+      .filter(_._1.length <= 16)
+    val counts = scala.collection.mutable.Map[String, Long]()
+    words.foreach { case (w, f) =>
+      for (s <- 0 until w.length; l <- 1 to 4 if s + l <= w.length)
+        counts(w.substring(s, s + l)) = counts.getOrElse(w.substring(s, s + l), 0L) + f
+    }
+    val vocab = counts.filter { case (p, c) => p.length == 1 || c >= 5 }
+    val t = vocab.values.sum.toDouble
+    val lp = vocab.map { case (p, c) =>
+      p -> BigDecimal(math.log(c / t)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    def viterbi(w: String): (Seq[String], Double) = {
+      val best = Array.fill(w.length + 1)(-1e18); best(0) = 0.0
+      val back = Array.fill(w.length + 1)(-1)
+      for (j <- 1 to w.length) {
+        // tie rule: score DESC then start ASC → iterate i ascending, strict >
+        for (i <- math.max(0, j - 4) until j) {
+          val piece = w.substring(i, j)
+          lp.get(piece).foreach { p =>
+            if (best(i) > -1e17 && best(i) + p > best(j)) {
+              best(j) = best(i) + p; back(j) = i
+            }
+          }
+        }
+      }
+      val ps = scala.collection.mutable.ArrayBuffer[String]()
+      var pos = w.length
+      while (pos > 0) { ps.prepend(w.substring(back(pos), pos)); pos = back(pos) }
+      (ps.toSeq, best(w.length))
+    }
+    assert(got.nonEmpty && got.map(_._1).toSet == words.map(_._1).toSet)
+    got.foreach { case (w, pieces, np, logp) =>
+      val (wantPs, wantLp) = viterbi(w)
+      assert(pieces == wantPs.mkString("|"), s"word $w")
+      assert(np == wantPs.size)
+      assert(math.abs(logp - wantLp) < 5e-7, s"word $w: $logp vs $wantLp")
+      assert(pieces.replace("|", "") == w) // reconstruction
+    }
+    // frequent collocation keeps its multi-char piece whole
+    assert(got.find(_._1 == "abcd").get._2 == "abcd")
+    // rare word with no frequent pieces char-falls-back where needed
+    assert(got.find(_._1 == "zq").get._2 == "z|q")
+    intercept[IllegalArgumentException](
+      TextOps.unigramEncode(docs, minCount = 0))
+    intercept[IllegalArgumentException](
+      TextOps.unigramEncode(docs, minCount = 1, maxPieceLen = 20, maxWordLen = 16))
+  }
 }
