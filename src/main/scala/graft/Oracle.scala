@@ -1553,6 +1553,54 @@ object Oracle {
        |ORDER BY query_id, group_name, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.Search.searchMaxP]] (Dai & Callan MaxP):
+    * chunk twin → passage-level index CTEs (df/avgdl over PASSAGES) →
+    * per-passage BM25 → per-doc max of the round-7 passage scores, best
+    * chunk = min idx among the maximizers, doc rank (best DESC, doc_id
+    * ASC). */
+  def bm25MaxP(queries: Seq[(Int, String)], chunkSize: Int, stride: Int,
+               k: Int): String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |tk AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS toks FROM corpus),
+       |starts AS (SELECT doc_id, toks,
+       |             unnest(range(0, ((len(toks) - 1) // $stride) + 1)) AS i
+       |           FROM tk WHERE len(toks) > 0),
+       |pc AS (SELECT doc_id * 1024 + i AS pid,
+       |         toks[i * $stride + 1 : i * $stride + $chunkSize] AS ptoks
+       |       FROM starts),
+       |ptk AS (SELECT pid, unnest(ptoks) AS term FROM pc),
+       |dl AS (SELECT pid, count(*)::INT AS dl FROM ptk GROUP BY pid),
+       |stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT term, pid, count(*)::INT AS tf FROM ptk GROUP BY 1, 2),
+       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |ps AS (SELECT qt.query_id, tf.pid,
+       |         sum( ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))
+       |              * tf.tf / (tf.tf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) ) AS sc
+       |       FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |            JOIN dl ON tf.pid = dl.pid CROSS JOIN stats s
+       |       GROUP BY qt.query_id, tf.pid),
+       |d AS (SELECT query_id, pid // 1024 AS doc_id,
+       |             CAST(pid % 1024 AS INT) AS idx, round(sc, 7) AS rs
+       |      FROM ps),
+       |agg AS (SELECT query_id, doc_id, max(rs) AS best,
+       |               count(*)::INT AS np
+       |        FROM d GROUP BY 1, 2),
+       |win AS (SELECT a.query_id, a.doc_id, a.best, a.np,
+       |               min(d.idx) AS bidx
+       |        FROM agg a JOIN d ON d.query_id = a.query_id
+       |             AND d.doc_id = a.doc_id AND d.rs = a.best
+       |        GROUP BY 1, 2, 3, 4),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY best DESC, doc_id ASC) AS rnk FROM win)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id,
+       |       round(best, 4) AS score, CAST(bidx AS INT) AS best_chunk_idx,
+       |       np AS n_passages
+       |FROM r WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** Twin of [[graft.search.Clustering.clusters]]: BM25 top-k per query
     * ([[bm25TopK]]'s scored/ranked CTEs verbatim), label = each hit doc's
     * (min df, then min term) dictionary term, clusters grouped per

@@ -874,6 +874,10 @@ object SparkEntry {
     // LLM-pretraining context-window chunking: 32-token windows, stride
     // 16 (50% overlap) — map-only, shuffle-free at any corpus size
     "q_chunks" -> ((s, dir) => TextOps.chunks(documents(s, dir), 32, 16)),
+    // MaxP long-document retrieval (Dai & Callan 2019): BM25 over 32/16
+    // sliding passages, doc ranked by its best passage
+    "q_bm25_maxp" -> ((s, dir) =>
+      graft.search.Search.searchMaxP(documents(s, dir), DisjQueries, 32, 16)),
     // deterministic shuffle+shard for training-shard writing: Knuth-hash
     // permutation key, 16 shards, within-shard rank + token offsets
     "q_train_shards" -> ((s, dir) => TextOps.trainShards(documents(s, dir), 16)),
@@ -1963,6 +1967,7 @@ object SparkEntry {
     "q_quality_fasttext" -> OracleOps.classifierScore(512, 7L, 0.0),
     "q_token_counts" -> OracleOps.tokenCounts,
     "q_chunks" -> OracleOps.chunks(32, 16),
+    "q_bm25_maxp" -> Oracle.bm25MaxP(DisjQueries, 32, 16, 10),
     "q_train_shards" -> OracleOps.trainShards(16, 1L),
     "q_decontaminate" -> OracleOps.decontaminate(8, 97),
     "q_repetition" -> OracleOps.repetition(3, 0.2),

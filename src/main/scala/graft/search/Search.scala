@@ -472,4 +472,60 @@ object Search {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("query_id", facetCol)
   }
+
+  /** Passage-level BM25 with doc-level MaxP aggregation (Dai & Callan,
+    * SIGIR 2019 [PUB] — the standard long-document retrieval shape:
+    * score fixed-size overlapping passages, rank each document by its
+    * BEST passage): the corpus chunks through
+    * [[graft.ops.TextOps.chunks]] (size/stride sliding windows), BM25
+    * runs over the PASSAGE corpus with passage-level df/avgdl (the
+    * paper's setup), and a doc ranks by its max passage score (round-7
+    * pinned; equal passages break to the EARLIEST chunk). Output carries
+    * the winning chunk index and the doc's matching-passage count.
+    *
+    * Scale shape: chunking is map-only ((size/stride)× row growth),
+    * scoring is the one standard tf ⋈ dl shuffle over passages, MaxP is
+    * one more hash agg keyed (query, doc) — never a join back to the
+    * corpus. Passage ids pack as doc_id·1024 + chunk_idx; a ≥ 1024-chunk
+    * doc fails loudly (aliased stats would corrupt scores silently). */
+  def searchMaxP(corpus: DataFrame, queries: Seq[(Int, String)],
+                 chunkSize: Int, stride: Int, k: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    val pc = graft.ops.TextOps.chunks(corpus, chunkSize, stride)
+      .select((col("doc_id") * 1024 +
+        when(col("chunk_idx") < 1024, col("chunk_idx"))
+          .otherwise(raise_error(lit("searchMaxP: >= 1024 chunks in one doc"))))
+        .as("doc_id"),
+        col("chunk_text").as("text"))
+    val occ = IndexBuild.termOccurrences(pc)
+    val dl = IndexBuild.docLengths(occ)
+    val tf = IndexBuild.termFrequencies(occ)
+    val st = IndexBuild.stats(dl)
+    val qt = queryTerms(queryFrame(spark, queries))
+    val qd = qt.join(IndexBuild.dictionary(tf).select("term", "df"), "term")
+    val ps = IndexBuild.tfWithDl(tf, dl)
+      .join(broadcast(qd), "term")
+      .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
+        lit(st.nDocs), lit(st.avgdl)))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("_s")).as("_ps"))
+      .select(col("query_id"),
+        floor(col("doc_id") / 1024).cast("long").as("_doc"),
+        pmod(col("doc_id"), lit(1024L)).cast("int").as("_idx"),
+        col("_ps"))
+    val docs = ps.groupBy("query_id", "_doc")
+      .agg(max(struct(round(col("_ps"), Bm25.RankScale).as("s"),
+        (-col("_idx")).as("ni"))).as("_b"),
+        count(lit(1)).cast("int").as("n_passages"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_b").getField("s").desc, col("_doc").asc)
+    docs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("_doc").as("doc_id"),
+        round(col("_b").getField("s"), Bm25.OutScale).as("score"),
+        (-col("_b").getField("ni")).cast("int").as("best_chunk_idx"),
+        col("n_passages"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -297,6 +297,40 @@ class SolrComponentsSpec extends SparkSpec {
       IndexSearch.searchCommonTerms(idx, Seq(1 -> "bee"), 0.0))
   }
 
+  test("MaxP: doc order tracks each doc's best passage; ties, counts, guard") {
+    import graft.search.Search
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, ("alpha beta " * 20).trim),                  // repeated hits
+      (1L, "alpha " + ("filler " * 30).trim + " alpha beta beta gamma"),
+      (2L, "gamma delta"),                              // no query terms
+      (3L, "alpha solo"))
+      .toDF("doc_id", "text")
+    val q = Seq(1 -> "alpha beta")
+    val got = Search.searchMaxP(docs, q, 16, 8, 10).collect()
+      .map(r => (r.getLong(2), r.getInt(4), r.getInt(5))).toSeq
+    // reference: full passage ranking; MaxP doc order = order of each
+    // doc's FIRST (i.e. best) passage in that ranking
+    val pc = TextOps.chunks(docs, 16, 8)
+      .select((col("doc_id") * 1024 + col("chunk_idx")).as("doc_id"),
+        col("chunk_text").as("text"))
+    val prank = Search.searchCorpus(pc, q, k = 1000).orderBy("rank")
+      .collect().map(r => r.getLong(2))
+    val docOrder = prank.map(_ / 1024).distinct.toSeq
+    assert(got.map(_._1) == docOrder)
+    val bestIdx = prank.map(p => (p / 1024, (p % 1024).toInt)).toSeq
+      .groupBy(_._1).map { case (d, ps) => d -> ps.head._2 }
+    val counts = prank.groupBy(_ / 1024).map { case (d, ps) => d -> ps.length }
+    got.foreach { case (d, bi, np) =>
+      assert(bi == bestIdx(d) && np == counts(d), s"doc $d")
+    }
+    assert(!got.exists(_._1 == 2L)) // no-match doc absent
+    // >= 1024 chunks in one doc must fail loudly (id packing would alias)
+    val big = Seq((0L, ("tok " * 17000).trim)).toDF("doc_id", "text")
+    intercept[Exception](Search.searchMaxP(big, q, 16, 16, 5).collect())
+  }
+
   test("LTR rerank: linear model re-sorts ONLY the depth window; first_rank kept") {
     // "bee cat": BM25 order 1,2 (2 matched terms, tie → doc_id), 0, 3.
     // model = f_is_user → user turns (0, 2) outrank assistant (1, 3)
