@@ -1553,6 +1553,56 @@ object Oracle {
        |ORDER BY query_id, group_name, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.Percolator.percolate]]: the registry parsed
+    * by the SAME [[graft.search.Search.parseClauses]] at build time (the
+    * SQL-parsed clause-oracle idiom) into (name, term, kind) VALUES +
+    * per-query requirement counts; distinct doc terms ⋈ registry,
+    * boolean rule replicated, pure-negative queries unioned via
+    * NOT EXISTS over their not-hits. */
+  def percolate(queries: Seq[(String, String)]): String = {
+    val parsed = queries.map { case (name, q) =>
+      val c = graft.search.Search.parseClauses(q)
+      (name, c.must, c.should, c.not)
+    }
+    val qtRows = parsed.flatMap { case (n, m, s, nt) =>
+      m.map(t => s"('${esc(n)}', '${esc(t)}', 'm')") ++
+        s.map(t => s"('${esc(n)}', '${esc(t)}', 's')") ++
+        nt.map(t => s"('${esc(n)}', '${esc(t)}', 'n')")
+    }.mkString(", ")
+    val rqRows = parsed.map { case (n, m, s, _) =>
+      s"('${esc(n)}', ${m.size}, ${s.size})" }.mkString(", ")
+    val pn = parsed.collect {
+      case (n, m, s, _) if m.isEmpty && s.isEmpty => s"('${esc(n)}')" }
+    val pnCte =
+      if (pn.isEmpty) ""
+      else s""",
+         |pn(query_name) AS (VALUES ${pn.mkString(", ")})""".stripMargin
+    val pnUnion =
+      if (pn.isEmpty) ""
+      else s"""
+         |UNION ALL
+         |SELECT c.doc_id, pn.query_name, 0 AS must_matched, 0 AS should_matched
+         |FROM corpus c CROSS JOIN pn
+         |WHERE NOT EXISTS (SELECT 1 FROM h
+         |  WHERE h.doc_id = c.doc_id AND h.query_name = pn.query_name
+         |    AND h.nm > 0)""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+       |dt AS (SELECT DISTINCT doc_id, term FROM
+       |        (SELECT doc_id, unnest(${Analyzer.sqlTokenList("text")}) AS term FROM corpus)),
+       |qt(query_name, term, kind) AS (VALUES $qtRows),
+       |rq(query_name, n_must, n_should) AS (VALUES $rqRows),
+       |h AS (SELECT d.doc_id, q.query_name,
+       |        count(CASE WHEN kind = 'm' THEN 1 END) AS mm,
+       |        count(CASE WHEN kind = 's' THEN 1 END) AS sm,
+       |        count(CASE WHEN kind = 'n' THEN 1 END) AS nm
+       |      FROM dt d JOIN qt q USING (term) GROUP BY 1, 2)$pnCte
+       |SELECT doc_id, query_name, CAST(mm AS INT) AS must_matched,
+       |       CAST(sm AS INT) AS should_matched
+       |FROM h JOIN rq USING (query_name)
+       |WHERE nm = 0 AND mm = n_must AND (n_must > 0 OR sm >= 1)$pnUnion
+       |ORDER BY doc_id, query_name""".stripMargin
+  }
+
   /** Twin of [[graft.search.Search.searchMaxP]] (Dai & Callan MaxP):
     * chunk twin → passage-level index CTEs (df/avgdl over PASSAGES) →
     * per-passage BM25 → per-doc max of the round-7 passage scores, best

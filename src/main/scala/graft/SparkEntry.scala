@@ -415,6 +415,16 @@ object SparkEntry {
     "f_tf_sum" -> 0.05, "f_matched" -> 0.4, "f_coverage" -> 1.5,
     "f_idf_max" -> 0.7, "f_dl" -> -0.01, "f_is_user" -> 0.25)
 
+  /** Percolator registry: a plain alert, a conjunction, a must+exclusion,
+    * a disjunction, a pure-negative, and a can-never-match query. */
+  val PercolateQueries: Seq[(String, String)] = Seq(
+    "alert_dup" -> "dup",
+    "merge_and_window" -> "+merge +window",
+    "spark_not_slow" -> "+spark -slow",
+    "vec_or_query" -> "vector query",
+    "no_dup" -> "-dup",
+    "never" -> "+merge +zzmissing")
+
   /** Uncommitted tlog tail for the realtime-get gate: an update to a
     * committed GetKeys doc plus one brand-new uncommitted add. */
   val RtgPending: Seq[(String, Int, String, String, String)] = Seq(
@@ -878,6 +888,10 @@ object SparkEntry {
     // sliding passages, doc ranked by its best passage
     "q_bm25_maxp" -> ((s, dir) =>
       graft.search.Search.searchMaxP(documents(s, dir), DisjQueries, 32, 16)),
+    // ES percolator / Lucene monitor: registered boolean alert queries
+    // matched against every incoming doc — reverse search, match-only
+    "q_percolate" -> ((s, dir) =>
+      graft.search.Percolator.percolate(documents(s, dir), PercolateQueries)),
     // deterministic shuffle+shard for training-shard writing: Knuth-hash
     // permutation key, 16 shards, within-shard rank + token offsets
     "q_train_shards" -> ((s, dir) => TextOps.trainShards(documents(s, dir), 16)),
@@ -1968,6 +1982,7 @@ object SparkEntry {
     "q_token_counts" -> OracleOps.tokenCounts,
     "q_chunks" -> OracleOps.chunks(32, 16),
     "q_bm25_maxp" -> Oracle.bm25MaxP(DisjQueries, 32, 16, 10),
+    "q_percolate" -> Oracle.percolate(PercolateQueries),
     "q_train_shards" -> OracleOps.trainShards(16, 1L),
     "q_decontaminate" -> OracleOps.decontaminate(8, 97),
     "q_repetition" -> OracleOps.repetition(3, 0.2),

@@ -331,6 +331,29 @@ class SolrComponentsSpec extends SparkSpec {
     intercept[Exception](Search.searchMaxP(big, q, 16, 16, 5).collect())
   }
 
+  test("percolator: hand-audited boolean matrix incl. pure-negative; grammar guard") {
+    import graft.search.Percolator
+    val docs = Seq(
+      (0L, "apple ant bee"), (1L, "ant bee cat"), (2L, "bee cat dog"),
+      (3L, "cat dog emu"), (4L, "emu fox goat"), (5L, "apple emu fox"))
+      .toDF("doc_id", "text")
+    val got = Percolator.percolate(docs, Seq(
+      "p1" -> "+ant -cat", "p2" -> "apple emu", "p3" -> "-bee",
+      "p4" -> "+apple +fox")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == Seq(
+      (0L, "p1", 1, 0), (0L, "p2", 0, 1),
+      (3L, "p2", 0, 1), (3L, "p3", 0, 0),
+      (4L, "p2", 0, 1), (4L, "p3", 0, 0),
+      (5L, "p2", 0, 2), (5L, "p3", 0, 0), (5L, "p4", 2, 0)))
+    intercept[IllegalArgumentException](
+      Percolator.percolate(docs, Seq("ph" -> "\"ant bee\"")))
+    intercept[IllegalArgumentException](
+      Percolator.percolate(docs, Seq("w" -> "an*")))
+    intercept[IllegalArgumentException](
+      Percolator.percolate(docs, Seq("a" -> "x", "a" -> "y")))
+  }
+
   test("LTR rerank: linear model re-sorts ONLY the depth window; first_rank kept") {
     // "bee cat": BM25 order 1,2 (2 matched terms, tie → doc_id), 0, 3.
     // model = f_is_user → user turns (0, 2) outrank assistant (1, 3)
