@@ -633,6 +633,70 @@ object Oracle {
                     window: Int): String =
     bm25HighlightCore(corpusSql, queries, k, window, keyed = false)
 
+  /** Twin of [[graft.search.IndexSearch.searchHighlightScored]]: match
+    * positions via an index-lateral unnest, candidate passages scored by
+    * covered match count, the greedy non-overlap selection unrolled as
+    * one CTE round per fragment ((s DESC, p ASC) pick, |p − prev| > 2w
+    * eligibility), picks rendered in document order. */
+  def bm25HighlightScored(queries: Seq[(Int, String)], k: Int,
+                          window: Int, fragments: Int): String = {
+    val w2 = 2 * window
+    val rounds = (1 to fragments).map { f =>
+      val sep = (1 until f).map(g => s"abs(c.p - g$g.p) > $w2").mkString(" AND ")
+      val joins = (1 until f).map(g =>
+        s"JOIN g$g ON g$g.query_id = c.query_id AND g$g.doc_id = c.doc_id")
+        .mkString(" ")
+      val whereSep = if (sep.isEmpty) "" else s"WHERE $sep"
+      s"""g$f AS (SELECT query_id, doc_id, p FROM (
+         |  SELECT c.query_id, c.doc_id, c.p,
+         |         row_number() OVER (PARTITION BY c.query_id, c.doc_id
+         |           ORDER BY c.s DESC, c.p ASC) AS rn
+         |  FROM cand c $joins $whereSep) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val pickList = (1 to fragments).map(f => s"g$f.p").mkString(", ")
+    val pickJoins = (2 to fragments).map(f =>
+      s"LEFT JOIN g$f ON g$f.query_id = g1.query_id AND g$f.doc_id = g1.doc_id")
+      .mkString("\n")
+    s"""WITH ${indexCtes(transcriptsCorpus)},
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |$scoredFromQtCte,
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored),
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |pos AS (
+       |  SELECT DISTINCT r.query_id, r.doc_id, CAST(u.i - 1 AS BIGINT) AS p
+       |  FROM ranked r
+       |       JOIN toksl t ON t.doc_id = r.doc_id
+       |       CROSS JOIN unnest(generate_series(1, len(t.l))) AS u(i)
+       |       JOIN qt ON qt.query_id = r.query_id AND qt.term = t.l[u.i]
+       |  WHERE r.rnk <= $k),
+       |cand AS (
+       |  SELECT a.query_id, a.doc_id, a.p, count(*) AS s
+       |  FROM pos a JOIN pos b ON b.query_id = a.query_id
+       |       AND b.doc_id = a.doc_id AND abs(b.p - a.p) <= $window
+       |  GROUP BY 1, 2, 3),
+       |$rounds,
+       |pk AS (SELECT g1.query_id, g1.doc_id,
+       |         list_sort(list_filter([$pickList], x -> x IS NOT NULL)) AS ps
+       |       FROM g1
+       |$pickJoins)
+       |SELECT r.query_id, CAST(r.rnk AS INT) AS "rank", r.doc_id,
+       |       round(r.score, 4) AS score,
+       |       array_to_string(list_transform(pk.ps, p ->
+       |         array_to_string(list_slice(t.l, greatest(1, p + 1 - $window),
+       |           greatest(1, p + 1 - $window) + $w2), ' ')), ' ... ') AS snippet
+       |FROM ranked r
+       |     JOIN pk ON pk.query_id = r.query_id AND pk.doc_id = r.doc_id
+       |     JOIN toksl t ON t.doc_id = r.doc_id
+       |WHERE r.rnk <= $k
+       |ORDER BY r.query_id, r.rnk""".stripMargin
+  }
+
   /** Keys-shaped highlight twin (segmented-index highlight gate). */
   def bm25HighlightKeys(queries: Seq[(Int, String)], k: Int,
                         window: Int): String =

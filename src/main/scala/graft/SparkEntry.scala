@@ -1939,6 +1939,11 @@ object SparkEntry {
     // Solr hl: ±5-token snippet around the first match, positions-driven
     "q_bm25_highlight" -> ((s, dir) =>
       IndexSearch.searchHighlight(indexFor(s, dir), DisjQueries)),
+    // UnifiedHighlighter passage SCORING (hl.snippets=2): candidate
+    // passages ranked by covered matches, greedy non-overlap, doc order
+    "q_bm25_highlight_scored" -> ((s, dir) =>
+      IndexSearch.searchHighlightScored(indexFor(s, dir), DisjQueries,
+        window = 3, fragments = 2)),
     // Solr hl over the SEGMENTED index: per-segment block-pruned position
     // decode + point-lookup snippets, keys-shaped output
     "q_bm25_highlight_segmented" -> ((s, dir) =>
@@ -2276,6 +2281,8 @@ object SparkEntry {
       conjunctive = false, start = 5),
     "q_bm25_highlight" -> Oracle.bm25Highlight(Oracle.transcriptsCorpus,
       DisjQueries, 10, window = 5),
+    "q_bm25_highlight_scored" ->
+      Oracle.bm25HighlightScored(DisjQueries, 10, window = 3, fragments = 2),
     "q_bm25_highlight_segmented" -> Oracle.bm25HighlightKeys(DisjQueries, 10,
       window = 5))
 }

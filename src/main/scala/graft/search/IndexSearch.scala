@@ -829,7 +829,16 @@ object IndexSearch {
     * corpus scan). Output: (query_id, rank, doc_id, score, snippet). */
   def searchHighlight(idx: OpenIndex, queries: Seq[(Int, String)],
                       k: Int = 10, window: Int = 5,
-                      fragments: Int = 1): DataFrame = {
+                      fragments: Int = 1): DataFrame =
+    highlightWith(idx, queries, k, window) { (toks, ps) =>
+      snippetCol(toks, fragmentPicks(ps, window, fragments), window) }
+
+  /** Shared highlight plumbing: BM25 hits enriched with each hit's sorted
+    * distinct match-position array and its stored text; `render(toks,
+    * positions)` produces the snippet column. */
+  private def highlightWith(idx: OpenIndex, queries: Seq[(Int, String)],
+                            k: Int, window: Int)(
+      render: (Column, Column) => Column): DataFrame = {
     val spark = idx.spark
     requirePositional(idx)
     // materialize the small hit set once: it drives the block prune, the
@@ -866,9 +875,43 @@ object IndexSearch {
       .join(matchPos, Seq("query_id", "doc_id"))
       .join(texts, Seq("doc_id"))
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
-        snippetCol(toks, fragmentPicks(col("_ps"), window, fragments), window)
-          .as("snippet"))
+        render(toks, col("_ps")).as("snippet"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Lucene UnifiedHighlighter PASSAGE-SCORED multi-fragment highlighting
+    * (`hl.snippets=N` with passage ranking — unlike [[searchHighlight]]'s
+    * first-match-order fragments, passages are RANKED): every match
+    * position anchors a candidate ±`window` passage scored by how many
+    * distinct match positions it covers; up to `fragments` passages are
+    * picked greedily by (score DESC, position ASC) subject to
+    * non-overlap (|p − p′| > 2·window), then RENDERED in document order
+    * (the UnifiedHighlighter convention), " … "-joined. The greedy
+    * rounds are unrolled `fragments` times — both engines run the
+    * identical bounded loop, no data-dependent iteration. Pure Column
+    * work over the per-hit position arrays (≤ queries·k rows). */
+  def searchHighlightScored(idx: OpenIndex, queries: Seq[(Int, String)],
+                            k: Int = 10, window: Int = 5,
+                            fragments: Int = 2): DataFrame = {
+    require(fragments >= 1 && fragments <= 8,
+      s"fragments must be in 1..8 (got $fragments)")
+    highlightWith(idx, queries, k, window) { (toks, ps) =>
+      val cands = transform(ps, p => struct(
+        size(filter(ps, q => abs(q - p) <= window)).as("s"),
+        (-p).as("np")))
+      // greedy unroll: each round picks the best candidate separated
+      // from every earlier pick by > 2·window
+      val picks = (0 until fragments).foldLeft(Seq.empty[Column]) {
+        (acc, _) =>
+          val eligible = acc.foldLeft(cands)((cs, prev) =>
+            filter(cs, c => prev.isNull ||
+              abs((-c.getField("np")) - prev) > 2 * window))
+          val top = array_max(eligible)
+          acc :+ (-top.getField("np")).cast("long")
+      }
+      val pickArr = array_sort(filter(array(picks: _*), p => p.isNotNull))
+      snippetCol(toks, pickArr, window)
+    }
   }
 
   /** Solr `maxBooleanClauses` analog — the hard cap on how many dictionary

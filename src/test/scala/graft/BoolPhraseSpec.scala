@@ -136,6 +136,31 @@ class BoolPhraseSpec extends SparkSpec {
       .map { case (d, s) => (d, BlockMaxWand.round(s, 4)) }
   }
 
+  test("passage-SCORED highlighting: densest passage wins, rendered in doc order") {
+    // query 'apple bee': matches at 3 and the dense cluster 12,13,14.
+    // window=1 candidate scores: p3→1, p12→2, p13→3, p14→2. Scored picks
+    // 13 first, then 3 (|3−13| > 2); doc-order render = around-3, around-13.
+    val idx = buildIdx(Seq(
+      Seq("x", "x", "x", "apple", "x", "x", "x", "x", "x", "x", "x", "x",
+        "apple", "bee", "apple", "x")), "hlsc")
+    val got = IndexSearch.searchHighlightScored(idx, Seq(1 -> "apple bee"),
+      window = 1, fragments = 2).collect()
+    assert(got.length == 1)
+    assert(got(0).getString(4) == "x apple x ... apple bee apple",
+      s"got '${got(0).getString(4)}'")
+    // first-match-order fragments pick 3 then 12 instead — the two
+    // policies genuinely differ on this doc
+    val plain = IndexSearch.searchHighlight(idx, Seq(1 -> "apple bee"),
+      window = 1, fragments = 2).collect()(0).getString(4)
+    assert(plain == "x apple x ... x apple bee", s"got '$plain'")
+    // fragments beyond the available separated passages: no extras
+    val three = IndexSearch.searchHighlightScored(idx, Seq(1 -> "apple bee"),
+      window = 1, fragments = 3).collect()(0).getString(4)
+    assert(three == "x apple x ... apple bee apple", s"got '$three'")
+    intercept[IllegalArgumentException](IndexSearch.searchHighlightScored(
+      idx, Seq(1 -> "apple"), fragments = 0))
+  }
+
   test("mm: minimum-should-match over terms, phrases, and groups") {
     val idx = buildIdx(Seq(
       Seq("a", "b", "c"),  // 0: a,b,c
