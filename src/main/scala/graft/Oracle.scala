@@ -1544,6 +1544,45 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.IndexSearch.searchAliasTimeRouted]] over the
+    * two-collection doc-id-half alias fixture with a window starting at
+    * ts(3n/5): routing keeps only the 'hi' (second-half) collection, so
+    * stats come from that half ALONE; the fq then drops matched docs in
+    * [n/2, 3n/5). The original doc id is re-derived from the key
+    * (conv·4 + turn) so the ts comparison is exact integer arithmetic —
+    * no engine ever hashes a timestamp. */
+  def bm25TimeRoutedKeys(queries: Seq[(Int, String)], k: Int): String = {
+    val half =
+      "(SELECT doc_id, text FROM documents WHERE doc_id >= (SELECT count(*) // 2 FROM documents))"
+    val src =
+      s"""SELECT * FROM (${Transcripts.sqlFromDocumentsOver(half)})
+         |WHERE text IS NOT NULL AND length(text) > 0""".stripMargin
+    val corpus =
+      s"""SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id, text
+         |FROM ($src)""".stripMargin
+    s"""WITH ${indexCtes(corpus)},
+       |keymap AS (SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+       |                  conv_id, turn_idx
+       |           FROM ($src)),
+       |bound(b) AS (SELECT (3 * count(*)) // 5 FROM documents),
+       |queries(query_id, qtext) AS (VALUES ${queryValues(queries)}),
+       |qt AS (SELECT DISTINCT query_id, term FROM
+       |        (SELECT query_id, unnest(${Analyzer.sqlTokenList("qtext")}) AS term FROM queries)),
+       |$scoredFromQtCte,
+       |elig AS (SELECT s.query_id, s.doc_id, s.score, m.conv_id, m.turn_idx
+       |         FROM scored s JOIN keymap m USING (doc_id) CROSS JOIN bound
+       |         WHERE CAST(substr(m.conv_id, 5) AS BIGINT) * 4 + m.turn_idx
+       |               >= bound.b),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round(score, 7) DESC, conv_id ASC, turn_idx ASC) AS rnk
+       |  FROM elig)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", conv_id, turn_idx,
+       |       round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchCommonTerms]]: the bm25TopK
     * scored CTE extended with a per-doc matched-low flag (df ≤ cutoff·N)
     * and a per-query has-low fallback flag over the dictionary-matched

@@ -1326,6 +1326,13 @@ object SparkEntry {
     // unified index over the union (the full-corpus keys oracle)
     "q_bm25_alias" -> ((s, dir) =>
       IndexSearch.searchAlias(s, aliasIndexes(s, dir), DisjQueries)),
+    // Solr TIME-ROUTED alias: window from ts(3n/5) prunes the 'lo'
+    // collection by metadata alone; fq drops the hi-collection prefix
+    "q_bm25_alias_tra" -> ((s, dir) => {
+      val n = s.read.parquet(s"$dir/documents.parquet").count()
+      IndexSearch.searchAliasTimeRouted(s, aliasIndexes(s, dir), DisjQueries,
+        Some(Transcripts.Epoch2024 + (3L * n / 5) * 30), None)
+    }),
     // Solr {!collapse field=conv_id} + expand=true: flat best-turn-per-
     // conversation list, each head carrying its next-2 expand section
     "q_bm25_collapse" -> ((s, dir) =>
@@ -2144,6 +2151,7 @@ object SparkEntry {
     "q_group_query" -> Oracle.bm25GroupQueries(Oracle.transcriptsCorpus,
       DisjQueries, GroupQueries, 3),
     "q_bm25_alias" -> Oracle.bm25TopKKeys(DisjQueries, 10),
+    "q_bm25_alias_tra" -> Oracle.bm25TimeRoutedKeys(DisjQueries, 10),
     "q_bm25_collapse" -> Oracle.collapseExpand(DisjQueries, "conv_id", 5, 2),
     "q_significant_terms" -> Oracle.significantTerms(DisjQueries, 5, 3L, 2L),
     "q_stats_percentiles" -> Oracle.percentilesDl(DisjQueries,

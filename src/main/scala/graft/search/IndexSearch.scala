@@ -192,7 +192,50 @@ object IndexSearch {
     * + the standard rank window. Collections never shuffle against each
     * other below the final window. */
   def searchAlias(spark: SparkSession, roots: Seq[String],
-                  queries: Seq[(Int, String)], k: Int = 10): DataFrame = {
+                  queries: Seq[(Int, String)], k: Int = 10): DataFrame =
+    aliasCore(spark, roots, queries, k, None, None)
+
+  /** Solr TIME-ROUTED ALIAS (TRA) query: collections own disjoint time
+    * slices; a time-windowed query is ROUTED only to the collections
+    * whose [min ts, max ts] overlaps the window — whole collections are
+    * pruned by metadata before any posting is read (Solr's TRA routing;
+    * the partition-pruning story lifted from shards to collections).
+    * Within the surviving collections the window applies as an fq
+    * (constant-score filter on matched docs — it never changes df/N/
+    * avgdl, which come from the surviving collections WHOLE, exactly
+    * Solr's stats scope when a filtered query hits a shard). Bounds are
+    * epoch seconds, either side open. */
+  def searchAliasTimeRouted(spark: SparkSession, roots: Seq[String],
+                            queries: Seq[(Int, String)],
+                            fromSec: Option[Long], toSec: Option[Long],
+                            k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(fromSec.nonEmpty || toSec.nonEmpty,
+      "time-routed query needs at least one bound (else use searchAlias)")
+    val routed = routeCollections(spark, roots, fromSec, toSec)
+    if (routed.isEmpty)
+      return Seq.empty[(Int, Int, String, Int, Double)]
+        .toDF("query_id", "rank", "conv_id", "turn_idx", "score")
+    aliasCore(spark, routed, queries, k, fromSec, toSec)
+  }
+
+  /** The TRA routing step: collections whose stored-ts range overlaps
+    * [fromSec, toSec] — one (min, max) metadata agg per collection, no
+    * posting access. Exposed for the pruning assertion in specs. */
+  def routeCollections(spark: SparkSession, roots: Seq[String],
+                       fromSec: Option[Long], toSec: Option[Long]): Seq[String] =
+    roots.filter { r =>
+      val b = IndexSearch.open(spark, r).io
+        .read(spark, IndexPaths(r).docs)
+        .agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0)
+      !b.isNullAt(0) &&
+        fromSec.forall(_ <= b.getLong(1)) && toSec.forall(_ >= b.getLong(0))
+    }
+
+  private def aliasCore(spark: SparkSession, roots: Seq[String],
+                        queries: Seq[(Int, String)], k: Int,
+                        fromSec: Option[Long], toSec: Option[Long]): DataFrame = {
     import spark.implicits._
     require(roots.nonEmpty, "alias must name at least one collection")
     val idxs = roots.map(r => open(spark, r))
@@ -233,8 +276,13 @@ object IndexSearch {
             lit(nDocs), lit(avgdl)))
           .groupBy("query_id", "doc_id")
           .agg(sum(col("_s")).as("_score"))
+        // the fq side of TRA: matched docs outside the window drop here,
+        // AFTER scoring (stats stay whole-collection, the Solr scope)
         val keys = idx.io.read(spark, idx.paths.docs)
-          .select("doc_id", "conv_id", "turn_idx")
+          .select(col("doc_id"), col("conv_id"), col("turn_idx"),
+            col("ts").cast("long").as("_ts"))
+          .where(fromSec.map(f => col("_ts") >= f).getOrElse(lit(true)) &&
+            toSec.map(t => col("_ts") <= t).getOrElse(lit(true)))
         Some(scored.join(keys, "doc_id")
           .select("query_id", "conv_id", "turn_idx", "_score"))
       }

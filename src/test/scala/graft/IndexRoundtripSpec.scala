@@ -189,6 +189,41 @@ class IndexRoundtripSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("time-routed alias: metadata pruning + fq window ≡ per-slice search") {
+    val roots = Seq(tmpDir(), tmpDir())
+    try {
+      val t = Transcripts.synthetic(spark, 120)
+      // disjoint time slices: conv < 60 (early) vs >= 60 (late); synthetic
+      // ts = epoch + c*3600 + t*30, so the slice boundary is a ts boundary
+      val parts = Seq(
+        t.where(col("conv_id") < "conv00000060"),
+        t.where(col("conv_id") >= "conv00000060"))
+      roots.zip(parts).zipWithIndex.foreach { case ((r, p), i) =>
+        BuildIndexJob.run(spark, p, r, s"tra$i",
+          BuildIndexJob.Config(numShards = 4))
+      }
+      val lateMin = parts(1).agg(min(col("ts").cast("long")))
+        .collect()(0).getLong(0)
+      // routing: a window starting at the late slice's first ts prunes
+      // the early collection by metadata alone
+      assert(IndexSearch.routeCollections(spark, roots, Some(lateMin), None)
+        == Seq(roots(1)))
+      assert(IndexSearch.routeCollections(spark, roots,
+        Some(lateMin), Some(lateMin - 1)).isEmpty) // inverted → nothing
+      // fq a no-op at the slice boundary → ≡ the single-collection alias
+      val got = IndexSearch.searchAliasTimeRouted(spark, roots, queries,
+        Some(lateMin), None).collect().toSeq
+      val want = IndexSearch.searchAlias(spark, Seq(roots(1)), queries)
+        .collect().toSeq
+      assert(got == want && got.nonEmpty)
+      // window past every collection → empty, keys-shaped
+      assert(IndexSearch.searchAliasTimeRouted(spark, roots, queries,
+        Some(Long.MaxValue), None).count() == 0)
+      intercept[IllegalArgumentException](IndexSearch.searchAliasTimeRouted(
+        spark, roots, queries, None, None))
+    } finally roots.foreach(rmrf)
+  }
+
   test("CheckIndex: healthy build reports ok with exact recounts") {
     val root = tmpDir()
     try {
