@@ -623,6 +623,133 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.MultiPhrase.search]] (Lucene MultiPhraseQuery):
+    * the [[bm25Phrase]] ordered-chain join with each level's term equality
+    * widened to an IN-list over the slot's alternatives (DuckDB evaluates
+    * the same union-position semantics the engine's per-slot flatten
+    * produces), idf summed over EVERY in-dictionary alternative of every
+    * slot (the df join drops OOV rows, mirroring the engine's dictionary
+    * filter), and the identical virtual-term scoring tail. A slot whose
+    * alternatives are all corpus-absent matches nothing by construction
+    * (its join level never satisfies). */
+  def bm25MultiPhrase(corpusSql: String,
+                      queries: Seq[(Int, Seq[Seq[String]])],
+                      k: Int, slop: Int = 0): String = {
+    val parsed = queries.map { case (id, slots) =>
+      (id, slots.map(_.map { alt =>
+        val ts = Analyzer.tokenize(alt)
+        require(ts.size == 1, s"alternative '$alt' must analyze to 1 token")
+        ts.head
+      }.distinct))
+    }.filter { case (_, slots) => slots.nonEmpty && slots.forall(_.nonEmpty) }
+    require(parsed.nonEmpty, "no non-empty multi-phrases")
+    def inList(alts: Seq[String]) =
+      alts.map(t => s"'${esc(t)}'").mkString("(", ", ", ")")
+    val pfSelects = parsed.map { case (id, slots) =>
+      val joins = (1 until slots.size).map { i =>
+        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id " +
+          s"AND p$i.pos > p${i - 1}.pos AND p$i.pos <= p0.pos + ${i + slop} " +
+          s"AND p$i.term IN ${inList(slots(i))}"
+      }.mkString(" ")
+      s"""SELECT $id AS query_id, p0.doc_id AS doc_id,
+         |    count(DISTINCT p0.pos)::INT AS pf
+         |  FROM ptoks p0 $joins
+         |  WHERE p0.term IN ${inList(slots.head)}
+         |  GROUP BY p0.doc_id""".stripMargin
+    }
+    val ptermValues = parsed.flatMap { case (id, slots) =>
+      slots.zipWithIndex.flatMap { case (alts, i) =>
+        alts.map(t => s"($id, $i, '${esc(t)}')") }
+    }
+    s"""WITH ${indexCtes(corpusSql)},
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
+       |pterms(query_id, slot, term) AS (VALUES ${ptermValues.mkString(", ")}),
+       |idfs AS (SELECT query_id, sum(ln(1 + (s.n_docs - df.df + 0.5)/(df.df + 0.5))) AS idf_sum
+       |         FROM pterms JOIN df USING (term) CROSS JOIN stats s GROUP BY query_id),
+       |pf AS (${pfSelects.mkString("\nUNION ALL\n")}),
+       |scored AS (
+       |  SELECT pf.query_id, pf.doc_id,
+       |         idfs.idf_sum * pf.pf / (pf.pf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS score
+       |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
+       |       JOIN idfs USING (query_id) CROSS JOIN stats s),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Twin of [[graft.search.MultiPhrase.searchPhrasePrefix]]
+    * (Elasticsearch match_phrase_prefix): the [[bm25MultiPhrase]] chain
+    * with the FINAL join level's membership test widened from an IN-list
+    * to `LIKE 'stem%'` — the dictionary is exactly the corpus's distinct
+    * term set, so the LIKE predicate enumerates the same expansion the
+    * engine's bounded dictionary probe collects (fixture stems expand far
+    * below the engine's maxExpansions guard at every scale). The idf sum
+    * draws the final slot's contribution from a df LIKE-scan, one row
+    * per expansion, mirroring the engine's per-expansion idf sum; a stem
+    * with no extension contributes no final-level rows and no idf —
+    * matching nothing, like the engine's dead-slot drop. */
+  def bm25PhrasePrefix(corpusSql: String, queries: Seq[(Int, String)],
+                       k: Int, slop: Int = 0): String = {
+    val parsed = queries.map { case (id, t) =>
+      (id, graft.search.MultiPhrase.parsePhrasePrefix(t))
+    }
+    require(parsed.nonEmpty, "no phrase-prefix queries")
+    def likeOf(stem: String) = s"'${esc(stem)}%'"
+    val pfSelects = parsed.map { case (id, (fixed, stem)) =>
+      val m = fixed.size + 1
+      val joins = (1 until m).map { i =>
+        val memb =
+          if (i < fixed.size) s"p$i.term = '${esc(fixed(i))}'"
+          else s"p$i.term LIKE ${likeOf(stem)}"
+        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id " +
+          s"AND p$i.pos > p${i - 1}.pos AND p$i.pos <= p0.pos + ${i + slop} " +
+          s"AND $memb"
+      }.mkString(" ")
+      val head =
+        if (fixed.nonEmpty) s"p0.term = '${esc(fixed.head)}'"
+        else s"p0.term LIKE ${likeOf(stem)}"
+      s"""SELECT $id AS query_id, p0.doc_id AS doc_id,
+         |    count(DISTINCT p0.pos)::INT AS pf
+         |  FROM ptoks p0 $joins
+         |  WHERE $head
+         |  GROUP BY p0.doc_id""".stripMargin
+    }
+    // per-(query, slot) idf rows: fixed slots one exact-term df row each,
+    // the final slot one row PER dictionary expansion of the stem
+    val idfSelects = parsed.flatMap { case (id, (fixed, stem)) =>
+      fixed.zipWithIndex.map { case (t, i) =>
+        s"SELECT $id AS query_id, $i AS slot, df.df FROM df WHERE df.term = '${esc(t)}'"
+      } :+
+        s"SELECT $id AS query_id, ${fixed.size} AS slot, df.df FROM df WHERE df.term LIKE ${likeOf(stem)}"
+    }
+    s"""WITH ${indexCtes(corpusSql)},
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
+       |pslots AS (${idfSelects.mkString("\nUNION ALL\n")}),
+       |idfs AS (SELECT query_id, sum(ln(1 + (s.n_docs - pslots.df + 0.5)/(pslots.df + 0.5))) AS idf_sum
+       |         FROM pslots CROSS JOIN stats s GROUP BY query_id),
+       |pf AS (${pfSelects.mkString("\nUNION ALL\n")}),
+       |scored AS (
+       |  SELECT pf.query_id, pf.doc_id,
+       |         idfs.idf_sum * pf.pf / (pf.pf + 1.2*(1 - 0.75 + 0.75*dl.dl/s.avgdl)) AS score
+       |  FROM pf JOIN dl ON pf.doc_id = dl.doc_id
+       |       JOIN idfs USING (query_id) CROSS JOIN stats s),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY round(score, 7) DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.IndexSearch.searchHighlight]]: top-k plus a
     * snippet of ±window analyzed tokens around the first query-term
     * match. DuckDB's 1-based list_position ≡ the engine's 0-based

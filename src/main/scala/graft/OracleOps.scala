@@ -1385,6 +1385,64 @@ object OracleOps {
        |ORDER BY f.word""".stripMargin
   }
 
+  /** Twin of [[graft.ops.HeavyHitters.topTermsSketched]] — the sketch
+    * path is PROVEN exact (or fails loudly), so the twin is simply the
+    * exact token-frequency top-k with the same (freq DESC, term ASC)
+    * tie. */
+  def topTermsSketched(k: Int): String =
+    s"""WITH $corpusCte, $tkCte,
+       |w AS (SELECT unnest(toks) AS term FROM tk),
+       |f AS (SELECT term, count(*)::BIGINT AS freq FROM w GROUP BY term),
+       |r AS (SELECT term, freq,
+       |        row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+       |      FROM f)
+       |SELECT CAST(rnk AS INT) AS "rank", term, freq
+       |FROM r WHERE rnk <= $k ORDER BY rnk""".stripMargin
+
+  /** Twin of [[graft.ops.TextOps.wordpieceEncode]] — same two-namespace
+    * pinned vocab (word-initial vs continuation counts, single-char
+    * floor), the greedy longest-match scan unrolled as one MATERIALIZED
+    * round per possible cursor advance (≤ maxWordLen — every advance
+    * consumes ≥ 1 char; `pick` pre-resolves the longest valid piece per
+    * (word, position) so each round is a single deterministic join). */
+  def wordpieceEncode(minCount: Long, maxPieceLen: Int, maxWordLen: Int): String = {
+    val rounds = (1 to maxWordLen).map { j =>
+      s"""g$j AS MATERIALIZED (SELECT g.word,
+         |  CASE WHEN g.pos < length(g.word) THEN g.pos + p.l ELSE g.pos END AS pos,
+         |  CASE WHEN g.pos < length(g.word) THEN concat(g.pieces,
+         |         CASE WHEN g.pieces = '' THEN '' ELSE '${"|"}' END,
+         |         CASE WHEN g.pos > 0 THEN '##' ELSE '' END, p.piece)
+         |       ELSE g.pieces END AS pieces,
+         |  CASE WHEN g.pos < length(g.word) THEN g.np + 1 ELSE g.np END AS np
+         |FROM g${j - 1} g LEFT JOIN pick p
+         |  ON p.word = g.word AND p.s = g.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $corpusCte, $tkCte,
+       |w AS (SELECT unnest(toks) AS word FROM tk),
+       |wf AS MATERIALIZED (SELECT * FROM (SELECT word, count(*)::BIGINT AS freq
+       |       FROM w GROUP BY word) WHERE length(word) <= $maxWordLen),
+       |cand AS MATERIALIZED (SELECT word, freq, ss.s, ll.l,
+       |           substr(word, ss.s + 1, ll.l) AS piece,
+       |           ss.s > 0 AS cont
+       |         FROM wf
+       |         CROSS JOIN generate_series(0, ${maxWordLen - 1}) ss(s)
+       |         CROSS JOIN generate_series(1, $maxPieceLen) ll(l)
+       |         WHERE ss.s + ll.l <= length(word)),
+       |vocab AS (SELECT piece, cont FROM cand GROUP BY piece, cont
+       |          HAVING length(piece) = 1 OR sum(freq) >= $minCount),
+       |pick AS MATERIALIZED (SELECT word, s, l, piece FROM (
+       |         SELECT c.word, c.s, c.l, c.piece,
+       |                row_number() OVER (PARTITION BY c.word, c.s
+       |                                   ORDER BY c.l DESC) AS rn
+       |         FROM cand c JOIN vocab USING (piece, cont)) WHERE rn = 1),
+       |g0 AS (SELECT word, 0 AS pos, CAST('' AS VARCHAR) AS pieces, 0 AS np
+       |       FROM wf),
+       |$rounds
+       |SELECT word, pieces, CAST(np AS INT) AS n_pieces
+       |FROM g$maxWordLen
+       |ORDER BY word""".stripMargin
+  }
+
   /** Twin of [[graft.ops.Dedup.bloomDedup]] over the gate's incoming
     * batch (docs ≡ 0 mod 4 verbatim = true dups, ≡ 1 mod 4 with ' novel'
     * appended = novel). The twin verifies filter SEMANTICS set-wise — a

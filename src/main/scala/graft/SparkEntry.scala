@@ -136,6 +136,32 @@ object SparkEntry {
     4 -> "window",
     5 -> "order order")
 
+  /** MultiPhraseQuery set (slots of alternative terms — the query-time
+    * synonym-inside-a-phrase shape): alternative unions on both slots,
+    * a trigram with an alternative tail, an OOV alternative DROPPED from
+    * a surviving slot, a fully-OOV slot (matches nothing), a repeated
+    * term across slots, and a single-slot union (≡ a disjunction with
+    * union tf). */
+  val MultiPhraseQueries: Seq[(Int, Seq[Seq[String]])] = Seq(
+    1 -> Seq(Seq("order", "big"), Seq("fast", "order")),
+    2 -> Seq(Seq("big"), Seq("order"), Seq("scan", "fast")),
+    3 -> Seq(Seq("the", "zzzmissing"), Seq("quick")),
+    4 -> Seq(Seq("zzzmissing"), Seq("window")),
+    5 -> Seq(Seq("order"), Seq("order", "fast")),
+    6 -> Seq(Seq("window", "batch")))
+
+  /** match_phrase_prefix query set (last token = prefix stem): a fat
+    * final-slot expansion (s* → scan/slow/small/sort/spark/stream), a
+    * single-expansion stem (≡ the exact phrase), a dead stem (matches
+    * nothing), a bare stem (single-slot union), and an analyzer-split
+    * clause ("key-va" → fixed 'key' + stem 'va' → value/vector). */
+  val PhrasePrefixQueries: Seq[(Int, String)] = Seq(
+    1 -> "big s",
+    2 -> "order fa",
+    3 -> "the zz",
+    4 -> "s",
+    5 -> "key-va")
+
   /** Proximity query set (ordered window, slop = [[PhraseSlop]]): a gapped
     * bigram ("big … scan" via "big order scan"), an exact phrase that
     * also matches under slop, OOV, and a duplicated term. */
@@ -870,6 +896,11 @@ object SparkEntry {
     "q_tfidf_classic" -> ((s, dir) =>
       IndexSearch.searchSim(indexFor(s, dir), DisjQueries,
         Similarities.ClassicTfIdf)),
+    // LM with Jelinek–Mercer smoothing — the third Lucene similarity
+    // family member, same exhaustive dictionary-pruned serving path
+    "q_lmjm" -> ((s, dir) =>
+      IndexSearch.searchSim(indexFor(s, dir), DisjQueries,
+        Similarities.LMJelinekMercer())),
     // J3 over the index: conjunctive AND
     "q_bm25_index_conj" -> ((s, dir) =>
       IndexSearch.search(indexFor(s, dir), ConjQueries, conjunctive = true)),
@@ -971,6 +1002,11 @@ object SparkEntry {
     // pinned char+n-gram piece LM — DP as a pure Column fold
     "q_unigram_encode" -> ((s, dir) =>
       TextOps.unigramEncode(documents(s, dir), minCount = 20)),
+    // BERT WordPiece greedy longest-match-first encode (the THIRD
+    // tokenizer family): two-namespace (##-continuation) pinned vocab,
+    // greedy scan as a pure Column fold on the distinct-word table
+    "q_wordpiece_encode" -> ((s, dir) =>
+      TextOps.wordpieceEncode(documents(s, dir), minCount = 20)),
     // temperature-based source mixing over the transcripts corpus: keep
     // rates derived from the strata's own frequencies (p^α, α=1/T) so
     // downsampling flattens toward uniform while the rarest role survives
@@ -1151,6 +1187,11 @@ object SparkEntry {
     // Luke /admin/luke top terms: metadata-only dictionary introspection
     "q_top_terms" -> ((s, dir) =>
       IndexSearch.topTerms(indexFor(s, dir), 25)),
+    // Misra–Gries heavy hitters (custom TypedImperativeAggregate sketch)
+    // + exact candidate recount — certified-exact top terms at sketch
+    // cost, the scale path where the full vocabulary must never shuffle
+    "q_top_terms_sketch" -> ((s, dir) =>
+      graft.ops.HeavyHitters.topTermsSketched(documents(s, dir), 25, 64)),
     // Solr LTR feature logging (fl=[features]): per-(query, top-k doc)
     // reranker feature vectors — SolrFeature + FieldValueFeature classes
     "q_ltr_features" -> ((s, dir) =>
@@ -1883,6 +1924,16 @@ object SparkEntry {
     // positions stream per block; Lucene PhraseQuery scoring)
     "q_bm25_phrase" -> ((s, dir) =>
       IndexSearch.searchPhrase(indexFor(s, dir), PhraseQueries)),
+    // Lucene MultiPhraseQuery: per-slot alternative unions (query-time
+    // synonyms inside a phrase), thin/fat two-pass over the same
+    // positional index
+    "q_bm25_multiphrase" -> ((s, dir) =>
+      graft.search.MultiPhrase.search(indexFor(s, dir), MultiPhraseQueries)),
+    // ES match_phrase_prefix: last slot = bounded dictionary prefix
+    // expansion feeding the multi-phrase engine
+    "q_bm25_phrase_prefix" -> ((s, dir) =>
+      graft.search.MultiPhrase.searchPhrasePrefix(indexFor(s, dir),
+        PhrasePrefixQueries)),
     // Ordered-window proximity ("a b"~2-style slop)
     "q_bm25_phrase_slop" -> ((s, dir) =>
       IndexSearch.searchPhrase(indexFor(s, dir), PhraseSlopQueries,
@@ -1987,6 +2038,7 @@ object SparkEntry {
     "q_bm25_maxscore" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, DisjQueries, 10, conjunctive = false),
     "q_lmdirichlet" -> Oracle.simTopK(Oracle.transcriptsCorpus, DisjQueries, 10, Similarities.LMDirichlet()),
     "q_tfidf_classic" -> Oracle.simTopK(Oracle.transcriptsCorpus, DisjQueries, 10, Similarities.ClassicTfIdf),
+    "q_lmjm" -> Oracle.simTopK(Oracle.transcriptsCorpus, DisjQueries, 10, Similarities.LMJelinekMercer()),
     "q_bm25_index_conj" -> Oracle.bm25TopK(Oracle.transcriptsCorpus, ConjQueries, 10, conjunctive = true),
     "q_lang_id" -> OracleOps.langId,
     "q_quality" -> OracleOps.quality,
@@ -2027,6 +2079,7 @@ object SparkEntry {
     "q_bpe_merges" -> OracleOps.bpeMerges(8),
     "q_bpe_encode" -> OracleOps.bpeEncode(8),
     "q_unigram_encode" -> OracleOps.unigramEncode(20, 4, 16),
+    "q_wordpiece_encode" -> OracleOps.wordpieceEncode(20, 4, 16),
     "q_sample_temperature" -> OracleOps.temperatureSample("role", 0.5),
     "q_lm_perplexity" -> OracleOps.lmPerplexity("en", 0.5, 8.0),
     "q_ppl_buckets" -> OracleOps.pplBuckets("en", 0.5),
@@ -2053,6 +2106,7 @@ object SparkEntry {
     "q_bm25_sort_multi" -> Oracle.bm25SortRoleTs(DisjQueries, 10),
     "q_bm25_explain" -> Oracle.bm25Explain(DisjQueries, 10),
     "q_top_terms" -> Oracle.topTerms(25),
+    "q_top_terms_sketch" -> OracleOps.topTermsSketched(25),
     "q_ltr_features" -> Oracle.ltrFeatures(DisjQueries, 10),
     "q_bm25_ltr_rerank" -> Oracle.ltrRerank(DisjQueries, LtrWeights, 10, 30),
     "q_rtg_pending" -> Oracle.getDocsRealtime(RtgKeys, RtgPending),
@@ -2256,6 +2310,8 @@ object SparkEntry {
     "q_bm25_not" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
     "q_bm25_not_index" -> Oracle.bm25TopKClauses(Oracle.transcriptsCorpus, NotQueries, 10),
     "q_bm25_phrase" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus, PhraseQueries, 10),
+    "q_bm25_multiphrase" -> Oracle.bm25MultiPhrase(Oracle.transcriptsCorpus, MultiPhraseQueries, 10),
+    "q_bm25_phrase_prefix" -> Oracle.bm25PhrasePrefix(Oracle.transcriptsCorpus, PhrasePrefixQueries, 10),
     "q_bm25_phrase_slop" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus,
       PhraseSlopQueries, 10, slop = PhraseSlop),
     // SQL-PARSED clause twin (clause splitting/prefixes/analyzer all in

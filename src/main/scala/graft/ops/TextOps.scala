@@ -1203,4 +1203,81 @@ object TextOps {
         round(element_at(col("_dp").getField("best"), len + 1), 6).as("logp"))
       .orderBy("word")
   }
+
+  /** WORDPIECE SUBWORD SEGMENTATION (Wu et al. 2016, arXiv:1609.08144 —
+    * the BERT tokenizer's greedy longest-match-first ENCODE, the third
+    * mainstream tokenizer family next to [[bpeEncode]] and
+    * [[unigramEncode]]): each distinct corpus word splits by repeatedly
+    * taking the LONGEST vocabulary piece matching at the cursor, with
+    * word-initial and continuation ("##"-marked) pieces living in
+    * SEPARATE vocab namespaces, exactly BERT's vocab shape. The trained
+    * vocab is replaced by the same PINNED deterministic model as
+    * [[unigramEncode]] (training stochasticity is not portable; the
+    * inference algorithm is the verified artifact): per namespace, every
+    * single character (so the HuggingFace [UNK] branch is structurally
+    * unreachable — pinned) plus every 2..`maxPieceLen`-char substring
+    * with freq-weighted occurrence count ≥ `minCount` in that namespace
+    * (word-initial counts come from word-start offsets only). Words
+    * longer than `maxWordLen` are excluded (the bound sizes the twin's
+    * unrolled greedy rounds).
+    *
+    * Scale shape mirrors unigramEncode: everything on the DISTINCT-WORD
+    * table, candidate explode ≤ maxWordLen·maxPieceLen rows per word,
+    * vocab one hash agg, the greedy scan a pure per-row Column fold over
+    * the word's own valid-piece list — map-only after one vocab join.
+    * Output: (word, pieces '|'-joined with '##' continuation marks,
+    * n_pieces). */
+  def wordpieceEncode(corpus: DataFrame, minCount: Long, maxPieceLen: Int = 4,
+                      maxWordLen: Int = 16): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1 (got $minCount)")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
+      s"need 1 <= maxPieceLen <= maxWordLen (got $maxPieceLen, $maxWordLen)")
+    val wf = corpus
+      .select(explode(Analyzer.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+      .where(length(col("word")) <= maxWordLen)
+    val cand = wf
+      .select(col("word"), col("freq"),
+        explode(flatten(transform(sequence(lit(0), length(col("word")) - 1),
+          s => transform(sequence(lit(1), lit(maxPieceLen)),
+            l => struct(s.as("s"), l.as("l")))))).as("sl"))
+      .select(col("word"), col("freq"),
+        col("sl.s").as("s"), col("sl.l").as("l"))
+      .where(col("s") + col("l") <= length(col("word")))
+      .withColumn("piece", expr("substring(word, s + 1, l)"))
+      .withColumn("cont", (col("s") > 0).cast("boolean"))
+    val vocab = cand.groupBy("piece", "cont")
+      .agg(sum(col("freq")).as("w"))
+      .where(length(col("piece")) === 1 || col("w") >= minCount)
+      .select("piece", "cont")
+    // per word: the valid (start, len) pieces under the namespace rule
+    val edges = cand.join(vocab, Seq("piece", "cont"))
+      .select(col("word"), col("s").cast("int").as("i"),
+        col("l").cast("int").as("l"))
+      .groupBy("word")
+      .agg(collect_list(struct(col("i"), col("l"))).as("_E"))
+    val len = length(col("word"))
+    // greedy longest-match fold: ≤ maxWordLen cursor advances (each ≥ 1)
+    val greedy = aggregate(sequence(lit(1), lit(maxWordLen)),
+      struct(lit(0).cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val lmax = array_max(transform(
+          filter(col("_E"), e => e.getField("i") === pos),
+          e => e.getField("l")))
+        val piece = col("word").substr(pos + 1, lmax)
+        val marked = when(pos > 0, concat(lit("##"), piece)).otherwise(piece)
+        when(pos < len,
+          struct((pos + lmax).cast("int").as("pos"),
+            concat(st.getField("ps"), array(marked)).as("ps")))
+          .otherwise(st)
+      })
+    wf.join(edges, "word")
+      .withColumn("_g", greedy)
+      .select(col("word"),
+        array_join(col("_g").getField("ps"), "|").as("pieces"),
+        size(col("_g").getField("ps")).cast("int").as("n_pieces"))
+      .orderBy("word")
+  }
 }

@@ -1739,7 +1739,7 @@ object IndexSearch {
     * a `poss` column fails here with the actionable message instead of an
     * AnalysisException), then one sampled row (legacy positional indexes
     * without the marker; an empty index passes; verdict cached per root). */
-  private def requirePositional(idx: OpenIndex): Unit = {
+  private[search] def requirePositional(idx: OpenIndex): Unit = {
     val ok = graft.sources.Fs.exists(idx.spark, idx.paths.positionalMarker) ||
       sampledVerdicts.computeIfAbsent(idx.paths.root, _ => {
         val postings = idx.io.read(idx.spark, idx.paths.postings)

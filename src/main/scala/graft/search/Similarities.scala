@@ -63,6 +63,26 @@ object Similarities {
         s"+ ln($mu / (dl.dl + $mu)))"
   }
 
+  /** Language-model similarity with Jelinek–Mercer smoothing (Zhai &
+    * Lafferty, SIGIR 2001; Lucene `LMJelinekMercerSimilarity`): per
+    * matching term `ln(1 + ((1−λ)·tf/dl) / (λ·p(w|C)))` with the same
+    * add-one collection model as [[LMDirichlet]]. λ defaults to 0.7 —
+    * the Zhai & Lafferty recommendation for (short) keyword queries
+    * that Solr's ref guide repeats; Lucene's base-class negative clamp
+    * is kept for symmetry though JM's log1p(≥0) never goes negative. */
+  final case class LMJelinekMercer(lambda: Double = 0.7) extends SimilarityModel {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda must be in (0,1), got $lambda")
+    override def termScore(tf: Column, dl: Column, df: Column, cf: Column,
+                           nDocs: Long, avgdl: Double,
+                           totalTokens: Long): Column =
+      greatest(lit(0.0),
+        log(lit(1.0) + (lit(1.0 - lambda) * tf / dl) /
+          (lit(lambda) * ((cf + lit(1.0)) / lit(totalTokens + 1.0)))))
+    override def sqlTermScore: String =
+      s"greatest(0.0, ln(1.0 + ((1.0 - $lambda) * tf.tf / dl.dl) / " +
+        s"($lambda * ((df.cf + 1.0) / (s.total_tokens + 1.0)))))"
+  }
+
   case object ClassicTfIdf extends SimilarityModel {
     override def termScore(tf: Column, dl: Column, df: Column, cf: Column,
                            nDocs: Long, avgdl: Double,

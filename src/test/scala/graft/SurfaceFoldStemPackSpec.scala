@@ -385,4 +385,53 @@ class SurfaceFoldStemPackSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextOps.unigramEncode(docs, minCount = 1, maxPieceLen = 20, maxWordLen = 16))
   }
+
+  test("wordpieceEncode ≡ independent imperative greedy; namespaces + floor") {
+    val docs = (
+      Seq.fill(12)("abcd ab cd") ++ Seq.fill(6)("abx cdy") :+ "zq abcdab xab"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.wordpieceEncode(docs, minCount = 5, maxPieceLen = 4,
+      maxWordLen = 16).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // independent model: two-namespace pinned vocab (initial vs ##)
+    val words = docs.collect().flatMap(r =>
+      graft.analysis.Analyzer.tokenize(r.getString(1)))
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+      .filter(_._1.length <= 16)
+    val counts = scala.collection.mutable.Map[(String, Boolean), Long]()
+    words.foreach { case (w, f) =>
+      for (s <- 0 until w.length; l <- 1 to 4 if s + l <= w.length) {
+        val k = (w.substring(s, s + l), s > 0)
+        counts(k) = counts.getOrElse(k, 0L) + f
+      }
+    }
+    val vocab = counts.filter { case ((p, _), c) => p.length == 1 || c >= 5 }.keySet
+    def greedy(w: String): Seq[String] = {
+      val ps = scala.collection.mutable.ArrayBuffer[String]()
+      var pos = 0
+      while (pos < w.length) {
+        val l = (math.min(4, w.length - pos) to 1 by -1)
+          .find(l => vocab.contains((w.substring(pos, pos + l), pos > 0))).get
+        ps += (if (pos > 0) "##" else "") + w.substring(pos, pos + l)
+        pos += l
+      }
+      ps.toSeq
+    }
+    assert(got.nonEmpty && got.map(_._1).toSet == words.map(_._1).toSet)
+    got.foreach { case (w, pieces, np) =>
+      val want = greedy(w)
+      assert(pieces == want.mkString("|"), s"word $w")
+      assert(np == want.size)
+      assert(pieces.replace("|", "").replace("##", "") == w) // reconstruction
+    }
+    // frequent word-initial collocation stays whole
+    assert(got.find(_._1 == "abcd").get._2 == "abcd")
+    // 'ab' frequent INITIALLY; in 'xab' the continuation namespace decides
+    val xab = got.find(_._1 == "xab").get._2
+    assert(xab == greedy("xab").mkString("|") && xab.startsWith("x|##"))
+    // rare word floors to single chars
+    assert(got.find(_._1 == "zq").get._2 == "z|##q")
+    intercept[IllegalArgumentException](
+      TextOps.wordpieceEncode(docs, minCount = 0))
+  }
 }
