@@ -683,6 +683,54 @@ object Oracle {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** Twin of [[graft.search.Intervals.searchUnordered]]: per query an
+    * m-way positional self-join enumerates every one-position-per-term
+    * configuration, HAVING min(width) − m ≤ maxgaps — the brute-force
+    * statement of the engine's min-advance sweep; scoring is the
+    * standard disjunctive BM25 CTE semi-joined to the interval-matching
+    * doc set (the pinned filter composition). A query with an OOV term
+    * self-eliminates through its join level. */
+  def bm25IntervalsUnordered(corpusSql: String, queries: Seq[(Int, String)],
+                             maxgaps: Int, k: Int): String = {
+    val parsed = queries
+      .map { case (id, t) => (id, Analyzer.tokenize(t)) }
+      .filter(_._2.nonEmpty)
+    require(parsed.nonEmpty, "no non-empty interval queries")
+    parsed.foreach { case (_, ts) =>
+      require(ts.size == ts.distinct.size, "interval query repeats a term") }
+    val ivSelects = parsed.map { case (id, ts) =>
+      val m = ts.size
+      val joins = (1 until m).map { i =>
+        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id AND p$i.term = '${esc(ts(i))}'"
+      }.mkString(" ")
+      val all = (0 until m).map(i => s"p$i.pos")
+      val width =
+        if (m == 1) "1"
+        else s"greatest(${all.mkString(", ")}) - least(${all.mkString(", ")}) + 1"
+      s"""SELECT $id AS query_id, p0.doc_id AS doc_id
+         |  FROM ptoks p0 $joins
+         |  WHERE p0.term = '${esc(ts.head)}'
+         |  GROUP BY p0.doc_id
+         |  HAVING min($width) - $m <= $maxgaps""".stripMargin
+    }
+    val qtValues = parsed.flatMap { case (id, ts) =>
+      ts.map(t => s"($id, '${esc(t)}')") }
+    s"""WITH ${indexCtes(corpusSql)},
+       |toksl AS (SELECT doc_id, ${Analyzer.sqlTokenList("text")} AS l FROM corpus),
+       |ptoks AS (SELECT doc_id, unnest(l) AS term, unnest(range(1, len(l)+1)) AS pos FROM toksl),
+       |qt(query_id, term) AS (VALUES ${qtValues.mkString(", ")}),
+       |$scoredFromQtCte,
+       |iv AS (${ivSelects.mkString("\nUNION ALL\n")}),
+       |ranked AS (
+       |  SELECT s.query_id, s.doc_id, s.score,
+       |         row_number() OVER (PARTITION BY s.query_id
+       |                            ORDER BY round(s.score, 7) DESC, s.doc_id ASC) AS rnk
+       |  FROM scored s JOIN iv USING (query_id, doc_id))
+       |SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, round(score, 4) AS score
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Twin of [[graft.search.MultiPhrase.searchPhrasePrefix]]
     * (Elasticsearch match_phrase_prefix): the [[bm25MultiPhrase]] chain
     * with the FINAL join level's membership test widened from an IN-list

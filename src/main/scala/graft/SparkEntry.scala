@@ -150,6 +150,18 @@ object SparkEntry {
     5 -> Seq(Seq("order"), Seq("order", "fast")),
     6 -> Seq(Seq("window", "batch")))
 
+  /** Unordered-interval query set (Lucene Intervals.unordered, maxgaps =
+    * 2): order-free bigrams (matches "fast order" where the ordered
+    * phrase would not), a gapped pair, a 3-term co-occurrence window, an
+    * OOV self-elimination, and a single-term degenerate (≡ the term
+    * query's match set). */
+  val IntervalQueries: Seq[(Int, String)] = Seq(
+    1 -> "order fast",
+    2 -> "big scan",
+    3 -> "spark merge window",
+    4 -> "dup zzzmissing",
+    5 -> "vector")
+
   /** match_phrase_prefix query set (last token = prefix stem): a fat
     * final-slot expansion (s* → scan/slow/small/sort/spark/stream), a
     * single-expansion stem (≡ the exact phrase), a dead stem (matches
@@ -1934,6 +1946,12 @@ object SparkEntry {
     "q_bm25_phrase_prefix" -> ((s, dir) =>
       graft.search.MultiPhrase.searchPhrasePrefix(indexFor(s, dir),
         PhrasePrefixQueries)),
+    // Lucene intervals: unordered co-occurrence window (maxgaps) as a
+    // proximity filter over conjunctive BM25 — min-advance sweep per
+    // candidate doc
+    "q_bm25_intervals" -> ((s, dir) =>
+      graft.search.Intervals.searchUnordered(indexFor(s, dir),
+        IntervalQueries, maxgaps = 2)),
     // Ordered-window proximity ("a b"~2-style slop)
     "q_bm25_phrase_slop" -> ((s, dir) =>
       IndexSearch.searchPhrase(indexFor(s, dir), PhraseSlopQueries,
@@ -2312,6 +2330,7 @@ object SparkEntry {
     "q_bm25_phrase" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus, PhraseQueries, 10),
     "q_bm25_multiphrase" -> Oracle.bm25MultiPhrase(Oracle.transcriptsCorpus, MultiPhraseQueries, 10),
     "q_bm25_phrase_prefix" -> Oracle.bm25PhrasePrefix(Oracle.transcriptsCorpus, PhrasePrefixQueries, 10),
+    "q_bm25_intervals" -> Oracle.bm25IntervalsUnordered(Oracle.transcriptsCorpus, IntervalQueries, 2, 10),
     "q_bm25_phrase_slop" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus,
       PhraseSlopQueries, 10, slop = PhraseSlop),
     // SQL-PARSED clause twin (clause splitting/prefixes/analyzer all in
