@@ -1495,6 +1495,26 @@ object Oracle {
     bm25Expanded(corpusSql, litValues, expSelects, k)
   }
 
+  /** Twin of [[graft.search.MultiTerm.searchRegexp]]: each `/re/` clause
+    * expands against the df relation via whole-term-anchored
+    * `regexp_matches` (the portable Java∩RE2 subset makes the dialects
+    * agree), then the scoring-boolean rewrite. */
+  def bm25Regexp(corpusSql: String, queries: Seq[(Int, String)],
+                 k: Int): String = {
+    val parsed = queries.map { case (qid, t) =>
+      (qid, graft.search.MultiTerm.parseRegexpQuery(t))
+    }
+    val litValues0 = parsed.flatMap { case (qid, (terms, _)) =>
+      terms.map(t => s"($qid, '${esc(t)}')")
+    }
+    val litValues = if (litValues0.nonEmpty) litValues0 else Seq("(0, '')")
+    val expSelects = parsed.flatMap { case (qid, (_, pats)) =>
+      pats.map(p => s"SELECT $qid AS query_id, term FROM df " +
+        s"WHERE regexp_matches(term, '^($p)$$')")
+    }
+    bm25Expanded(corpusSql, litValues, expSelects, k)
+  }
+
   /** Twin of [[graft.search.MultiTerm.searchTermRange]]: each
     * `[lo TO hi]` / `{lo TO hi}` range expands against the df relation
     * via the matching string-comparison predicates (per-side

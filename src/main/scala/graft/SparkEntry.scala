@@ -239,6 +239,17 @@ object SparkEntry {
     7 -> "W?NDOW",
     8 -> "?")
 
+  /** Regexp query set (Lucene RegexpQuery `/re/`, whole-term anchored,
+    * portable Java∩RE2 subset): alternation, suffix match via `.*`, a
+    * regexp + literal term mix, a character class, and a pattern
+    * matching nothing. */
+  val RegexpQueries: Seq[(Int, String)] = Seq(
+    1 -> "/s(can|ort)/",
+    2 -> "/.*dow/",
+    3 -> "batch /qu.+/",
+    4 -> "/[bd]ig/",
+    5 -> "/zz+x/")
+
   /** Fuzzy query set (Lucene FuzzyQuery, plain-Levenshtein pinning — see
     * [[graft.search.MultiTerm]]): one-edit hit, self-match, default ~ (=2
     * edits), exact-only ~0 (TermQuery degenerate), a stem matching
@@ -1255,6 +1266,10 @@ object SparkEntry {
     // dictionary, literal prefix pushed to the scan where one exists
     "q_bm25_wildcard" -> ((s, dir) =>
       graft.search.MultiTerm.searchWildcard(indexFor(s, dir), WildcardQueries)),
+    // Lucene RegexpQuery: whole-term-anchored portable-subset regexps
+    // expanded against the dictionary, scoring-boolean rewrite
+    "q_bm25_regexp" -> ((s, dir) =>
+      graft.search.MultiTerm.searchRegexp(indexFor(s, dir), RegexpQueries)),
     // Lucene FuzzyQuery (roam~1): one batched dictionary pass,
     // length-window prune + levenshtein <= maxEdits expansion
     "q_bm25_fuzzy" -> ((s, dir) =>
@@ -2132,6 +2147,7 @@ object SparkEntry {
     "q_bm25_prefix" -> Oracle.bm25Prefix(Oracle.transcriptsCorpus, PrefixQueries, 10),
     "q_bm25_synonyms" -> Oracle.bm25TopKSynonyms(DisjQueries, SynonymGroups, 10),
     "q_bm25_wildcard" -> Oracle.bm25Wildcard(Oracle.transcriptsCorpus, WildcardQueries, 10),
+    "q_bm25_regexp" -> Oracle.bm25Regexp(Oracle.transcriptsCorpus, RegexpQueries, 10),
     "q_bm25_fuzzy" -> Oracle.bm25Fuzzy(Oracle.transcriptsCorpus, FuzzyQueries, 10),
     "q_bm25_term_range" ->
       Oracle.bm25TermRange(Oracle.transcriptsCorpus, TermRangeQueries, 10),

@@ -94,6 +94,61 @@ object MultiTerm {
     IndexSearch.searchExpandedTerms(idx, qtRows, k)
   }
 
+  /** Parse a regexp-query string (Lucene RegexpQuery / Solr `/re/`
+    * syntax): whitespace clauses; a clause wrapped in slashes is a
+    * REGEXP matched against WHOLE dictionary terms (Lucene's RegexpQuery
+    * anchoring) after lowercasing; every other clause contributes
+    * analyzed plain terms. Patterns are restricted to the same portable
+    * Java∩RE2 subset as [[Suggest.termsRegex]] (literals, classes,
+    * anchors, `.`/`*`/`+`/`?`/`|`) so both engines agree; anything
+    * outside it fails loudly. Returns (terms, patterns), deduped. */
+  def parseRegexpQuery(text: String): (Seq[String], Seq[String]) = {
+    val clauses = text.split("\\s+").toSeq.filter(_.nonEmpty)
+    val (res, plain) = clauses.partition(c =>
+      c.length >= 3 && c.startsWith("/") && c.endsWith("/"))
+    val pats = res.map(c => c.substring(1, c.length - 1).toLowerCase)
+    pats.foreach { p =>
+      require(p.matches("""[a-z0-9\[\]\-^$.*+?|()]+"""),
+        s"regexp '/$p/' outside the portable subset [a-z0-9[]-^$$.*+?|()]")
+      java.util.regex.Pattern.compile(p) // fail loudly, Solr 400s
+    }
+    (plain.flatMap(Analyzer.tokenize).distinct, pats.distinct)
+  }
+
+  /** Batch regexp expansion: one bounded dictionary probe per DISTINCT
+    * pattern, whole-term anchored (`^(p)$`). A regex cannot prune the
+    * dictionary scan (exactly Lucene's RegexpQuery terms-dictionary
+    * walk) — the cost is one dictionary pass per pattern, with the
+    * match inside the scan filter; expansions beyond `maxExpansions`
+    * fail loudly (TooManyClauses). */
+  def expandRegexps(idx: IndexSearch.OpenIndex, pats: Seq[String],
+                    maxExpansions: Int): Map[String, Seq[String]] =
+    pats.distinct.map { p =>
+      val terms = idx.dictionary.where(col("term").rlike(s"^($p)$$"))
+        .select("term").limit(maxExpansions + 1)
+        .collect().map(_.getString(0)).toSeq
+      require(terms.size <= maxExpansions,
+        s"regexp '/$p/' expands to more than maxExpansions=$maxExpansions " +
+          "dictionary terms (Lucene TooManyClauses analog)")
+      p -> terms
+    }.toMap
+
+  /** Lucene RegexpQuery over the persisted index: dictionary-anchored
+    * regexp expansion into a bounded term disjunction, scored by the
+    * standard engine under the pinned SCORING_BOOLEAN rewrite (each
+    * expanded term its own idf — the same pinning as every MultiTermQuery
+    * here). */
+  def searchRegexp(idx: IndexSearch.OpenIndex, queries: Seq[(Int, String)],
+                   k: Int = 10,
+                   maxExpansions: Int = IndexSearch.DefaultMaxExpansions): DataFrame = {
+    val parsed = queries.map { case (qid, t) => (qid, parseRegexpQuery(t)) }
+    val expansions = expandRegexps(idx, parsed.flatMap(_._2._2), maxExpansions)
+    val qtRows = parsed.flatMap { case (qid, (terms, pats)) =>
+      (terms ++ pats.flatMap(expansions)).distinct.map(t => (qid, t))
+    }
+    IndexSearch.searchExpandedTerms(idx, qtRows, k)
+  }
+
   /** Expand a mixed set of boolean-grammar group bodies: the wildcard and
     * fuzzy members batch through their respective single-pass probes
     * (two dictionary jobs TOTAL per query batch, not per clause). */

@@ -267,4 +267,27 @@ class MultiTermSpec extends SparkSpec {
       MultiTerm.searchTermRange(idx, Seq(1 -> "[ant TO emu]"), maxExpansions = 2))
     assert(e.getMessage.contains("maxExpansions"))
   }
+
+  test("regexp ≡ hand-expanded disjunction; whole-term anchoring") {
+    // alternation expands to the branch terms
+    sameAs(MultiTerm.searchRegexp(idx, Seq(1 -> "/(cat|dog)/")), "cat dog")
+    // class + dot: whole-term anchored — 'a.t' must NOT match 'ant'
+    // partially inside 'apple' etc.
+    sameAs(MultiTerm.searchRegexp(idx, Seq(1 -> "/a.t/")), "ant")
+    // suffix via .*; mixed with a literal term
+    sameAs(MultiTerm.searchRegexp(idx, Seq(1 -> "/.*ee/ dog")), "bee dog")
+    // 'e' alone must not match 'bee'/'emu' (anchoring), only a 1-char term
+    assert(MultiTerm.searchRegexp(idx, Seq(1 -> "/e/")).count() == 0)
+    // nothing matches → the query is absent
+    assert(MultiTerm.searchRegexp(idx, Seq(1 -> "/zz+/")).count() == 0)
+  }
+
+  test("regexp guards: portable subset + maxExpansions") {
+    val bad = intercept[IllegalArgumentException](
+      MultiTerm.searchRegexp(idx, Seq(1 -> "/a(?=b)/"))) // lookahead
+    assert(bad.getMessage.contains("portable"))
+    val big = intercept[IllegalArgumentException](
+      MultiTerm.searchRegexp(idx, Seq(1 -> "/.*/"), maxExpansions = 2))
+    assert(big.getMessage.contains("maxExpansions"))
+  }
 }
