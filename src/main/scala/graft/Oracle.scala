@@ -691,7 +691,19 @@ object Oracle {
     * doc set (the pinned filter composition). A query with an OOV term
     * self-eliminates through its join level. */
   def bm25IntervalsUnordered(corpusSql: String, queries: Seq[(Int, String)],
-                             maxgaps: Int, k: Int): String = {
+                             maxgaps: Int, k: Int): String =
+    bm25IntervalsCore(corpusSql, queries, maxgaps, k, ordered = false)
+
+  /** Twin of [[graft.search.Intervals.searchOrdered]]: the join levels
+    * additionally require p₁ < … < p_m (query order), HAVING the minimal
+    * ordered width within maxgaps — the brute statement of the engine's
+    * greedy-chain predicate. */
+  def bm25IntervalsOrdered(corpusSql: String, queries: Seq[(Int, String)],
+                           maxgaps: Int, k: Int): String =
+    bm25IntervalsCore(corpusSql, queries, maxgaps, k, ordered = true)
+
+  private def bm25IntervalsCore(corpusSql: String, queries: Seq[(Int, String)],
+                                maxgaps: Int, k: Int, ordered: Boolean): String = {
     val parsed = queries
       .map { case (id, t) => (id, Analyzer.tokenize(t)) }
       .filter(_._2.nonEmpty)
@@ -701,12 +713,16 @@ object Oracle {
     val ivSelects = parsed.map { case (id, ts) =>
       val m = ts.size
       val joins = (1 until m).map { i =>
-        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id AND p$i.term = '${esc(ts(i))}'"
+        val ord = if (ordered) s" AND p$i.pos > p${i - 1}.pos" else ""
+        s"JOIN ptoks p$i ON p$i.doc_id = p0.doc_id AND p$i.term = '${esc(ts(i))}'$ord"
       }.mkString(" ")
-      val all = (0 until m).map(i => s"p$i.pos")
       val width =
         if (m == 1) "1"
-        else s"greatest(${all.mkString(", ")}) - least(${all.mkString(", ")}) + 1"
+        else if (ordered) s"p${m - 1}.pos - p0.pos + 1"
+        else {
+          val all = (0 until m).map(i => s"p$i.pos")
+          s"greatest(${all.mkString(", ")}) - least(${all.mkString(", ")}) + 1"
+        }
       s"""SELECT $id AS query_id, p0.doc_id AS doc_id
          |  FROM ptoks p0 $joins
          |  WHERE p0.term = '${esc(ts.head)}'

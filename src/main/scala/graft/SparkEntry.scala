@@ -1967,6 +1967,11 @@ object SparkEntry {
     "q_bm25_intervals" -> ((s, dir) =>
       graft.search.Intervals.searchUnordered(indexFor(s, dir),
         IntervalQueries, maxgaps = 2)),
+    // the ordered variant on the SAME query set: contrasts the two match
+    // sets (order-free vs query-order) on identical windows
+    "q_bm25_intervals_ordered" -> ((s, dir) =>
+      graft.search.Intervals.searchOrdered(indexFor(s, dir),
+        IntervalQueries, maxgaps = 2)),
     // Ordered-window proximity ("a b"~2-style slop)
     "q_bm25_phrase_slop" -> ((s, dir) =>
       IndexSearch.searchPhrase(indexFor(s, dir), PhraseSlopQueries,
@@ -2347,6 +2352,7 @@ object SparkEntry {
     "q_bm25_multiphrase" -> Oracle.bm25MultiPhrase(Oracle.transcriptsCorpus, MultiPhraseQueries, 10),
     "q_bm25_phrase_prefix" -> Oracle.bm25PhrasePrefix(Oracle.transcriptsCorpus, PhrasePrefixQueries, 10),
     "q_bm25_intervals" -> Oracle.bm25IntervalsUnordered(Oracle.transcriptsCorpus, IntervalQueries, 2, 10),
+    "q_bm25_intervals_ordered" -> Oracle.bm25IntervalsOrdered(Oracle.transcriptsCorpus, IntervalQueries, 2, 10),
     "q_bm25_phrase_slop" -> Oracle.bm25Phrase(Oracle.transcriptsCorpus,
       PhraseSlopQueries, 10, slop = PhraseSlop),
     // SQL-PARSED clause twin (clause splitting/prefixes/analyzer all in

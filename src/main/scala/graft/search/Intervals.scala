@@ -88,7 +88,24 @@ object Intervals {
   /** Unordered-proximity filtered BM25 top-k. `queries`: (query_id,
     * text) — analyzed to the distinct term set; `maxgaps` ≥ 0. */
   def searchUnordered(idx: OpenIndex, queries: Seq[(Int, String)],
-                      maxgaps: Int, k: Int = 10): DataFrame = {
+                      maxgaps: Int, k: Int = 10): DataFrame =
+    searchCore(idx, queries, maxgaps, k, ordered = false)
+
+  /** ORDERED interval filter (Lucene `Intervals.ordered` + maxgaps): the
+    * terms must appear in QUERY ORDER with at most `maxgaps` interleaved
+    * non-matching slots — i.e. ∃ p₁ < … < p_m (one per term, in order)
+    * with (p_m − p₁ + 1) − m ≤ maxgaps. The match predicate is exactly
+    * the ordered greedy-chain fold the phrase engine pins
+    * ([[IndexSearch.phrasePf]] with slop = maxgaps): the greedy chain
+    * end is pointwise minimal, so a start completes within the bound iff
+    * any admissible ordered chain does. Scoring and everything else as
+    * [[searchUnordered]]. */
+  def searchOrdered(idx: OpenIndex, queries: Seq[(Int, String)],
+                    maxgaps: Int, k: Int = 10): DataFrame =
+    searchCore(idx, queries, maxgaps, k, ordered = true)
+
+  private def searchCore(idx: OpenIndex, queries: Seq[(Int, String)],
+                         maxgaps: Int, k: Int, ordered: Boolean): DataFrame = {
     val spark = idx.spark
     import spark.implicits._
     require(maxgaps >= 0, s"maxgaps must be >= 0, got $maxgaps")
@@ -155,10 +172,18 @@ object Intervals {
           .as("_pm"))
       val meta = live.map { case (qid, ts) => (qid, ts) }
         .toDF("query_id", "_terms")
-      val matched = pm.join(broadcast(meta), "query_id")
-        .withColumn("_w", minWidthColumn(
-          transform(col("_terms"), t => element_at(col("_pm"), t))))
-        .where(col("_w") - size(col("_terms")) <= maxgaps)
+      val joined = pm.join(broadcast(meta), "query_id")
+      val matched = (if (ordered)
+          // ordered: any start whose greedy chain completes within
+          // (m−1)+maxgaps total displacement — the phrase engine's
+          // pinned ordered-window predicate, reused verbatim
+          joined.where(
+            IndexSearch.phrasePf(maxgaps, luceneSlop = false) > 0)
+        else
+          joined
+            .withColumn("_w", minWidthColumn(
+              transform(col("_terms"), t => element_at(col("_pm"), t))))
+            .where(col("_w") - size(col("_terms")) <= maxgaps))
         .select("query_id", "doc_id")
       IndexSearch.localize(spark, Search.rank(
         cand.join(matched, Seq("query_id", "doc_id"), "left_semi")

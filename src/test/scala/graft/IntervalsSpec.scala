@@ -63,6 +63,22 @@ class IntervalsSpec extends SparkSpec {
     }
   }
 
+  test("ordered intervals: query order enforced, same windows") {
+    // unordered admits doc 1 ("b a"); ordered must not
+    val o0 = Intervals.searchOrdered(idx, Seq(1 -> "a b"), maxgaps = 0)
+    assert(docsOf(o0, 1) == Set(0L), "only a-before-b adjacency")
+    val o2 = Intervals.searchOrdered(idx, Seq(1 -> "a b"), maxgaps = 2)
+    assert(docsOf(o2, 1) == Set(0L, 2L, 4L), "gaps ok, reversal never")
+    val rev = Intervals.searchOrdered(idx, Seq(1 -> "b a"), maxgaps = 0)
+    assert(docsOf(rev, 1) == Set(1L), "reversed query matches doc 1 only")
+    // ordered ⊆ unordered on identical windows
+    (0 to 3).foreach { g =>
+      val ou = docsOf(Intervals.searchUnordered(idx, Seq(1 -> "a b"), g), 1)
+      val oo = docsOf(Intervals.searchOrdered(idx, Seq(1 -> "a b"), g), 1)
+      assert(oo.subsetOf(ou), s"maxgaps=$g")
+    }
+  }
+
   test("minWidth sweep ≡ brute-force minimum over random position lists") {
     val rnd = new scala.util.Random(13)
     (1 to 200).foreach { _ =>
