@@ -537,8 +537,26 @@ object SparkEntry {
     graft.search.Facets.MetricUnique("uniq_tool", "tool"),
     graft.search.Facets.MetricMax("max_turn", "turn_idx"))
 
+  /** Decouple scan-side parallelism from the input's file/row-group
+    * layout (guide §2.5 input skew): the testdata corpora ship as ONE
+    * parquet row group per file, so every per-doc transform downstream of
+    * a bare scan (tokenize, shingle, md5 hashing, vector math) would
+    * otherwise execute in a single task — and a `.cache()` of it would
+    * pin that single partition for the whole operator. One cheap
+    * round-robin exchange of the (small relative to the work) corpus rows
+    * spreads the map-side compute across the session's parallelism; the
+    * partition count follows `defaultParallelism`, never a constant. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def documents(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    spread(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+
+  /** Embeddings corpus with the same scan-spread rationale: brute-force /
+    * PQ / k-means passes are dense float math per row — a one-row-group
+    * file serializes them without this. */
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    spread(s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** Transcripts corpus with dense doc ids (the full build-side path:
     * ingest guard → scalable doc-id assignment), MATERIALIZED once per
@@ -1041,7 +1059,7 @@ object SparkEntry {
     // low-perplexity band
     // CCNet head/middle/tail perplexity terciles (rank-pinned split)
     "q_ppl_buckets" -> ((s, dir) =>
-      TextOps.pplBuckets(s.read.parquet(s"$dir/documents.parquet"),
+      TextOps.pplBuckets(spread(s.read.parquet(s"$dir/documents.parquet")),
         col("lang") === "en", 0.5)),
     "q_lm_perplexity" -> ((s, dir) => TextOps.lmPerplexity(
       s.read.parquet(s"$dir/documents.parquet"),
@@ -1050,13 +1068,13 @@ object SparkEntry {
     // lang='en' target domain vs the raw corpus, deterministic-threshold
     // keep (the paper's Gumbel-top-k replaced for bit-exactness)
     "q_dsir_weights" -> ((s, dir) => TextOps.dsirWeights(
-      s.read.parquet(s"$dir/documents.parquet"),
+      spread(s.read.parquet(s"$dir/documents.parquet")),
       col("lang") === "en", 4096, 0.5, 0.0)),
     // fastText-style classifier TRAINING on-cluster: full-batch logistic
     // regression over hashed features, weak lang labels, 1e-9-rounded
     // deterministic GD trajectory (oracle unrolls the iterations)
     "q_lr_quality" -> ((s, dir) => TextOps.lrQuality(
-      s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "lang"),
+      spread(s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text", "lang")),
       "en", 8, 3, 2.0)),
     // Gopher table-A1 quality rules (doc-level set), per-rule booleans;
     // minWords=5 — the paper's 50 is tuned for web pages, not turns
@@ -1119,42 +1137,42 @@ object SparkEntry {
           .where(col("contaminated")), 2)
     }),
     "q_ann_cosine" -> ((s, dir) => Similarity.bruteForceTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
+      embeddings(s, dir), Seq(0L, 1L, 2L), 10)),
     // matryoshka two-stage retrieval: 16-dim prefix shortlist → full-dim
     // re-rank of the shortlist only (ids-only candidate shuffle)
     "q_ann_mrl" -> ((s, dir) => Similarity.mrlTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 16, 40)),
+      embeddings(s, dir), Seq(0L, 1L, 2L), 10, 16, 40)),
     // SQ8 scalar quantization, asymmetric ADC cosine over dequantized codes
     "q_ann_sq8" -> ((s, dir) => Similarity.sq8TopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10)),
+      embeddings(s, dir), Seq(0L, 1L, 2L), 10)),
     // reciprocal rank fusion of the exact and SQ8 retrievers (the hybrid
     // -search combiner): top-list-only full-outer rank join
     "q_ann_rrf" -> ((s, dir) => Similarity.rrfTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 20, 60)),
+      embeddings(s, dir), Seq(0L, 1L, 2L), 10, 20, 60)),
     "q_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10, 2)),
+      embeddings(s, dir), Seq(0L, 1L, 2L), 10, 2)),
     // IVF training: deterministic Lloyd's k-means (4 clusters, 2 iters)
     "q_ann_kmeans" -> ((s, dir) => Similarity.kmeansLabels(
-      s.read.parquet(s"$dir/embeddings.parquet"), 4, 2)),
+      embeddings(s, dir), 4, 2)),
     // SemDeDup (Abbas et al. 2023): k-means clusters, within-cluster
     // cosine ≥ τ → keep the most-central doc of each duplicate relation
     "q_dedup_semantic" -> ((s, dir) => Similarity.semDedup(
-      s.read.parquet(s"$dir/embeddings.parquet"), 4, 2, 0.3)),
+      embeddings(s, dir), 4, 2, 0.3)),
     // Product-quantization ANN (Jégou et al. 2011): 8 subvectors × 16
     // codes trained with the pinned Lloyd's, ADC table-lookup serving —
     // the memory-bound scale path (64 floats → 8 codes per vector)
     "q_ann_pq" -> ((s, dir) => Similarity.pqTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10,
+      embeddings(s, dir), Seq(0L, 1L, 2L), 10,
       m = 8, codebookSize = 16, iters = 2)),
     // IVF-PQ (FAISS IndexIVFPQ shape): coarse quantizer routes vectors to
     // clusters, PQ codebooks train on RESIDUALS, serving probes nProbe
     // clusters and ADCs the query's own residual — prune × byte-diet
     "q_ann_ivf_pq" -> ((s, dir) => Similarity.ivfPqTopK(
-      s.read.parquet(s"$dir/embeddings.parquet"), Seq(0L, 1L, 2L), 10,
+      embeddings(s, dir), Seq(0L, 1L, 2L), 10,
       clusters = 4, nProbe = 2, m = 8, codebookSize = 16, iters = 2)),
     // the serving path over its own trained labels — self-contained ANN
     "q_ann_ivf_kmeans" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = embeddings(s, dir)
       val labels = Similarity.kmeansLabels(emb, 4, 2)
       Similarity.ivfTopK(emb.drop("label").join(labels, "vec_id"),
         Seq(0L, 1L, 2L), 10, 2)

@@ -62,12 +62,44 @@ object BuildIndexJob {
     def marker(stage: String) = s"$root/_stage_done/$stage"
   }
 
+  /** Per-run async lane for the lineage → marker tail of each stage
+    * (guide §2.6 — overlap independent jobs): a stage's lineage
+    * aggregation reads only that stage's just-persisted artifact, and no
+    * later stage reads `lineage/` or the marker, so the tail can execute
+    * while the NEXT stage's artifact jobs run. Ordering WITHIN a stage is
+    * preserved (marker only after its lineage lands — the resume
+    * invariant "marker ⇒ lineage present" survives any crash), and
+    * [[run]]/[[runFromTf]] join every lane before returning, so callers
+    * still observe a fully-materialized index incl. lineage. One worker:
+    * tails execute in stage order, keeping marker appearance monotonic. */
+  private[index] final class AsyncTail {
+    private val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    private val pending =
+      scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+    def submit(body: () => Unit): Unit =
+      pending += pool.submit(new Runnable { override def run(): Unit = body() })
+    def join(): Unit =
+      try pending.foreach(_.get())
+      finally pool.shutdown()
+  }
+
   def run(spark: SparkSession, transcripts: DataFrame, root: String,
           buildId: String, cfg: Config = Config()): IndexPaths = {
     val p = IndexPaths(root)
     val io = cfg.io
+    val tail = new AsyncTail
+    try {
+      runStages(spark, transcripts, p, buildId, cfg, tail)
+      runFromTfStages(spark, p, buildId, cfg, tail)
+    } finally tail.join()
+    p
+  }
 
-    stage(spark, p, "docs") { t0 =>
+  private def runStages(spark: SparkSession, transcripts: DataFrame,
+                        p: IndexPaths, buildId: String, cfg: Config,
+                        tail: AsyncTail): Unit = {
+    val io = cfg.io
+    stage(spark, p, "docs", tail) { t0 =>
       val ingested = IndexBuild.ingest(transcripts)
       val docs = IndexBuild
         .assignDocIds(ingested, stagingDir = s"${p.staging}/docids")
@@ -78,13 +110,13 @@ object BuildIndexJob {
       // checksum over (key, dl) — dl is derived from text, so it catches
       // content drift without re-reading the text column (which would be
       // a second full-corpus scan just for lineage)
-      lineage(spark, p, "docs", buildId, t0,
+      lineage(spark, p, "docs", buildId, t0, tail = tail, perPartition =
         io.read(spark, p.docs).groupBy(pmod(col("doc_id"), lit(64)).cast("int").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("conv_id"), col("turn_idx"), col("dl"))).as("checksum")))
     }
 
-    stage(spark, p, "tf") { t0 =>
+    stage(spark, p, "tf", tail) { t0 =>
       val docs = io.read(spark, p.docs)
       // dl carried through the aggregate key (functionally dependent on
       // doc_id) — no join back to docs needed. tfdl is an INTERNAL
@@ -113,23 +145,29 @@ object BuildIndexJob {
               sort_array(collect_list(col("_pos").cast("long"))).as("positions"))
             .select("term", "doc_id", "tf", "dl", "positions")
       io.write(tfdl, p.tfdl, snapshotId = buildId)
-      lineage(spark, p, "tf", buildId, t0,
+      lineage(spark, p, "tf", buildId, t0, tail = tail, perPartition =
         io.read(spark, p.tfdl)
           .groupBy(pmod(xxhash64(col("term")), lit(64)).cast("int").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("term"), col("doc_id"), col("tf"))).as("checksum")))
     }
 
-    runFromTf(spark, p, buildId, cfg)
-    p
   }
 
   /** The dict + postings stages, given already-persisted docs/tfdl
     * artifacts — shared by the batch job and [[IndexMerge]]. */
   def runFromTf(spark: SparkSession, p: IndexPaths, buildId: String,
                 cfg: Config = Config()): Unit = {
+    val tail = new AsyncTail
+    try runFromTfStages(spark, p, buildId, cfg, tail)
+    finally tail.join()
+  }
+
+  private def runFromTfStages(spark: SparkSession, p: IndexPaths,
+                              buildId: String, cfg: Config,
+                              tail: AsyncTail): Unit = {
     val io = cfg.io
-    stage(spark, p, "dict") { t0 =>
+    stage(spark, p, "dict", tail) { t0 =>
       val docs = io.read(spark, p.docs)
       val st = docs.where(col("dl") > 0).agg(
         count(lit(1)).as("n_docs"),
@@ -156,13 +194,13 @@ object BuildIndexJob {
       io.write(Seq((stats.nDocs, stats.totalTokens, stats.avgdl, buildId))
         .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
         snapshotId = buildId)
-      lineage(spark, p, "dict", buildId, t0,
+      lineage(spark, p, "dict", buildId, t0, tail = tail, perPartition =
         io.read(spark, p.dictionary).groupBy(col("shard").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),
             bit_xor(xxhash64(col("term"), col("df"), col("cf"))).as("checksum")))
     }
 
-    stage(spark, p, "postings") { t0 =>
+    stage(spark, p, "postings", tail) { t0 =>
       val tfdl = io.read(spark, p.tfdl)
       val dict = io.read(spark, p.dictionary)
       val stats = readStats(spark, p, cfg.io)
@@ -184,23 +222,28 @@ object BuildIndexJob {
       val meta = io.read(spark, p.postings)
         .select("shard", "term", "first_doc", "last_doc", "block_len",
           "block_max_score").cache()
-      try {
-        // per-term top block maxes: lets query time derive the WAND θ
-        // seed from the broadcast dictionary with ZERO extra Spark jobs
-        // per batch
-        io.write(PostingBlocks.topBlockMaxes(
-            meta.select("term", "block_max_score")),
-          p.blockmeta, snapshotId = buildId)
-        // phrase-capability marker: lets searchPhrase fail fast (or
-        // proceed) without sampling data
-        if (cfg.storePositions)
-          Fs.writeString(spark, p.positionalMarker, "true")
-        lineage(spark, p, "postings", buildId, t0,
+      // per-term top block maxes: lets query time derive the WAND θ
+      // seed from the broadcast dictionary with ZERO extra Spark jobs
+      // per batch
+      io.write(PostingBlocks.topBlockMaxes(
+          meta.select("term", "block_max_score")),
+        p.blockmeta, snapshotId = buildId)
+      // phrase-capability marker: lets searchPhrase fail fast (or
+      // proceed) without sampling data
+      if (cfg.storePositions)
+        Fs.writeString(spark, p.positionalMarker, "true")
+      // the lineage agg reuses the cached meta; the async tail owns the
+      // unpersist (it is the last consumer — the marker thunk queued by
+      // stage() runs after this one on the same single-worker lane)
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      tail.submit { () =>
+        try lineageWrite(p, "postings", buildId, wallMs,
           meta.groupBy(col("shard").as("partition_id"))
             .agg(count(lit(1)).as("output_rows"),
               bit_xor(xxhash64(col("term"), col("first_doc"), col("last_doc"),
                 col("block_len"))).as("checksum")))
-      } finally meta.unpersist()
+        finally meta.unpersist()
+      }
     }
   }
 
@@ -211,34 +254,41 @@ object BuildIndexJob {
       r.getAs[Double]("avgdl"))
   }
 
-  /** Run `body` unless this stage's done-marker exists; create the marker
-    * on success. The body receives the stage's start nanoTime (for
-    * lineage wall_ms). Returns true if the stage executed. */
-  private def stage(spark: SparkSession, p: IndexPaths, name: String)
-                   (body: Long => Unit): Boolean = {
+  /** Run `body` unless this stage's done-marker exists; queue the marker
+    * write on the async tail on success (AFTER the body's queued lineage —
+    * single FIFO worker — so "marker ⇒ lineage present" holds across any
+    * crash). The body receives the stage's start nanoTime (for lineage
+    * wall_ms). Returns true if the stage executed. */
+  private def stage(spark: SparkSession, p: IndexPaths, name: String,
+                    tail: AsyncTail)(body: Long => Unit): Boolean = {
     val marker = p.marker(name)
     if (Fs.exists(spark, marker)) false
     else {
       val t0 = System.nanoTime()
       body(t0)
       System.err.println(f"[build] stage $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      Fs.writeString(spark, marker, "done")
+      tail.submit(() => Fs.writeString(spark, marker, "done"))
       true
     }
   }
 
-  /** Append per-partition lineage for a completed stage; wall_ms is the
-    * elapsed stage time at this point (the writes above have executed —
-    * lineage runs after the stage's actions, so this is the real cost). */
+  /** Queue the per-partition lineage append for a completed stage on the
+    * async tail; wall_ms is the elapsed stage time at REGISTRATION (the
+    * stage's artifact writes have executed — the async tail only overlaps
+    * the lineage aggregation itself with the next stage). */
   private def lineage(spark: SparkSession, p: IndexPaths, stageName: String,
                       buildId: String, startedNanos: Long,
-                      perPartition: DataFrame): Unit = {
+                      perPartition: DataFrame, tail: AsyncTail): Unit = {
     val wallMs = (System.nanoTime() - startedNanos) / 1000000
+    tail.submit(() => lineageWrite(p, stageName, buildId, wallMs, perPartition))
+  }
+
+  private def lineageWrite(p: IndexPaths, stageName: String, buildId: String,
+                           wallMs: Long, perPartition: DataFrame): Unit =
     perPartition
       .withColumn("stage", lit(stageName))
       .withColumn("build_id", lit(buildId))
       .withColumn("wall_ms", lit(wallMs))
       .select("stage", "partition_id", "output_rows", "checksum", "build_id", "wall_ms")
       .write.mode("append").parquet(p.lineage)
-  }
 }

@@ -186,31 +186,45 @@ object SegmentedIndex {
     * bucket-pruned). */
   private def segDocsMetaFor(spark: SparkSession, root: String, m: Manifest,
                              keys: DataFrame,
-                             cfg: BuildIndexJob.Config): Option[DataFrame] =
+                             cfg: BuildIndexJob.Config): Option[DataFrame] = {
+    // segment → (keymeta bucket count, has-terms) for segments with a
+    // usable sidecar; driver-side file checks only, no Spark jobs
+    val kbByOrd: Map[Int, Int] = m.segments.zipWithIndex.flatMap {
+      case (seg, ord) =>
+        val sp = segPath(root, seg)
+        keymetaBuckets(spark, sp)
+          .filter(_ => spark.read.parquet(s"$sp/keymeta").columns.contains("terms"))
+          .map(ord -> _)
+    }.toMap
+    // ONE fused job computes the batch's touched buckets for EVERY
+    // distinct bucket count (the per-segment collect issued one
+    // sequential driver job per segment per append — O(segments) fixed
+    // latency). Driver boundary: ≤ Σ_kb min(|batch keys|, kb) ids.
+    val distinctKbs = kbByOrd.values.toSeq.distinct
+    val touchedByKb: Map[Int, Set[Int]] =
+      if (distinctKbs.isEmpty) Map.empty
+      else keys.select(explode(array(distinctKbs.map(kb =>
+            struct(lit(kb).as("kb"), keyBucket(kb).as("b"))): _*)).as("x"))
+        .select(col("x.kb").as("kb"), col("x.b").as("b")).distinct()
+        .collect().groupBy(_.getInt(0)).view
+        .mapValues(_.map(_.getInt(1)).toSet).toMap
     m.segments.zipWithIndex.map { case (seg, ord) =>
       val sp = segPath(root, seg)
-      val fromDocs = cfg.io.read(spark, s"$sp/docs")
+      def fromDocs = cfg.io.read(spark, s"$sp/docs")
         .select(col("conv_id"), col("turn_idx"), col("dl"),
           array_distinct(graft.analysis.Analyzer.tokens(col("text"))).as("terms"))
-      val base = keymetaBuckets(spark, sp) match {
+      val base = kbByOrd.get(ord) match {
         case Some(kb) =>
           val km = spark.read.parquet(s"$sp/keymeta")
-          // check the schema BEFORE the touched-bucket collect — a legacy
-          // terms-less keymeta would otherwise pay a wasted Spark job per
-          // segment per append
-          if (!km.columns.contains("terms")) fromDocs
-          else {
-            // driver boundary: ≤ min(|batch keys|, kb) bucket ids
-            val touched = keys.select(keyBucket(kb).as("kb")).distinct()
-              .collect().map(_.getInt(0)).toSeq
-            if (touched.size < kb) km.where(col("kb").isin(touched: _*))
-            else km
-          }
+          val touched = touchedByKb.getOrElse(kb, Set.empty).toSeq
+          if (touched.size < kb) km.where(col("kb").isin(touched: _*))
+          else km
         case None => fromDocs
       }
       base.select(col("conv_id"), col("turn_idx"), col("dl"), col("terms"))
         .withColumn("seg_ord", lit(ord))
     }.reduceOption(_ unionByName _)
+  }
 
   /** Rows still alive under the current tombstone set. */
   private def liveFilter(docsMeta: DataFrame, tombs: DataFrame): DataFrame =
@@ -241,12 +255,23 @@ object SegmentedIndex {
     val delKeys = deletes.select(Key.map(col): _*)
     val newRows = ingested.join(delKeys, Key, "left_anti")
     val hasNewSeg = !newRows.isEmpty
+    // keymeta derives from the new segment's persisted docs/ and nothing
+    // after it reads it within this append — run its write CONCURRENTLY
+    // with the old-segment kill scan below (guide §2.6: overlap
+    // independent jobs; the scheduler back-fills the kill scan's idle
+    // slots). Joined before the manifest publish: the manifest is the
+    // commit point, so no reader can observe a segment without keymeta.
+    var keymetaF: Option[java.util.concurrent.Future[_]] = None
     val (segDocs, segTokens) =
       if (!hasNewSeg) (0L, 0L)
       else {
         BuildIndexJob.run(spark, newRows, sp, segName, cfg)
         val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
-        writeKeymeta(spark, sp, st.nDocs, cfg)
+        val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try keymetaF = Some(pool.submit(new Runnable {
+          override def run(): Unit = writeKeymeta(spark, sp, st.nDocs, cfg)
+        }))
+        finally pool.shutdown() // runs the queued task, then terminates
         (st.nDocs, st.totalTokens)
       }
 
@@ -301,6 +326,7 @@ object SegmentedIndex {
         } finally tombKeys.unpersist()
       }
 
+    keymetaF.foreach(_.get()) // keymeta must land before the commit point
     val m = Manifest(
       if (hasNewSeg) old.segments :+ segName else old.segments,
       if (wroteTombs) old.tombs :+ segName else old.tombs,
@@ -388,12 +414,22 @@ object SegmentedIndex {
                           qTerms: DataFrame,
                           cfg: BuildIndexJob.Config): Option[DataFrame] = {
     val tombs = readTombstones(spark, root, m)
+    // ONE fused dict-probe job across all segments (driver boundary:
+    // ≤ |distinct query terms| shard ids per segment, same as before) —
+    // the prior per-segment collect issued O(segments) sequential driver
+    // round trips per query, a fixed-latency term that grows with the
+    // append count (guide §1.2: remove passes before tuning them)
+    val shardsByOrd: Map[Int, Seq[Int]] =
+      m.segments.zipWithIndex.map { case (seg, ord) =>
+        val p = BuildIndexJob.IndexPaths(segPath(root, seg))
+        cfg.io.read(spark, p.dictionary)
+          .join(broadcast(qTerms), "term")
+          .select(lit(ord).as("_ord"), col("shard")).distinct()
+      }.reduce(_ unionByName _).collect()
+        .groupBy(_.getInt(0)).view.mapValues(_.map(_.getInt(1)).toSeq).toMap
     val perSeg = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
       val p = BuildIndexJob.IndexPaths(segPath(root, seg))
-      val dict = cfg.io.read(spark, p.dictionary)
-      val qd = qTerms.join(dict, "term").select("term", "shard")
-      // driver boundary: ≤ |distinct query terms| shard ids per segment
-      val shards = qd.select("shard").distinct().collect().map(_.getInt(0)).toSeq
+      val shards = shardsByOrd.getOrElse(ord, Seq.empty)
       if (shards.isEmpty) None
       else {
         val blocks = cfg.io.read(spark, p.postings)
@@ -902,14 +938,17 @@ object SegmentedIndex {
     // by the fat pass below (segments the probe proved term-free are
     // skipped in both passes). Driver boundary: ≤ |phrase terms| shard
     // ids per segment; the loop is O(compactEvery), as everywhere here.
-    val segShards: Seq[(Int, Seq[Int])] =
-      m.segments.zipWithIndex.flatMap { case (seg, ord) =>
+    val segShards: Seq[(Int, Seq[Int])] = {
+      // one fused probe job across segments (same driver boundary)
+      val byOrd = m.segments.zipWithIndex.map { case (seg, ord) =>
         val p = BuildIndexJob.IndexPaths(segPath(root, seg))
-        val shards = cfg.io.read(spark, p.dictionary)
+        cfg.io.read(spark, p.dictionary)
           .where(col("term").isInCollection(allTerms))
-          .select("shard").distinct().collect().map(_.getInt(0)).toSeq
-        if (shards.isEmpty) None else Some(ord -> shards)
-      }
+          .select(lit(ord).as("_ord"), col("shard")).distinct()
+      }.reduce(_ unionByName _).collect()
+        .groupBy(_.getInt(0)).view.mapValues(_.map(_.getInt(1)).toSeq).toMap
+      m.segments.indices.flatMap(ord => byOrd.get(ord).map(ord -> _))
+    }
     def prunedBlocks(ord: Int, shards: Seq[Int]): DataFrame =
       cfg.io.read(spark,
           BuildIndexJob.IndexPaths(segPath(root, m.segments(ord))).postings)
@@ -1075,22 +1114,42 @@ object SegmentedIndex {
       else tombs.groupBy("upto").agg(count(lit(1)).as("n")).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toSeq
 
-    // per-segment dict probe (driver boundary: ≤ |terms| rows per segment)
-    case class SegMeta(ord: Int, idx: IndexSearch.OpenIndex,
+    // FUSED per-segment metadata probe: the stats of every segment in one
+    // job, the matching dictionary rows of every segment in one job
+    // (driver boundary: ≤ |terms| rows per segment, unchanged). The prior
+    // shape opened each segment sequentially — a stats head() plus a dict
+    // collect per segment, i.e. O(segments) driver round trips per batch.
+    case class SegMeta(ord: Int, paths: BuildIndexJob.IndexPaths,
+        stats: graft.index.IndexBuild.Stats,
         rows: Map[String, (Long, Int, Option[Seq[Double]])])
-    val segs: Seq[SegMeta] = m.segments.zipWithIndex.flatMap { case (seg, ord) =>
-      val idx = IndexSearch.open(spark, segPath(root, seg), cfg.io)
-      val hasBm = idx.dictionary.columns.contains("top_block_maxes")
-      val sel = Seq("term", "df", "shard") ++
-        (if (hasBm) Seq("top_block_maxes") else Nil)
-      val rows = idx.dictionary.where(col("term").isInCollection(allTerms))
-        .select(sel.map(col): _*).collect().map { r =>
-          val tm = if (hasBm && !r.isNullAt(3)) Some(r.getSeq[Double](3).toSeq)
-                   else None
-          r.getString(0) -> ((r.getLong(1), r.getInt(2), tm))
-        }.toMap
-      if (rows.isEmpty) None else Some(SegMeta(ord, idx, rows))
-    }
+    val statsByOrd: Map[Int, graft.index.IndexBuild.Stats] =
+      m.segments.zipWithIndex.map { case (seg, ord) =>
+        cfg.io.read(spark, BuildIndexJob.IndexPaths(segPath(root, seg)).stats)
+          .select(lit(ord).as("_ord"), col("n_docs"), col("total_tokens"),
+            col("avgdl"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => r.getInt(0) -> graft.index.IndexBuild.Stats(
+          r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val dictRows = m.segments.zipWithIndex.map { case (seg, ord) =>
+      val p = BuildIndexJob.IndexPaths(segPath(root, seg))
+      val d0 = cfg.io.read(spark, p.dictionary)
+      val d1 =
+        if (Fs.exists(spark, p.blockmeta))
+          d0.join(cfg.io.read(spark, p.blockmeta), Seq("term"), "left")
+        else d0.withColumn("top_block_maxes", lit(null).cast("array<double>"))
+      d1.where(col("term").isInCollection(allTerms))
+        .select(lit(ord).as("_ord"), col("term"), col("df"), col("shard"),
+          col("top_block_maxes"))
+    }.reduce(_ unionByName _).collect()
+    val segs: Seq[SegMeta] = dictRows.groupBy(_.getInt(0)).toSeq
+      .sortBy(_._1).map { case (ord, rows) =>
+        SegMeta(ord, BuildIndexJob.IndexPaths(segPath(root, m.segments(ord))),
+          statsByOrd(ord),
+          rows.map { r =>
+            val tm = if (!r.isNullAt(4)) Some(r.getSeq[Double](4).toSeq) else None
+            r.getString(1) -> ((r.getLong(2), r.getInt(3), tm))
+          }.toMap)
+      }
     if (segs.isEmpty) return empty
 
     val dfLive: Map[String, Long] = allTerms.flatMap { t =>
@@ -1107,8 +1166,8 @@ object SegmentedIndex {
 
     def factors(sm: SegMeta, t: String): (Double, Double) = {
       val r = Bm25.idfValue(dfLive(t), nL) /
-        Bm25.idfValue(sm.rows(t)._1, sm.idx.stats.nDocs)
-      val a = avgL / sm.idx.stats.avgdl
+        Bm25.idfValue(sm.rows(t)._1, sm.stats.nDocs)
+      val a = avgL / sm.stats.avgdl
       (r * math.max(1.0, a), r * math.min(1.0, a))
     }
 
@@ -1132,7 +1191,7 @@ object SegmentedIndex {
 
     val rangeSize = math.max(1L, docsPerRange)
     segs.foreach(sm => require(
-      (sm.idx.stats.nDocs + rangeSize - 1) / rangeSize <= Int.MaxValue,
+      (sm.stats.nDocs + rangeSize - 1) / rangeSize <= Int.MaxValue,
       s"docsPerRange=$docsPerRange yields too many ranges for segment ${sm.ord}"))
     def rangeOf(c: Column): Column =
       ((c - pmod(c, lit(rangeSize))) / lit(rangeSize)).cast("int")
@@ -1146,7 +1205,7 @@ object SegmentedIndex {
         val shards = segTerms.map(t => sm.rows(t)._2).distinct
         val fdf = segTerms.map(t => (t, dfLive(t), factors(sm, t)._1))
           .toDF("term", "df", "_cup")
-        Some(cfg.io.read(spark, sm.idx.paths.postings)
+        Some(cfg.io.read(spark, sm.paths.postings)
           .where(col("shard").isin(shards: _*))
           .join(broadcast(qtDf), Seq("term"))
           .join(broadcast(fdf), Seq("term"))
@@ -1497,10 +1556,26 @@ object SegmentedIndex {
         s"tierFactor=$tierFactor)")
     val decisions = scala.collection.mutable.ArrayBuffer.empty[MergeDecision]
     var m = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
+    // build-time doc counts are immutable per segment: fetch all missing
+    // ones in ONE fused job per round and memoize across rounds (the
+    // prior shape re-read every segment's stats head() sequentially every
+    // round — O(segments × rounds) driver round trips)
+    val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
+    def sizesOf(segs: Seq[String]): Seq[Long] = {
+      val missing = segs.filterNot(sizeCache.contains).distinct
+      if (missing.nonEmpty) {
+        missing.map(seg =>
+            cfg.io.read(spark,
+                BuildIndexJob.IndexPaths(segPath(root, seg)).stats)
+              .select(lit(seg).as("_seg"), col("n_docs")))
+          .reduce(_ unionByName _).collect()
+          .foreach(r => sizeCache(r.getString(0)) = r.getLong(1))
+      }
+      segs.map(sizeCache)
+    }
     var done = false
     while (!done) {
-      val sizes = m.segments.map(seg => BuildIndexJob.readStats(spark,
-        BuildIndexJob.IndexPaths(segPath(root, seg)), cfg.io).nDocs)
+      val sizes = sizesOf(m.segments)
       val tiers = sizes.map(d =>
         math.floor(math.log(math.max(1L, d).toDouble) / math.log(tierFactor)).toInt)
       // maximal adjacent same-tier runs of qualifying length

@@ -206,13 +206,20 @@ object Dedup {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("h",
         conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
-    tf.select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("j"))
-      .withColumn("w", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN tf ELSE -tf END"))
-      .groupBy("doc_id", "j").agg(sum("w").as("wsum"))
-      .withColumn("bit",
-        expr("CASE WHEN wsum > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END"))
-      .groupBy("doc_id").agg(sum("bit").as("simhash"))
+    // ONE hash aggregation with 60 conditional-sum columns. The previous
+    // shape exploded every (doc, term) row 60× and paid TWO shuffles
+    // (doc×60 rows, then doc); the per-bit weight sums are plain integer
+    // sums, so folding them into 60 parallel aggregates of one
+    // groupBy(doc_id) pass is bit-identical while shuffling 60× fewer
+    // rows with full map-side partial aggregation (guide §2.3).
+    val wsums = (0 until SimhashBits).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), col("tf"))
+        .otherwise(-col("tf"))).as(s"_w$j"))
+    tf.groupBy("doc_id").agg(wsums.head, wsums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(j =>
+          when(col(s"_w$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -299,24 +306,54 @@ object Dedup {
     val spark = corpus.sparkSession
     val sh = shingles(corpus, n).cache()
     try {
-      val rare = sh.groupBy("term").agg(count(lit(1)).as("_df"))
-        .where(col("_df") <= MaxCandidateShingleDf).select("term")
-      val shRare = sh.join(rare, "term")
+      val dfs = sh.groupBy("term").agg(count(lit(1)).as("_df"))
+      val shRare = sh.join(dfs.where(col("_df") <= MaxCandidateShingleDf)
+        .select("term"), "term")
+      // Candidate pair AND its shared-RARE-shingle count from ONE
+      // aggregation over the self-join output. The previous shape
+      // `.distinct()`ed the very same join output (equal shuffle cost),
+      // threw the share-count away, and then re-derived the WHOLE
+      // intersection in the verify by expanding every candidate pair
+      // against all of doc_a's shingles — a |pairs| × shingles-per-doc
+      // row blowup that dominated the operator (guide §1.2: the
+      // distributed algorithm first).
       val candPath = graft.TempDirs.create("graft_ng_cand")
       shRare.as("x").join(shRare.as("y"),
           col("x.term") === col("y.term") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("_inter_rare"))
         .write.mode("overwrite").parquet(candPath)
       val cand = spark.read.parquet(candPath)
+      // Shared STOP shingles (df > cap) complete the EXACT intersection:
+      // per-doc shingles are distinct, and every shared shingle is
+      // exactly one of rare/stop, so inter = inter_rare + inter_stop.
+      // The stop relation is ≤ stop-shingles-per-doc × |docs| rows —
+      // never larger than the full shingle relation, so this pair of
+      // joins is strictly cheaper than the old full re-expansion.
+      val shStop = sh.join(dfs.where(col("_df") > MaxCandidateShingleDf)
+        .select("term"), "term")
+      val interStop = cand.select("doc_a", "doc_b")
+        .join(shStop.select(col("doc_id").as("doc_a"), col("term")), "doc_a")
+        .join(shStop.select(col("doc_id").as("doc_b"), col("term")),
+          Seq("doc_b", "term"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("_inter_stop"))
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .unionByName(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val dtPath = graft.TempDirs.create("graft_ng_dt")
-      sh.join(candDocs, Seq("doc_id"), "left_semi")
-        .write.mode("overwrite").parquet(dtPath)
-      withJaccard(cand, spark.read.parquet(dtPath))
+      val sizes = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val outPath = graft.TempDirs.create("graft_ng_out")
+      cand
+        .join(interStop, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("_inter_stop"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round((col("_inter_rare") + col("_inter_stop")).cast("double") /
+            (col("sza") + col("szb") - col("_inter_rare") - col("_inter_stop")),
+            4).as("jaccard"))
         .where(col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
+        .write.mode("overwrite").parquet(outPath)
+      spark.read.parquet(outPath).orderBy("doc_a", "doc_b")
     } finally sh.unpersist()
   }
 
@@ -348,12 +385,26 @@ object Dedup {
       .write.mode("overwrite").parquet(edgesPath)
     val edges = spark.read.parquet(edgesPath)
     var labelsPath = graft.TempDirs.create("graft_cc_l0")
-    edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
-      .write.mode("overwrite").parquet(labelsPath)
+    // convergence test piggybacks on each round's WRITE action via an
+    // observed Σrep metric instead of a separate join+count job per round
+    // (guide §1.2 — fewer passes): labels are non-increasing under
+    // min-propagation and the key set is constant (symmetrized edges ⇒
+    // every dst is already a labeled node), so ANY label change strictly
+    // decreases Σrep. The true decrease is positive and < 2^64, so even a
+    // wrapped 64-bit sum changes iff a label changed.
+    def writeObserved(df: DataFrame, path: String): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, sum(col("rep")).as("s"))
+        .write.mode("overwrite").parquet(path)
+      // null metric ⟺ empty frame
+      Option(obs.get.getOrElse("s", null)).fold(0L)(_.asInstanceOf[Long])
+    }
+    var prevSum = writeObserved(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("rep", col("doc_id")), labelsPath)
     var iter = 0
-    var changed = 1L
-    while (changed > 0) {
+    var changed = true
+    while (changed) {
       require(iter < maxIters,
         s"components did not converge in $maxIters rounds — a pathological " +
           "long-chain graph; raise maxIters or switch to large-star/small-star")
@@ -364,11 +415,9 @@ object Dedup {
         .unionByName(labels)
         .groupBy("doc_id").agg(min(col("rep")).as("rep"))
       val nextPath = graft.TempDirs.create(s"graft_cc_l${iter + 1}")
-      next.write.mode("overwrite").parquet(nextPath)
-      val nextDf = spark.read.parquet(nextPath)
-      // O(1) driver state: the count of labels that moved this round
-      changed = nextDf.join(labels.withColumnRenamed("rep", "_old"), "doc_id")
-        .where(col("rep") =!= col("_old")).count()
+      val nextSum = writeObserved(next, nextPath)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       labelsPath = nextPath
       iter += 1
     }
@@ -418,10 +467,15 @@ object Dedup {
         .join(visited, Seq("doc_id"), "left_anti")
         .withColumn("depth", lit(depth + 1))
       val nextPath = graft.TempDirs.create(s"graft_bfs_v${depth + 1}")
-      visited.unionByName(next).write.mode("overwrite").parquet(nextPath)
-      val nextDf = spark.read.parquet(nextPath)
-      // O(1) driver state: the new-frontier row count (loop exit test)
-      frontierRows = nextDf.where(col("depth") === depth + 1).count()
+      // O(1) driver state: the new-frontier row count rides the write
+      // action as an observed metric (no separate read-back count job)
+      val obs = org.apache.spark.sql.Observation()
+      visited.unionByName(next)
+        .observe(obs, sum(when(col("depth") === depth + 1, 1L).otherwise(0L))
+          .as("f"))
+        .write.mode("overwrite").parquet(nextPath)
+      frontierRows =
+        Option(obs.get.getOrElse("f", null)).fold(0L)(_.asInstanceOf[Long])
       visitedPath = nextPath
       depth += 1
     }
