@@ -105,7 +105,25 @@ object BuildIndexJob {
         .assignDocIds(ingested, stagingDir = s"${p.staging}/docids")
         .withColumn("dl", Analyzer.docLen(col("text")))
         .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
-      io.write(docs, p.docs, snapshotId = buildId)
+      // collection stats ride the docs write as observed metrics — the
+      // dict stage previously re-aggregated the whole docs artifact for
+      // them (one full column-pruned pass per build, saved here; guide
+      // §1.2). avgdl = total/n_docs in ONE double division — identical to
+      // Spark's avg() on integral input (whose partial sums over ints are
+      // exact in double). Written BEFORE the stage marker: marker ⇒ stats
+      // present, so a resumed dict stage can always just read it.
+      val obs = org.apache.spark.sql.Observation()
+      io.write(docs.observe(obs,
+          count(when(col("dl") > 0, 1)).as("n"),
+          sum(when(col("dl") > 0, col("dl").cast("long"))).as("t")),
+        p.docs, snapshotId = buildId)
+      val nDocs = Option(obs.get.getOrElse("n", null)).fold(0L)(_.asInstanceOf[Long])
+      val total = Option(obs.get.getOrElse("t", null)).fold(0L)(_.asInstanceOf[Long])
+      import spark.implicits._
+      io.write(Seq((nDocs, total,
+          if (nDocs == 0) 0.0 else total.toDouble / nDocs, buildId))
+        .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
+        snapshotId = buildId)
       Fs.delete(spark, s"${p.staging}/docids")
       // checksum over (key, dl) — dl is derived from text, so it catches
       // content drift without re-reading the text column (which would be
@@ -168,12 +186,25 @@ object BuildIndexJob {
                               tail: AsyncTail): Unit = {
     val io = cfg.io
     stage(spark, p, "dict", tail) { t0 =>
-      val docs = io.read(spark, p.docs)
-      val st = docs.where(col("dl") > 0).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("dl").cast("long")).as("total_tokens"),
-        avg(col("dl")).as("avgdl")).head()
-      val stats = Stats(st.getLong(0), st.getLong(1), st.getDouble(2))
+      // stats/ is written by the docs stage (observed metrics on the docs
+      // write) or by [[IndexMerge.run]]'s docs write; compute-and-write
+      // here only for a caller that persisted docs/tfdl through neither
+      // (keeps runFromTf self-sufficient on bare artifacts)
+      val stats =
+        if (Fs.exists(spark, p.stats)) readStats(spark, p, io)
+        else {
+          val docs = io.read(spark, p.docs)
+          val st = docs.where(col("dl") > 0).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("dl").cast("long")).as("total_tokens"),
+            avg(col("dl")).as("avgdl")).head()
+          val s = Stats(st.getLong(0), st.getLong(1), st.getDouble(2))
+          import spark.implicits._
+          io.write(Seq((s.nDocs, s.totalTokens, s.avgdl, buildId))
+            .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
+            snapshotId = buildId)
+          s
+        }
       val tfdl = io.read(spark, p.tfdl)
       // One pass: df/cf plus an UPPER BOUND on the term's best score,
       // score(max_tf, min_dl) — BM25 is monotone ↑tf, ↓dl, so this bounds
@@ -190,10 +221,6 @@ object BuildIndexJob {
           col("df"), lit(stats.nDocs), lit(stats.avgdl)))
         .select("term", "shard", "df", "cf", "max_score")
       io.write(dict, p.dictionary, snapshotId = buildId)
-      import spark.implicits._
-      io.write(Seq((stats.nDocs, stats.totalTokens, stats.avgdl, buildId))
-        .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
-        snapshotId = buildId)
       lineage(spark, p, "dict", buildId, t0, tail = tail, perPartition =
         io.read(spark, p.dictionary).groupBy(col("shard").as("partition_id"))
           .agg(count(lit(1)).as("output_rows"),

@@ -95,11 +95,24 @@ object IndexMerge {
       .unionByName(newTurns.select(cols.map(col): _*))
 
     val p = BuildIndexJob.IndexPaths(newRoot)
-    // docs stage over the merged corpus (fresh dense ids)
+    // docs stage over the merged corpus (fresh dense ids); collection
+    // stats ride the write as observed metrics (same as the batch job's
+    // docs stage — saves the dict stage's full docs re-aggregation)
     val docs = IndexBuild.assignDocIds(merged, stagingDir = s"${p.staging}/docids")
       .withColumn("dl", Analyzer.docLen(col("text")))
       .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
-    cfg.io.write(docs, p.docs, snapshotId = buildId)
+    val obs = org.apache.spark.sql.Observation()
+    cfg.io.write(docs.observe(obs,
+        count(when(col("dl") > 0, 1)).as("n"),
+        sum(when(col("dl") > 0, col("dl").cast("long"))).as("t")),
+      p.docs, snapshotId = buildId)
+    val nDocs = Option(obs.get.getOrElse("n", null)).fold(0L)(_.asInstanceOf[Long])
+    val total = Option(obs.get.getOrElse("t", null)).fold(0L)(_.asInstanceOf[Long])
+    import spark.implicits._
+    cfg.io.write(Seq((nDocs, total,
+        if (nDocs == 0) 0.0 else total.toDouble / nDocs, buildId))
+      .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
+      snapshotId = buildId)
     graft.sources.Fs.delete(spark, s"${p.staging}/docids")
     // downstream steps must read the PERSISTED docs — the lazy `docs` plan
     // still references the just-deleted doc-id staging files
