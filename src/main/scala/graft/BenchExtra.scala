@@ -152,6 +152,30 @@ object BenchExtra {
       }
     }
 
+    if (probes("minhash")) {
+      import graft.ops.Dedup
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+      val sh = Dedup.shingles(d, 3).cache()
+      timed("mh_shingles_count")(sh.count())
+      val fps = sh.groupBy("doc_id").agg(
+        md5(array_join(array_sort(collect_list(col("term"))), "")).as("_fp"))
+      timed("mh_fps")(fps.write.format("noop").mode("overwrite").save())
+      val sigs = Dedup.minhashSignatures(sh)
+      timed("mh_signatures")(sigs.write.format("noop").mode("overwrite").save())
+      val b = Dedup.bands(sigs)
+      timed("mh_bands")(b.write.format("noop").mode("overwrite").save())
+      val cand = b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      timed("mh_band_selfjoin")(cand.write.format("noop").mode("overwrite").save())
+      timed("mh_full")(Dedup.minhashPairs(d, 0.7).count())
+      sh.unpersist()
+    }
+
     if (probes("segq")) {
       // one already-built segmented fixture query, repeated: fixed cost
       val root = TempDirs.create("graft_bx_seg")

@@ -26,7 +26,9 @@ final class MGBuffer(val capacity: Int) {
 
   def add(term: String): Unit = {
     n += 1L
-    val cur = counts.get(term)
+    // explicit absent-key default (round-5 advice): relying on Scala's
+    // silent null→0L unboxing of HashMap.get is refactor-fragile
+    val cur = counts.getOrDefault(term, 0L)
     if (cur > 0L) counts.put(term, cur + 1L)
     else if (counts.size < capacity) counts.put(term, 1L)
     else { // decrement-all round: one unit of error for every term
