@@ -137,6 +137,32 @@ object BenchExtra {
     // any arg starting with q_ runs that declared query exactly as Bench
     // does (fn(spark, sfDir).count()), after the same prepare lines
     val qNames = args.filter(_.startsWith("q_"))
+    // plan-dump mode: write each query's explain("formatted") to
+    // $SPARK_GRAFT_BX_PLANDIR/<q>_$SPARK_GRAFT_BX_PLANTAG.txt instead of
+    // executing it (fixture builds inside the gate lambdas still run)
+    val planDir = sys.env.get("SPARK_GRAFT_BX_PLANDIR")
+    if (planDir.isDefined && qNames.nonEmpty) {
+      val tag = sys.env.getOrElse("SPARK_GRAFT_BX_PLANTAG", "now")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(planDir.get))
+      SparkEntry.prepareIndex(spark, sfDir)
+      SparkEntry.prepareCorpus(spark, sfDir)
+      if (qNames.exists(q => q.contains("segmented") || q.contains("streaming")))
+        SparkEntry.prepareStream(spark, sfDir)
+      val reg = SparkEntry.queries.toMap
+      qNames.foreach { q =>
+        reg.get(q).foreach { fn =>
+          val df = fn(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"${planDir.get}/${q}_$tag.txt"), plan)
+          println(s"[plan] $q -> ${planDir.get}/${q}_$tag.txt")
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop()
+      return
+    }
     if (qNames.nonEmpty) {
       timed("prepare_index")(SparkEntry.prepareIndex(spark, sfDir))
       timed("prepare_corpus")(SparkEntry.prepareCorpus(spark, sfDir))

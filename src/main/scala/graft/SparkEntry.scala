@@ -641,14 +641,30 @@ object SparkEntry {
     aliasRoots.computeIfAbsent(dir, _ => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val n = d.count()
-      Seq(("lo", col("doc_id") < n / 2), ("hi", col("doc_id") >= n / 2))
-        .map { case (tag, p) =>
+      // the two collections are fully independent builds over disjoint
+      // halves — build them concurrently (guide §2.6: each build's idle
+      // scheduler gaps back-fill with the other's tasks)
+      parallelFixtures(Seq(("lo", col("doc_id") < n / 2),
+        ("hi", col("doc_id") >= n / 2)).map { case (tag, p) => () => {
           val r = TempDirs.create(s"graft_alias_$tag")
           BuildIndexJob.run(s, Transcripts.fromDocumentsDf(d.where(p)), r,
             s"alias-$tag", BuildIndexJob.Config(numShards = 8))
           r
         }
+      })
     })
+
+  /** Run independent fixture-build thunks concurrently, preserving order
+    * of results. Bounded at 2–4 threads — enough to back-fill scheduler
+    * gaps, not enough to thrash the session (guide §2.6). */
+  private def parallelFixtures[T](thunks: Seq[() => T]): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, math.min(4, thunks.size)))
+    try thunks.map(t => pool.submit(new java.util.concurrent.Callable[T] {
+        override def call(): T = t()
+      })).map(_.get())
+    finally pool.shutdown()
+  }
 
   /** Index-sorted bucket family (Lucene setIndexSort analog) over the
     * transcripts, built once per sf dir. */
@@ -745,20 +761,24 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val n = d.count()
       val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
-      (0 until 6).foreach { i =>
+      val slices = (0 until 6).map { i =>
         val lo = i * n / 6
         val hi = if (i == 5) n + 1 else (i + 1) * n / 6
-        graft.index.SegmentedIndex.append(s, root,
+        (s"seg$i",
           Transcripts.fromDocumentsDf(
             d.where(col("doc_id") >= lo && col("doc_id") < hi)),
-          noDeletes, s"seg$i", cfg)
+          noDeletes)
       }
       val upserts = Transcripts.fromDocumentsDf(
         d.where(col("doc_id") % 50 === 0 && col("doc_id") % 97 =!= 0)
           .withColumn("text", concat(col("text"), lit(" upserted"))))
       val delKeys = Transcripts.fromDocumentsDf(d.where(col("doc_id") % 97 === 0))
         .select("conv_id", "turn_idx")
-      graft.index.SegmentedIndex.append(s, root, upserts, delKeys, "seg6", cfg)
+      // appendAll: concurrent segment builds, sequential commits — the
+      // on-disk result (per-snapshot manifests included) is identical to
+      // the seven sequential appends this fixture previously ran
+      graft.index.SegmentedIndex.appendAll(s, root,
+        slices :+ (("seg6", upserts, delKeys)), cfg)
       graft.index.SegmentedIndex.tieredCompact(s, root,
         segsPerTier = 3, maxMergeAtOnce = 3, cfg = cfg)
       root
@@ -778,12 +798,13 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
       val n = d.count()
       val noDeletes = Seq.empty[(String, Int)].toDF("conv_id", "turn_idx")
-      graft.index.SegmentedIndex.append(s, root,
-        Transcripts.fromDocumentsDf(d.where(col("doc_id") < n / 2)),
-        noDeletes, "seg0", cfg)
-      graft.index.SegmentedIndex.append(s, root,
-        Transcripts.fromDocumentsDf(d.where(col("doc_id") >= n / 2)),
-        noDeletes, "seg1", cfg)
+      graft.index.SegmentedIndex.appendAll(s, root, Seq(
+        ("seg0",
+          Transcripts.fromDocumentsDf(d.where(col("doc_id") < n / 2)),
+          noDeletes),
+        ("seg1",
+          Transcripts.fromDocumentsDf(d.where(col("doc_id") >= n / 2)),
+          noDeletes)), cfg)
       graft.index.SegmentedIndex.deleteByQuery(s, root, "dup", "dbq0", cfg)
       root
     })
@@ -2051,10 +2072,15 @@ object SparkEntry {
         PhraseQueries, cfg = BuildIndexJob.Config(numShards = 8))),
     // Multi-field qf where each FIELD is a persisted index (its stats ARE
     // the per-field statistics) — same oracle as the inline variant
-    "q_bm25_multifield_index" -> ((s, dir) =>
+    "q_bm25_multifield_index" -> ((s, dir) => {
+      // the two per-field indexes are independent builds — first call
+      // builds them concurrently (guide §2.6), later calls hit the memo
+      val Seq(title, body) = parallelFixtures(Seq(
+        () => fieldIndexFor(s, dir, "title"),
+        () => fieldIndexFor(s, dir, "body")))
       graft.search.MultiField.searchIndexes(
-        Seq(fieldIndexFor(s, dir, "title") -> 2.0,
-          fieldIndexFor(s, dir, "body") -> 1.0), DisjQueries)),
+        Seq(title -> 2.0, body -> 1.0), DisjQueries)
+    }),
     // Solr start=/rows= pagination: absolute ranks (start, start+rows]
     "q_bm25_page" -> ((s, dir) =>
       Search.searchCorpus(documents(s, dir), DisjQueries, k = 5, start = 5)),

@@ -247,33 +247,67 @@ object SegmentedIndex {
     val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
     require(!old.segments.contains(segName) && !old.tombs.contains(segName),
       s"segment $segName already committed (replay must be caught by the caller)")
-    val ord = old.segments.size
+    val (pending, keymetaF) =
+      buildSegment(spark, root, batch, deletes, segName, cfg, overlapKeymeta = true)
+    commitSegment(spark, root, pending, cfg, keymetaF)
+  }
+
+  /** A built-but-uncommitted segment: its on-disk content is a pure
+    * function of (batch, deletes) — independent of the manifest — which
+    * is what lets [[appendAll]] build several concurrently. `ingestedKeys`
+    * / `delKeys` are lazy plans re-evaluated (keys-only, column-pruned)
+    * by the commit's kill scan. */
+  private final case class PendingSegment(segName: String,
+      ingestedKeys: DataFrame, delKeys: DataFrame, hasNewSeg: Boolean,
+      segDocs: Long, segTokens: Long)
+
+  /** Build one segment's full index + keymeta under `root/segments/`,
+    * without touching the manifest. With `overlapKeymeta` the keymeta
+    * write runs on a background thread (overlapped by the caller with the
+    * kill scan — guide §2.6) and is returned for joining BEFORE the
+    * manifest publish. */
+  private def buildSegment(spark: SparkSession, root: String, batch: DataFrame,
+                           deletes: DataFrame, segName: String,
+                           cfg: BuildIndexJob.Config, overlapKeymeta: Boolean)
+      : (PendingSegment, Option[java.util.concurrent.Future[_]]) = {
     val sp = segPath(root, segName)
     if (Fs.exists(spark, sp)) Fs.delete(spark, sp) // crashed half-append
-
     val ingested = IndexBuild.ingest(batch)
     val delKeys = deletes.select(Key.map(col): _*)
     val newRows = ingested.join(delKeys, Key, "left_anti")
     val hasNewSeg = !newRows.isEmpty
-    // keymeta derives from the new segment's persisted docs/ and nothing
-    // after it reads it within this append — run its write CONCURRENTLY
-    // with the old-segment kill scan below (guide §2.6: overlap
-    // independent jobs; the scheduler back-fills the kill scan's idle
-    // slots). Joined before the manifest publish: the manifest is the
-    // commit point, so no reader can observe a segment without keymeta.
     var keymetaF: Option[java.util.concurrent.Future[_]] = None
     val (segDocs, segTokens) =
       if (!hasNewSeg) (0L, 0L)
       else {
         BuildIndexJob.run(spark, newRows, sp, segName, cfg)
         val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
-        val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
-        try keymetaF = Some(pool.submit(new Runnable {
-          override def run(): Unit = writeKeymeta(spark, sp, st.nDocs, cfg)
-        }))
-        finally pool.shutdown() // runs the queued task, then terminates
+        if (overlapKeymeta) {
+          val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+          try keymetaF = Some(pool.submit(new Runnable {
+            override def run(): Unit = writeKeymeta(spark, sp, st.nDocs, cfg)
+          }))
+          finally pool.shutdown() // runs the queued task, then terminates
+        } else writeKeymeta(spark, sp, st.nDocs, cfg)
         (st.nDocs, st.totalTokens)
       }
+    (PendingSegment(segName, ingested.select(Key.map(col): _*), delKeys,
+      hasNewSeg, segDocs, segTokens), keymetaF)
+  }
+
+  /** Fold one pre-built segment into the manifest: the kill scan over
+    * OLDER segments, the tombstone/df-delta writes, and the atomic
+    * manifest publish. `keymetaF` (when the build overlapped it) is
+    * joined before the publish — the manifest is the commit point, so no
+    * reader can observe a segment without keymeta. */
+  private def commitSegment(spark: SparkSession, root: String,
+                            pending: PendingSegment,
+                            cfg: BuildIndexJob.Config,
+                            keymetaF: Option[java.util.concurrent.Future[_]])
+      : Manifest = {
+    val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
+    val ord = old.segments.size
+    val segName = pending.segName
 
     // keys whose OLDER instances die now: every batch key (upsert) + every
     // delete key. Only those that actually kill a live instance are
@@ -285,8 +319,8 @@ object SegmentedIndex {
       else {
         // cached: the batch's key set drives per-segment bucket pruning
         // (one tiny job per segment) AND the kill scan below
-        val tombKeys = ingested.select(Key.map(col): _*)
-          .unionByName(delKeys).distinct().cache()
+        val tombKeys = pending.ingestedKeys
+          .unionByName(pending.delKeys).distinct().cache()
         try segDocsMetaFor(spark, root, old, tombKeys, cfg) match {
           case None => (0L, 0L, false)
           case Some(olderMeta) =>
@@ -328,12 +362,52 @@ object SegmentedIndex {
 
     keymetaF.foreach(_.get()) // keymeta must land before the commit point
     val m = Manifest(
-      if (hasNewSeg) old.segments :+ segName else old.segments,
+      if (pending.hasNewSeg) old.segments :+ segName else old.segments,
       if (wroteTombs) old.tombs :+ segName else old.tombs,
-      old.nDocs - killedN + segDocs,
-      old.totalTokens - killedTokens + segTokens)
+      old.nDocs - killedN + pending.segDocs,
+      old.totalTokens - killedTokens + pending.segTokens)
     writeManifest(spark, root, m)
     m
+  }
+
+  /** Append a SEQUENCE of batches with CONCURRENT segment builds and
+    * strictly sequential commits — the result (segment dirs, tombstones,
+    * df-deltas, snapshots v1..vN, final manifest) is identical to calling
+    * [[append]] once per batch in order, because a segment's content is a
+    * pure function of its (batch, deletes) while ordinals, kill scans and
+    * manifests are derived only at the ordered commits. The builds are
+    * independent multi-job pipelines, so a small thread pool lets the
+    * scheduler back-fill each build's idle scheduling gaps with another
+    * build's tasks (guide §2.6); pool size scales with the session's
+    * parallelism, never a local constant. */
+  def appendAll(spark: SparkSession, root: String,
+                batches: Seq[(String, DataFrame, DataFrame)],
+                cfg: BuildIndexJob.Config = BuildIndexJob.Config(),
+                maxConcurrentBuilds: Int = 0): Manifest = {
+    requireHead(root, "appendAll")
+    require(batches.nonEmpty, "appendAll needs at least one batch")
+    require(batches.map(_._1).distinct.size == batches.size,
+      "duplicate segment names in one appendAll")
+    val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
+    batches.foreach { case (n, _, _) =>
+      require(!old.segments.contains(n) && !old.tombs.contains(n),
+        s"segment $n already committed (replay must be caught by the caller)") }
+    val par = if (maxConcurrentBuilds > 0) maxConcurrentBuilds
+      else math.max(1, math.min(batches.size,
+        spark.sparkContext.defaultParallelism / 8))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val pendings =
+      try {
+        val fs = batches.map { case (name, batch, deletes) =>
+          pool.submit(new java.util.concurrent.Callable[PendingSegment] {
+            override def call(): PendingSegment =
+              buildSegment(spark, root, batch, deletes, name, cfg,
+                overlapKeymeta = false)._1
+          })
+        }
+        fs.map(_.get())
+      } finally pool.shutdown()
+    pendings.map(p => commitSegment(spark, root, p, cfg, None)).last
   }
 
   /** Solr deleteByQuery over the segmented index: every LIVE doc matching
