@@ -865,11 +865,9 @@ object SparkEntry {
   private def postingsRoundtrip(s: SparkSession, dir: String)(
       build: (DataFrame, DataFrame, IndexBuild.Stats) => DataFrame): DataFrame = {
     val corpus = documents(s, dir)
-    val occ = IndexBuild.termOccurrences(corpus)
-    val dl = IndexBuild.docLengths(occ)
-    val tf = IndexBuild.termFrequencies(occ)
-    val blocks = build(IndexBuild.tfWithDl(tf, dl), IndexBuild.dictionary(tf),
-      IndexBuild.stats(dl))
+    val tfdl = IndexBuild.tfdlDirect(corpus)
+    val blocks = build(tfdl, IndexBuild.dictionary(tfdl),
+      IndexBuild.statsFromCorpus(corpus))
     PostingBlocks.decodePostings(blocks)
       .select("term", "doc_id", "tf", "dl").orderBy("term", "doc_id")
   }
@@ -1789,10 +1787,7 @@ object SparkEntry {
     "q_postings_ef" -> ((s, dir) => {
       import graft.index.codec
       val corpus = documents(s, dir)
-      val occ = IndexBuild.termOccurrences(corpus)
-      val dl = IndexBuild.docLengths(occ)
-      val tf = IndexBuild.termFrequencies(occ)
-      val lists = IndexBuild.tfWithDl(tf, dl)
+      val lists = IndexBuild.tfdlDirect(corpus)
         .groupBy("term")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"),
           col("dl")))).as("p"))
@@ -1818,10 +1813,7 @@ object SparkEntry {
     "q_postings_for" -> ((s, dir) => {
       import graft.index.codec
       val corpus = documents(s, dir)
-      val occ = IndexBuild.termOccurrences(corpus)
-      val dl = IndexBuild.docLengths(occ)
-      val tf = IndexBuild.termFrequencies(occ)
-      val lists = IndexBuild.tfWithDl(tf, dl)
+      val lists = IndexBuild.tfdlDirect(corpus)
         .groupBy("term")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"),
           col("dl")))).as("p"))

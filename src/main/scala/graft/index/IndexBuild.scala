@@ -160,4 +160,32 @@ object IndexBuild {
     * the same reason). */
   def tfWithDl(tf: DataFrame, dl: DataFrame): DataFrame =
     tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+
+  /** The scoring relation derived from the corpus in ONE pass: dl rides
+    * the aggregate key (functionally dependent on doc_id) — the batch
+    * job's tf-stage shape applied to the ad-hoc/inline path. Replaces
+    * the three-step occurrences → (docLengths ⋈ termFrequencies)
+    * derivation with one explode and one shuffle; identical
+    * (term, doc_id, tf, dl) rows. */
+  def tfdlDirect(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), Analyzer.docLen(col("text")).as("dl"),
+        explode(Analyzer.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+
+  /** G3 computed straight off the corpus text: map-only docLen + one
+    * global aggregate — no explode, no shuffle (the [[stats]]-over-
+    * [[docLengths]] path pays both just to count tokens). Values
+    * identical: n_docs counts docs with ≥ 1 token, avg() on integral
+    * input sums exactly in double. */
+  def statsFromCorpus(corpus: DataFrame): Stats = {
+    val dlc = Analyzer.docLen(col("text"))
+    val r = corpus.where(dlc > 0).agg(
+      count(lit(1)).as("n_docs"),
+      sum(dlc.cast("long")).as("total_tokens"),
+      avg(dlc).as("avgdl")).head()
+    Stats(r.getLong(0), r.getLong(1), r.getDouble(2))
+  }
 }

@@ -66,6 +66,90 @@ object IndexMerge {
     run(spark, oldRoot, batch, noDeletes, newRoot, buildId, cfg)
   }
 
+  /** Rebuild a unified index root from ALREADY-ANALYZED parts without
+    * re-tokenizing any text — the Lucene-merge property ([[run]]'s
+    * old-side remap generalized to N parts, for segment merges and
+    * compaction): each part supplies its LIVE doc rows (full stored
+    * columns + the part-local `doc_id` + a caller `_part_ord`) and its
+    * tfdl artifact; fresh dense global ids are assigned from the merged
+    * key set, the docs artifact is written from the STORED rows (dl is
+    * stored — never recomputed), and the scoring relation is the union
+    * of the parts' tfdl rows remapped (part_ord, old id) → new id. At
+    * scale analysis touches every byte of text, so a merge that
+    * re-analyzes is a rebuild; this path touches text bytes exactly once
+    * (the docs copy) and never re-runs the analyzer. Dead rows drop out
+    * naturally: the remap join is inner on the live id map.
+    *
+    * Preconditions (the segment invariants): part docs are live-filtered
+    * and key-unique across parts, and already passed ingest. */
+  def rebuildFromParts(spark: SparkSession,
+                       parts: Seq[(DataFrame, DataFrame)],
+                       newRoot: String, buildId: String,
+                       cfg: BuildIndexJob.Config = BuildIndexJob.Config())
+      : BuildIndexJob.IndexPaths = {
+    require(parts.nonEmpty, "rebuildFromParts needs at least one part")
+    val partHasPos = parts.map(_._2.columns.contains("positions")).distinct
+    require(partHasPos.size == 1,
+      "rebuildFromParts: parts disagree on positional postings")
+    // a positional part set can feed a non-positional target (the column
+    // is simply pruned — same as a re-tokenizing rebuild without
+    // positions); the reverse cannot (positions can't be invented)
+    require(partHasPos.head || !cfg.storePositions,
+      "rebuildFromParts: config wants positional postings but the parts " +
+        "carry none")
+    if (graft.sources.Fs.exists(spark, newRoot))
+      graft.sources.Fs.delete(spark, newRoot)
+    val p = BuildIndexJob.IndexPaths(newRoot)
+    val key = Seq("conv_id", "turn_idx")
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "dl")
+    val merged = parts.zipWithIndex.map { case ((docs, _), i) =>
+      docs.select((cols.map(col) :+ col("doc_id").as("_old_id")): _*)
+        .withColumn("_part_ord", lit(i))
+    }.reduce(_ unionByName _)
+    // fresh dense global ids over the merged key set; dl is already
+    // stored, so the docs artifact is a pure column re-shape of the
+    // merged rows (stats observed on the write, as everywhere)
+    val withIds = IndexBuild.assignDocIds(merged, stagingDir = s"${p.staging}/docids")
+    val docs = withIds
+      .select("doc_id", "conv_id", "turn_idx", "role", "tool", "ts", "dl", "text")
+    val obs = org.apache.spark.sql.Observation()
+    cfg.io.write(docs.observe(obs,
+        count(when(col("dl") > 0, 1)).as("n"),
+        sum(when(col("dl") > 0, col("dl").cast("long"))).as("t")),
+      p.docs, snapshotId = buildId)
+    val nDocs = Option(obs.get.getOrElse("n", null)).fold(0L)(_.asInstanceOf[Long])
+    val total = Option(obs.get.getOrElse("t", null)).fold(0L)(_.asInstanceOf[Long])
+    import spark.implicits._
+    cfg.io.write(Seq((nDocs, total,
+        if (nDocs == 0) 0.0 else total.toDouble / nDocs, buildId))
+      .toDF("n_docs", "total_tokens", "avgdl", "build_id"), p.stats,
+      snapshotId = buildId)
+    graft.sources.Fs.delete(spark, s"${p.staging}/docids")
+    // id map from the PERSISTED docs (the staging files are gone) joined
+    // back to the parts' key→old-id rows — keys only, no text
+    val docsP = cfg.io.read(spark, p.docs)
+    val mergedKeys = parts.zipWithIndex.map { case ((docsDf, _), i) =>
+      docsDf.select(col("conv_id"), col("turn_idx"), col("doc_id").as("_old_id"))
+        .withColumn("_part_ord", lit(i))
+    }.reduce(_ unionByName _)
+    val idmap = docsP.select(col("doc_id").as("_new_id"), col("conv_id"), col("turn_idx"))
+      .join(mergedKeys, key)
+      .select(col("_part_ord").as("_im_part"), col("_old_id").as("_im_old"),
+        col("_new_id"))
+    val tfCols = Seq("term", "doc_id", "tf", "dl") ++
+      (if (cfg.storePositions) Seq("positions") else Nil)
+    val tfdl = parts.zipWithIndex.map { case ((_, t), i) =>
+      t.withColumn("_po", lit(i))
+    }.reduce(_ unionByName _)
+      .join(idmap, col("doc_id") === col("_im_old") &&
+        col("_po") === col("_im_part"))
+      .withColumn("doc_id", col("_new_id"))
+      .select(tfCols.map(col): _*)
+    cfg.io.write(tfdl, p.tfdl, snapshotId = buildId)
+    BuildIndexJob.runFromTf(spark, p, buildId, cfg)
+    p
+  }
+
   def run(spark: SparkSession, oldRoot: String, newBatch: DataFrame,
           tombstones: DataFrame, newRoot: String, buildId: String,
           cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths = {

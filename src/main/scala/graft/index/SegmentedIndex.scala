@@ -158,9 +158,20 @@ object SegmentedIndex {
                            cfg: BuildIndexJob.Config): Unit = {
     val kb = math.max(1L, math.min(4096L,
       (segDocs + cfg.keymetaBucketRows - 1) / cfg.keymetaBucketRows)).toInt
+    // terms come from the segment's OWN tfdl artifact (one row per
+    // (term, doc) ⇒ collect_list IS the distinct term set; order is
+    // irrelevant — every consumer explodes or set-joins it) instead of
+    // re-running the analyzer over the stored text: the second full
+    // tokenize pass per append, gone. Docs with zero tokens have no tfdl
+    // rows but still need their keymeta row (the kill scan counts them),
+    // hence the left join + empty-array default.
+    val termsByDoc = cfg.io.read(spark, s"$sp/tfdl")
+      .groupBy("doc_id").agg(collect_list(col("term")).as("terms"))
     cfg.io.read(spark, s"$sp/docs")
+      .select(col("doc_id"), col("conv_id"), col("turn_idx"), col("dl"))
+      .join(termsByDoc, Seq("doc_id"), "left")
       .select(col("conv_id"), col("turn_idx"), col("dl"),
-        array_distinct(graft.analysis.Analyzer.tokens(col("text"))).as("terms"))
+        coalesce(col("terms"), array().cast("array<string>")).as("terms"))
       .withColumn("kb", keyBucket(kb))
       // cluster by bucket before the partitioned write: without it every
       // scan task writes a file into every bucket dir it touches (up to
@@ -1443,7 +1454,31 @@ object SegmentedIndex {
   def compact(spark: SparkSession, root: String, outRoot: String,
               buildId: String,
               cfg: BuildIndexJob.Config = BuildIndexJob.Config()): BuildIndexJob.IndexPaths =
-    BuildIndexJob.run(spark, liveTurns(spark, root, cfg), outRoot, buildId, cfg)
+    readManifest(spark, root).filter(_.segments.nonEmpty) match {
+      case None =>
+        BuildIndexJob.run(spark, liveTurns(spark, root, cfg), outRoot, buildId, cfg)
+      case Some(m) =>
+        // rebuild from the segments' own analyzed artifacts — global
+        // re-id without re-running the analyzer over the whole corpus
+        // ([[IndexMerge.rebuildFromParts]]; compaction is the one
+        // O(corpus) maintenance op, and analysis was its biggest term)
+        IndexMerge.rebuildFromParts(spark, compactParts(spark, root, m, cfg),
+          outRoot, buildId, cfg)
+    }
+
+  /** One (live docs, tfdl) part per segment of `m` — the rebuild inputs
+    * shared by [[compact]] and [[compactInPlace]]. */
+  private def compactParts(spark: SparkSession, root: String, m: Manifest,
+                           cfg: BuildIndexJob.Config): Seq[(DataFrame, DataFrame)] = {
+    val tombs = readTombstones(spark, root, m)
+    m.segments.zipWithIndex.map { case (seg, ord) =>
+      val sp = segPath(root, seg)
+      val docsLive = liveFilter(
+        cfg.io.read(spark, s"$sp/docs").withColumn("seg_ord", lit(ord)),
+        tombs).drop("seg_ord")
+      (docsLive, cfg.io.read(spark, s"$sp/tfdl"))
+    }
+  }
 
   /** In-place compaction: fold all live rows into ONE fresh segment and
     * republish the manifest referencing only it — bounds the per-query
@@ -1461,12 +1496,14 @@ object SegmentedIndex {
                      cfg: BuildIndexJob.Config = BuildIndexJob.Config()): Manifest = {
     requireHead(root, "compactInPlace")
     val old = readManifest(spark, root).getOrElse(Manifest(Seq.empty, Seq.empty, 0L, 0L))
-    if (old.segments.size <= 1 && old.tombs.isEmpty) return old
+    if (old.segments.isEmpty || (old.segments.size <= 1 && old.tombs.isEmpty))
+      return old
     val segName = s"compact-${java.util.UUID.randomUUID().toString.take(8)}"
     val sp = segPath(root, segName)
-    // liveTurns reads through the OLD manifest; materialization happens
-    // inside BuildIndexJob's docs stage, so the old dirs are only read
-    BuildIndexJob.run(spark, liveTurns(spark, root, cfg), sp, segName, cfg)
+    // parts read through the OLD manifest (segments immutable), and the
+    // rebuild reuses their tokenization — see [[compact]]
+    IndexMerge.rebuildFromParts(spark, compactParts(spark, root, old, cfg),
+      sp, segName, cfg)
     val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
     writeKeymeta(spark, sp, st.nDocs, cfg)
     val m = Manifest(Seq(segName), Seq.empty, st.nDocs, st.totalTokens)
@@ -1546,18 +1583,24 @@ object SegmentedIndex {
     require(a >= 0 && a < b && b < m.segments.size,
       s"bad merge range [$a,$b] over ${m.segments.size} segments")
     val tombs = readTombstones(spark, root, m)
-    val rangeRows = m.segments.slice(a, b + 1).zipWithIndex.map { case (seg, i) =>
-      cfg.io.read(spark, s"${segPath(root, seg)}/docs")
-        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
-          col("tool"), col("ts"))
-        .withColumn("seg_ord", lit(a + i))
-    }.reduce(_ unionByName _)
-    val live = liveFilter(rangeRows, tombs).drop("seg_ord")
+    // one (live docs, tfdl) part per merged segment: the rebuild reuses
+    // every part's tokenization via the id remap
+    // ([[IndexMerge.rebuildFromParts]]) — a segment merge never re-runs
+    // the analyzer over text it already analyzed (Lucene's merge
+    // property; at scale analysis touches every byte of text)
+    val parts = m.segments.slice(a, b + 1).zipWithIndex.map { case (seg, i) =>
+      val sp0 = segPath(root, seg)
+      val docsLive = liveFilter(
+        cfg.io.read(spark, s"$sp0/docs").withColumn("seg_ord", lit(a + i)),
+        tombs).drop("seg_ord")
+      (docsLive, cfg.io.read(spark, s"$sp0/tfdl"))
+    }
+    val live = parts.map(_._1).reduce(_ unionByName _)
     val segName = s"tier-${java.util.UUID.randomUUID().toString.take(8)}"
     val sp = segPath(root, segName)
     val hasRows = !live.isEmpty
     if (hasRows) {
-      BuildIndexJob.run(spark, live, sp, segName, cfg)
+      IndexMerge.rebuildFromParts(spark, parts, sp, segName, cfg)
       val st = BuildIndexJob.readStats(spark, BuildIndexJob.IndexPaths(sp), cfg.io)
       writeKeymeta(spark, sp, st.nDocs, cfg)
     }

@@ -45,13 +45,11 @@ object MultiField {
     val qf = Search.queryFrame(spark, queries)
     val perField = fields.map { case (f, boost) =>
       val c = corpus.select(col("doc_id"), col(f).as("text"))
-      val occ = IndexBuild.termOccurrences(c)
-      val dl = IndexBuild.docLengths(occ)
-      val tf = IndexBuild.termFrequencies(occ)
-      // IndexBuild.stats counts docs with ≥1 token of THIS field — the
+      val tfdl = IndexBuild.tfdlDirect(c)
+      // statsFromCorpus counts docs with ≥1 token of THIS field — the
       // per-field docCount Lucene uses for the field's idf and avgdl
-      Search.scoredDocs(qf, IndexBuild.tfWithDl(tf, dl),
-          IndexBuild.dictionary(tf), IndexBuild.stats(dl))
+      Search.scoredDocs(qf, tfdl,
+          IndexBuild.dictionary(tfdl), IndexBuild.statsFromCorpus(c))
         .select(col("query_id"), col("doc_id"),
           (col("_score") * lit(boost)).as("_fs"))
     }

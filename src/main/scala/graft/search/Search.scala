@@ -310,14 +310,12 @@ object Search {
     import spark.implicits._
     require(mm >= 0, s"mm (minimum-should-match) must be >= 0, got $mm")
     val (qt, neg, nMust) = parseClauseQueries(spark, queries)
-    val occ = IndexBuild.termOccurrences(corpus)
-    val dl = IndexBuild.docLengths(occ)
-    val tf = IndexBuild.termFrequencies(occ)
-    val st = IndexBuild.stats(dl)
-    val qd = qt.join(IndexBuild.dictionary(tf).select("term", "df"), "term")
+    val tfdl = IndexBuild.tfdlDirect(corpus)
+    val st = IndexBuild.statsFromCorpus(corpus)
+    val qd = qt.join(IndexBuild.dictionary(tfdl).select("term", "df"), "term")
     // one row per (query, term, doc) — tf is already aggregated, so a
     // plain conditional count gives the per-doc matched-must count
-    val scored = IndexBuild.tfWithDl(tf, dl)
+    val scored = tfdl
       .join(broadcast(qd), "term")
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
         lit(st.nDocs), lit(st.avgdl)) * col("_boost"))
@@ -326,7 +324,7 @@ object Search {
         count(when(col("_is_must"), lit(1))).as("_must_matched"),
         count(when(!col("_is_must"), lit(1))).as("_should_matched"))
     val nMustDf = nMust.toSeq.toDF("query_id", "_n_must")
-    val negMatch = tf.join(broadcast(neg), "term")
+    val negMatch = tfdl.join(broadcast(neg), "term")
       .select("query_id", "doc_id").distinct()
     val mustOk = scored
       .join(broadcast(nMustDf), "query_id")
@@ -430,12 +428,9 @@ object Search {
                    k: Int = 10, conjunctive: Boolean = false,
                    quantizeNorms: Boolean = false, start: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val occ = IndexBuild.termOccurrences(corpus)
-    val dl = IndexBuild.docLengths(occ)
-    val tf = IndexBuild.termFrequencies(occ)
-    val tfdl = IndexBuild.tfWithDl(tf, dl)
-    val dict = IndexBuild.dictionary(tf)
-    val st = IndexBuild.stats(dl)
+    val tfdl = IndexBuild.tfdlDirect(corpus)
+    val dict = IndexBuild.dictionary(tfdl)
+    val st = IndexBuild.statsFromCorpus(corpus)
     topK(queryFrame(spark, queries), tfdl, dict, st, k, conjunctive,
       quantizeNorms, start)
   }
@@ -449,12 +444,10 @@ object Search {
                            filter: org.apache.spark.sql.Column,
                            k: Int = 10, conjunctive: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
-    val occ = IndexBuild.termOccurrences(corpus)
-    val dl = IndexBuild.docLengths(occ)
-    val tf = IndexBuild.termFrequencies(occ)
+    val tfdl = IndexBuild.tfdlDirect(corpus)
     val scored = scoredDocs(queryFrame(spark, queries),
-      IndexBuild.tfWithDl(tf, dl), IndexBuild.dictionary(tf),
-      IndexBuild.stats(dl), conjunctive)
+      tfdl, IndexBuild.dictionary(tfdl),
+      IndexBuild.statsFromCorpus(corpus), conjunctive)
     rank(scored.join(corpus.where(filter).select("doc_id"), Seq("doc_id"), "left_semi"), k)
   }
 
@@ -497,13 +490,11 @@ object Search {
           .otherwise(raise_error(lit("searchMaxP: >= 1024 chunks in one doc"))))
         .as("doc_id"),
         col("chunk_text").as("text"))
-    val occ = IndexBuild.termOccurrences(pc)
-    val dl = IndexBuild.docLengths(occ)
-    val tf = IndexBuild.termFrequencies(occ)
-    val st = IndexBuild.stats(dl)
+    val tfdl = IndexBuild.tfdlDirect(pc)
+    val st = IndexBuild.statsFromCorpus(pc)
     val qt = queryTerms(queryFrame(spark, queries))
-    val qd = qt.join(IndexBuild.dictionary(tf).select("term", "df"), "term")
-    val ps = IndexBuild.tfWithDl(tf, dl)
+    val qd = qt.join(IndexBuild.dictionary(tfdl).select("term", "df"), "term")
+    val ps = tfdl
       .join(broadcast(qd), "term")
       .withColumn("_s", Bm25.termScore(col("tf"), col("dl"), col("df"),
         lit(st.nDocs), lit(st.avgdl)))
