@@ -444,24 +444,75 @@ object IndexSearch {
       when(col("rank") === 1, lit("pos")).otherwise(lit("hard_neg")))
       .select("query_id", "kind", "rank", "doc_id", "score")
     val qids = Search.queryFrame(spark, queries).select("query_id")
+    val rand = randNegatives(idx, heads, qids, nRand, permille)
+    localize(spark, labeled.unionByName(rand)
+      .orderBy("query_id", "kind", "rank"))
+  }
+
+  /** The rand_neg leg of [[hardNegatives]] — package-visible so the plan
+    * test can assert its two-phase shape on the lazy frame. */
+  private[graft] def randNegatives(idx: OpenIndex, heads: DataFrame,
+                                   qids: DataFrame, nRand: Int,
+                                   permille: Int): DataFrame = {
+    val spark = idx.spark
     val docs = idx.io.read(spark, idx.paths.docs).select("doc_id")
     val h = conv(substring(md5(concat(col("query_id").cast("string"),
       lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
       .orderBy(col("_h").asc, col("doc_id").asc)
-    val rand = docs.crossJoin(broadcast(qids))
+    val cand = docs.crossJoin(broadcast(qids))
       .withColumn("_h", h)
       .where(col("_h") % 1000 < permille)
       .join(broadcast(heads.select("query_id", "doc_id")),
         Seq("query_id", "doc_id"), "left_anti")
+    // TWO-PHASE top-nRand (the PostingBlocks.topBlockMaxes idiom; closes
+    // the round-5 "perf-weak" finding): a per-partition bounded heap
+    // keeps each query's nRand (h, doc)-smallest candidates with fixed
+    // O(queries × nRand) task state, and the pinned window then ranks
+    // only ≤ partitions × queries × nRand survivors — the previous shape
+    // funneled EVERY sampled candidate of a query through one window
+    // task (~10^9 rows/task at 10^12 docs, permille=1). The (h, doc_id)
+    // order is total (doc ids unique per query), so the survivor set
+    // provably contains the global top-nRand and the output is
+    // bit-identical.
+    import spark.implicits._
+    val partials = cand.select(col("query_id"), col("_h"), col("doc_id"))
+      .as[(Int, Long, Long)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Int, java.util.PriorityQueue[(Long, Long)]]
+        val desc = new java.util.Comparator[(Long, Long)] {
+          override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+            val c = java.lang.Long.compare(b._1, a._1)
+            if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+          }
+        }
+        it.foreach { case (q, hv, d) =>
+          val pq = heaps.getOrElseUpdate(q,
+            new java.util.PriorityQueue[(Long, Long)](nRand + 1, desc))
+          if (pq.size < nRand) pq.add((hv, d))
+          else {
+            val worst = pq.peek()
+            if (hv < worst._1 || (hv == worst._1 && d < worst._2)) {
+              pq.poll(); pq.add((hv, d))
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (q, pq) =>
+          pq.toArray(Array.empty[AnyRef]).iterator.map { o =>
+            val (hv, d) = o.asInstanceOf[(Long, Long)]
+            (q, hv, d)
+          }
+        }
+      }
+      .toDF("query_id", "_h", "doc_id")
+    partials
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= nRand)
       .select(col("query_id"), lit("rand_neg").as("kind"),
         col("rank").cast("int").as("rank"), col("doc_id"),
         lit(null).cast("double").as("score"))
-    localize(spark, labeled.unionByName(rand)
-      .orderBy("query_id", "kind", "rank"))
   }
 
   /** Luke-style index introspection (`/admin/luke` top terms): the n

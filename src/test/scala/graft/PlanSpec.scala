@@ -215,6 +215,48 @@ class PlanSpec extends SparkSpec {
       s"pair join not co-located on label:\n$plan")
   }
 
+  test("hardNegatives rand_neg: bounded per-partition top-n feeds the window") {
+    val idx = IndexSearch.open(spark, root)
+    val queries = Seq(1 -> "w1", 2 -> "w2 w3")
+    val heads = IndexSearch.search(idx, queries, 10)
+    val qids = graft.search.Search.queryFrame(spark, queries).select("query_id")
+    val rand = IndexSearch.randNegatives(idx, heads, qids, nRand = 5,
+      permille = 600)
+    rand.collect() // finalize adaptive plan
+    val plan = rand.queryExecution.executedPlan.toString
+    // the round-5 finding: every sampled candidate of a query funneled
+    // through ONE window task. The fix interposes a per-partition bounded
+    // top-n (typed mapPartitions) between the sampled stream and the
+    // window, so the window input is ≤ partitions × queries × nRand rows.
+    val winIdx = plan.indexOf("Window")
+    val mapIdx = plan.indexOf("MapPartitions")
+    assert(winIdx >= 0 && mapIdx >= 0,
+      s"expected Window fed by MapPartitions:\n$plan")
+    assert(mapIdx > winIdx, // physical plans print consumers above producers
+      s"bounded top-n must sit BELOW the window (its input):\n$plan")
+    // and the reduction preserves the exact global top-n per query: the
+    // windowed result over partials equals the direct window over the
+    // full sampled stream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val h = conv(substring(md5(concat(col("query_id").cast("string"),
+      lit(":"), col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+    val w = Window.partitionBy("query_id").orderBy(col("_h").asc, col("doc_id").asc)
+    val brute = spark.read.parquet(s"$root/docs").select("doc_id")
+      .crossJoin(broadcast(qids))
+      .withColumn("_h", h)
+      .where(col("_h") % 1000 < 600)
+      .join(broadcast(heads.select("query_id", "doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id")
+    assert(rand.select("query_id", "rank", "doc_id").orderBy("query_id", "rank")
+      .collect().toSeq ==
+      brute.orderBy("query_id", "rank").collect().toSeq,
+      "two-phase rand_neg must equal the direct window result")
+  }
+
   test("sftPairs is one window pass — no join anywhere in the plan") {
     import spark.implicits._
     val t = Seq(("c0", 0, "user", "a"), ("c0", 1, "assistant", "b"))
