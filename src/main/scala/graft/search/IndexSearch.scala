@@ -22,7 +22,13 @@ object IndexSearch {
 
   final case class OpenIndex(paths: IndexPaths, dictionary: DataFrame,
                              stats: Stats, spark: SparkSession,
-                             io: graft.sources.TableIO)
+                             io: graft.sources.TableIO,
+                             // per-term top block maxes (blockmeta/), when
+                             // the index carries them — joined on demand
+                             // ONLY by the WAND θ-seed probe; keeping the
+                             // plain dictionary unjoined spares every
+                             // other probe a dictionary ⋈ blockmeta join
+                             blockmeta: Option[DataFrame] = None)
 
   /** One posting block routed to one (query, doc-range) group (WAND
     * input). A block spanning a range boundary is routed to EVERY range it
@@ -55,16 +61,17 @@ object IndexSearch {
   def open(spark: SparkSession, root: String,
            io: graft.sources.TableIO = graft.sources.ParquetTableIO): OpenIndex = {
     val p = IndexPaths(root)
-    // per-term top block maxes ride the dictionary when present (indexes
-    // built since blockmeta landed): the broadcast dict then carries
-    // everything the WAND θ seed needs — no per-batch metadata job. An
-    // older index falls back to the window-job seed path in wandBlocks.
-    val dict0 = io.read(spark, p.dictionary)
-    val dict =
+    // per-term top block maxes (blockmeta) are carried SEPARATELY and
+    // joined onto the dictionary only inside the WAND θ-seed probe: the
+    // plain dictionary feeds every other probe without paying a
+    // dictionary ⋈ blockmeta join per query. An older index without
+    // blockmeta falls back to the window-job seed path in wandBlocks.
+    val bm =
       if (graft.sources.Fs.exists(spark, p.blockmeta))
-        dict0.join(io.read(spark, p.blockmeta), Seq("term"), "left")
-      else dict0
-    OpenIndex(p, dict, BuildIndexJob.readStats(spark, p, io), spark, io)
+        Some(io.read(spark, p.blockmeta))
+      else None
+    OpenIndex(p, io.read(spark, p.dictionary),
+      BuildIndexJob.readStats(spark, p, io), spark, io, bm)
   }
 
   /** Decoded posting rows of the given (query_id, term) pairs, pruned to
@@ -2092,10 +2099,22 @@ object IndexSearch {
     val spark = idx.spark
     import spark.implicits._
     val qt = Search.queryTerms(Search.queryFrame(spark, queries))
-    val hasBm = idx.dictionary.columns.contains("top_block_maxes")
+    val hasBm = idx.blockmeta.isDefined
     val qdCols = Seq("query_id", "term", "df", "shard") ++
       (if (hasBm) Seq("top_block_maxes") else Nil)
-    val qd = qt.join(idx.dictionary, "term").select(qdCols.map(col): _*)
+    // dictionary and blockmeta pruned by the analyzed term set BEFORE the
+    // joins: the predicate pushes to both parquet scans, and the blockmeta
+    // join (θ-seed metadata) touches ≤ |terms| rows per side instead of
+    // the whole dictionary per batch
+    val allTerms = queries
+      .flatMap { case (_, t) => graft.analysis.Analyzer.tokenize(t) }.distinct
+    val dictPruned = idx.dictionary.where(col("term").isInCollection(allTerms))
+    val dictProbe = idx.blockmeta match {
+      case Some(bm) => dictPruned.join(
+        bm.where(col("term").isInCollection(allTerms)), Seq("term"), "left")
+      case None => dictPruned
+    }
+    val qd = qt.join(dictProbe, "term").select(qdCols.map(col): _*)
     // one driver job (≤ |query terms| rows): shards AND — when the index
     // carries blockmeta — the per-term top block maxes the θ seed needs
     val qdRows = qd.collect()
@@ -2222,6 +2241,39 @@ object IndexSearch {
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
     val (blocks, seeds, rs) = planned.get
     val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, start + k)
+    val singleRange = (nDocs + rs - 1) / rs == 1
+    if (singleRange) {
+      // SINGLE-RANGE corpus (a data-derived condition — ≤ docsPerRange
+      // docs — not a hardware constant, the MinRangesForPrune precedent):
+      // the one (query, range-0) group already holds the query's full
+      // candidate set, and topKRange returns it in the pinned rank order
+      // (round(score,RankScale) DESC, doc ASC — the same Scala round twin
+      // the traversal's heap uses), so the global rank is assigned
+      // IN-GROUP and the rank window's exchange+window jobs per batch
+      // disappear. Output bit-identical to [[Search.rank]]. Multi-range
+      // corpora take the unchanged rank-merge path below.
+      val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
+        .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
+          val (qid, rid) = key
+          val byTerm = rows.toVector.groupBy(_.term)
+          val terms = byTerm.valuesIterator.map { trs =>
+            val sorted = trs.sortBy(_.first_doc)
+            BlockMaxWand.TermPostings(sorted.head.df,
+              sorted.map(r => BlockMaxWand.BlockRef(r.first_doc, r.last_doc,
+                r.block_max_score, r.doc_gaps, r.tfs, r.dls)).toArray)
+          }.toSeq
+          val lo = rid.toLong * rs
+          val seed = seeds.getOrElse(qid, Double.NegativeInfinity)
+          BlockMaxWand.topKRange(terms, kk, nDocs, avgdl, lo, lo + rs, seed)
+            .iterator.zipWithIndex.collect {
+              case ((doc, s), i) if i + 1 > start =>
+                (qid, i + 1, doc, BlockMaxWand.round(s, Bm25.OutScale))
+            }
+        }
+        .toDF("query_id", "rank", "doc_id", "score")
+      return candidates.select(col("query_id"),
+        col("rank").cast("int").as("rank"), col("doc_id"), col("score"))
+    }
     val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
       .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
         val (qid, rid) = key
@@ -2261,6 +2313,32 @@ object IndexSearch {
         .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
     val (blocks, seeds, rs) = planned.get
     val (nDocs, avgdl, kk) = (idx.stats.nDocs, idx.stats.avgdl, start + k)
+    val singleRange = (nDocs + rs - 1) / rs == 1
+    if (singleRange) {
+      // single-range in-group ranking — see [[searchWand]]; MaxScore's
+      // topKRange returns the same pinned order
+      val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
+        .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
+          val (qid, rid) = key
+          val byTerm = rows.toVector.groupBy(_.term)
+          val terms = byTerm.valuesIterator.map { trs =>
+            val sorted = trs.sortBy(_.first_doc)
+            BlockMaxWand.TermPostings(sorted.head.df,
+              sorted.map(r => BlockMaxWand.BlockRef(r.first_doc, r.last_doc,
+                r.block_max_score, r.doc_gaps, r.tfs, r.dls)).toArray)
+          }.toSeq
+          val lo = rid.toLong * rs
+          val seed = seeds.getOrElse(qid, Double.NegativeInfinity)
+          MaxScore.topKRange(terms, kk, nDocs, avgdl, lo, lo + rs, seed)
+            .iterator.zipWithIndex.collect {
+              case ((doc, s), i) if i + 1 > start =>
+                (qid, i + 1, doc, BlockMaxWand.round(s, Bm25.OutScale))
+            }
+        }
+        .toDF("query_id", "rank", "doc_id", "score")
+      return candidates.select(col("query_id"),
+        col("rank").cast("int").as("rank"), col("doc_id"), col("score"))
+    }
     val candidates = blocks.groupByKey(r => (r.query_id, r.range_id))
       .flatMapGroups { (key: (Int, Int), rows: Iterator[QBlockRow]) =>
         val (qid, rid) = key

@@ -162,8 +162,8 @@ class WandSpec extends SparkSpec {
     BuildIndexJob.run(spark, Transcripts.synthetic(spark, 300), root, "w3",
       BuildIndexJob.Config(numShards = 8, blockSize = 16, saltTarget = 64))
     val idx = IndexSearch.open(spark, root)
-    assert(idx.dictionary.columns.contains("top_block_maxes"),
-      "fresh builds must carry blockmeta in the dictionary")
+    assert(idx.blockmeta.isDefined,
+      "fresh builds must carry blockmeta alongside the dictionary")
     val queries = Seq(1 -> "w1", 2 -> "w1 zzzrareone")
     val k = 10
     // independent expectation straight from the persisted block metadata
@@ -177,10 +177,9 @@ class WandSpec extends SparkSpec {
       if (kth.isEmpty) None else Some(qid -> kth.max)
     }.toMap
     assert(expected.nonEmpty)
-    // legacy view of the same index: dictionary WITHOUT blockmeta forces
-    // the old per-batch window-job seed derivation
-    val idxLegacy = idx.copy(
-      dictionary = spark.read.parquet(s"$root/dictionary"))
+    // legacy view of the same index: NO blockmeta forces the old
+    // per-batch window-job seed derivation
+    val idxLegacy = idx.copy(blockmeta = None)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
