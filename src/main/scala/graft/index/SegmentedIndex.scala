@@ -405,7 +405,7 @@ object SegmentedIndex {
         s"segment $n already committed (replay must be caught by the caller)") }
     val par = if (maxConcurrentBuilds > 0) maxConcurrentBuilds
       else math.max(1, math.min(batches.size,
-        spark.sparkContext.defaultParallelism / 8))
+        spark.sparkContext.defaultParallelism / 4))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     val pendings =
       try {
