@@ -100,7 +100,9 @@ object BenchExtra {
       }
       val idx = IndexSearch.open(spark, root)
       timed("wand_warm")(IndexSearch.searchWand(idx, Bench.workload).count())
-      timed("wand_rep")(IndexSearch.searchWand(idx, Bench.workload).count())
+      (1 to 5).foreach { i =>
+        timed(s"wand_rep_$i")(IndexSearch.searchWand(idx, Bench.workload).count())
+      }
     }
 
     if (probes("tiered")) {
